@@ -1,0 +1,185 @@
+"""Aggregation operators (SURVEY.md §2.4, A1-A10).
+
+All built on Spark's partial-aggregation machinery (map-side combine before
+the shuffle); stats use population stddev to match the reference's np.std
+(ddof=0, train/common/metrics.py:459). file:line cites /root/reference.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def count_by(df: DataFrame, *keys: str) -> DataFrame:
+    """A1: group count ('Found N images per difficulty',
+    train/common/dataset.py:161-164)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+
+
+def stats_pack(
+    df: DataFrame, value_col: str, keys: Sequence[str] = (), prefix: str | None = None
+) -> DataFrame:
+    """A2: mean/std/min/max pack per group (train/common/metrics.py:453-462).
+
+    np.std is population sigma (ddof=0) -> stddev_pop, NOT Spark's default
+    sample stddev.
+    """
+    p = prefix or value_col
+    v = F.col(value_col)
+    aggs = [
+        F.avg(v).alias(f"{p}_mean"),
+        F.stddev_pop(v).alias(f"{p}_std"),
+        F.min(v).alias(f"{p}_min"),
+        F.max(v).alias(f"{p}_max"),
+    ]
+    if keys:
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def ratio_of_sums_mean(
+    df: DataFrame,
+    class_col: str,
+    num_col: str,
+    den_col: str,
+    out_col: str = "mean_ratio",
+) -> DataFrame:
+    """A3 (mIoU shape): per-class sum(num)/sum(den), mean over classes with den>0.
+
+    Reference: per-class intersection/union sums then mean over classes with
+    union>0 (train/common/metrics.py:223-248). Two aggregations, both with
+    map-side partials; the second input is tiny (one row per class).
+    """
+    per_class = (
+        df.groupBy(class_col)
+        .agg(F.sum(num_col).alias("__num"), F.sum(den_col).alias("__den"))
+        .filter(F.col("__den") > 0)
+    )
+    return per_class.agg(F.avg(F.col("__num") / F.col("__den")).alias(out_col))
+
+
+def frac_below(
+    df: DataFrame, value_col: str, threshold: Column | float,
+    keys: Sequence[str] = (), out_col: str = "frac",
+) -> DataFrame:
+    """A4 (PCK shape): fraction of values below a threshold
+    (train/common/metrics.py:250-268)."""
+    th = F.lit(threshold) if isinstance(threshold, (int, float)) else threshold
+    agg = F.avg(
+        F.when(F.col(value_col) < th, F.lit(1.0)).otherwise(F.lit(0.0))
+    ).alias(out_col)
+    if keys:
+        return df.groupBy(*keys).agg(agg)
+    return df.agg(agg)
+
+
+def pct_of_total(df: DataFrame, key_col: str, limit: int | None = None) -> DataFrame:
+    """A5: per-group percentage of total (train/common/examples.py:200-224).
+
+    The reference limits to the first 1000 samples; pass ``limit`` after an
+    explicit orderBy upstream if that semantics is wanted (an unordered limit
+    is nondeterministic in a distributed engine).
+    """
+    if limit is not None:
+        df = df.limit(limit)
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return counts.withColumn(
+        "pct", F.round(F.col("n") * 100.0 / F.sum("n").over(total), 4)
+    )
+
+
+def weighted_targets(
+    counts: DataFrame, weights: DataFrame, stratum_col: str, weight_col: str,
+    n_col: str = "n", total_col: str = "total",
+) -> DataFrame:
+    """A6: per-stratum target counts target = floor(total * weight)
+    (train/common/dataset.py:190-195).
+
+    ``weights`` is a tiny config relation -> broadcast; the grand total is a
+    single-row cross join.
+    """
+    total = counts.agg(F.sum(n_col).alias(total_col))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(weights), stratum_col)
+        .withColumn("target", F.floor(F.col(total_col) * F.col(weight_col)))
+    )
+
+
+def mse(df: DataFrame, a: str, b: str, out_col: str = "mse") -> DataFrame:
+    """A7: mean squared error between two columns
+    (train/train_stage_1/train.py:83)."""
+    return df.agg(F.avg(F.pow(F.col(a) - F.col(b), 2)).alias(out_col))
+
+
+def composed_losses(
+    df: DataFrame, real_col: str, fake_col: str, l1_weight: float = 100.0
+) -> DataFrame:
+    """A8 (GAN loss shape): multi-output composed scalar aggregation.
+
+    D: 0.5*(MSE(real,1)+MSE(fake,0)); G: MSE(fake,1) + w*L1(real,fake)
+    (train/train_VTON_GAN/train.py:13-29,194-226; w train/train_VTON_GAN/config.py:37-40).
+    One pass, partial-aggregated.
+    """
+    r, f = F.col(real_col), F.col(fake_col)
+    return df.agg(
+        (0.5 * (F.avg(F.pow(r - 1.0, 2)) + F.avg(F.pow(f, 2)))).alias("loss_d"),
+        (F.avg(F.pow(f - 1.0, 2)) + l1_weight * F.avg(F.abs(r - f))).alias("loss_g"),
+    )
+
+
+def ema(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    decay: float = 0.9999,
+    out_col: str = "ema",
+) -> DataFrame:
+    """A9: exponential moving average per key over an ordered stream (batch form).
+
+    s_t = (1-d)*x_t + d*s_{t-1}, s_0 = x_0 (train/train_DIT/utils.py:19-25,
+    decay train/train_DIT/config.py:54-55). Sequential state is not
+    parallelizable within a key, so: collect the (order, value) pairs per key
+    with a single shuffle, sort the array, and fold with the higher-order
+    ``aggregate`` — all JVM-side, no Python. Returns one row per key with the
+    final EMA. Keys must individually fit in memory (fine: per-run metric
+    streams are small even when the table is huge). The streaming form is
+    streaming/events.py::ema_stream.
+    """
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("v")))
+    )
+    folded = F.aggregate(
+        pairs,
+        F.struct(F.lit(True).alias("first"), F.lit(0.0).alias("s")),
+        lambda acc, x: F.struct(
+            F.lit(False).alias("first"),
+            F.when(acc["first"], x["v"])
+            .otherwise(F.lit(1.0 - decay) * x["v"] + F.lit(decay) * acc["s"])
+            .alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
+    return df.groupBy(*key_cols).agg(folded.alias(out_col))
+
+
+def covariance_pack(
+    df: DataFrame, x_col: str, y_col: str, keys: Sequence[str] = ()
+) -> DataFrame:
+    """A10 (FID shape): per-group means + population covariance + correlation
+    (train/train_stage_1/metrics.py:13-55 — described there, computed here)."""
+    aggs = [
+        F.avg(x_col).alias("x_mean"),
+        F.avg(y_col).alias("y_mean"),
+        F.covar_pop(x_col, y_col).alias("xy_covar"),
+        F.corr(x_col, y_col).alias("xy_corr"),
+    ]
+    if keys:
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)

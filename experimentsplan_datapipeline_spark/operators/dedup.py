@@ -1,0 +1,206 @@
+"""Deduplication operators for LLM-scale corpora (north-star additions).
+
+Four tiers, cheapest first. All shuffle on compact keys (hashes/bands), never
+on document text; at 100 TB the only wide exchange is the band-bucket shuffle
+whose keys are 16-byte hashes.
+
+- exact_dedup          : md5(normalized text) groupBy — one shuffle on a hash.
+- minhash_lsh_dedup    : shingles -> K minhashes -> B bands -> bucket join.
+- simhash_dedup        : 64-bit simhash over token hashes; bucket by prefix.
+- ngram_jaccard_pairs  : verification joiner — exact Jaccard on LSH candidates
+                         only (never all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint, ngrams
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized content: keep the lowest id per fingerprint.
+
+    min_by keeps one representative row per duplicate set in a single
+    partial-aggregated pass; only (fingerprint, id) cross the shuffle.
+    """
+    fp = doc_fingerprint(text_col)
+    return (
+        df.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _minhash_cols(shingles: Column, num_hashes: int, prime: int = 2147483647) -> list[Column]:
+    """K minhash values from one xxhash64 per shingle + K cheap affine remixes.
+
+    One expensive hash per shingle; the (a*h+b) mod p family derives the K
+    signatures JVM-side without K hash passes over the text.
+    """
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    cols = []
+    for i in range(num_hashes):
+        a, b = 2 * i + 1, 7 * i + 3
+        remix = F.transform(
+            base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(prime))
+        )
+        cols.append(F.array_min(remix).alias(f"mh_{i}"))
+    return cols
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 32, shingle_size: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{K-1}) signature table; empty docs get null signatures."""
+    sh = ngrams(text_col, shingle_size)
+    sig = df.select(
+        F.col(id_col),
+        *[
+            F.when(F.size(sh) > 0, c_expr).otherwise(F.lit(None)).alias(f"mh_{i}")
+            for i, c_expr in enumerate(_minhash_cols(sh, num_hashes))
+        ],
+    )
+    return sig
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Signature -> B band keys (hash of rows-per-band minhashes) -> self-join on
+    (band, key). Only hashes shuffle. Returns distinct (id_a, id_b) with
+    id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key"))
+        )
+    exploded = (
+        sig.na.drop(subset=["mh_0"])
+        .select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, candidates: DataFrame, text_col: str, id_col: str,
+    shingle_size: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (LSH verification step).
+
+    Joins shingle SETS (arrays) onto the candidate pair list; never all-pairs.
+    """
+    sh = df.select(
+        F.col(id_col), F.array_distinct(ngrams(text_col, shingle_size)).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        candidates.join(a, candidates["id_a"] == F.col(f"a.{id_col}"))
+        .join(b, candidates["id_b"] == F.col(f"b.{id_col}"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return joined.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> Jaccard verify.
+
+    Returns verified near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+    Connected-component dedup (keep one per cluster) composes on top via a
+    min-id propagation join; at 100 TB run 2-3 iterations (diameter of dup
+    clusters is tiny in practice).
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    cand = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
+    return ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_size, threshold)
+
+
+def simhash(text_col: Column | str, bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens, as a signed long.
+
+    Per token: xxhash64; per bit: +1 if set else -1, summed over tokens; the
+    sign of each bit-sum sets the output bit. Pure higher-order expressions.
+    """
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    hashes = F.transform(toks, lambda x: F.xxhash64(x))
+    bit_exprs = []
+    for i in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_exprs.append(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bit_exprs[0]
+    for be in bit_exprs[1:]:
+        out = out.bitwiseOR(be)
+    return out
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates by SimHash prefix bucket.
+
+    Docs sharing the top ``prefix_bits`` of their simhash land in one bucket;
+    returns (bucket, id_a, id_b, hamming) pairs for verification. Bucketing
+    keeps the self-join banded instead of all-pairs.
+    """
+    sh = df.select(F.col(id_col), simhash(text_col).alias("sh"))
+    bucketed = sh.withColumn("bucket", F.shiftright(F.col("sh"), 64 - prefix_bits))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+    )

@@ -1,0 +1,135 @@
+"""Join operators (SURVEY.md §2.3, J1-J8 + S14 semi/anti).
+
+Design for scale: small relations are explicitly ``broadcast()`` (pairs files,
+dims); the only theta-shaped join in the reference (prefix match, J6) is
+normalized to an equi-join on an extracted key so it hash-partitions instead
+of falling into BroadcastNestedLoopJoin. file:line cites /root/reference.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from experimentsplan_datapipeline_spark.functions.strings import composite_key
+
+
+def assemble_triplets(
+    df: DataFrame,
+    key_col: str,
+    slot_col: str,
+    value_col: str,
+    slots: Sequence[str],
+) -> DataFrame:
+    """J1: group-pivot triplet assembly with completeness filter.
+
+    Reference: group S3 keys by extracted stem, one slot per image_type,
+    keep only stems with all three slots filled
+    (train/common/dataset.py:112-159). One shuffle (groupBy key), pivot with
+    an explicit slot list so Spark skips the extra distinct-values job.
+    """
+    pivoted = (
+        df.groupBy(key_col)
+        .pivot(slot_col, list(slots))
+        .agg(F.first(value_col, ignorenulls=True))
+    )
+    return pivoted.na.drop(subset=list(slots))
+
+
+def join_pairs(
+    pairs: DataFrame,
+    assets: DataFrame,
+    pair_key: str,
+    asset_key: str,
+    how: str = "inner",
+    broadcast_assets: bool = False,
+) -> DataFrame:
+    """J2: FK lookup join; the small side is broadcast.
+
+    Reference: (person_id, garment_id) row -> person/garment file lookups
+    (train/train_CATVTON/dataloader.py:80-87). The pairs file is tiny, so at
+    scale broadcast it (or the asset dim, whichever is small).
+    """
+    right = F.broadcast(assets) if broadcast_assets else assets
+    return pairs.join(right, pairs[pair_key] == right[asset_key], how)
+
+
+def join_composite(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: Sequence[str],
+    right_key: str,
+    sep: str = "_",
+    how: str = "inner",
+) -> DataFrame:
+    """J3: join on a composite ``{a}_{b}`` key.
+
+    Reference: CP-VTON target files keyed '{person_id}_{garment_id}'
+    (train/train_CP_VTON/dataloader.py:61). The concat happens on the fat
+    side pre-shuffle; at 100 TB prefer joining on the raw column pair when
+    both sides have them (skips the concat and keeps column stats usable).
+    """
+    keyed = left.withColumn("__ck", composite_key(*left_cols, sep=sep))
+    return keyed.join(right, keyed["__ck"] == right[right_key], how).drop("__ck")
+
+
+def join_optional_left(
+    base: DataFrame, optional: DataFrame, on: str | Sequence[str]
+) -> DataFrame:
+    """J5: left-outer join for optional assets; missing side stays null.
+
+    Reference: masked metrics only ``if 'mask' in item``
+    (train/common/metrics.py:316-326,416-419). Downstream uses
+    when(col.isNotNull(), ...) instead of branching.
+    """
+    return base.join(optional, on, "left")
+
+
+def normalize_prefix_join(
+    files: DataFrame,
+    stems: DataFrame,
+    file_name_col: str,
+    stem_col: str,
+    key_extractor: Column,
+) -> DataFrame:
+    """J6 (normalized): prefix-match join rewritten as an equi-join.
+
+    Reference: find cloth file where filename.startswith(stem), take first
+    (train/common/metrics.py:303-304). The raw theta form
+    ``substr(f, 1, len(s)) = s`` forces BroadcastNestedLoopJoin; extracting
+    the candidate key from the filename turns it into a hash join that
+    scales. ``key_extractor`` is the expression producing the stem from
+    ``file_name_col``.
+    """
+    keyed = files.withColumn("__stem_key", key_extractor)
+    return keyed.join(stems, keyed["__stem_key"] == stems[stem_col], "inner").drop(
+        "__stem_key"
+    )
+
+
+def prefix_theta_join(files: DataFrame, stems: DataFrame, file_col: str, stem_col: str) -> DataFrame:
+    """J6 (raw theta fallback): startswith join via BroadcastNestedLoopJoin.
+
+    Documented fallback only — O(n*m) compare; use normalize_prefix_join at
+    scale. Valid when the stems side is tiny (broadcast) and keys are not
+    extractable.
+    """
+    return files.join(
+        F.broadcast(stems), files[file_col].startswith(stems[stem_col]), "inner"
+    )
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Column) -> DataFrame:
+    """S14: existence probe (head_object before download) as left-semi.
+
+    Reference: train/common/s3_utils.py:52-57. Semi joins shuffle only keys —
+    at scale dramatically cheaper than inner+distinct.
+    """
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Column) -> DataFrame:
+    """S14 complement: rows with no match (missing-asset detection)."""
+    return left.join(right, on, "left_anti")

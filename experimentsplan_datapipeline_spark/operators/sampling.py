@@ -1,0 +1,176 @@
+"""Sampling / set operators (SURVEY.md §2.6, U1-U7).
+
+The reference's samplers take EXACT per-stratum counts (int(total*weight))
+with a with-replacement fallback when a stratum is short
+(train/common/dataset.py:180-227) — Spark's sampleBy is Bernoulli-approximate,
+so the exact sampler is a library function built on a rank-within-stratum
+window.
+
+Determinism contract: the reference uses unseeded ``random`` (dataset.py:
+213-222) which we deliberately do NOT replicate. Two ordering modes:
+- 'hash'  — rank by md5(key || salt): fully deterministic, engine-independent
+            (the DuckDB oracle reproduces it bit-for-bit).
+- 'rand'  — rank by rand(seed): Spark-deterministic for a fixed seed and
+            partitioning, for parity with seeded-RNG expectations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """U1: ConcatDataset -> unionByName
+    (train/train_stage_1_2/dataloader.py:100)."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _rank_col(key_cols: Sequence[str], mode: str, seed: int):
+    if mode == "hash":
+        salted = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols],
+                             F.lit(str(seed)))
+        return F.md5(salted)
+    if mode == "rand":
+        return F.rand(seed)
+    raise ValueError(f"unknown sampling mode: {mode}")
+
+
+def stratified_exact(
+    df: DataFrame,
+    stratum_col: str,
+    targets: dict[str, int],
+    key_cols: Sequence[str],
+    seed: int = 42,
+    mode: str = "hash",
+) -> DataFrame:
+    """U3: exact-count stratified sample without replacement.
+
+    rank = row_number() over (partition by stratum order by rank_key) and keep
+    rank <= target — one shuffle, exact counts, deterministic under 'hash'
+    mode. When a stratum has fewer rows than its target, all of them are kept
+    (the reference falls back to with-replacement top-up: use
+    ``stratified_with_replacement`` for that semantics).
+    """
+    rk = _rank_col(key_cols, mode, seed)
+    w = Window.partitionBy(stratum_col).orderBy(rk, *[F.col(c) for c in key_cols])
+    target_expr = None
+    for stratum, n in targets.items():
+        cond = F.col(stratum_col) == stratum
+        target_expr = (
+            F.when(cond, n) if target_expr is None else target_expr.when(cond, n)
+        )
+    target_expr = target_expr.otherwise(0)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= target_expr)
+        .drop("__rk")
+    )
+
+
+def stratified_with_replacement(
+    df: DataFrame,
+    stratum_col: str,
+    targets: dict[str, int],
+    key_cols: Sequence[str],
+    seed: int = 42,
+) -> DataFrame:
+    """U3 fallback: exact counts WITH replacement when strata run short.
+
+    Reference: random.choices when len(stratum) < target
+    (train/common/dataset.py:205-216). Implementation: deterministic
+    round-robin replication — rank rows within the stratum, then each row i
+    appears ceil/floor times so the stratum totals exactly ``target``.
+    Deterministic (hash-ranked), single shuffle + explode.
+    """
+    rk = _rank_col(key_cols, "hash", seed)
+    w = Window.partitionBy(stratum_col).orderBy(rk, *[F.col(c) for c in key_cols])
+    cnt_w = Window.partitionBy(stratum_col)
+    target_expr = None
+    for stratum, n in targets.items():
+        cond = F.col(stratum_col) == stratum
+        target_expr = (
+            F.when(cond, n) if target_expr is None else target_expr.when(cond, n)
+        )
+    target_expr = target_expr.otherwise(0)
+    ranked = (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt_w))
+        .withColumn("__target", target_expr)
+    )
+    # row i (1-based) replicates: base = target div n, +1 for the first
+    # (target mod n) ranked rows; short strata replicate, long strata truncate.
+    copies = (
+        F.floor(F.col("__target") / F.col("__n"))
+        + F.when(
+            F.col("__rk") <= F.col("__target") % F.col("__n"), F.lit(1)
+        ).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        ranked.filter(copies > 0)
+        .withColumn("__copy", F.explode(F.sequence(F.lit(1), copies)))
+        .drop("__rk", "__n", "__target", "__copy")
+    )
+
+
+def weighted_union_sample(
+    dfs: dict[str, DataFrame],
+    weights: dict[str, float],
+    num_samples: int,
+    key_cols: Sequence[str],
+    seed: int = 42,
+    mode: str = "hash",
+    source_col: str = "source",
+) -> DataFrame:
+    """U4: WeightedRandomSampler over a union of datasets.
+
+    Reference: per-dataset weights {0.3,0.7} / {0.25,0.25,0.5}, num_samples=N
+    (train/train_stage_1_2/dataloader.py:102-124). Each source contributes
+    floor(N*w) rows, sampled exactly within the tagged union.
+    """
+    tagged = None
+    for name, df in dfs.items():
+        t = df.withColumn(source_col, F.lit(name))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    targets = {name: int(num_samples * weights[name]) for name in dfs}
+    return stratified_exact(tagged, source_col, targets, key_cols, seed, mode)
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_cols: Sequence[str], seed: int = 42
+) -> DataFrame:
+    """U5: global shuffle, seeded (random.shuffle, dataset.py:222).
+
+    Row SET is unchanged — ordering is by md5(key||seed). At scale prefer
+    ``repartition(n, rand-key)`` over a global sort when only decorrelation
+    (not a total order) is needed.
+    """
+    salted = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols],
+                         F.lit(str(seed)))
+    return df.orderBy(F.md5(salted))
+
+
+def curriculum_stage(
+    df: DataFrame,
+    stratum_col: str,
+    stage: str,
+    stage_targets: dict[str, dict[str, int]],
+    key_cols: Sequence[str],
+    seed: int = 42,
+) -> DataFrame:
+    """U7: one stage of a curriculum schedule (easy -> medium -> hard).
+
+    Reference: 3 sequential jobs with per-stage difficulty mixes
+    (train/bash_scripts/curriculum/train_catvton.sh:12-63,
+    curriculum/README.md:19-61). A stage is just an exact stratified sample
+    under that stage's target mix; orchestration (resume, LR) stays driver-side.
+    """
+    return stratified_exact(
+        df, stratum_col, stage_targets[stage], key_cols, seed=seed, mode="hash"
+    )

@@ -1,0 +1,1 @@
+"""Composed end-to-end pipelines and the driver-facing query registry."""

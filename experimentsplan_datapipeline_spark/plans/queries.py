@@ -1,0 +1,870 @@
+"""Driver-facing query registry: every SURVEY.md §2 Q-name as a
+(Spark callable, DuckDB oracle SQL) pair over the synthetic star schema.
+
+Each Spark query is built from the operator library; the oracle string is the
+ANSI-SQL twin DuckDB runs on the same parquet. Conventions that keep the
+value-hash comparison stable across engines:
+
+- every computed column is aliased identically on both sides;
+- doubles are ``round()``-ed identically on both sides (sum-order ulp noise
+  must not leak into the hash);
+- timestamps never appear raw in outputs — formatted to strings;
+- rankings order by the ROUNDED value with an id tiebreak;
+- sampling orders by md5(key||seed) — engine-independent determinism.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from experimentsplan_datapipeline_spark.functions.text import (
+    LANG_MARKERS,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from experimentsplan_datapipeline_spark.operators import aggregates as agg
+from experimentsplan_datapipeline_spark.operators import filters as flt
+from experimentsplan_datapipeline_spark.operators import joins as jn
+from experimentsplan_datapipeline_spark.operators import sampling as smp
+from experimentsplan_datapipeline_spark.operators import windows as win
+from experimentsplan_datapipeline_spark.operators import dedup as dd
+from experimentsplan_datapipeline_spark.operators import similarity as sim
+from experimentsplan_datapipeline_spark.operators.pivots import pivot_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # TIMESTAMP(NANOS) arrives as long (see session.py); truncate to
+        # micros exactly like DuckDB does when it reads the same file.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+# ---------------------------------------------------------------- scans (S)
+
+@register("scan_catalog", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity > 30
+""")
+def scan_catalog(spark, sf_dir):
+    """S1: projected + filtered scan; predicate and columns push into parquet."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@register("filter_suffix", """
+SELECT p_partkey, p_brand FROM part
+WHERE p_brand LIKE '%1' OR p_brand LIKE '%3'
+""")
+def filter_suffix(spark, sf_dir):
+    """S3/F1: suffix predicate (extension filter shape)."""
+    return flt.filter_suffix(t(spark, sf_dir, "part"), "p_brand", ["1", "3"]).select(
+        "p_partkey", "p_brand"
+    )
+
+
+@register("read_pairs", """
+SELECT split_part(line, ' ', 1) AS person_id, split_part(line, ' ', 2) AS garment_id
+FROM (SELECT 'p' || o_custkey::VARCHAR || ' g' || o_orderkey::VARCHAR AS line FROM orders)
+""")
+def read_pairs(spark, sf_dir):
+    """S5: whitespace pairs-file parse (line -> 2 columns)."""
+    lines = t(spark, sf_dir, "orders").select(
+        F.format_string("p%d g%d", "o_custkey", "o_orderkey").alias("line")
+    )
+    return lines.select(
+        F.split_part(F.col("line"), F.lit(" "), F.lit(1)).alias("person_id"),
+        F.split_part(F.col("line"), F.lit(" "), F.lit(2)).alias("garment_id"),
+    )
+
+
+@register("read_labels_cast", """
+SELECT img, CAST(split_part(line, ' ', 2) AS BIGINT) AS label
+FROM (SELECT 'img_' || p_partkey::VARCHAR || '.png ' || p_size::VARCHAR AS line,
+             'img_' || p_partkey::VARCHAR || '.png' AS img
+      FROM part)
+""")
+def read_labels_cast(spark, sf_dir):
+    """S6: labels file parse with int cast."""
+    lines = t(spark, sf_dir, "part").select(
+        F.format_string("img_%d.png %d", "p_partkey", "p_size").alias("line"),
+        F.format_string("img_%d.png", "p_partkey").alias("img"),
+    )
+    return lines.select(
+        "img", F.split_part(F.col("line"), F.lit(" "), F.lit(2)).cast("long").alias("label")
+    )
+
+
+# ------------------------------------------------------------- filters (F)
+
+@register("case_when_classify", """
+SELECT CASE WHEN contains(lower(o_orderpriority), 'urgent') THEN 'high'
+            WHEN contains(lower(o_orderpriority), 'high') THEN 'high'
+            WHEN contains(lower(o_orderpriority), 'medium') THEN 'mid'
+            ELSE 'low' END AS priority_class,
+       count(*) AS n
+FROM orders GROUP BY 1
+""")
+def case_when_classify(spark, sf_dir):
+    """F2: substring CASE classification with explicit default."""
+    classified = flt.classify_by_substring(
+        t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        [("urgent", "high"), ("high", "high"), ("medium", "mid")],
+        default="low",
+        out_col="priority_class",
+    )
+    return agg.count_by(classified, "priority_class")
+
+
+@register("having_complete_triplet", """
+SELECT l_orderkey, count(*) AS n FROM lineitem
+GROUP BY l_orderkey HAVING count(*) = 4
+""")
+def having_complete_triplet(spark, sf_dir):
+    """F3: completeness HAVING filter (stems with all members present)."""
+    return flt.having_count(t(spark, sf_dir, "lineitem"), ["l_orderkey"], 4)
+
+
+@register("filter_not_null", """
+SELECT o_orderstatus AS status, count(*) AS n
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+WHERE o_orderkey IS NOT NULL GROUP BY 1
+""")
+def filter_not_null(spark, sf_dir):
+    """F4: null-row drop after an outer join (failed-load drop shape)."""
+    joined = jn.join_optional_left(
+        t(spark, sf_dir, "customer"),
+        t(spark, sf_dir, "orders"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    kept = flt.drop_incomplete(joined, ["o_orderkey"])
+    return agg.count_by(kept.withColumnRenamed("o_orderstatus", "status"), "status")
+
+
+@register("filter_partition", """
+SELECT l_returnflag, count(*) AS n FROM lineitem
+WHERE l_linestatus = 'O' GROUP BY l_returnflag
+""")
+def filter_partition(spark, sf_dir):
+    """F5: partition-column filter (prunes when data is laid out by it)."""
+    return agg.count_by(
+        t(spark, sf_dir, "lineitem").filter(F.col("l_linestatus") == "O"),
+        "l_returnflag",
+    )
+
+
+@register("project_rename", """
+SELECT p_partkey AS part_id, p_brand AS brand, p_retailprice AS price FROM part
+""")
+def project_rename(spark, sf_dir):
+    """F6: projection with renaming (batch-key adapter shape)."""
+    return flt.project_rename(
+        t(spark, sf_dir, "part"),
+        {"p_partkey": "part_id", "p_brand": "brand", "p_retailprice": "price"},
+    )
+
+
+@register("coalesce_cols", """
+SELECT coalesce(o_orderstatus, 'NONE') AS status, count(*) AS n
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY 1
+""")
+def coalesce_cols(spark, sf_dir):
+    """F7: first-non-null key resolution."""
+    joined = jn.join_optional_left(
+        t(spark, sf_dir, "customer"),
+        t(spark, sf_dir, "orders"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    resolved = joined.withColumn(
+        "status", F.coalesce(F.col("o_orderstatus"), F.lit("NONE"))
+    )
+    return agg.count_by(resolved, "status")
+
+
+@register("filter_semi", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def filter_semi(spark, sf_dir):
+    """S14: existence probe as left-semi join (keys-only shuffle)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return jn.semi_join(c, o, c["c_custkey"] == o["o_custkey"]).select(
+        "c_custkey", "c_name"
+    )
+
+
+@register("filter_anti", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def filter_anti(spark, sf_dir):
+    """S14 complement: missing-asset detection as left-anti join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return jn.anti_join(c, o, c["c_custkey"] == o["o_custkey"]).select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------- joins (J)
+
+@register("join_triplet", """
+SELECT l_orderkey,
+       round(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 2) AS qty_a,
+       round(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 2) AS qty_n,
+       round(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 2) AS qty_r
+FROM lineitem GROUP BY l_orderkey
+HAVING count(DISTINCT l_returnflag) = 3
+""")
+def join_triplet(spark, sf_dir):
+    """J1: group-pivot assembly + completeness (triplet shape).
+
+    Explicit pivot values skip the distinct-values job; dropna is the
+    completeness filter.
+    """
+    pivoted = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"A": "qty_a", "N": "qty_n", "R": "qty_r"})
+    )
+    return pivoted.na.drop(subset=["qty_a", "qty_n", "qty_r"])
+
+
+@register("join_pairs", """
+SELECT c_custkey, c_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+""")
+def join_pairs(spark, sf_dir):
+    """J2: FK lookup with broadcast dim."""
+    joined = jn.join_pairs(
+        t(spark, sf_dir, "orders"),
+        t(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+        broadcast_assets=True,
+    )
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+    )
+
+
+@register("join_composite_key", """
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderpriority
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey::VARCHAR || '_' || l.l_linenumber::VARCHAR
+   = o.o_orderkey::VARCHAR || '_1'
+""")
+def join_composite_key(spark, sf_dir):
+    """J3: join on a concat_ws composite key."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select(
+        F.concat_ws("_", F.col("o_orderkey"), F.lit("1")).alias("ck"),
+        "o_orderpriority",
+    )
+    joined = jn.join_composite(li, orders, ["l_orderkey", "l_linenumber"], "ck")
+    return joined.select("l_orderkey", "l_linenumber", "l_quantity", "o_orderpriority")
+
+
+@register("join_pred_gt", """
+SELECT p_brand, count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+""")
+def join_pred_gt(spark, sf_dir):
+    """J4: predictions x ground-truth inner equi-join + metric agg."""
+    joined = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(t(spark, sf_dir, "part")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+@register("join_left_optional", """
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       round(sum(CASE WHEN o_orderkey IS NOT NULL THEN o_totalprice ELSE 0.0 END), 2) AS total
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey
+""")
+def join_left_optional(spark, sf_dir):
+    """J5: optional-asset left join; null side contributes zero, not a branch."""
+    joined = jn.join_optional_left(
+        t(spark, sf_dir, "customer"),
+        t(spark, sf_dir, "orders"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderkey").isNotNull(), F.col("o_totalprice")).otherwise(0.0)
+            ),
+            2,
+        ).alias("total"),
+    )
+
+
+@register("join_prefix_theta", """
+SELECT s.tok AS brand_prefix, count(*) AS n
+FROM part p JOIN (SELECT DISTINCT split_part(p_brand, '#', 1) AS tok FROM part) s
+  ON split_part(p.p_brand, '#', 1) = s.tok
+GROUP BY s.tok
+""")
+def join_prefix_theta(spark, sf_dir):
+    """J6 normalized: prefix-match join rewritten as equi-join on an
+    extracted key (startswith -> hash join)."""
+    part = t(spark, sf_dir, "part")
+    stems = part.select(
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(1)).alias("tok")
+    ).distinct()
+    joined = jn.normalize_prefix_join(
+        part, stems, "p_brand", "tok",
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(1)),
+    )
+    return joined.groupBy(F.col("tok").alias("brand_prefix")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register("join_labels", """
+SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name
+""")
+def join_labels(spark, sf_dir):
+    """J7: scan x labels equi-join."""
+    joined = t(spark, sf_dir, "supplier").join(
+        F.broadcast(t(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register("pivot_model_bench", """
+SELECT c_mktsegment,
+       round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4) AS p1_urgent,
+       round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '2-HIGH'), 4) AS p2_high,
+       round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '3-MEDIUM'), 4) AS p3_medium,
+       round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'), 4) AS p4_notspec,
+       round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 4) AS p5_low
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def pivot_model_bench(spark, sf_dir):
+    """J8: model x benchmark pivot table (cross-tab report)."""
+    joined = t(spark, sf_dir, "orders").join(
+        F.broadcast(t(spark, sf_dir, "customer")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    renames = {
+        "1-URGENT": "p1_urgent", "2-HIGH": "p2_high", "3-MEDIUM": "p3_medium",
+        "4-NOT SPECIFIED": "p4_notspec", "5-LOW": "p5_low",
+    }
+    pivoted = pivot_table(
+        joined, "c_mktsegment", "o_orderpriority", "o_totalprice", prios, agg="avg"
+    ).withColumnsRenamed(renames)
+    return pivoted.select(
+        "c_mktsegment",
+        *[F.round(F.col(c), 4).alias(c) for c in renames.values()],
+    )
+
+
+# -------------------------------------------------------- aggregations (A)
+
+@register("agg_count_by", """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+""")
+def agg_count_by(spark, sf_dir):
+    """A1: group count."""
+    return agg.count_by(t(spark, sf_dir, "events"), "event_type")
+
+
+@register("agg_stats_pack", """
+SELECT l_returnflag,
+       round(avg(l_extendedprice), 4) AS price_mean,
+       round(stddev_pop(l_extendedprice), 4) AS price_std,
+       round(min(l_extendedprice), 4) AS price_min,
+       round(max(l_extendedprice), 4) AS price_max
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_stats_pack(spark, sf_dir):
+    """A2: mean/std/min/max pack; POPULATION stddev (np.std ddof=0)."""
+    packed = agg.stats_pack(
+        t(spark, sf_dir, "lineitem"), "l_extendedprice", ["l_returnflag"], prefix="price"
+    )
+    return packed.select(
+        "l_returnflag",
+        *[F.round(F.col(c), 4).alias(c)
+          for c in ["price_mean", "price_std", "price_min", "price_max"]],
+    )
+
+
+@register("agg_miou_shape", """
+SELECT round(avg(num / den), 8) AS mean_ratio
+FROM (SELECT p_type, sum(l_quantity) AS num, sum(l_extendedprice) AS den
+      FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_type)
+WHERE den > 0
+""")
+def agg_miou_shape(spark, sf_dir):
+    """A3 (mIoU): per-class ratio of sums, mean over classes with den>0."""
+    joined = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(t(spark, sf_dir, "part")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    out = agg.ratio_of_sums_mean(joined, "p_type", "l_quantity", "l_extendedprice")
+    return out.select(F.round(F.col("mean_ratio"), 8).alias("mean_ratio"))
+
+
+@register("agg_frac_below", """
+SELECT l_returnflag,
+       round(avg(CASE WHEN l_discount < 0.05 THEN 1.0 ELSE 0.0 END), 6) AS frac
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_frac_below(spark, sf_dir):
+    """A4 (PCK): fraction below threshold per group."""
+    out = agg.frac_below(
+        t(spark, sf_dir, "lineitem"), "l_discount", 0.05, ["l_returnflag"]
+    )
+    return out.select("l_returnflag", F.round(F.col("frac"), 6).alias("frac"))
+
+
+@register("agg_pct_of_total", """
+SELECT o_orderpriority, count(*) AS n,
+       round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS pct
+FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000)
+GROUP BY o_orderpriority
+""")
+def agg_pct_of_total(spark, sf_dir):
+    """A5: per-group share of an (ordered, deterministic) first-N sample."""
+    head = win.ordered_limit(t(spark, sf_dir, "orders"), [F.col("o_orderkey")], 1000)
+    return agg.pct_of_total(head, "o_orderpriority")
+
+
+@register("agg_weighted_targets", """
+WITH counts AS (SELECT c_mktsegment AS stratum, count(*) AS n FROM customer GROUP BY 1),
+     w(stratum, weight) AS (VALUES ('BUILDING', 0.25), ('AUTOMOBILE', 0.25), ('MACHINERY', 0.5)),
+     tot AS (SELECT sum(n) AS total FROM counts)
+SELECT c.stratum, c.n, tot.total, w.weight::DOUBLE AS weight,
+       CAST(floor(tot.total * w.weight) AS BIGINT) AS target
+FROM counts c CROSS JOIN tot JOIN w ON c.stratum = w.stratum
+""")
+def agg_weighted_targets(spark, sf_dir):
+    """A6: per-stratum target counts = floor(total * weight)."""
+    counts = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    weights = spark.createDataFrame(
+        [("BUILDING", 0.25), ("AUTOMOBILE", 0.25), ("MACHINERY", 0.5)],
+        ["stratum", "weight"],
+    )
+    out = agg.weighted_targets(counts, weights, "stratum", "weight")
+    return out.select("stratum", "n", "total", "weight", "target")
+
+
+@register("agg_mse", """
+SELECT round(avg(pow(l_discount - l_tax, 2)), 10) AS mse FROM lineitem
+""")
+def agg_mse(spark, sf_dir):
+    """A7: mean squared error between two columns."""
+    out = agg.mse(t(spark, sf_dir, "lineitem"), "l_discount", "l_tax")
+    return out.select(F.round(F.col("mse"), 10).alias("mse"))
+
+
+@register("agg_composed_losses", """
+SELECT round(0.5 * (avg(pow(l_discount - 1.0, 2)) + avg(pow(l_tax, 2))), 8) AS loss_d,
+       round(avg(pow(l_tax - 1.0, 2)) + 100.0 * avg(abs(l_discount - l_tax)), 8) AS loss_g
+FROM lineitem
+""")
+def agg_composed_losses(spark, sf_dir):
+    """A8 (GAN losses): multi-output composed scalar aggregation."""
+    out = agg.composed_losses(t(spark, sf_dir, "lineitem"), "l_discount", "l_tax")
+    return out.select(
+        F.round(F.col("loss_d"), 8).alias("loss_d"),
+        F.round(F.col("loss_g"), 8).alias("loss_g"),
+    )
+
+
+@register("agg_ema", """
+SELECT event_type,
+       round(list_reduce(list(value ORDER BY ts, value), (s, x) -> 0.01 * x + 0.99 * s), 6) AS ema
+FROM events GROUP BY event_type
+""")
+def agg_ema(spark, sf_dir):
+    """A9: sequential EMA per key (batch form; JVM-side ordered fold)."""
+    out = agg.ema(
+        t(spark, sf_dir, "events"), ["event_type"], "ts", "value", decay=0.99
+    )
+    return out.select("event_type", F.round(F.col("ema"), 6).alias("ema"))
+
+
+@register("agg_cov_shape", """
+SELECT l_returnflag,
+       round(avg(l_quantity), 6) AS x_mean,
+       round(avg(l_extendedprice), 4) AS y_mean,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS xy_covar,
+       round(corr(l_quantity, l_extendedprice), 6) AS xy_corr
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_cov_shape(spark, sf_dir):
+    """A10 (FID shape): means + population covariance + correlation."""
+    out = agg.covariance_pack(
+        t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice", ["l_returnflag"]
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("x_mean"), 6).alias("x_mean"),
+        F.round(F.col("y_mean"), 4).alias("y_mean"),
+        F.round(F.col("xy_covar"), 4).alias("xy_covar"),
+        F.round(F.col("xy_corr"), 6).alias("xy_corr"),
+    )
+
+
+# ------------------------------------------------- windows / top-k (W)
+
+@register("topk_latest_ts", """
+SELECT o_custkey, o_orderkey AS latest_order, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+WHERE rn = 1
+""")
+def topk_latest_ts(spark, sf_dir):
+    """W1: latest artifact per key (deterministic tiebreak on key)."""
+    first = win.first_per_key(
+        t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return first.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_order"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+@register("topk_regex_step", r"""
+SELECT o_orderstatus, arg_max(path, step) AS latest, max(step) AS step
+FROM (SELECT o_orderstatus,
+             'checkpoint-step-' || o_orderkey::VARCHAR || '.pt' AS path,
+             CAST(regexp_extract('checkpoint-step-' || o_orderkey::VARCHAR || '.pt',
+                                 'checkpoint-step-(\d+)', 1) AS BIGINT) AS step
+      FROM orders)
+GROUP BY o_orderstatus
+""")
+def topk_regex_step(spark, sf_dir):
+    """W2: top-1 by regex-extracted step via max_by."""
+    paths = t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.format_string("checkpoint-step-%d.pt", "o_orderkey").alias("path"),
+    )
+    return win.latest_by_step(paths, ["o_orderstatus"], "path")
+
+
+@register("window_first_per_key", """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+      FROM lineitem)
+WHERE rn = 1
+""")
+def window_first_per_key(spark, sf_dir):
+    """W5: deterministic first row per key.
+
+    (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so the
+    ordering covers every projected column — remaining ties are identical rows.
+    """
+    first = win.first_per_key(
+        t(spark, sf_dir, "lineitem"),
+        ["l_orderkey"],
+        [F.col("l_linenumber"), F.col("l_partkey"), F.col("l_quantity")],
+    )
+    return first.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+@register("topk_priority_fallback", """
+SELECT o_custkey, o_orderkey, o_orderstatus
+FROM (SELECT o_custkey, o_orderkey, o_orderstatus,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY CASE o_orderstatus WHEN 'F' THEN 1 ELSE 2 END,
+                                         o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders WHERE o_orderstatus IN ('F', 'O'))
+WHERE rn = 1
+""")
+def topk_priority_fallback(spark, sf_dir):
+    """W6: prioritized-source resolution (S3 latest else local latest)."""
+    orders = t(spark, sf_dir, "orders")
+    src1 = orders.filter(F.col("o_orderstatus") == "F")
+    src2 = orders.filter(F.col("o_orderstatus") == "O")
+    resolved = win.priority_fallback(
+        [(src1, 1), (src2, 2)], ["o_custkey"], "o_orderdate",
+        tiebreak=[F.col("o_orderkey").desc()],
+    )
+    return resolved.select("o_custkey", "o_orderkey", "o_orderstatus")
+
+
+@register("limit_n", """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+ORDER BY l_orderkey, l_linenumber LIMIT 100
+""")
+def limit_n(spark, sf_dir):
+    """W7: deterministic head-n (TakeOrderedAndProject)."""
+    return win.ordered_limit(
+        t(spark, sf_dir, "lineitem"),
+        [F.col("l_orderkey"), F.col("l_linenumber")],
+        100,
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# ------------------------------------------- set ops / sampling (U)
+
+@register("union_all", """
+SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 200000
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 10000
+""")
+def union_all(spark, sf_dir):
+    """U1: UNION ALL of tagged subsets."""
+    orders = t(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("bucket")
+    )
+    lo = orders.filter(F.col("o_totalprice") < 10000).select(
+        "o_orderkey", "o_totalprice", F.lit("low").alias("bucket")
+    )
+    return smp.union_all(hi, lo)
+
+
+@register("sample_stratified", """
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|42'),
+                        l_orderkey, l_linenumber) AS rk
+      FROM lineitem)
+WHERE rk <= CASE l_returnflag WHEN 'A' THEN 500 WHEN 'N' THEN 500 WHEN 'R' THEN 300 ELSE 0 END
+""")
+def sample_stratified(spark, sf_dir):
+    """U3: exact-count stratified sample, engine-independent determinism
+    (rank by md5(key||seed), not an RNG)."""
+    out = smp.stratified_exact(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag"),
+        "l_returnflag",
+        {"A": 500, "N": 500, "R": 300},
+        ["l_orderkey", "l_linenumber"],
+        seed=42,
+        mode="hash",
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+@register("sample_weighted_union", """
+SELECT o_orderkey, source
+FROM (SELECT o_orderkey, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(o_orderkey::VARCHAR || '|42'), o_orderkey) AS rk
+      FROM (SELECT o_orderkey, CASE WHEN o_totalprice > 100000 THEN 'hi' ELSE 'lo' END AS source
+            FROM orders))
+WHERE rk <= CASE source WHEN 'hi' THEN 300 WHEN 'lo' THEN 700 ELSE 0 END
+""")
+def sample_weighted_union(spark, sf_dir):
+    """U4: weighted sampler over a tagged union (floor(N*w) per source)."""
+    orders = t(spark, sf_dir, "orders")
+    out = smp.weighted_union_sample(
+        {
+            "hi": orders.filter(F.col("o_totalprice") > 100000).select("o_orderkey"),
+            "lo": orders.filter(F.col("o_totalprice") <= 100000).select("o_orderkey"),
+        },
+        {"hi": 0.3, "lo": 0.7},
+        num_samples=1000,
+        key_cols=["o_orderkey"],
+        seed=42,
+    )
+    return out.select("o_orderkey", "source")
+
+
+@register("shuffle_rand", """
+SELECT l_orderkey, l_linenumber FROM lineitem
+""")
+def shuffle_rand(spark, sf_dir):
+    """U5: seeded global shuffle — row SET unchanged (hash is
+    order-insensitive, so the oracle is the identity selection)."""
+    return smp.deterministic_shuffle(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber"),
+        ["l_orderkey", "l_linenumber"],
+        seed=42,
+    )
+
+
+# --------------------------------------- text / dedup / similarity (north star)
+
+@register("dedup_exact", r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: one representative per normalized-content fingerprint."""
+    return dd.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _lang_sql() -> str:
+    """DuckDB twin of functions.text.language_id, generated from the same
+    marker table so the two can never drift."""
+    hit_exprs = {}
+    for lang, markers in LANG_MARKERS.items():
+        parts = [
+            f"(CASE WHEN contains(' ' || lower(text) || ' ', '{m}') THEN 1 ELSE 0 END)"
+            for m in markers
+        ]
+        hit_exprs[lang] = " + ".join(parts)
+    langs = list(LANG_MARKERS)
+    h = {lang: f"h_{lang}" for lang in langs}
+    defs = ", ".join(f"{hit_exprs[lang]} AS {h[lang]}" for lang in langs)
+    m = "greatest(" + ", ".join(h[lang] for lang in langs) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und' "
+    for lang in langs[:-1]:
+        case += f"WHEN {h[lang]} = {m} THEN '{lang}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return f"SELECT doc_id, {case} AS lang_guess FROM (SELECT doc_id, text, {defs} FROM documents)"
+
+
+@register("text_langid", _lang_sql())
+def text_langid(spark, sf_dir):
+    """Heuristic language id (stopword markers; first-max-in-order)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", language_id("text").alias("lang_guess")
+    )
+
+
+@register("text_stats", r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       round(0.5 * least(length(text) / 500.0, 1.0)
+           + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1))
+           + 0.2 * (length(regexp_replace(text, '[^ ]', '', 'g')) / greatest(length(text), 1)),
+         6) AS quality,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""")
+def text_stats(spark, sf_dir):
+    """Token count + quality score + content fingerprint per document."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register("similarity_bruteforce", """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     scored AS (SELECT q.qid, c.vec_id,
+                       round(list_cosine_similarity(c.v, q.qv), 6) AS cosine
+                FROM c CROSS JOIN q)
+SELECT qid AS vec_id_q, vec_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= 10
+""")
+def similarity_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast queries x corpus scan."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.brute_force_topk(emb, queries, "vec_id", "vec_id", "embedding", k=10)
+
+
+# ----------------------------------------------------- streaming-shape (T)
+
+@register("events_tumbling", """
+SELECT event_type,
+       strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+""")
+def events_tumbling(spark, sf_dir):
+    """T2 (batch twin): tumbling 1h windows per event_type. The streaming
+    form (watermark + append sink) is streaming/events.py."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+# ------------------------------------------------------------- flagship
+
+@register("flagship_revenue", """
+SELECT n_name, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def flagship_revenue(spark, sf_dir):
+    """Flagship: multi-way join + group aggregation (the reference's
+    triplet-assembly-then-count-by-difficulty shape over the star schema;
+    small dims broadcast, one shuffle for the fact-fact join + one for the agg).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = F.broadcast(t(spark, sf_dir, "customer"))
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )

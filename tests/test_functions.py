@@ -1,0 +1,107 @@
+"""Unit tests for the scalar function library (strings / text / vectors)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from experimentsplan_datapipeline_spark.functions import (
+    basename,
+    composite_key,
+    cosine_similarity,
+    doc_fingerprint,
+    dot_product,
+    extract_step,
+    first_token,
+    language_id,
+    parse_s3_uri,
+    stem_from_name,
+    token_count,
+)
+from experimentsplan_datapipeline_spark.functions.strings import image_type_from_name
+from experimentsplan_datapipeline_spark.functions.text import ngrams
+
+
+def test_stem_extraction(spark):
+    rows = [
+        ("s3://b/d/easy/f/initial_image/00042_person.png", "00042", "initial_image"),
+        ("s3://b/d/easy/f/cloth_image/00042_cloth_front.png", "00042", "cloth_image"),
+        ("s3://b/d/easy/f/try_on_image/00042_vton.png", "00042", "try_on_image"),
+        ("s3://b/d/readme.txt", "readme", None),
+    ]
+    df = spark.createDataFrame([(r[0],) for r in rows], ["path"])
+    got = df.select(
+        stem_from_name(basename("path")).alias("stem"),
+        image_type_from_name(basename("path")).alias("itype"),
+    ).collect()
+    for (path, stem, itype), row in zip(rows, got):
+        assert row.stem == stem, path
+        assert row.itype == itype, path
+
+
+def test_s3_uri_parse(spark):
+    df = spark.createDataFrame([("s3://bkt/a/b/c.png",)], ["uri"])
+    row = df.select(parse_s3_uri("uri").alias("p")).collect()[0]
+    assert row.p.bucket == "bkt"
+    assert row.p.key == "a/b/c.png"
+
+
+def test_step_and_tokens(spark):
+    df = spark.createDataFrame(
+        [("checkpoints/m/checkpoint-step-12000.pt", "00123_x_y")], ["p", "n"]
+    )
+    row = df.select(
+        extract_step("p").alias("step"), first_token("n").alias("tok")
+    ).collect()[0]
+    assert row.step == 12000
+    assert row.tok == "00123"
+
+
+def test_composite_key(spark):
+    df = spark.createDataFrame([("p1", "g2")], ["a", "b"])
+    assert df.select(composite_key("a", "b").alias("k")).collect()[0].k == "p1_g2"
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("the cat  sat",), ("",), ("   ",), ("one",)], ["text"]
+    )
+    got = [r.n for r in df.select(token_count("text").alias("n")).collect()]
+    assert got == [3, 0, 0, 1]
+    fps = df.select(doc_fingerprint("text").alias("f")).collect()
+    assert fps[1].f == fps[2].f  # whitespace-normalized empties agree
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of it",),
+            ("der hund und die katze",),
+            ("xyz qrs",),
+        ],
+        ["text"],
+    )
+    got = [r.lang for r in df.select(language_id("text").alias("lang")).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("a",)], ["text"])
+    got = [r.g for r in df.select(ngrams("text", 3).alias("g")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [2.0, 3.0])], ["a", "b"])
+    row = df.select(
+        dot_product("a", "b").alias("dot"),
+        cosine_similarity("a", "b").alias("cos"),
+    ).collect()[0]
+    assert row.dot == 8.0
+    expected = 8.0 / (math.sqrt(5) * math.sqrt(13))
+    assert abs(row.cos - expected) < 1e-12
+
+    zero = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], ["a", "b"])
+    assert zero.select(cosine_similarity("a", "b").alias("c")).collect()[0].c == 0.0

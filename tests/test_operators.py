@@ -1,0 +1,155 @@
+"""Unit tests for the operator library over small literal frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from experimentsplan_datapipeline_spark.operators import aggregates as agg
+from experimentsplan_datapipeline_spark.operators import filters as flt
+from experimentsplan_datapipeline_spark.operators import joins as jn
+from experimentsplan_datapipeline_spark.operators import sampling as smp
+from experimentsplan_datapipeline_spark.operators import windows as win
+
+
+def test_assemble_triplets(spark):
+    files = spark.createDataFrame(
+        [
+            ("s1", "initial_image", "a.png"),
+            ("s1", "cloth_image", "b.png"),
+            ("s1", "try_on_image", "c.png"),
+            ("s2", "initial_image", "d.png"),  # incomplete -> dropped
+        ],
+        ["stem", "itype", "path"],
+    )
+    out = jn.assemble_triplets(
+        files, "stem", "itype", "path",
+        ["initial_image", "cloth_image", "try_on_image"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0].stem == "s1"
+    assert out[0].cloth_image == "b.png"
+
+
+def test_having_count(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    out = flt.having_count(df, ["k"], 2).collect()
+    assert [(r.k, r.n) for r in out] == [("a", 2)]
+
+
+def test_classify_default(spark):
+    df = spark.createDataFrame(
+        [("x/easy/1",), ("x/HARD/2",), ("x/unknown/3",)], ["p"]
+    )
+    out = flt.classify_by_substring(
+        df, "p", [("/easy/", "easy"), ("/medium/", "medium"), ("/hard/", "hard")],
+        default="easy", out_col="difficulty",
+    )
+    got = sorted((r.p, r.difficulty) for r in out.collect())
+    assert got == [("x/HARD/2", "hard"), ("x/easy/1", "easy"), ("x/unknown/3", "easy")]
+
+
+def test_ema_matches_loop(spark):
+    vals = [1.0, 2.0, 3.0, 4.0]
+    decay = 0.9
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], ["key", "step", "v"]
+    )
+    out = agg.ema(df, ["key"], "step", "v", decay=decay).collect()[0]
+    s = vals[0]
+    for v in vals[1:]:
+        s = (1 - decay) * v + decay * s
+    assert abs(out.ema - s) < 1e-12
+
+
+def test_stratified_exact_counts_and_determinism(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "stratum"])
+    s1 = smp.stratified_exact(df, "stratum", {"a": 10, "b": 5}, ["id"], seed=7)
+    s2 = smp.stratified_exact(df, "stratum", {"a": 10, "b": 5}, ["id"], seed=7)
+    got1 = sorted((r.id, r.stratum) for r in s1.collect())
+    got2 = sorted((r.id, r.stratum) for r in s2.collect())
+    assert got1 == got2  # deterministic
+    from collections import Counter
+    c = Counter(s for _, s in got1)
+    assert c == {"a": 10, "b": 5}
+    # different seed -> different selection (overwhelmingly likely)
+    s3 = smp.stratified_exact(df, "stratum", {"a": 10, "b": 5}, ["id"], seed=8)
+    got3 = sorted((r.id, r.stratum) for r in s3.collect())
+    assert got1 != got3
+
+
+def test_stratified_with_replacement_tops_up(spark):
+    rows = [(i, "a") for i in range(3)]
+    df = spark.createDataFrame(rows, ["id", "stratum"])
+    out = smp.stratified_with_replacement(df, "stratum", {"a": 8}, ["id"], seed=1)
+    got = [r.id for r in out.collect()]
+    assert len(got) == 8
+    assert set(got) == {0, 1, 2}  # every source row used at least once
+
+
+def test_with_replacement_truncates_long_strata(spark):
+    rows = [(i, "a") for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "stratum"])
+    out = smp.stratified_with_replacement(df, "stratum", {"a": 4}, ["id"], seed=1)
+    assert out.count() == 4
+
+
+def test_latest_by(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            ("m1", "old.pt", datetime.datetime(2024, 1, 1)),
+            ("m1", "new.pt", datetime.datetime(2024, 2, 1)),
+            ("m2", "only.pt", datetime.datetime(2024, 1, 5)),
+        ],
+        ["model", "key", "ts"],
+    )
+    out = {r.model: r.latest for r in win.latest_by(df, ["model"], "ts", "key").collect()}
+    assert out == {"m1": "new.pt", "m2": "only.pt"}
+
+
+def test_priority_fallback(spark):
+    import datetime
+
+    s3 = spark.createDataFrame(
+        [("m1", "s3.pt", datetime.datetime(2024, 1, 1))], ["model", "key", "ts"]
+    )
+    local = spark.createDataFrame(
+        [
+            ("m1", "local.pt", datetime.datetime(2024, 6, 1)),
+            ("m2", "local2.pt", datetime.datetime(2024, 1, 1)),
+        ],
+        ["model", "key", "ts"],
+    )
+    out = {
+        r.model: r.key
+        for r in win.priority_fallback([(s3, 1), (local, 2)], ["model"], "ts").collect()
+    }
+    # priority wins over recency: m1 resolves from s3 even though local is newer
+    assert out == {"m1": "s3.pt", "m2": "local2.pt"}
+
+
+def test_semi_anti(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame([(2,), (3,)], ["r"])
+    semi = jn.semi_join(left, right, left["k"] == right["r"])
+    anti = jn.anti_join(left, right, left["k"] == right["r"])
+    assert sorted(r.k for r in semi.collect()) == [2, 3]
+    assert [r.k for r in anti.collect()] == [1]
+
+
+def test_prefix_join_normalized_equals_theta(spark):
+    files = spark.createDataFrame(
+        [("00042_cloth_front.png",), ("00099_cloth_back.png",)], ["fname"]
+    )
+    stems = spark.createDataFrame([("00042",), ("00077",)], ["stem"])
+    from experimentsplan_datapipeline_spark.functions.strings import first_token
+
+    norm = jn.normalize_prefix_join(
+        files, stems, "fname", "stem", first_token("fname")
+    )
+    theta = jn.prefix_theta_join(files, stems, "fname", "stem")
+    assert sorted(r.fname for r in norm.collect()) == sorted(
+        r.fname for r in theta.collect()
+    ) == ["00042_cloth_front.png"]
