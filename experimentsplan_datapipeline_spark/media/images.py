@@ -1,0 +1,168 @@
+"""Image/binary column operators (SURVEY.md §2.8, P1-P11) — Arrow-batched.
+
+The reference decodes with PIL per row inside DataLoader workers
+(train/common/dataset.py:271-281, train/train_stage_1/dataloader.py:44-49).
+Spark-first: images are opaque ``binary`` columns with typed metadata;
+decode/resize/normalize run as Pandas UDFs over ``mapInPandas`` — Arrow moves
+whole columnar batches across the Python boundary (10-100x over row UDFs).
+
+Decode itself is STUBBED here (PIL/torch are not in this container): when PIL
+is importable the real decode runs; otherwise a clearly-marked deterministic
+fake produces pixels from a content hash, so the Spark-side plumbing (schema,
+batch shape, partitioning, seed-column determinism) is fully real and tested.
+
+Determinism contract: "random" augmentations (flip/crop) take a SEED COLUMN,
+never process-global RNG — the reference's unseeded random.* (dataset.py:
+213-222) is deliberately not replicated (SURVEY.md §7 risk register).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+try:  # optional dependency — real decode when present
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixels", ArrayType(IntegerType())),
+    ]
+)
+
+
+def _fake_decode(content: bytes, size: int = 8) -> tuple[int, int, int, list[int]]:
+    """Deterministic stand-in for PIL decode: pixels derived from the content
+    hash. NOT an image decoder — plumbing stub only (see module docstring)."""
+    digest = hashlib.sha256(content if content else b"").digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+    px = rng.integers(0, 256, size=size * size * 3, dtype=np.int64)
+    return size, size, 3, px.tolist()
+
+
+def _real_decode(content: bytes) -> tuple[int, int, int, list[int]]:
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content)).convert("RGB")
+    arr = np.asarray(img)
+    h, w, c = arr.shape
+    return h, w, c, arr.reshape(-1).astype(np.int64).tolist()
+
+
+def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """P1: binary -> decoded struct(height,width,channels,pixels) via
+    mapInPandas (Arrow batches; per-batch vectorized loop)."""
+    decode = _real_decode if HAS_PIL else _fake_decode
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != content_col]
+        + [StructField("image", DECODED_SCHEMA)]
+    )
+    other_cols = [f.name for f in df.schema.fields if f.name != content_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            images = [decode(c) for c in pdf[content_col]]
+            out = pdf[other_cols].copy()
+            out["image"] = [
+                {"height": h, "width": w, "channels": c, "pixels": px}
+                for h, w, c, px in images
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def normalize_pixels(
+    df: DataFrame, image_col: str = "image", mean: float = 0.5, std: float = 0.5
+) -> DataFrame:
+    """P4: ToTensor+Normalize — pixel/255 -> (x-mean)/std, JVM-side via
+    transform() on the array column (no Python boundary)."""
+    px = F.col(f"{image_col}.pixels")
+    normalized = F.transform(
+        px, lambda v: ((v.cast("double") / 255.0) - mean) / std
+    )
+    return df.withColumn("pixels_norm", normalized)
+
+
+def deterministic_flip(
+    df: DataFrame, image_col: str = "image", seed_col: str = "seed", p: float = 0.5
+) -> DataFrame:
+    """P3: seed-column horizontal flip decision (xxhash64(seed) -> [0,1)).
+
+    The flip *decision* is a pure expression; the pixel permutation itself
+    would run in the same mapInPandas pass as decode at production scale.
+    """
+    u = (F.pmod(F.xxhash64(F.col(seed_col)), F.lit(1_000_000)) / 1_000_000.0)
+    return df.withColumn("flipped", u < p)
+
+
+def tokenize_captions(
+    df: DataFrame, caption_col: str, max_len: int = 77, vocab_size: int = 49408
+) -> DataFrame:
+    """P9: caption -> fixed-length int id array (pad/truncate), hash-vocab.
+
+    Reference pads/truncates to 77 CLIP tokens (train/train_stage_1/
+    dataloader.py:79-86). Real tokenizers plug in as a pandas_udf; the
+    hash-vocab version keeps the schema and padding semantics testable
+    without the tokenizer dependency. JVM-side end to end.
+    """
+    toks = F.split(F.trim(F.col(caption_col)), r"\s+")
+    ids = F.transform(
+        F.slice(toks, 1, max_len), lambda s: F.pmod(F.xxhash64(s), F.lit(vocab_size))
+    )
+    pad_len = F.greatest(F.lit(max_len) - F.size(ids), F.lit(0))
+    padded = F.concat(
+        ids, F.transform(F.sequence(F.lit(1), pad_len), lambda _: F.lit(0).cast("long"))
+    )
+    # sequence(1,0) is descending, guard empty pad
+    padded = F.when(pad_len == 0, ids).otherwise(padded)
+    return df.withColumn("token_ids", padded)
+
+
+def batch_inference_stub(
+    df: DataFrame, input_col: str = "pixels_norm", model_version: str = "stub-v0"
+) -> DataFrame:
+    """P10 shape: per-partition heavy-model inference via mapInPandas.
+
+    The model would be loaded once per Python worker (module-level cache,
+    the executor-side analogue of the reference's lazy per-worker client,
+    dataset.py:73-81) and applied per Arrow batch. Stub computes a
+    deterministic pseudo-score; raises nothing at plan time so pipelines
+    compose. Real weights: broadcast + load in ``init`` exactly here.
+    """
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("score", DoubleType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # model = _load_model_once()  # <- broadcast weights land here
+        for pdf in batches:
+            scores = [
+                float(np.mean(x)) if len(x) else 0.0 for x in pdf[input_col]
+            ]
+            out = pdf.copy()
+            out["score"] = scores
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

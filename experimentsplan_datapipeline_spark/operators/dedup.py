@@ -36,37 +36,37 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _minhash_cols(shingles: Column, num_hashes: int, prime: int = 2147483647) -> list[Column]:
-    """K minhash values from one xxhash64 per shingle + K cheap affine remixes.
-
-    One expensive hash per shingle; the (a*h+b) mod p family derives the K
-    signatures JVM-side without K hash passes over the text.
-    """
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
-    cols = []
-    for i in range(num_hashes):
-        a, b = 2 * i + 1, 7 * i + 3
-        remix = F.transform(
-            base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(prime))
-        )
-        cols.append(F.array_min(remix).alias(f"mh_{i}"))
-    return cols
+_MINHASH_PRIME = 2147483647
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = 32, shingle_size: int = 3,
 ) -> DataFrame:
-    """(id, mh_0..mh_{K-1}) signature table; empty docs get null signatures."""
-    sh = ngrams(text_col, shingle_size)
-    sig = df.select(
+    """(id, mh_0..mh_{K-1}) signature table.
+
+    Scale shape: explode shingles to (id, h) rows — ONE hash per shingle —
+    then a single partial-aggregated groupBy computes all K minima via the
+    affine family (a_i*h+b_i) mod p. Map-side combine means the shuffle
+    carries one K-wide row per id per partition, not the shingles. The base
+    hash is reduced into [0, p) first so the affine remix can't overflow a
+    long (ANSI mode errors on overflow rather than wrapping).
+
+    Docs with fewer than ``shingle_size`` tokens have no shingles and are
+    absent from the output (nothing to band — equivalent to null signatures).
+    """
+    p = F.lit(_MINHASH_PRIME)
+    exploded = df.select(
         F.col(id_col),
-        *[
-            F.when(F.size(sh) > 0, c_expr).otherwise(F.lit(None)).alias(f"mh_{i}")
-            for i, c_expr in enumerate(_minhash_cols(sh, num_hashes))
-        ],
-    )
-    return sig
+        F.explode(ngrams(text_col, shingle_size)).alias("__sh"),
+    ).select(F.col(id_col), F.pmod(F.xxhash64("__sh"), p).alias("__h"))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = 2 * i + 1, 7 * i + 3
+        aggs.append(
+            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), p)).alias(f"mh_{i}")
+        )
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_candidates(

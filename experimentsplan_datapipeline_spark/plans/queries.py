@@ -836,6 +836,224 @@ def events_tumbling(spark, sf_dir):
     )
 
 
+@register("sample_curriculum_stage", """
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|7'),
+                        l_orderkey, l_linenumber) AS rk
+      FROM lineitem)
+WHERE rk <= CASE l_returnflag WHEN 'A' THEN 100 WHEN 'N' THEN 400 WHEN 'R' THEN 500 ELSE 0 END
+""")
+def sample_curriculum_stage(spark, sf_dir):
+    """U7: one curriculum stage = exact stratified sample under that stage's
+    mix (here the 'hard' stage: 10/40/50)."""
+    out = smp.curriculum_stage(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag"),
+        "l_returnflag",
+        "hard",
+        {"hard": {"A": 100, "N": 400, "R": 500}},
+        ["l_orderkey", "l_linenumber"],
+        seed=7,
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+@register("sort_paths", """
+SELECT o_orderkey, o_orderpriority FROM orders
+""")
+def sort_paths(spark, sf_dir):
+    """W4: deterministic sorted listing — the row SET is order-independent,
+    so the oracle is the identity selection (hash compare is unordered)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", ".scratch")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.abspath(os.path.join(base, f"{name}_{tag}"))
+
+
+@register("sink_json", """
+SELECT l_returnflag,
+       round(avg(l_extendedprice), 4) AS price_mean,
+       round(stddev_pop(l_extendedprice), 4) AS price_std,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""")
+def sink_json(spark, sf_dir):
+    """S8: JSON results sink + read-back. The oracle is the pre-sink SQL —
+    the round trip must be lossless for the (rounded) values."""
+    from experimentsplan_datapipeline_spark.sources.sinks import (
+        read_back_json,
+        write_json_results,
+    )
+
+    stats = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("price_mean"),
+            F.round(F.stddev_pop("l_extendedprice"), 4).alias("price_std"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    path = _scratch(sf_dir, "sink_json")
+    write_json_results(stats, path)
+    return read_back_json(spark, path).select(
+        "l_returnflag", "price_mean", "price_std", "n"
+    )
+
+
+@register("read_json_glob", """
+SELECT l_linestatus AS benchmark, l_returnflag AS model,
+       round(avg(l_extendedprice), 4) AS price_mean, count(*) AS n
+FROM lineitem GROUP BY 1, 2
+""")
+def read_json_glob(spark, sf_dir):
+    """S9: JSON glob source with path-derived keys — write one dir per
+    benchmark (partitionBy), glob-read back, recover the benchmark from
+    input_file_name. Oracle is the pre-sink SQL."""
+    per = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_linestatus").alias("benchmark"),
+            F.col("l_returnflag").alias("model"),
+        )
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("price_mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    path = _scratch(sf_dir, "read_json_glob")
+    per.write.mode("overwrite").partitionBy("benchmark").json(path)
+    back = spark.read.json(os.path.join(path, "benchmark=*"))
+    return back.withColumn(
+        "benchmark", F.regexp_extract(F.input_file_name(), r"benchmark=([^/]+)/", 1)
+    ).select("benchmark", "model", "price_mean", "n")
+
+
+@register("events_sliding", """
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS w, value FROM events
+  UNION ALL
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR AS w, value FROM events
+)
+SELECT event_type, strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM b GROUP BY 1, 2
+""")
+def events_sliding(spark, sf_dir):
+    """T2 (sliding): 2h windows sliding by 1h — each event lands in two
+    windows; the oracle expands the same assignment via a phase-shifted
+    tumbling union."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+@register("events_session", """
+SELECT event_type, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM (SELECT *, sum(new_session) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                                >= INTERVAL 30 MINUTE
+                           OR lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+            FROM events))
+GROUP BY event_type, session_id
+""")
+def events_session(spark, sf_dir):
+    """T2 (session): gap-based session windows (30 min). Spark's
+    session_window merges events with gap < 30min; the oracle is the
+    classic gaps-and-islands rewrite."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+@register("dedup_minhash")  # rows-only: xxhash64 minhash family is engine-specific
+def dedup_minhash(spark, sf_dir):
+    """Near-dup detection: MinHash signatures -> LSH band buckets ->
+    exact-Jaccard verification on candidates only (never all-pairs)."""
+    docs = t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_dedup(
+        docs, "text", "doc_id", num_hashes=32, bands=8, shingle_size=3, threshold=0.5
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64-based
+def dedup_simhash(spark, sf_dir):
+    """Near-dup candidates via 64-bit SimHash prefix buckets + Hamming
+    distance, filtered to hamming <= 16."""
+    docs = t(spark, sf_dir, "documents")
+    return dd.simhash_dedup(docs, "text", "doc_id", prefix_bits=12).filter(
+        F.col("hamming") <= 16
+    )
+
+
+@register("ngram_jaccard", """
+WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+                     range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0) + 1),
+                     i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')
+                   )) AS grams
+            FROM documents WHERE doc_id < 60)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                  THEN len(list_intersect(a.grams, b.grams))::DOUBLE
+                       / len(list_distinct(a.grams || b.grams))
+                  ELSE 0.0 END, 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+""")
+def ngram_jaccard(spark, sf_dir):
+    """Exact pairwise n-gram Jaccard on a bounded candidate set (doc_id<60).
+    At scale this runs only on LSH candidates (dedup_minhash); the bounded
+    all-pairs form here exists to oracle-check the Jaccard math itself."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    ids = docs.select(F.col("doc_id"))
+    cands = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return dd.ngram_jaccard_pairs(docs, cands, "text", "doc_id", shingle_size=3, threshold=-1.0)
+
+
+@register("ann_lsh")  # rows-only: recall depends on the hyperplane family
+def ann_lsh(spark, sf_dir):
+    """ANN top-k via random-hyperplane LSH buckets (deterministic planes);
+    exact twin: similarity_bruteforce."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.lsh_bucketed_topk(
+        emb, queries, "vec_id", "vec_id", dim=64, vec_col="embedding", k=10, n_planes=6
+    )
+
+
 # ------------------------------------------------------------- flagship
 
 @register("flagship_revenue", """

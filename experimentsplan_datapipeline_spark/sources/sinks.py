@@ -1,0 +1,58 @@
+"""Sinks (SURVEY.md §2.1, S8, S10-S13).
+
+The reference's artifact lifecycle: JSON metric documents (metrics.py:473-477),
+checkpoint files written twice — a step-versioned copy plus a 'latest'
+overwrite — with async S3 upload (train/train_CATVTON/utils.py:8-54,
+train/common/s3_utils.py:20-40). Spark-first: partitioned writes are already
+task-parallel and asynchronous wrt the driver; 'latest' is an overwrite of a
+small summary location, never of the versioned history.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_json_results(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S8: JSON results sink. One file per partition; coalesce(1) only for
+    tiny summary documents (a deliberate driver-side funnel, never for data).
+    """
+    df.coalesce(1).write.mode(mode).json(path)
+
+
+def read_back_json(spark: SparkSession, path: str) -> DataFrame:
+    """Round-trip reader for S8 outputs."""
+    return spark.read.json(path)
+
+
+def write_versioned_with_latest(
+    df: DataFrame, root: str, version: int | str, version_col: str = "step"
+) -> None:
+    """S11: checkpoint-style sink — versioned dir + 'latest' overwrite.
+
+    ``{root}/step={N}/`` accumulates history (append-only, partition-pruned
+    reads); ``{root}/latest/`` is atomically replaced. The reference's
+    background-upload thread becomes Spark's own task-parallel write; the
+    dual local+S3 write becomes two .write calls if needed.
+    """
+    df.write.mode("overwrite").parquet(os.path.join(root, f"{version_col}={version}"))
+    df.write.mode("overwrite").parquet(os.path.join(root, "latest"))
+
+
+def discover_latest_version(
+    spark: SparkSession, root: str, version_col: str = "step"
+) -> int | None:
+    """S11 read side: top-1-by-version discovery over the directory layout
+    (the W2 regex-extract shape, but on partition names)."""
+    base = root if "://" in root else os.path.abspath(root)
+    if not os.path.exists(base):
+        return None
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base)
+        if d.startswith(f"{version_col}=")
+    ]
+    return max(versions) if versions else None

@@ -1,0 +1,168 @@
+"""Streaming pipeline over a step-keyed event/metric stream (SURVEY.md §2.9).
+
+Reference behaviors mapped (file:line into /root/reference):
+- T1 step-keyed append log  (wandb.log(step=...), train/train_stage_1/train.py:91)
+- T2 periodic N-step triggers (train.py:95-117; intervals train/train_CATVTON/config.py:18-21)
+- T3 resume-from-checkpoint   (checkpointLocation recovery)
+- T4 EMA over the step stream (train/train_DIT/utils.py:19-25)
+- T5 async sink               (foreachBatch)
+- T6 late-data handling       (watermark + drop, surfaced not silent)
+
+All functions take/return (streaming) DataFrames, so the same logical plan
+runs batch (tests, backfills) and streaming (incremental) — the Spark analogue
+of the reference running the same metric code online and offline.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def windowed_metrics(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """T1+T2+T6: watermarked tumbling/sliding window aggregation.
+
+    Watermark bounds state: rows later than ``watermark`` behind the max seen
+    event time are dropped by the engine (the reference's drop-with-log,
+    dataset.py:158-159, made a declarative property). Append output mode
+    emits each window once, when the watermark passes its end.
+    """
+    wm = events.withWatermark(ts_col, watermark)
+    w = (
+        F.window(ts_col, window, slide)
+        if slide
+        else F.window(ts_col, window)
+    )
+    return wm.groupBy(F.col(key_col), w.alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(value_col).alias("avg_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def step_interval_windows(
+    events: DataFrame, interval: int, step_col: str = "step",
+    key_col: str = "run_id", value_col: str = "value",
+) -> DataFrame:
+    """T2 (step domain): every-N-steps periodic aggregation.
+
+    The reference triggers side effects on ``step % N == 0``; relationally
+    that is a tumbling window over the step axis: bucket = floor(step/N).
+    Works identically on batch and streaming frames.
+    """
+    bucket = (F.floor(F.col(step_col) / interval) * interval).alias("step_bucket")
+    return events.groupBy(F.col(key_col), bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(value_col).alias("avg_value"),
+        F.max(step_col).alias("last_step"),
+    )
+
+
+_EMA_STATE_SCHEMA = StructType([StructField("s", DoubleType())])
+_EMA_OUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_updates", LongType()),
+        StructField("ema", DoubleType()),
+    ]
+)
+
+
+def ema_stream(
+    events: DataFrame,
+    decay: float = 0.9999,
+    key_col: str = "event_type",
+    order_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """T4: stateful EMA over a keyed stream via applyInPandasWithState.
+
+    s <- (1-d)*x + d*s per arriving value (order within a micro-batch by
+    ``order_col``); state is one double per key — O(keys) memory regardless
+    of stream length. Batch twin: operators/aggregates.py::ema (the oracle-
+    checked form).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (s,) = state.get if state.exists else (None,)
+        n = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            for x in pdf[value_col]:
+                s = float(x) if s is None else (1.0 - decay) * float(x) + decay * s
+                n += 1
+        state.update((s,))
+        yield pd.DataFrame({"key": [key[0]], "n_updates": [n], "ema": [s]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_EMA_OUT_SCHEMA,
+        stateStructType=_EMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def checkpointed_metrics_sink(
+    windowed: DataFrame,
+    out_root: str,
+    checkpoint_dir: str,
+    query_name: str = "metrics_sink",
+):
+    """T3+T5: foreachBatch sink writing versioned batches + 'latest' overwrite.
+
+    Each micro-batch appends under ``batch={id}`` and replaces ``latest/`` —
+    the reference's dual checkpoint write (train/train_CATVTON/utils.py:39-40)
+    with exactly-once bookkeeping from ``checkpointLocation`` (resume = T3:
+    restarting with the same checkpoint dir skips completed batches).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # watermark-advance batches are empty; they must not clobber 'latest'
+        if batch_df.isEmpty():
+            return
+        flat = batch_df
+        if "w" in batch_df.columns:
+            flat = batch_df.withColumn("window_start", F.col("w.start")).withColumn(
+                "window_end", F.col("w.end")
+            ).drop("w")
+        flat.write.mode("overwrite").parquet(os.path.join(out_root, f"batch={batch_id}"))
+        flat.write.mode("overwrite").parquet(os.path.join(out_root, "latest"))
+
+    return (
+        windowed.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+
+
+def run_available_now(writer, timeout_sec: float = 120.0) -> None:
+    """Drain everything currently available, then stop (the batch-like
+    trigger used in tests and backfills; W8's bounded-run analogue)."""
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()

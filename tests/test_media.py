@@ -1,0 +1,69 @@
+"""Media layer: Arrow-batched UDF plumbing with stubbed decode."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from experimentsplan_datapipeline_spark.media.images import (
+    batch_inference_stub,
+    decode_images,
+    deterministic_flip,
+    normalize_pixels,
+    tokenize_captions,
+)
+
+
+def test_decode_schema_and_determinism(spark):
+    df = spark.createDataFrame(
+        [("a.png", b"\x89PNGfake1"), ("b.png", b"\x89PNGfake2")], ["path", "content"]
+    )
+    out1 = decode_images(df).collect()
+    out2 = decode_images(df).collect()
+    assert len(out1) == 2
+    img = out1[0].image
+    assert img.height == 8 and img.width == 8 and img.channels == 3
+    assert len(img.pixels) == 8 * 8 * 3
+    # deterministic: same bytes -> same fake pixels
+    by_path1 = {r.path: r.image.pixels for r in out1}
+    by_path2 = {r.path: r.image.pixels for r in out2}
+    assert by_path1 == by_path2
+    assert by_path1["a.png"] != by_path1["b.png"]
+
+
+def test_normalize_jvm_side(spark):
+    df = decode_images(
+        spark.createDataFrame([("a", b"x")], ["path", "content"])
+    )
+    out = normalize_pixels(df).collect()[0]
+    for raw, norm in zip(out.image.pixels, out.pixels_norm):
+        assert abs(norm - ((raw / 255.0 - 0.5) / 0.5)) < 1e-12
+
+
+def test_flip_seeded_and_stable(spark):
+    df = spark.createDataFrame([(f"s{i}",) for i in range(200)], ["seed"])
+    out1 = {r.seed: r.flipped for r in deterministic_flip(df, seed_col="seed").collect()}
+    out2 = {r.seed: r.flipped for r in deterministic_flip(df, seed_col="seed").collect()}
+    assert out1 == out2
+    frac = sum(out1.values()) / len(out1)
+    assert 0.3 < frac < 0.7  # roughly balanced at p=0.5
+
+
+def test_tokenize_pad_truncate(spark):
+    df = spark.createDataFrame(
+        [("a person wearing g1",), (" ".join(f"w{i}" for i in range(100)),)],
+        ["caption"],
+    )
+    out = tokenize_captions(df, "caption", max_len=77).collect()
+    assert len(out[0].token_ids) == 77
+    assert len(out[1].token_ids) == 77
+    assert out[0].token_ids[4:] == [0] * 73  # padded tail
+    assert all(v != 0 for v in out[1].token_ids)  # truncated, no pad
+
+
+def test_batch_inference_shape(spark):
+    df = normalize_pixels(
+        decode_images(spark.createDataFrame([("a", b"x"), ("b", b"y")], ["path", "content"]))
+    )
+    out = batch_inference_stub(df).select("path", "score").collect()
+    assert len(out) == 2
+    assert all(isinstance(r.score, float) for r in out)

@@ -1,0 +1,142 @@
+"""Sources + E1/E2 pipelines over a reference-shaped file fixture
+(FIXTURES.md fx_catalog/fx_pairs semantics, generated deterministically)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from experimentsplan_datapipeline_spark.plans.pipelines import (
+    build_vton_dataset,
+    evaluation_report,
+)
+from experimentsplan_datapipeline_spark.sources.catalog import (
+    catalog_with_keys,
+    read_labels_file,
+    read_pairs_file,
+    scan_catalog,
+)
+from experimentsplan_datapipeline_spark.sources.sinks import (
+    discover_latest_version,
+    read_back_json,
+    write_json_results,
+    write_versioned_with_latest,
+)
+
+
+@pytest.fixture(scope="module")
+def catalog_root(tmp_path_factory):
+    """~60 stems as convention-named empty files; 3 difficulties; some stems
+    deliberately incomplete; a few non-image files."""
+    root = tmp_path_factory.mktemp("dataset_ultimate")
+    difficulties = ["easy", "medium", "hard"]
+    for i in range(60):
+        d = difficulties[i % 3]
+        stem = f"{i:05d}"
+        base = root / d / "female"
+        complete = i % 10 != 7  # every 10th-ish stem missing its vton
+        (base / "initial_image").mkdir(parents=True, exist_ok=True)
+        (base / "cloth_image").mkdir(parents=True, exist_ok=True)
+        (base / "try_on_image").mkdir(parents=True, exist_ok=True)
+        (base / "initial_image" / f"{stem}_person.png").write_bytes(b"p" + stem.encode())
+        (base / "cloth_image" / f"{stem}_cloth_front.png").write_bytes(b"c" + stem.encode())
+        if complete:
+            (base / "try_on_image" / f"{stem}_vton.png").write_bytes(b"v" + stem.encode())
+    (root / "easy" / "notes.txt").write_text("not an image")
+    return str(root)
+
+
+def test_scan_catalog_glob_pushdown(spark, catalog_root):
+    files = scan_catalog(spark, catalog_root, glob="*.png")
+    assert files.filter(F.col("path").endswith(".txt")).count() == 0
+    assert "content" not in files.columns  # listing-only scan skips GETs
+    n = files.count()
+    assert n == 60 * 2 + 54  # persons + cloths + complete vtons
+
+
+def test_catalog_keys_and_difficulty(spark, catalog_root):
+    keyed = catalog_with_keys(scan_catalog(spark, catalog_root, glob="*.png"))
+    row = keyed.filter(F.col("file_name") == "00000_person.png").collect()[0]
+    assert row.stem == "00000"
+    assert row.image_type == "initial_image"
+    assert row.difficulty == "easy"
+    counts = {
+        r.difficulty: r.n
+        for r in keyed.groupBy("difficulty").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"easy", "medium", "hard"}
+
+
+def test_build_vton_dataset_end_to_end(spark, catalog_root):
+    ds = build_vton_dataset(spark, [catalog_root])
+    rows = ds.collect()
+    # only complete triplets survive: 54 of 60 stems
+    assert len(rows) == 54
+    assert {"stem", "initial_image", "cloth_image", "try_on_image", "difficulty"} <= set(
+        ds.columns
+    )
+    # sampled + deterministic across runs
+    t = {"easy": 5, "medium": 5, "hard": 5}
+    s1 = build_vton_dataset(spark, [catalog_root], targets=t, seed=1).collect()
+    s2 = build_vton_dataset(spark, [catalog_root], targets=t, seed=1).collect()
+    assert sorted(r.stem for r in s1) == sorted(r.stem for r in s2)
+    assert len(s1) == 15
+
+
+def test_pairs_and_labels_readers(spark, tmp_path):
+    pairs_path = tmp_path / "train_pairs.txt"
+    pairs_path.write_text("p1 g1\np2 g2\n\n  \np3 g3\n")
+    pairs = read_pairs_file(spark, str(pairs_path))
+    assert sorted((r.person_id, r.garment_id) for r in pairs.collect()) == [
+        ("p1", "g1"), ("p2", "g2"), ("p3", "g3"),
+    ]
+    labels_path = tmp_path / "labels.txt"
+    labels_path.write_text("img/a.png 5\nimg/b.png 12\n")
+    labels = read_labels_file(spark, str(labels_path))
+    got = {r.image_path: r.label for r in labels.collect()}
+    assert got == {"img/a.png": 5, "img/b.png": 12}
+    assert dict(labels.dtypes)["label"] == "bigint"
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("catvton", 0.12, 0.87), ("dit", 0.2, 0.8)], ["model", "lpips", "ssim"]
+    )
+    out = str(tmp_path / "results")
+    write_json_results(df, out)
+    back = read_back_json(spark, out)
+    assert sorted((r.model, r.lpips, r.ssim) for r in back.collect()) == sorted(
+        (r.model, r.lpips, r.ssim) for r in df.collect()
+    )
+
+
+def test_versioned_sink_with_latest(spark, tmp_path):
+    root = str(tmp_path / "ckpt")
+    df1 = spark.createDataFrame([(1, 0.5)], ["step", "loss"])
+    df2 = spark.createDataFrame([(2, 0.4)], ["step", "loss"])
+    write_versioned_with_latest(df1, root, 100)
+    write_versioned_with_latest(df2, root, 200)
+    assert discover_latest_version(spark, root) == 200
+    latest = spark.read.parquet(os.path.join(root, "latest")).collect()
+    assert latest[0].loss == 0.4
+    # history preserved
+    old = spark.read.parquet(os.path.join(root, "step=100")).collect()
+    assert old[0].loss == 0.5
+
+
+def test_evaluation_report(spark):
+    rows = []
+    for model in ["catvton", "dit"]:
+        for bench in ["viton-hd", "dresscode"]:
+            for i in range(5):
+                rows.append((model, bench, 0.1 * (i + 1), 0.8 + 0.01 * i))
+    df = spark.createDataFrame(rows, ["model", "benchmark", "lpips", "ssim"])
+    stats, pivot = evaluation_report(df, ["lpips", "ssim"])
+    srow = stats.filter(
+        (F.col("model") == "catvton") & (F.col("benchmark") == "viton-hd")
+    ).collect()[0]
+    assert abs(srow.lpips_mean - 0.3) < 1e-9
+    assert srow.lpips_min == 0.1 and abs(srow.lpips_max - 0.5) < 1e-12
+    assert set(pivot.columns) == {"model", "viton-hd", "dresscode"}

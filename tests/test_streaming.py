@@ -1,0 +1,137 @@
+"""Structured Streaming: windows + watermark, stateful EMA, checkpointed
+sink with resume. Driven through a file stream (deterministic) with
+availableNow triggers."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from experimentsplan_datapipeline_spark.streaming.events import (
+    checkpointed_metrics_sink,
+    ema_stream,
+    run_available_now,
+    step_interval_windows,
+    windowed_metrics,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write_chunk(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_chunk(
+        spark,
+        src,
+        [
+            (_ts(0), "loss", 1.0),
+            (_ts(1), "loss", 2.0),
+            (_ts(5), "loss", 3.0),
+            (_ts(6), "lr", 0.1),
+        ],
+    )
+    return src
+
+
+def test_windowed_metrics_stream(spark, stream_dir, tmp_path):
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    windowed = windowed_metrics(stream, window="5 minutes", watermark="10 minutes")
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(checkpointed_metrics_sink(windowed, out_root, ckpt))
+    latest = spark.read.parquet(os.path.join(out_root, "latest"))
+    got = {
+        (r.event_type, r.window_start.minute): (r.n, r.avg_value)
+        for r in latest.collect()
+    }
+    assert got[("loss", 0)] == (2, 1.5)
+    assert got[("loss", 5)] == (1, 3.0)
+    assert got[("lr", 5)] == (1, 0.1)
+
+
+def test_checkpoint_resume_skips_processed(spark, stream_dir, tmp_path):
+    """T3: restarting with the same checkpointLocation only processes NEW
+    chunks; reprocessing would double-write batch dirs."""
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    windowed = windowed_metrics(stream, window="5 minutes", watermark="10 minutes")
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(checkpointed_metrics_sink(windowed, out_root, ckpt))
+    n_batches_first = len([d for d in os.listdir(out_root) if d.startswith("batch=")])
+
+    # new data arrives; resume from the same checkpoint
+    _write_chunk(spark, stream_dir, [(_ts(11), "loss", 5.0)])
+    stream2 = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    windowed2 = windowed_metrics(stream2, window="5 minutes", watermark="10 minutes")
+    run_available_now(checkpointed_metrics_sink(windowed2, out_root, ckpt))
+
+    latest = spark.read.parquet(os.path.join(out_root, "latest"))
+    rows = {(r.event_type, r.window_start.minute) for r in latest.collect()}
+    assert ("loss", 10) in rows  # the new window arrived
+    n_batches_second = len([d for d in os.listdir(out_root) if d.startswith("batch=")])
+    assert n_batches_second > n_batches_first  # appended, not rewritten
+
+
+def test_ema_stream_matches_batch(spark, stream_dir, tmp_path):
+    """T4: streaming EMA equals the batch ordered-fold on the same data."""
+    from experimentsplan_datapipeline_spark.operators.aggregates import ema as batch_ema
+
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    out = ema_stream(stream, decay=0.9)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ema_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ema"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.key: r.ema
+        for r in spark.sql(
+            """select key, ema from (
+                 select *, row_number() over (partition by key order by n_updates desc) rn
+                 from ema_out) where rn = 1"""
+        ).collect()
+    }
+    batch = spark.read.schema(SCHEMA).parquet(stream_dir)
+    expected = {
+        r.event_type: r.ema
+        for r in batch_ema(batch, ["event_type"], "ts", "value", decay=0.9).collect()
+    }
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-12, k
+
+
+def test_step_interval_windows_batch_and_stream_agree(spark):
+    rows = [("run1", s, 1.0 * s) for s in range(1, 21)]
+    df = spark.createDataFrame(rows, ["run_id", "step", "value"])
+    out = step_interval_windows(df, interval=5, step_col="step")
+    got = {r.step_bucket: (r.n, r.last_step) for r in out.collect()}
+    assert got[0] == (4, 4) and got[5] == (5, 9) and got[20] == (1, 20)
