@@ -27,8 +27,11 @@ HEADLINE = [
     "sample_stratified",
     "shuffle_rand",
     "dedup_exact",
+    "dedup_minhash",
     "text_stats",
+    "tfidf_top_terms",
     "similarity_bruteforce",
+    "ann_lsh",
     "events_tumbling",
 ]
 

@@ -204,3 +204,52 @@ def simhash_dedup(
             hamming.alias("hamming"),
         )
     )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
+
+    ``n_planes == 0``: exact all-pairs — only for bounded/sampled sets (the
+    oracle-checked form). ``n_planes > 0``: random-hyperplane LSH buckets
+    first (hash join on bucket id), exact cosine verified on same-bucket
+    pairs only — the 100 TB path; near-dups at high thresholds land in the
+    same sign-pattern bucket with high probability.
+
+    The filter applies to the ROUNDED cosine so the pair set is reproducible
+    across engines (float ulp noise at the threshold boundary must not flip
+    membership).
+    """
+    from experimentsplan_datapipeline_spark.functions.vectors import cosine_similarity
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        _hyperplane_bucket,
+        fixed_hyperplanes,
+    )
+
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if n_planes > 0:
+        if dim is None:
+            raise ValueError("dim is required when n_planes > 0")
+        planes = fixed_hyperplanes(dim, n_planes, seed)
+        base = base.withColumn("__bucket", _hyperplane_bucket(F.col(vec_col), planes))
+        join_cond = (F.col(f"a.__bucket") == F.col(f"b.__bucket")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    else:
+        join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    pairs = base.alias("a").join(base.alias("b"), join_cond)
+    cos = F.round(
+        cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+    )
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cos.alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

@@ -113,3 +113,81 @@ def lsh_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into Voronoi cells, probe
+    only the ``n_probe`` nearest cells per query.
+
+    Centroids are the ``n_cells`` lowest-id corpus vectors — a deterministic
+    stand-in for a trained k-means codebook; at scale you train centroids
+    once and broadcast them, and the search-side plan below is identical.
+    The cell assignment is a per-row argmax over a broadcast literal array
+    (whole-stage codegen, no shuffle); the probe is a hash join on the cell
+    id, so nothing ever cross-joins the corpus side.
+    """
+    cents = (
+        corpus.orderBy(corpus_id)
+        .limit(n_cells)
+        .select(F.col(corpus_id).alias("cell"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell"])).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+            )
+            for r in cents
+        ]
+    )
+
+    def scored_cells(vec):
+        # array<struct<cos, cell>>: struct ordering compares cos first, so
+        # array_max / array_sort rank cells by similarity deterministically
+        return F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                F.round(cosine_similarity(vec, c["cvec"]), 6).alias("cos"),
+                c["cell"].alias("cell"),
+            ),
+        )
+
+    c = corpus.withColumn(
+        "__cell", F.array_max(scored_cells(F.col(vec_col)))["cell"]
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
+    ).withColumn(
+        "__cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(scored_cells(F.col("__qvec")))), 1, n_probe
+                ),
+                lambda s: s["cell"],
+            )
+        ),
+    )
+    scored = c.join(F.broadcast(q), "__cell").select(
+        F.col("__qid").alias(query_id + "_q"),
+        F.col(corpus_id),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id + "_q").orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.dropDuplicates([query_id + "_q", corpus_id])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

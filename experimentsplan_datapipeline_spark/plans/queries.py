@@ -1054,6 +1054,94 @@ def ann_lsh(spark, sf_dir):
     )
 
 
+@register("dedup_embedding", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 1000)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+""")
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup on a bounded set (exact all-pairs form).
+
+    The oracle checks the cosine math; the scale path is the same operator
+    with n_planes>0 (LSH buckets first), exercised rows-only via ann_lsh.
+    """
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    return dd.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.3)
+
+
+@register("text_fingerprint", """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""")
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over whitespace-normalized lowercase text
+    — the exact-dedup / dataset-versioning key."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fp"))
+
+
+@register("tfidf_top_terms", """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n / dfreq.df), 6) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY round(tf.tf * ln(n.n / dfreq.df), 6) DESC,
+                                     tf.term) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+WHERE rank <= 3
+""")
+def tfidf_top_terms_q(spark, sf_dir):
+    """Corpus TF-IDF: top-3 terms per document; df side collapses to |vocab|
+    rows and broadcasts back, so the corpus shuffles once."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@register("approx_distinct")  # rows-only: HLL++ estimate is engine-specific
+def approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) per group — the 100 TB
+    cardinality path where exact distinct would shuffle every key."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx_customers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register("ann_ivf")  # rows-only: probe recall depends on the codebook
+def ann_ivf(spark, sf_dir):
+    """ANN top-k via IVF coarse quantization (n_probe nearest cells);
+    exact twin: similarity_bruteforce."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(
+        emb, queries, "vec_id", "vec_id", vec_col="embedding",
+        k=10, n_cells=16, n_probe=2,
+    )
+
+
 # ------------------------------------------------------------- flagship
 
 @register("flagship_revenue", """

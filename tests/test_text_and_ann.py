@@ -1,0 +1,97 @@
+"""Unit tests for TF-IDF, embedding near-dup, and IVF ANN operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from experimentsplan_datapipeline_spark.operators.dedup import embedding_near_dup
+from experimentsplan_datapipeline_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from experimentsplan_datapipeline_spark.operators.text_analysis import tfidf_top_terms
+
+
+def test_tfidf_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry date")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_id, r.term): r.tfidf
+        for r in tfidf_top_terms(docs, "doc_id", "text", k=5).collect()
+    }
+    # apple: tf=2 in doc 1, df=1 over 3 docs -> 2*ln(3)
+    assert out[(1, "apple")] == round(2 * math.log(3.0), 6)
+    # banana appears in 2 of 3 docs, tf=1 each
+    assert out[(1, "banana")] == round(math.log(3.0 / 2.0), 6)
+    # cherry in doc 3: tf=2, df=2
+    assert out[(3, "cherry")] == round(2 * math.log(3.0 / 2.0), 6)
+
+
+def test_tfidf_rank_deterministic(spark):
+    docs = spark.createDataFrame([(1, "b a c a b c")], ["doc_id", "text"])
+    # all terms tie on tfidf (tf=2, df=1) -> rank breaks by term ascending
+    out = tfidf_top_terms(docs, "doc_id", "text", k=3).orderBy("rank").collect()
+    assert [r.term for r in out] == ["a", "b", "c"]
+
+
+def test_embedding_near_dup_exact(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.01]),   # near-dup of 1
+            (3, [0.0, 1.0]),    # orthogonal
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = embedding_near_dup(emb, "vec_id", "embedding", threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].cosine > 0.999
+
+
+def test_embedding_near_dup_lsh_finds_identicals(spark):
+    # identical vectors always share every sign-pattern bucket
+    emb = spark.createDataFrame(
+        [(1, [0.5, -0.2, 0.8]), (2, [0.5, -0.2, 0.8]), (3, [-0.9, 0.1, -0.4])],
+        ["vec_id", "embedding"],
+    )
+    out = embedding_near_dup(
+        emb, "vec_id", "embedding", threshold=0.99, dim=3, n_planes=4
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+
+
+def test_ivf_topk_full_probe_matches_bruteforce(spark):
+    # with n_cells == corpus size and n_probe == n_cells, IVF degenerates to
+    # exact search — results must equal brute force
+    rows = [
+        (i, [math.cos(i * 0.7), math.sin(i * 0.7), math.cos(i * 1.3)])
+        for i in range(8)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 2)
+    exact = {
+        (r.vec_id_q, r.rank): r.vec_id
+        for r in brute_force_topk(emb, queries, "vec_id", "vec_id", "embedding", k=3).collect()
+    }
+    ivf = {
+        (r.vec_id_q, r.rank): r.vec_id
+        for r in ivf_topk(
+            emb, queries, "vec_id", "vec_id", "embedding", k=3, n_cells=8, n_probe=8
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_topk_respects_k(spark):
+    rows = [(i, [float(i % 3), float((i * 2) % 5), 1.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = ivf_topk(
+        emb, queries, "vec_id", "vec_id", "embedding", k=4, n_cells=4, n_probe=2
+    ).collect()
+    assert len(out) <= 4
+    assert all(r.rank <= 4 for r in out)
