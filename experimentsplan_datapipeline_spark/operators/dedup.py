@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint, ngrams
+from experimentsplan_datapipeline_spark.operators.util import spread_small_input
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -56,7 +57,7 @@ def minhash_signatures(
     absent from the output (nothing to band — equivalent to null signatures).
     """
     p = F.lit(_MINHASH_PRIME)
-    exploded = df.select(
+    exploded = spread_small_input(df).select(
         F.col(id_col),
         F.explode(ngrams(text_col, shingle_size)).alias("__sh"),
     ).select(F.col(id_col), F.pmod(F.xxhash64("__sh"), p).alias("__h"))
@@ -114,7 +115,7 @@ def ngram_jaccard_pairs(
 
     Joins shingle SETS (arrays) onto the candidate pair list; never all-pairs.
     """
-    sh = df.select(
+    sh = spread_small_input(df).select(
         F.col(id_col), F.array_distinct(ngrams(text_col, shingle_size)).alias("sh")
     )
     a = sh.alias("a")
@@ -185,7 +186,7 @@ def simhash_dedup(
     returns (bucket, id_a, id_b, hamming) pairs for verification. Bucketing
     keeps the self-join banded instead of all-pairs.
     """
-    sh = df.select(F.col(id_col), simhash(text_col).alias("sh"))
+    sh = spread_small_input(df).select(F.col(id_col), simhash(text_col).alias("sh"))
     bucketed = sh.withColumn("bucket", F.shiftright(F.col("sh"), 64 - prefix_bits))
     a = bucketed.alias("a")
     b = bucketed.alias("b")

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from experimentsplan_datapipeline_spark.operators.util import spread_small_input
+
 
 def _tokens(text_col: str) -> F.Column:
     """Lowercased whitespace tokens (the same normalization the oracle uses)."""
@@ -38,7 +40,8 @@ def tfidf_top_terms(
     """
     n_docs = df.count()
     tf = (
-        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+        spread_small_input(df)
+        .select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
         .filter(F.col("term") != "")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -1128,6 +1128,53 @@ def approx_distinct(spark, sf_dir):
     )
 
 
+@register("media_decode_score")  # rows-only: mapInPandas plumbing, stub decode
+def media_decode_score(spark, sf_dir):
+    """P1/P3/P4/P10 chain over a binary column: decode (stubbed — PIL not in
+    container) -> JVM-side normalize -> seeded flip -> mapInPandas scoring.
+    Binary content synthesized deterministically from documents.text."""
+    from experimentsplan_datapipeline_spark.media.images import (
+        batch_inference_stub,
+        decode_images,
+        deterministic_flip,
+        normalize_pixels,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    bin_df = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("content"),
+        F.col("doc_id").alias("seed"),
+    )
+    scored = batch_inference_stub(
+        deterministic_flip(normalize_pixels(decode_images(bin_df)), seed_col="seed")
+    )
+    return scored.select(
+        "doc_id",
+        F.col("image.height").alias("height"),
+        F.col("image.width").alias("width"),
+        "flipped",
+        F.round("score", 6).alias("score"),
+    )
+
+
+@register("media_tokenize")  # rows-only: hash-vocab token ids are engine-specific
+def media_tokenize(spark, sf_dir):
+    """P9: caption -> fixed-length (77) token-id array, pad/truncate, fully
+    JVM-side (hash vocab stands in for the CLIP tokenizer)."""
+    from experimentsplan_datapipeline_spark.media.images import tokenize_captions
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("caption")
+    )
+    out = tokenize_captions(docs, "caption")
+    return out.select(
+        "doc_id",
+        F.size("token_ids").alias("n_tokens"),
+        F.element_at("token_ids", 1).alias("first_id"),
+    )
+
+
 @register("ann_ivf")  # rows-only: probe recall depends on the codebook
 def ann_ivf(spark, sf_dir):
     """ANN top-k via IVF coarse quantization (n_probe nearest cells);
