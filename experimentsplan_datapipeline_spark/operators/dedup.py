@@ -254,3 +254,63 @@ def embedding_near_dup(
         F.col(f"b.{id_col}").alias("id_b"),
         cos.alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def resolve_duplicate_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 10
+) -> DataFrame:
+    """Collapse near-dup PAIRS into clusters: every row gets a representative
+    id = the minimum id reachable through the duplicate graph.
+
+    Iterative min-label propagation: each round is one hash join on ids plus
+    a partial-aggregated min — shuffle keys are single longs, never text.
+    Converges in O(cluster diameter) rounds (near-dup clusters are shallow in
+    practice; max_iter bounds pathology). localCheckpoint truncates lineage
+    each round so the plan stays linear instead of doubling per iteration.
+
+    Returns (id_col, rep_id) for EVERY input row; singletons map to
+    themselves. Downstream "keep one per cluster" = filter id == rep_id.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    bidir = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        bidir.select(F.col("src").alias("node"))
+        .union(bidir.select(F.col("dst")))
+        .distinct()
+        .withColumn("rep", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            bidir.join(labels, bidir["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("rep", "old_rep"), "node"
+            )
+            .filter(F.col("rep") != F.col("old_rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        df.select(F.col(id_col))
+        .join(labels, df[id_col] == labels["node"], "left")
+        .select(F.col(id_col), F.coalesce("rep", F.col(id_col)).alias("rep_id"))
+    )

@@ -133,3 +133,31 @@ def semi_join(left: DataFrame, right: DataFrame, on: Column) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, on: Column) -> DataFrame:
     """S14 complement: rows with no match (missing-asset detection)."""
     return left.join(right, on, "left_anti")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_from: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: spread each hot key over ``n_salts`` sub-keys.
+
+    The large/skewed side gets a deterministic salt from ``salt_from``
+    columns (xxhash64 — no RNG, so plans are reproducible); the small side is
+    exploded across all salt values (n_salts× its size — keep it the dim
+    side). One straggler task per hot key becomes n_salts parallel tasks.
+
+    AQE's skew-join handles most cases at runtime; the explicit form exists
+    for deterministic layouts (bucketed tables, fixed partitioning) and for
+    joins under a window/agg where AQE cannot split. Result set is identical
+    to the plain join — salting only changes the physical distribution.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(n_salts))
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    return l.join(r, [on, "__salt"], how).drop("__salt")

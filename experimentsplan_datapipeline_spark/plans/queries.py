@@ -1128,6 +1128,69 @@ def approx_distinct(spark, sf_dir):
     )
 
 
+@register("dedup_resolve_clusters", """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0) + 1),
+           i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')
+         )) AS grams
+  FROM documents),
+edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+              / len(list_distinct(a.grams || b.grams)), 6) >= 0.4),
+bidir AS (SELECT id_a AS src, id_b AS dst FROM edges
+          UNION ALL SELECT id_b, id_a FROM edges),
+reach(src, dst) AS (
+  SELECT src, dst FROM bidir
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src),
+rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep_id
+        FROM reach GROUP BY src)
+SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS rep_id
+FROM documents d LEFT JOIN rep r USING (doc_id)
+""")
+def dedup_resolve_clusters(spark, sf_dir):
+    """Near-dup pairs -> cluster representatives via iterative min-label
+    propagation (the 'keep one per duplicate cluster' step). Oracle computes
+    the same transitive closure with a recursive CTE; Spark-side edges come
+    from LSH candidates + exact-Jaccard verify (j >= 0.4 pairs here are all
+    >= 0.9, so banding recall is deterministic and complete on this data).
+    """
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_dedup(
+        docs, "text", "doc_id", num_hashes=32, bands=8, shingle_size=3, threshold=0.4
+    )
+    return dd.resolve_duplicate_clusters(docs, pairs, "doc_id")
+
+
+@register("join_salted", """
+SELECT l_orderkey, l_linenumber, s_name,
+       round(l_extendedprice * (1 - l_discount), 4) AS net
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+""")
+def join_salted(spark, sf_dir):
+    """Skew-safe salted equi-join — result identical to the plain join, but
+    each hot supplier key spreads over 8 sub-keys (straggler mitigation for
+    layouts AQE can't re-split)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    out = jn.salted_join(
+        li, sup, "l_suppkey", salt_from=["l_orderkey", "l_linenumber"], n_salts=8
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "s_name",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
+    )
+
+
 @register("media_decode_score")  # rows-only: mapInPandas plumbing, stub decode
 def media_decode_score(spark, sf_dir):
     """P1/P3/P4/P10 chain over a binary column: decode (stubbed — PIL not in

@@ -95,3 +95,37 @@ def test_ivf_topk_respects_k(spark):
     ).collect()
     assert len(out) <= 4
     assert all(r.rank <= 4 for r in out)
+
+
+def test_resolve_duplicate_clusters(spark):
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        resolve_duplicate_clusters,
+    )
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(8)], ["doc_id", "text"])
+    # chain 1-2-3 (diameter 2), pair 5-6, singletons 0,4,7
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 6)], ["id_a", "id_b"]
+    )
+    out = {
+        r.doc_id: r.rep_id
+        for r in resolve_duplicate_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_salted_join_matches_plain(spark):
+    from experimentsplan_datapipeline_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], ["rid", "k", "v"]
+    )
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "name"])
+    plain = sorted(
+        (r.rid, r.name) for r in left.join(right, "k").collect()
+    )
+    salted = sorted(
+        (r.rid, r.name)
+        for r in salted_join(left, right, "k", salt_from=["rid"], n_salts=4).collect()
+    )
+    assert salted == plain
