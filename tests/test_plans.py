@@ -1,0 +1,57 @@
+"""Physical-plan regression tests: the scale properties BENCH depends on.
+
+These assert the plan SHAPE, not timings — pushdown reaching the parquet
+scan, small dimensions broadcasting, and no accidental extra shuffles. A
+regression here is invisible at sf0.01 but fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from experimentsplan_datapipeline_spark.plans.queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def _plan(spark, name: str) -> str:
+    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+class TestPlanShapes:
+    def test_scan_pushdown_no_shuffle(self, spark):
+        plan = _plan(spark, "scan_catalog")
+        assert "PushedFilters: [" in plan
+        assert "PushedFilters: []" not in plan
+        assert "Exchange" not in plan  # pure scan+filter: zero shuffles
+
+    def test_dim_join_broadcasts(self, spark):
+        # customer is the small side of orders⋈customer — must broadcast,
+        # never sort-merge (a sort-merge here shuffles the fact table)
+        plan = _plan(spark, "join_pairs")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_flagship_broadcasts_dims(self, spark):
+        plan = _plan(spark, "flagship_revenue")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_exact_dedup_single_shuffle(self, spark):
+        # fingerprint groupBy: exactly one exchange (hash keys), with a
+        # partial aggregate before it (map-side combine)
+        plan = _plan(spark, "dedup_exact")
+        assert plan.count("Exchange") == 1
+        assert "HashAggregate" in plan
+
+    def test_stats_pack_single_shuffle(self, spark):
+        plan = _plan(spark, "agg_stats_pack")
+        assert plan.count("Exchange") == 1
+
+    def test_similarity_broadcasts_queries(self, spark):
+        # the query set must broadcast; the corpus side must not shuffle
+        plan = _plan(spark, "similarity_bruteforce")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
