@@ -135,16 +135,23 @@ def ngram_jaccard_pairs(
 def minhash_lsh_dedup(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
-    threshold: float = 0.8,
+    threshold: float = 0.8, materialize_signatures: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> Jaccard verify.
 
     Returns verified near-duplicate pairs (id_a < id_b, jaccard >= threshold).
-    Connected-component dedup (keep one per cluster) composes on top via a
-    min-id propagation join; at 100 TB run 2-3 iterations (diameter of dup
-    clusters is tiny in practice).
+    Connected-component dedup (keep one per cluster) composes on top via
+    ``resolve_duplicate_clusters``.
+
+    The signature table feeds BOTH sides of the banding self-join; without
+    materialization Spark recomputes the shingle-hash scan per side.
+    ``materialize_signatures`` localCheckpoints it (K+1 longs per doc —
+    tiny next to the corpus). At 100 TB write signatures to a parquet
+    stage table instead: same idea, spill-safe and resumable.
     """
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    if materialize_signatures:
+        sig = sig.localCheckpoint(eager=False)
     cand = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
     return ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_size, threshold)
 
@@ -272,9 +279,11 @@ def resolve_duplicate_clusters(
     themselves. Downstream "keep one per cluster" = filter id == rep_id.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # materialize the edge list once — its lineage is the whole upstream
+    # dedup pipeline, which must not re-execute on every propagation round
     bidir = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     labels = (
         bidir.select(F.col("src").alias("node"))
         .union(bidir.select(F.col("dst")))

@@ -1129,18 +1129,22 @@ def approx_distinct(spark, sf_dir):
 
 
 @register("dedup_resolve_clusters", """
-WITH RECURSIVE sh AS (
-  SELECT doc_id, list_distinct(list_transform(
-           range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0) + 1),
-           i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')
-         )) AS grams
+WITH RECURSIVE toks AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+       range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0) + 1),
+       i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')))) AS gram
   FROM documents),
-edges AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
-              / len(list_distinct(a.grams || b.grams)), 6) >= 0.4),
-bidir AS (SELECT id_a AS src, id_b AS dst FROM edges
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS MATERIALIZED (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.id_a
+  JOIN sizes sb ON sb.doc_id = inter.id_b
+  WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.4),
+bidir AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM edges
           UNION ALL SELECT id_b, id_a FROM edges),
 reach(src, dst) AS (
   SELECT src, dst FROM bidir
@@ -1188,6 +1192,44 @@ def join_salted(spark, sf_dir):
         "l_linenumber",
         "s_name",
         F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
+    )
+
+
+@register("join_bucketed", """
+SELECT o_orderkey, o_orderpriority,
+       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_items
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderpriority
+""")
+def join_bucketed(spark, sf_dir):
+    """Co-located join + agg over bucketed tables: both sides bucketed on the
+    join key at write time, so the join AND the downstream groupBy run with
+    zero exchanges (bucket partitioning satisfies both distributions).
+    The merge hint keeps the small side from broadcasting, which would hide
+    the property this query demonstrates."""
+    from experimentsplan_datapipeline_spark.sources.sinks import write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    li_t, or_t = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    if not spark.catalog.tableExists(li_t):
+        write_bucketed(
+            t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+            li_t, ["l_orderkey"], 8, ["l_orderkey"],
+        )
+    if not spark.catalog.tableExists(or_t):
+        write_bucketed(
+            t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            or_t, ["o_orderkey"], 8, ["o_orderkey"],
+        )
+    li = spark.table(li_t)
+    orders = spark.table(or_t).hint("merge")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
 
 

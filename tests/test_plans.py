@@ -55,3 +55,11 @@ class TestPlanShapes:
         # the query set must broadcast; the corpus side must not shuffle
         plan = _plan(spark, "similarity_bruteforce")
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_bucketed_join_zero_exchange(self, spark):
+        # both sides bucketed on the join key: the sort-merge join AND the
+        # downstream groupBy must run without any Exchange
+        plan = _plan(spark, "join_bucketed")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert plan.count("Bucketed: true") == 2
