@@ -1294,6 +1294,160 @@ def ann_ivf(spark, sf_dir):
     )
 
 
+@register("agg_rollup", """
+SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+       round(sum(l_quantity), 2) AS qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def agg_rollup(spark, sf_dir):
+    """Rollup (hierarchical subtotals) — free via Catalyst; one shuffle with
+    partial aggregation for all grouping sets."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "qty",
+            "n",
+        )
+    )
+
+
+@register("set_intersect", """
+SELECT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+""")
+def set_intersect(spark, sf_dir):
+    """INTERSECT (distinct) — absent from the reference, free in Spark."""
+    a = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    b = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.intersect(b)
+
+
+@register("set_except", """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%'
+""")
+def set_except(spark, sf_dir):
+    """EXCEPT (distinct): customers with no urgent order — the anti-join dual."""
+    a = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    b = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").startswith("1"))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.exceptAll(b).distinct()
+
+
+@register("agg_percentile", """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q75
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark percentile ==
+    quantile_cont). The 100 TB path is approx_percentile (sketch-mergeable,
+    no per-group sort); the exact form exists for the oracle."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+    )
+
+
+@register("json_extract", """
+SELECT o_orderkey,
+       json_extract_string(doc, '$.priority') AS priority,
+       CAST(json_extract(doc, '$.total') AS DOUBLE) AS total
+FROM (SELECT o_orderkey,
+             printf('{"priority":"%s","total":%.2f}', o_orderpriority, o_totalprice) AS doc
+      FROM orders)
+""")
+def json_extract(spark, sf_dir):
+    """JSON path extraction over a document column (S9's field-access dual;
+    the reference only ever reads whole JSON documents)."""
+    docs = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.format_string(
+            '{"priority":"%s","total":%.2f}', "o_orderpriority", "o_totalprice"
+        ).alias("doc"),
+    )
+    return docs.select(
+        "o_orderkey",
+        F.get_json_object("doc", "$.priority").alias("priority"),
+        F.get_json_object("doc", "$.total").cast("double").alias("total"),
+    )
+
+
+@register("window_moving_avg", """
+SELECT event_id, event_type,
+       round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+FROM events
+""")
+def window_moving_avg(spark, sf_dir):
+    """Rolling mean over the event stream (3-row window per type) — the
+    batch twin of the sliding streaming aggregate."""
+    w = (
+        win.Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.avg("value").over(w), 6).alias("mavg"),
+    )
+
+
+@register("window_lag_delta", """
+SELECT event_id, event_type,
+       round(value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id), 6) AS delta
+FROM events
+""")
+def window_lag_delta(spark, sf_dir):
+    """Step-over-step delta via lag() — the metric-trend shape of the
+    reference's per-step loss logging."""
+    w = win.Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@register("window_cumsum", """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_total
+FROM events
+""")
+def window_cumsum(spark, sf_dir):
+    """Per-user running total — cumulative state as a window, not a loop."""
+    w = (
+        win.Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(win.Window.unboundedPreceding, 0)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("running_total"),
+    )
+
+
 # ------------------------------------------------------------- flagship
 
 @register("flagship_revenue", """
