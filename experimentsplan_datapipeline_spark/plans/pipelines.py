@@ -77,3 +77,43 @@ def evaluation_report(
     stats = metrics.groupBy(model_col, bench_col).agg(*aggs)
     pivot = pivot_table(metrics, model_col, bench_col, metric_cols[0], agg="avg")
     return stats, pivot
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """North-star E2E: the training-data curation pass.
+
+    score -> quality filter -> exact dedup (keep min-id representative) ->
+    per-source acceptance stats. One scan of the corpus; the dedup groupBy
+    shuffles 16-byte fingerprints, the final agg shuffles |sources| rows.
+    Near-dup (minhash) and embedding stages chain between the filter and the
+    report the same way — each consumes the survivors of the previous tier.
+    """
+    from experimentsplan_datapipeline_spark.functions.text import (
+        doc_fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    scored = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        quality_score(text_col).alias("quality"),
+        token_count(text_col).alias("n_tokens"),
+        doc_fingerprint(text_col).alias("fp"),
+    ).filter(F.col("quality") >= min_quality)
+    reps = scored.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    kept = scored.join(reps, [id_col])
+    return (
+        kept.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -1448,6 +1448,77 @@ def window_cumsum(spark, sf_dir):
     )
 
 
+@register("curate_corpus", r"""
+WITH scored AS (
+  SELECT doc_id, source,
+         round(0.5 * least(length(text) / 500.0, 1.0)
+             + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1))
+             + 0.2 * (length(regexp_replace(text, '[^ ]', '', 'g')) / greatest(length(text), 1)),
+           6) AS quality,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents),
+kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp)
+SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality,
+       sum(n_tokens) AS total_tokens
+FROM kept JOIN reps USING (doc_id)
+GROUP BY source
+""")
+def curate_corpus_q(spark, sf_dir):
+    """North-star flagship: the full curation pass — quality score ->
+    threshold filter -> exact dedup -> per-source acceptance report, in one
+    DataFrame DAG (plans/pipelines.py::curate_corpus)."""
+    from experimentsplan_datapipeline_spark.plans.pipelines import curate_corpus
+
+    return curate_corpus(t(spark, sf_dir, "documents"), min_quality=0.5)
+
+
+@register("stream_windowed", """
+SELECT event_type,
+       strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+""")
+def stream_windowed(spark, sf_dir):
+    """T1/T2/T6 live: readStream over the events parquet -> watermarked
+    tumbling window -> memory sink, drained with availableNow. Same logical
+    plan as the batch events_tumbling — the batch/streaming parity the
+    engine promises. Complete output mode so every window lands regardless
+    of final-watermark position."""
+    from experimentsplan_datapipeline_spark.streaming.events import windowed_metrics
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # ts arrives as nanos-long
+    # the file stream source wants a directory: stream the sf_dir with a
+    # glob filter selecting just the events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    windowed = windowed_metrics(stream, window="1 hour", watermark="2 hours")
+    name = "stream_windowed_result"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    return spark.table(name).select(
+        "event_type",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
 # ------------------------------------------------------------- flagship
 
 @register("flagship_revenue", """
