@@ -161,3 +161,113 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
     )
     return l.join(r, [on, "__salt"], how).drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    right_order: str | None = None,
+) -> DataFrame:
+    """As-of join: attach to each left row the most recent right row with
+    ``right_ts <= left_ts`` within its key group.
+
+    Scale shape: ONE tagged union + window carry-forward — a single
+    shuffle/sort on (keys, ts), never a per-row subquery or a broadcast
+    nested loop. Right rows sort before left rows at equal ts, so an exact
+    tie matches (<= semantics, like SQL ASOF JOIN). ``right_order`` breaks
+    ties between right rows sharing a timestamp (latest wins);
+    deduplicate the right side per (key, ts) if you need a stronger
+    contract. Left-outer semantics: left rows with no prior right row keep
+    null payloads.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    from pyspark.sql.window import Window
+
+    data_cols = [c for c in left.columns if c not in keys and c != left_ts]
+    p_alias = {p: f"__p_{p}" for p in payload_cols}
+
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__ord"),
+        *data_cols,
+        *[
+            F.lit(None).cast(right.schema[p].dataType).alias(a)
+            for p, a in p_alias.items()
+        ],
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        (F.col(right_order) if right_order else F.lit(0)).cast("long").alias("__ord"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in data_cols],
+        *[F.col(p).alias(a) for p, a in p_alias.items()],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__ord").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l.unionByName(r).select(
+        *keys,
+        "__ts",
+        "__side",
+        *data_cols,
+        *[
+            F.last(a, ignorenulls=True).over(w).alias(p)
+            for p, a in p_alias.items()
+        ],
+    )
+    return (
+        carried.filter(F.col("__side") == 1)
+        .drop("__side")
+        .withColumnRenamed("__ts", left_ts)
+    )
+
+
+def range_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    window_sec: int,
+) -> DataFrame:
+    """Range join (``left_ts <= right_ts < left_ts + window_sec``) as a
+    banded equi-join.
+
+    The naive form is a theta join — quadratic per key (broadcast nested
+    loop in Spark). Banding assigns both sides to ``window_sec``-wide epoch
+    buckets; a right row can only match left rows in its own or the
+    previous bucket, so the left side explodes into 2 bucket probes and the
+    join becomes a hash equi-join on (keys, bucket) + an exact residual
+    filter. Cost: 2x left rows through one hash join, instead of |L|x|R|
+    per key.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l_epoch = F.unix_timestamp(F.col(left_ts))
+    r_epoch = F.unix_timestamp(F.col(right_ts))
+    l = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.floor(l_epoch / window_sec),
+                F.floor(l_epoch / window_sec) + 1,
+            )
+        ),
+    )
+    r = right.withColumn("__bucket", F.floor(r_epoch / window_sec))
+    joined = l.join(r, [*keys, "__bucket"]).filter(
+        (F.col(right_ts) >= F.col(left_ts))
+        & (
+            F.unix_timestamp(F.col(right_ts))
+            < F.unix_timestamp(F.col(left_ts)) + window_sec
+        )
+    )
+    return joined.drop("__bucket")

@@ -1519,6 +1519,68 @@ def stream_windowed(spark, sf_dir):
     )
 
 
+@register("join_asof", """
+WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, round(max_by(value, event_id), 6) AS view_value, max(event_id) AS vid
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+SELECT p.user_id, p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts, v.view_value, v.vid
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""")
+def join_asof(spark, sf_dir):
+    """As-of join: each purchase picks the user's most recent view at or
+    before it. Spark side is the union + window carry-forward form (one
+    shuffle); oracle is DuckDB's native ASOF JOIN. Right side deduped per
+    (user, ts) so tie-breaking is engine-independent."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vts"))
+        .agg(
+            F.round(F.max_by("value", "event_id"), 6).alias("view_value"),
+            F.max("event_id").alias("vid"),
+        )
+    )
+    out = jn.asof_join(
+        purchases, views, "user_id", "ts", "vts", ["view_value", "vid"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("pts"),
+        "view_value",
+        "vid",
+    )
+
+
+@register("join_range", """
+WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view')
+SELECT c.user_id, c.event_id, count(*) AS n_views_30m
+FROM c JOIN v ON c.user_id = v.user_id
+             AND v.vts >= c.ts AND epoch(v.vts) < epoch(c.ts) + 1800
+GROUP BY 1, 2
+""")
+def join_range(spark, sf_dir):
+    """Range join (views within 30 min after each click) via the banded
+    equi-join rewrite — hash join on (user, epoch bucket) + residual filter,
+    never a per-key quadratic theta join."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    out = jn.range_join_banded(clicks, views, "user_id", "ts", "vts", 1800)
+    return out.groupBy("user_id", "event_id").agg(
+        F.count(F.lit(1)).alias("n_views_30m")
+    )
+
+
 # ------------------------------------------------------------- flagship
 
 @register("flagship_revenue", """

@@ -153,3 +153,56 @@ def test_prefix_join_normalized_equals_theta(spark):
     assert sorted(r.fname for r in norm.collect()) == sorted(
         r.fname for r in theta.collect()
     ) == ["00042_cloth_front.png"]
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    import datetime as dt
+
+    from experimentsplan_datapipeline_spark.operators.joins import asof_join
+
+    T = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 100, T(10)), (1, 101, T(30)), (2, 200, T(5))],
+        ["uid", "eid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, T(10), 1.0), (1, T(20), 2.0), (1, T(40), 9.0), (2, T(6), 5.0)],
+        ["uid", "rts", "val"],
+    )
+    out = {
+        r.eid: r.val
+        for r in asof_join(left, right, "uid", "ts", "rts", ["val"]).collect()
+    }
+    # eid 100: exact tie at :10 matches (<=); eid 101: latest before :30 is
+    # :20; eid 200: only right row is at :06 > :05 -> null
+    assert out == {100: 1.0, 101: 2.0, 200: None}
+
+
+def test_range_join_banded_matches_theta(spark):
+    import datetime as dt
+
+    from experimentsplan_datapipeline_spark.operators.joins import range_join_banded
+
+    base = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame(
+        [(1, i, base + dt.timedelta(minutes=7 * i)) for i in range(10)],
+        ["uid", "lid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, 100 + j, base + dt.timedelta(minutes=3 * j)) for j in range(25)],
+        ["uid", "rid", "rts"],
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in range_join_banded(left, right, "uid", "ts", "rts", 600).collect()
+    )
+    expected = sorted(
+        (r.lid, r.rid)
+        for r in left.join(right, "uid")
+        .filter(
+            (F.col("rts") >= F.col("ts"))
+            & (F.col("rts") < F.col("ts") + F.expr("INTERVAL 600 SECONDS"))
+        )
+        .collect()
+    )
+    assert got == expected and len(got) > 0
