@@ -1581,6 +1581,48 @@ def join_range(spark, sf_dir):
     )
 
 
+@register("rollup_time_multi", """
+SELECT 'hour' AS grain, event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 2, 3
+""")
+def rollup_time_multi(spark, sf_dir):
+    """Hypertable-style continuous aggregate: the DAILY rollup is computed
+    from the HOURLY partials (sum of sums), not by rescanning the events —
+    at 100 TB the raw stream is touched once and each coarser grain reads
+    the next finer one. The oracle recomputes each grain from raw, which
+    must agree."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    hourly = hourly.localCheckpoint(eager=False)  # materialize once, feed both grains
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", "h").alias("d")
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    h_out = hourly.select(
+        F.lit("hour").alias("grain"),
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n",
+        F.round("s", 4).alias("sum_value"),
+    )
+    d_out = daily.select(
+        F.lit("day").alias("grain"),
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n",
+        F.round("s", 4).alias("sum_value"),
+    )
+    return h_out.unionByName(d_out)
+
+
 # ------------------------------------------------------------- flagship
 
 @register("flagship_revenue", """
