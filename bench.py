@@ -33,6 +33,10 @@ HEADLINE = [
     "similarity_bruteforce",
     "ann_lsh",
     "events_tumbling",
+    "join_asof",
+    "join_range",
+    "curate_corpus",
+    "rollup_time_multi",
 ]
 
 
