@@ -174,3 +174,28 @@ def curriculum_stage(
     return stratified_exact(
         df, stratum_col, stage_targets[stage], key_cols, seed=seed, mode="hash"
     )
+
+
+def curriculum_plan(
+    df: DataFrame,
+    stratum_col: str,
+    stage_targets: dict[str, dict[str, int]],
+    key_cols: Sequence[str],
+    seed: int = 42,
+) -> DataFrame:
+    """U7 complete: every curriculum stage as one tagged plan.
+
+    Each stage draws an exact stratified sample under its own difficulty
+    mix; stage seeds derive from the base seed + stage ordinal so stages
+    draw independent (but fully deterministic) samples. The union is lazy —
+    a scheduler can consume stage by stage (the reference's 3 sequential
+    jobs, curriculum/README.md:19-61) or materialize the whole curriculum
+    in one pass.
+    """
+    outs = []
+    for i, stage in enumerate(stage_targets):
+        s = curriculum_stage(
+            df, stratum_col, stage, stage_targets, key_cols, seed=seed + i
+        )
+        outs.append(s.withColumn("stage", F.lit(stage)))
+    return union_all(*outs)

@@ -1623,6 +1623,75 @@ def rollup_time_multi(spark, sf_dir):
     return h_out.unionByName(d_out)
 
 
+_CURRICULUM_STAGES = {
+    "easy": {"A": 600, "N": 300, "R": 100},
+    "medium": {"A": 300, "N": 400, "R": 300},
+    "hard": {"A": 100, "N": 400, "R": 500},
+}
+
+
+def _curriculum_stage_sql(stage: str, targets: dict[str, int], seed: int) -> str:
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in targets.items()
+    )
+    return f"""
+SELECT '{stage}' AS stage, l_orderkey, l_linenumber, l_returnflag
+FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|{seed}'),
+                        l_orderkey, l_linenumber) AS rk
+      FROM lineitem)
+WHERE rk <= CASE l_returnflag {case} ELSE 0 END"""
+
+
+@register(
+    "sample_curriculum_full",
+    "\nUNION ALL\n".join(
+        _curriculum_stage_sql(stage, targets, 7 + i)
+        for i, (stage, targets) in enumerate(_CURRICULUM_STAGES.items())
+    ),
+)
+def sample_curriculum_full(spark, sf_dir):
+    """U7 complete: the whole 3-stage curriculum (easy -> medium -> hard
+    mixes) as one tagged deterministic plan; stage seeds are base+ordinal.
+    Oracle is generated from the same stage table so they cannot drift."""
+    out = smp.curriculum_plan(
+        t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag"
+        ),
+        "l_returnflag",
+        _CURRICULUM_STAGES,
+        ["l_orderkey", "l_linenumber"],
+        seed=7,
+    )
+    return out.select("stage", "l_orderkey", "l_linenumber", "l_returnflag")
+
+
+@register("filter_finite", """
+SELECT l_orderkey, l_linenumber, metric FROM (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_quantity < 5 THEN 'NaN'::DOUBLE
+              ELSE round(l_extendedprice / l_quantity, 8) END AS metric
+  FROM lineitem)
+WHERE NOT isnan(metric)
+""")
+def filter_finite(spark, sf_dir):
+    """P11: NaN guard — drop rows whose computed metric is NaN (the
+    reference's tensor NaN assertions as a declarative filter)."""
+    li = t(spark, sf_dir, "lineitem")
+    # price has 2 decimals and quantity is a small int, so the quotient's
+    # decimal expansion either repeats or terminates by the 7th place —
+    # rounding at 8 can never sit on a representable half-boundary
+    metric = F.when(F.col("l_quantity") < 5, F.lit(float("nan"))).otherwise(
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 8)
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", metric.alias("metric"))
+        .filter(~F.isnan("metric"))
+    )
+
+
 # ------------------------------------------------------------- flagship
 
 @register("flagship_revenue", """
