@@ -1692,6 +1692,51 @@ def filter_finite(spark, sf_dir):
     )
 
 
+@register("metric_psnr", """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding::DOUBLE[] AS va, b.embedding::DOUBLE[] AS vb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id < 100)
+SELECT id_a, id_b, round(mse, 6) AS mse,
+       round(10 * log10(4.0 / mse), 6) AS psnr
+FROM (SELECT id_a, id_b,
+             list_sum(list_transform(range(1, len(va) + 1),
+                                     i -> (va[i] - vb[i]) * (va[i] - vb[i]))) / len(va) AS mse
+      FROM pairs)
+WHERE mse > 0
+""")
+def metric_psnr(spark, sf_dir):
+    """P7 shape: per-pair array metrics (MSE + PSNR, peak=2 for [-1,1]
+    signals) as pure JVM zip_with/aggregate expressions — the reference's
+    per-pair image metric loop with no Python in the hot path. LPIPS-class
+    model metrics slot into the same plan via mapInPandas
+    (media.batch_inference_stub)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.filter(F.col("vec_id") < 100).alias("a")
+    b = emb.alias("b")
+    pairs = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.col("a.v").alias("va"),
+        F.col("b.v").alias("vb"),
+    )
+    diff2 = F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y))
+    mse = F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v) / F.size("va")
+    scored = pairs.select("id_a", "id_b", mse.alias("mse_raw"))
+    return (
+        scored.filter(F.col("mse_raw") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("mse_raw", 6).alias("mse"),
+            F.round(10 * F.log10(4.0 / F.col("mse_raw")), 6).alias("psnr"),
+        )
+    )
+
+
 # ------------------------------------------------------------- flagship
 
 @register("flagship_revenue", """

@@ -129,3 +129,47 @@ def test_salted_join_matches_plain(spark):
         for r in salted_join(left, right, "k", salt_from=["rid"], n_salts=4).collect()
     )
     assert salted == plain
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """LSH and IVF must recover a solid fraction of the exact top-10 on the
+    driver's embedding table — guards against a silently-broken bucketing
+    family (recall would crater to ~0)."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    path = os.path.join(sf, "embeddings.parquet")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("no embeddings testdata")
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet(path).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, "vec_id", "vec_id", "embedding", k=10)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.vec_id_q, set()).add(r.vec_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.vec_id_q, set()).add(r.vec_id)
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    lsh = lsh_bucketed_topk(
+        emb, queries, "vec_id", "vec_id", dim=64, vec_col="embedding", k=10, n_planes=4
+    )
+    ivf = ivf_topk(
+        emb, queries, "vec_id", "vec_id", "embedding", k=10, n_cells=8, n_probe=4
+    )
+    assert recall(lsh) >= 0.3, "LSH recall collapsed"
+    assert recall(ivf) >= 0.3, "IVF recall collapsed"
