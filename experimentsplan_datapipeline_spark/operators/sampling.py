@@ -147,13 +147,15 @@ def deterministic_shuffle(
 ) -> DataFrame:
     """U5: global shuffle, seeded (random.shuffle, dataset.py:222).
 
-    Row SET is unchanged — ordering is by md5(key||seed). At scale prefer
+    Row SET is unchanged — ordering is by xxhash64(keys, seed), which is
+    deterministic per seed and cheaper than a cryptographic hash (the
+    oracle compares the SET, so the rank hash needs determinism, not
+    engine-independence — unlike the stratified sampler, which selects by
+    rank and therefore ranks on md5). At scale prefer
     ``repartition(n, rand-key)`` over a global sort when only decorrelation
     (not a total order) is needed.
     """
-    salted = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols],
-                         F.lit(str(seed)))
-    return df.orderBy(F.md5(salted))
+    return df.orderBy(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)))
 
 
 def curriculum_stage(

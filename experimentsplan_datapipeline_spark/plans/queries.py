@@ -1737,6 +1737,33 @@ def metric_psnr(spark, sf_dir):
     )
 
 
+@register("events_step_interval", """
+SELECT event_type, (event_id // 500) * 500 AS step_bucket,
+       count(*) AS n, round(avg(value), 6) AS avg_value, max(event_id) AS last_step
+FROM events GROUP BY 1, 2
+""")
+def events_step_interval(spark, sf_dir):
+    """T2 (step domain): every-N-steps periodic aggregation — the
+    reference's `step % N == 0` side-effect triggers as a tumbling window
+    on the step axis (streaming/events.py::step_interval_windows; the
+    stream form is tested for agreement with this batch form)."""
+    from experimentsplan_datapipeline_spark.streaming.events import (
+        step_interval_windows,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    out = step_interval_windows(
+        ev, 500, step_col="event_id", key_col="event_type", value_col="value"
+    )
+    return out.select(
+        "event_type",
+        "step_bucket",
+        "n",
+        F.round("avg_value", 6).alias("avg_value"),
+        "last_step",
+    )
+
+
 # ------------------------------------------------------------- flagship
 
 @register("flagship_revenue", """
