@@ -166,3 +166,57 @@ def batch_inference_stub(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def apply_mask(
+    df: DataFrame, pixels_col: str = "pixels_norm", mask_col: str = "mask"
+) -> DataFrame:
+    """P6: region masking — elementwise pixel*mask via zip_with, JVM-side.
+
+    The reference multiplies tensors for masked metrics
+    (train/common/metrics.py:194-196,216-218); on array columns that is a
+    pure codegen expression, no Python boundary.
+    """
+    masked = F.zip_with(
+        F.col(pixels_col), F.col(mask_col), lambda p, m: p * m
+    )
+    return df.withColumn(f"{pixels_col}_masked", masked)
+
+
+def resize_images(
+    df: DataFrame, image_col: str = "image", out_h: int = 4, out_w: int = 4
+) -> DataFrame:
+    """P2/P5: nearest-neighbor resize of decoded pixel arrays, mapInPandas.
+
+    Real resampling math (index grid over the source raster) applied per
+    Arrow batch — works identically on stub-decoded and PIL-decoded pixels.
+    The reference's LANCZOS/bilinear variants differ only in the sampling
+    kernel inside this same UDF shape (train/train_stage_1/dataloader.py:45,
+    train/train_OOTDiffusion/dataloader.py:106-113).
+    """
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("resized", DECODED_SCHEMA)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for img in pdf[image_col]:
+                h, w, c = img["height"], img["width"], img["channels"]
+                px = np.asarray(img["pixels"], dtype=np.int64).reshape(h, w, c)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                res = px[ys][:, xs]
+                out_rows.append(
+                    {
+                        "height": out_h,
+                        "width": out_w,
+                        "channels": c,
+                        "pixels": res.reshape(-1).tolist(),
+                    }
+                )
+            out = pdf.copy()
+            out["resized"] = out_rows
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1764,6 +1764,41 @@ def events_step_interval(spark, sf_dir):
     )
 
 
+@register("sample_with_replacement", """
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         row_number() OVER (PARTITION BY l_returnflag
+           ORDER BY md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|42'),
+                    l_orderkey, l_linenumber) AS rk,
+         count(*) OVER (PARTITION BY l_returnflag) AS n,
+         CASE l_returnflag WHEN 'A' THEN 20000 WHEN 'N' THEN 1000 WHEN 'R' THEN 800
+              ELSE 0 END AS tgt
+  FROM lineitem),
+copies AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         (tgt // n + CASE WHEN rk <= tgt % n THEN 1 ELSE 0 END) AS c
+  FROM ranked)
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM copies CROSS JOIN unnest(generate_series(1, c)) AS u(i)
+WHERE c > 0
+""")
+def sample_with_replacement(spark, sf_dir):
+    """U3 (replacement path): exact target counts even when a stratum runs
+    short — deterministic round-robin replication (short strata replicate,
+    long strata truncate), no RNG state anywhere. 'A' oversamples (target
+    20000 > stratum size at sf0.01), 'N'/'R' truncate."""
+    out = smp.stratified_with_replacement(
+        t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag"
+        ),
+        "l_returnflag",
+        {"A": 20000, "N": 1000, "R": 800},
+        ["l_orderkey", "l_linenumber"],
+        seed=42,
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
 # ------------------------------------------------------------- flagship
 
 @register("flagship_revenue", """

@@ -67,3 +67,27 @@ def test_batch_inference_shape(spark):
     out = batch_inference_stub(df).select("path", "score").collect()
     assert len(out) == 2
     assert all(isinstance(r.score, float) for r in out)
+
+
+def test_apply_mask_zeroes_region(spark):
+    from experimentsplan_datapipeline_spark.media.images import apply_mask
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0], [1.0, 0.0, 1.0])], ["id", "pixels_norm", "mask"]
+    )
+    row = apply_mask(df).collect()[0]
+    assert row.pixels_norm_masked == [1.0, 0.0, 3.0]
+
+
+def test_resize_nearest_neighbor(spark):
+    from experimentsplan_datapipeline_spark.media.images import (
+        decode_images,
+        resize_images,
+    )
+
+    df = spark.createDataFrame([(1, b"content-a")], ["id", "content"])
+    out = resize_images(decode_images(df), out_h=4, out_w=4).collect()[0]
+    assert out.resized.height == 4 and out.resized.width == 4
+    assert len(out.resized.pixels) == 4 * 4 * 3
+    # nearest-neighbor from an 8x8 stub: every resized pixel exists in source
+    assert set(out.resized.pixels) <= set(out.image.pixels)
