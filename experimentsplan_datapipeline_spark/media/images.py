@@ -220,3 +220,57 @@ def resize_images(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def crop_images(
+    df: DataFrame,
+    image_col: str = "image",
+    out_h: int = 4,
+    out_w: int = 4,
+    seed_col: str | None = None,
+) -> DataFrame:
+    """P2: CenterCrop / seeded RandomCrop over decoded pixel arrays.
+
+    ``seed_col=None`` -> center crop; otherwise the crop offset derives from
+    xxhash64 of the seed column (deterministic per row, the engine's
+    seed-column contract — reference's unseeded RandomCrop at
+    train/train_DIT/dataloader.py:53-62 is deliberately not replicated).
+    Offset computation is a JVM expression; the pixel slice runs in the
+    same Arrow batch pass as decode/resize.
+    """
+    if seed_col is not None:
+        hx = F.pmod(F.xxhash64(F.col(seed_col)), F.lit(1_000_000))
+        oy = F.pmod(hx, F.greatest(F.col(f"{image_col}.height") - out_h + 1, F.lit(1)))
+        ox = F.pmod(
+            F.floor(hx / 7).cast("long"),
+            F.greatest(F.col(f"{image_col}.width") - out_w + 1, F.lit(1)),
+        )
+    else:
+        oy = F.greatest((F.col(f"{image_col}.height") - out_h) / 2, F.lit(0)).cast("int")
+        ox = F.greatest((F.col(f"{image_col}.width") - out_w) / 2, F.lit(0)).cast("int")
+    with_off = df.withColumn("__oy", oy.cast("int")).withColumn("__ox", ox.cast("int"))
+
+    out_schema = StructType(
+        list(with_off.schema.fields) + [StructField("cropped", DECODED_SCHEMA)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            crops = []
+            for img, y0, x0 in zip(pdf[image_col], pdf["__oy"], pdf["__ox"]):
+                h, w, c = img["height"], img["width"], img["channels"]
+                px = np.asarray(img["pixels"], dtype=np.int64).reshape(h, w, c)
+                res = px[y0 : y0 + out_h, x0 : x0 + out_w]
+                crops.append(
+                    {
+                        "height": res.shape[0],
+                        "width": res.shape[1],
+                        "channels": c,
+                        "pixels": res.reshape(-1).tolist(),
+                    }
+                )
+            out = pdf.copy()
+            out["cropped"] = crops
+            yield out
+
+    return with_off.mapInPandas(run, schema=out_schema).drop("__oy", "__ox")

@@ -1801,7 +1801,7 @@ def sample_with_replacement(spark, sf_dir):
 
 # ------------------------------------------------------------- flagship
 
-@register("flagship_revenue", """
+_FLAGSHIP_SQL = """
 SELECT n_name, count(*) AS n_items,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem
@@ -1809,7 +1809,23 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
-""")
+"""
+
+
+@register("flagship_sql", _FLAGSHIP_SQL)
+def flagship_sql(spark, sf_dir):
+    """The SQL surface: the flagship as literal spark.sql text over
+    registered views — the SAME string DuckDB runs as the oracle, executed
+    by both engines. Catalyst plans it identically to the DataFrame form
+    (broadcast dims, two shuffles)."""
+    from experimentsplan_datapipeline_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    # the events view needs no nanos fix here: this query never touches it
+    return spark.sql(_FLAGSHIP_SQL)
+
+
+@register("flagship_revenue", _FLAGSHIP_SQL)
 def flagship_revenue(spark, sf_dir):
     """Flagship: multi-way join + group aggregation (the reference's
     triplet-assembly-then-count-by-difficulty shape over the star schema;

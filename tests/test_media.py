@@ -91,3 +91,22 @@ def test_resize_nearest_neighbor(spark):
     assert len(out.resized.pixels) == 4 * 4 * 3
     # nearest-neighbor from an 8x8 stub: every resized pixel exists in source
     assert set(out.resized.pixels) <= set(out.image.pixels)
+
+
+def test_crop_center_and_seeded(spark):
+    from experimentsplan_datapipeline_spark.media.images import (
+        crop_images,
+        decode_images,
+    )
+
+    df = decode_images(
+        spark.createDataFrame([(1, b"abc"), (2, b"def")], ["id", "content"])
+    )
+    center = crop_images(df, out_h=4, out_w=4)
+    rows = {r.id: r for r in center.collect()}
+    assert rows[1].cropped.height == 4 and rows[1].cropped.width == 4
+    # seeded random crop is deterministic: same seed twice -> same pixels
+    seeded = crop_images(df.withColumn("seed", F.col("id")), out_h=4, out_w=4, seed_col="seed")
+    a = {r.id: r.cropped.pixels for r in seeded.collect()}
+    b = {r.id: r.cropped.pixels for r in seeded.collect()}
+    assert a == b
