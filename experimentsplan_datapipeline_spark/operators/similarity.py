@@ -124,30 +124,33 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into Voronoi cells, probe
     only the ``n_probe`` nearest cells per query.
 
-    Centroids are the ``n_cells`` lowest-id corpus vectors — a deterministic
-    stand-in for a trained k-means codebook; at scale you train centroids
-    once and broadcast them, and the search-side plan below is identical.
-    The cell assignment is a per-row argmax over a broadcast literal array
-    (whole-stage codegen, no shuffle); the probe is a hash join on the cell
-    id, so nothing ever cross-joins the corpus side.
+    ``centroids`` takes a trained codebook (see ``kmeans_lite``); when
+    omitted, the ``n_cells`` lowest-id corpus vectors stand in — the
+    search-side plan is identical either way. The cell assignment is a
+    per-row argmax over a broadcast literal array (whole-stage codegen, no
+    shuffle); the probe is a hash join on the cell id, so nothing ever
+    cross-joins the corpus side.
     """
-    cents = (
-        corpus.orderBy(corpus_id)
-        .limit(n_cells)
-        .select(F.col(corpus_id).alias("cell"), F.col(vec_col).alias("cvec"))
-        .collect()
-    )
+    if centroids is None:
+        rows = (
+            corpus.orderBy(corpus_id)
+            .limit(n_cells)
+            .select(F.col(corpus_id).alias("cell"), F.col(vec_col).alias("cvec"))
+            .collect()
+        )
+        centroids = [(int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows]
     cent_arr = F.array(
         *[
             F.struct(
-                F.lit(int(r["cell"])).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+                F.lit(int(cid)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cvec"),
             )
-            for r in cents
+            for cid, cv in centroids
         ]
     )
 
@@ -190,4 +193,87 @@ def ivf_topk(
         scored.dropDuplicates([query_id + "_q", corpus_id])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def _sq_dist(vec, cent_lit):
+    d = F.zip_with(vec, cent_lit, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _assign_expr(vec, cents: list[tuple[int, list[float]]]):
+    """argmin cluster id over a literal codebook — distances ROUNDED to 6
+    so assignment ties break identically across engines (then by cid)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _sq_dist(vec, F.array(*[F.lit(float(x)) for x in c])), 6
+                ).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, c in cents
+        ]
+    )
+    return F.array_min(scored)["cid"]
+
+
+def kmeans_lite(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means codebook: the trained-centroid path
+    for ivf_topk.
+
+    Init = the k lowest-id vectors; each iteration assigns via a broadcast
+    argmin expression (codegen, no shuffle on the corpus beyond the
+    per-cluster mean) and recomputes means with one posexplode + groupBy.
+    Every distance and every centroid coordinate is rounded to 6 decimals,
+    which pins the fixpoint across engines (sum-order float noise cannot
+    flip an assignment). Driver holds only the k x dim codebook — the
+    corpus never leaves executors.
+    """
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
+    )
+    cents = [
+        (int(r[id_col]), [round(float(x), 6) for x in r[vec_col]]) for r in init
+    ]
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(vec_col).alias("v"),
+            _assign_expr(F.col(vec_col), cents).alias("cluster"),
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cluster", F.transform("pm", lambda s: s["m"]).alias("cv")
+            )
+            .collect()
+        )
+        new = {int(r["cluster"]): [float(x) for x in r["cv"]] for r in means}
+        # empty clusters keep their previous centroid
+        cents = [(cid, new.get(cid, c)) for cid, c in cents]
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """(id, cluster) assignment under a trained codebook (broadcast argmin)."""
+    return df.select(
+        F.col(id_col), _assign_expr(F.col(vec_col), cents).alias("cluster")
     )

@@ -1799,6 +1799,46 @@ def sample_with_replacement(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "l_returnflag")
 
 
+@register("kmeans_clusters", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       FROM e WHERE vec_id < 4),
+d1 AS (SELECT e.vec_id, e.v, c.cid,
+              round(list_sum(list_transform(range(1, 65),
+                    i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6) AS d
+       FROM e CROSS JOIN c0 c),
+a1 AS (SELECT vec_id, v, cid FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d1)
+       WHERE rn = 1),
+c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+         SELECT cid, i AS pos, round(avg(v[i]), 6) AS m
+         FROM a1 CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+         GROUP BY cid, i)
+       GROUP BY cid),
+d2 AS (SELECT e.vec_id, c.cid,
+              round(list_sum(list_transform(range(1, 65),
+                    i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6) AS d
+       FROM e CROSS JOIN c1 c),
+a2 AS (SELECT vec_id, cid AS cluster FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d2)
+       WHERE rn = 1)
+SELECT vec_id, cluster FROM a2
+""")
+def kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=4, one training iteration) + final
+    assignment — the trained-codebook path for IVF search. Every distance
+    and centroid coordinate rounds to 6 decimals, which pins the entire
+    iterative fixpoint across engines: the oracle unrolls the identical
+    iteration in SQL and must land on the same 500 assignments."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = sim.kmeans_lite(emb, "vec_id", "v", k=4, iters=1)
+    return sim.kmeans_assign(emb, "vec_id", "v", cents)
+
+
 # ------------------------------------------------------------- flagship
 
 _FLAGSHIP_SQL = """

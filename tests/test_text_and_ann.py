@@ -173,3 +173,31 @@ def test_ann_recall_vs_bruteforce(spark):
     )
     assert recall(lsh) >= 0.3, "LSH recall collapsed"
     assert recall(ivf) >= 0.3, "IVF recall collapsed"
+
+
+def test_kmeans_lite_deterministic_and_usable(spark):
+    import math
+
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_assign,
+        kmeans_lite,
+    )
+
+    rows = [
+        (i, [math.cos(i * 0.9), math.sin(i * 0.9), math.cos(i * 0.4)])
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    c1 = kmeans_lite(emb, "vec_id", "embedding", k=3, iters=2)
+    c2 = kmeans_lite(emb, "vec_id", "embedding", k=3, iters=2)
+    assert c1 == c2  # fully deterministic training
+    assigned = kmeans_assign(emb, "vec_id", "embedding", c1).collect()
+    assert len(assigned) == 24
+    assert {r.cluster for r in assigned} <= {cid for cid, _ in c1}
+    # trained codebook slots into IVF search
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 2), "vec_id", "vec_id",
+        "embedding", k=3, n_probe=2, centroids=c1,
+    ).collect()
+    assert len(out) > 0
