@@ -103,3 +103,17 @@ def ngrams(text: Column | str, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
+
+
+# GPT-style pre-tokenizer classes: letter runs, digit runs, punctuation runs.
+# Deliberately RE2-compatible (same semantics in Spark's Java regex and the
+# DuckDB oracle) — a real BPE merges within these pre-token boundaries, so
+# this count upper-bounds and tracks BPE token counts closely.
+BPE_PRETOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count: number of pre-token spans (letter/digit/punct
+    runs). The whitespace count (token_count) underestimates code and
+    punctuation-heavy text; this is the budgeting-grade estimate."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_PRETOKEN_RE), 0))

@@ -1839,6 +1839,26 @@ def kmeans_clusters(spark, sf_dir):
     return sim.kmeans_assign(emb, "vec_id", "v", cents)
 
 
+@register("text_tokens_bpe", r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS n_bpe,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws
+FROM documents
+""")
+def text_tokens_bpe(spark, sf_dir):
+    """Token budgeting: BPE-ish pre-token count (letter/digit/punct runs,
+    RE2-compatible regex — identical semantics in both engines) next to the
+    whitespace count it refines."""
+    from experimentsplan_datapipeline_spark.functions.text import token_count_bpe
+
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_bpe("text").alias("n_bpe"),
+        token_count("text").alias("n_ws"),
+    )
+
+
 # ------------------------------------------------------------- flagship
 
 _FLAGSHIP_SQL = """
