@@ -166,3 +166,22 @@ def run_available_now(writer, timeout_sec: float = 120.0) -> None:
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+def streaming_dedup(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup at ingest: drop re-deliveries of the same key.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only within the
+    watermark horizon — bounded memory on an unbounded stream (a plain
+    dropDuplicates on a stream grows state forever). The batch twin is
+    ``operators/dedup.py::exact_dedup``; at 100 TB/day this is the first
+    tier of the dedup cascade, running before anything lands.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )

@@ -135,3 +135,38 @@ def test_step_interval_windows_batch_and_stream_agree(spark):
     out = step_interval_windows(df, interval=5, step_col="step")
     got = {r.step_bucket: (r.n, r.last_step) for r in out.collect()}
     assert got[0] == (4, 4) and got[5] == (5, 9) and got[20] == (1, 20)
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    import datetime as dt
+
+    from experimentsplan_datapipeline_spark.streaming.events import (
+        run_available_now,
+        streaming_dedup,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, base, "click", 1.0),
+        (1, base + dt.timedelta(minutes=1), "click", 1.0),  # re-delivery of id 1
+        (2, base + dt.timedelta(minutes=2), "view", 2.0),
+        (2, base + dt.timedelta(minutes=3), "view", 2.0),   # re-delivery of id 2
+        (3, base + dt.timedelta(minutes=4), "click", 3.0),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type", "value"]
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = streaming_dedup(stream, ["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.table("dedup_stream_out").collect())
+    assert got == [1, 2, 3]
