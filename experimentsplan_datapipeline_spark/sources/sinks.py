@@ -88,3 +88,18 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table_name)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partition-column layout: `.../col=value/` directories.
+
+    The engine-side replacement for the reference's manual prefix selection
+    (difficulty/gender prefixes chosen before scan,
+    train/train_CATVTON/dataloader.py:150-172): equality filters on the
+    partition columns prune whole directories at plan time
+    (PartitionFilters in the scan), so a 100 TB catalog read touches only
+    the selected slices.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -140,3 +140,20 @@ def test_evaluation_report(spark):
     assert abs(srow.lpips_mean - 0.3) < 1e-9
     assert srow.lpips_min == 0.1 and abs(srow.lpips_max - 0.5) < 1e-12
     assert set(pivot.columns) == {"model", "viton-hd", "dresscode"}
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    from experimentsplan_datapipeline_spark.sources.sinks import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, ["easy", "medium", "hard"][i % 3], float(i)) for i in range(60)],
+        ["id", "difficulty", "v"],
+    )
+    path = str(tmp_path / "layout")
+    write_partitioned(df, path, ["difficulty"])
+    back = spark.read.parquet(path).filter(F.col("difficulty") == "hard")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the filter must land in PartitionFilters (directory pruning), not in
+    # the data filters
+    assert "PartitionFilters" in plan and "difficulty" in plan.split("PartitionFilters")[1][:120]
+    assert back.count() == 20
