@@ -61,3 +61,81 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks.
+
+    Chunk i covers tokens [i*(chunk-overlap), i*(chunk-overlap)+chunk).
+    Pure Catalyst: tokenize once, generate chunk starts with sequence(),
+    explode, slice — no Python, no shuffle (chunking rides the scan).
+    Returns (id, chunk_id, chunk_text, n_tokens).
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    toks = _tokens(text_col)
+    with_toks = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    n_chunks = F.greatest(
+        F.ceil((F.col("__n") - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    out = (
+        with_toks.filter(F.col("__n") > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.slice(
+                "__toks", F.col("chunk_id") * stride + 1, chunk_tokens
+            ).alias("__chunk"),
+        )
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", "__chunk").alias("chunk_text"),
+        F.size("__chunk").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 256,
+) -> DataFrame:
+    """Greedy sequence packing: assign docs (in id order) to fixed
+    token-budget bins — the training-batch packing pass.
+
+    bin = floor(cumulative_tokens_before_doc / budget) over an id-ordered
+    window: deterministic, one shuffle (the window sort), and docs larger
+    than the budget get bins to themselves as the cumsum jumps. An exact
+    bin-packing would be sequential; this streaming-friendly rule is the
+    standard scale compromise.
+    Returns (id, n_tokens, bin).
+    """
+    from experimentsplan_datapipeline_spark.functions.text import token_count
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    return sized.select(
+        id_col,
+        "n_tokens",
+        (
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget)
+            )
+        ).cast("long").alias("bin"),
+    )

@@ -1859,6 +1859,51 @@ def text_tokens_bpe(spark, sf_dir):
     )
 
 
+@register("chunk_documents", r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents WHERE length(trim(text)) > 0),
+chunks AS (
+  SELECT doc_id, i AS chunk_id, tk[i*56+1 : i*56+64] AS chunk
+  FROM toks CROSS JOIN unnest(generate_series(0,
+         greatest(ceil((len(tk) - 8) / 56.0)::INT, 1) - 1)) AS t(i))
+SELECT doc_id, chunk_id, array_to_string(chunk, ' ') AS chunk_text,
+       len(chunk) AS n_tokens
+FROM chunks
+""")
+def chunk_documents_q(spark, sf_dir):
+    """LLM-pipeline chunking: overlapping 64-token windows (stride 56) per
+    document — tokenize once, explode chunk indexes, slice; rides the scan
+    with no Python and no shuffle."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+
+
+@register("pack_sequences", r"""
+SELECT doc_id, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 256) AS BIGINT) AS bin
+FROM (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      FROM documents)
+""")
+def pack_sequences_q(spark, sf_dir):
+    """Sequence packing: docs assigned to 256-token-budget bins by running
+    token count in id order — the deterministic streaming-friendly packing
+    rule for training-batch assembly."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        pack_sequences,
+    )
+
+    return pack_sequences(t(spark, sf_dir, "documents"), "doc_id", "text", budget=256)
+
+
 # ------------------------------------------------------------- flagship
 
 _FLAGSHIP_SQL = """

@@ -201,3 +201,35 @@ def test_kmeans_lite_deterministic_and_usable(spark):
         "embedding", k=3, n_probe=2, centroids=c1,
     ).collect()
     assert len(out) > 0
+
+
+def test_chunk_documents_overlap(spark):
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = {
+        r.chunk_id: r.chunk_text.split()
+        for r in chunk_documents(docs, "doc_id", "text", chunk_tokens=6, overlap=2).collect()
+    }
+    # stride 4: chunk 0 = w0..w5, chunk 1 = w4..w9
+    assert out[0] == [f"w{i}" for i in range(6)]
+    assert out[1] == [f"w{i}" for i in range(4, 10)]
+    assert len(out) == 2
+    # overlap region shared between consecutive chunks
+    assert out[0][-2:] == out[1][:2]
+
+
+def test_pack_sequences_budget(spark):
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["x"] * 10)) for i in range(10)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.bin for r in pack_sequences(docs, "doc_id", "text", budget=25).collect()}
+    # 10 tokens each: cumsum-before = 0,10,20,30,... -> bins 0,0,0,1,1,2,2,2,3,3
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3, 9: 3}
