@@ -323,3 +323,42 @@ def resolve_duplicate_clusters(
         .join(labels, df[id_col] == labels["node"], "left")
         .select(F.col(id_col), F.coalesce("rep", F.col(id_col)).alias("rep_id"))
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str,
+    id_col: str,
+    probe_id_col: str | None = None,
+    shingle_size: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination detection: corpus docs sharing >= min_shared
+    distinct ``shingle_size``-grams with any probe (eval-set) document.
+
+    Inverted-index shape: explode both sides to (id, gram), hash join on the
+    gram, count distinct shared grams per (corpus, probe) pair. The corpus
+    side shuffles hashed grams once; no all-pairs comparison ever happens.
+    Returns (id, probe_id, shared_grams) for flagged pairs — the removal
+    step is an anti-join of the corpus against these ids.
+    """
+    pid = probe_id_col or id_col
+    c = spread_small_input(corpus).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(ngrams(text_col, shingle_size))
+        ).alias("__g"),
+    )
+    p = probes.select(
+        F.col(pid).alias("probe_id"),
+        F.explode(
+            F.array_distinct(ngrams(text_col, shingle_size))
+        ).alias("__g"),
+    )
+    return (
+        c.join(p, "__g")
+        .groupBy(id_col, "probe_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+    )

@@ -1904,6 +1904,30 @@ def pack_sequences_q(spark, sf_dir):
     return pack_sequences(t(spark, sf_dir, "documents"), "doc_id", "text", budget=256)
 
 
+@register("contamination_check", r"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+       range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 4, 0) + 1),
+       i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+4], ' ')))) AS gram
+  FROM documents),
+c AS (SELECT doc_id, gram FROM g WHERE doc_id >= 20),
+p AS (SELECT doc_id AS probe_id, gram FROM g WHERE doc_id < 20)
+SELECT c.doc_id, p.probe_id, count(*) AS shared_grams
+FROM c JOIN p USING (gram)
+GROUP BY 1, 2 HAVING count(*) >= 3
+""")
+def contamination_check_q(spark, sf_dir):
+    """Benchmark-contamination detection: corpus docs sharing >=3 distinct
+    5-grams with any probe (eval-set) document — inverted-index join on
+    grams, never all-pairs. Removal is then an anti-join on the flagged ids."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    probes = docs.filter(F.col("doc_id") < 20)
+    return dd.contamination_check(
+        corpus, probes, "text", "doc_id", shingle_size=5, min_shared=3
+    )
+
+
 # ------------------------------------------------------------- flagship
 
 _FLAGSHIP_SQL = """
