@@ -50,11 +50,21 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _ensure_events_readable(spark: SparkSession) -> None:
+    """events.parquet carries TIMESTAMP(NANOS), unreadable without the
+    nanosAsLong legacy conf. Our session factory sets it, but the driver
+    may hand us its own session — the conf is runtime-settable, so set it
+    defensively before any events read."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        _ensure_events_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # TIMESTAMP(NANOS) arrives as long (see session.py); truncate to
-        # micros exactly like DuckDB does when it reads the same file.
+        # ts arrives as nanos-long; truncate to micros exactly like DuckDB
+        # does when it reads the same file.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
@@ -1490,6 +1500,7 @@ def stream_windowed(spark, sf_dir):
     from experimentsplan_datapipeline_spark.streaming.events import windowed_metrics
 
     path = os.path.join(sf_dir, "events.parquet")
+    _ensure_events_readable(spark)
     schema = spark.read.parquet(path).schema  # ts arrives as nanos-long
     # the file stream source wants a directory: stream the sf_dir with a
     # glob filter selecting just the events file

@@ -74,6 +74,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "SparkSession"]:
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
+    # events.parquet is TIMESTAMP(NANOS); settable at runtime, so foreign
+    # (driver-built) sessions work too
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
