@@ -54,8 +54,11 @@ def _ensure_events_readable(spark: SparkSession) -> None:
     """events.parquet carries TIMESTAMP(NANOS), unreadable without the
     nanosAsLong legacy conf. Our session factory sets it, but the driver
     may hand us its own session — the conf is runtime-settable, so set it
-    defensively before any events read."""
+    defensively before any events read. Same for the session timezone:
+    every timestamp the oracle compares is formatted as a string, which
+    must happen in UTC to match DuckDB."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
