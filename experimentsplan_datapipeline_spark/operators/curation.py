@@ -1,0 +1,204 @@
+"""Corpus-curation operators for training-data pipelines (north-star ops).
+
+The reference's curriculum machinery samples and mixes datasets with
+driver-side Python (train/common/dataset.py:180-227,
+train/train_stage_1_2/dataloader.py:102-124); these are the scale-grade
+companions a 100 TB corpus needs around that: leakage-free holdout splits,
+per-source epoch weighting, length bucketing for packing efficiency, skew
+diagnostics that feed the salted-join decision, and column profiling.
+
+Determinism contract: every "random" choice derives from an md5-based
+integer hash that DuckDB reproduces bit-for-bit
+(Spark ``conv(substr(md5(x),1,8),16,10)`` == DuckDB
+``('0x'||substr(md5(x),1,8))::BIGINT``), so the oracle can replay splits,
+repeats, and bucket assignments exactly. No ``rand()`` anywhere — a re-run
+on different partitioning yields identical output.
+
+Scale shape: every operator here is a narrow projection plus at most one
+hash-keyed shuffle; nothing widens rows or collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: modulus for hash fractions — 1/10000 granularity is finer than any
+#: realistic split/repeat fraction while keeping thresholds exact integers.
+HASH_MOD = 10_000
+
+
+def portable_hash(cols: Sequence[Column | str], seed: int) -> Column:
+    """Uniform integer in [0, 2^32) from md5, reproducible in ANSI SQL.
+
+    Spark: ``conv(substr(md5(concat_ws('|', cols..., seed)), 1, 8), 16, 10)``.
+    DuckDB twin: ``('0x' || substr(md5(a || '|' || ... || '|seed'), 1, 8))::BIGINT``.
+    Engine-independent (unlike xxhash64/rand), so sampling decisions made
+    with it are auditable and replayable anywhere.
+    """
+    parts = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
+             for c in cols]
+    salted = F.concat_ws("|", *parts, F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+
+
+def hash_fraction(cols: Sequence[Column | str], seed: int) -> Column:
+    """Integer in [0, HASH_MOD) — compare against ``int(frac * HASH_MOD)``."""
+    return F.pmod(portable_hash(cols, seed), F.lit(HASH_MOD))
+
+
+def train_holdout_split(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    fractions: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic leakage-free train/val/test split.
+
+    The split hashes the GROUP key (e.g. user_id, source domain), not the
+    row, so every row of a group lands in the same split — cross-split
+    leakage (the classic eval-contamination bug) is impossible by
+    construction. Fractions are cumulative thresholds on the hash fraction;
+    no shuffle at all — the assignment is a projection and composes with
+    partition pruning when later materialized as ``PARTITIONED BY (split)``.
+    """
+    v = hash_fraction([F.col(c) for c in group_cols], seed)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = v < int(round(acc * HASH_MOD))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def mixture_repeat(
+    df: DataFrame,
+    source_col: str,
+    repeats: dict[str, float],
+    key_cols: Sequence[str],
+    default_repeat: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-source epoch weighting: repeat each row ``repeats[source]`` times.
+
+    The fractional part is resolved per-row by hash fraction (a repeat of
+    2.5 gives every row 2 copies and half the rows — chosen deterministically
+    — a third), which preserves the exact corpus-level mixture without
+    sampling noise. Narrow explode, no shuffle; output order carries a
+    ``copy`` ordinal so downstream shuffling can decorrelate copies.
+    """
+    r_expr = None
+    for src, r in repeats.items():
+        cond = F.col(source_col) == src
+        r_expr = F.when(cond, r) if r_expr is None else r_expr.when(cond, r)
+    r_expr = (
+        F.lit(float(default_repeat)) if r_expr is None
+        else r_expr.otherwise(float(default_repeat))
+    )
+    frac_v = hash_fraction([F.col(c) for c in key_cols], seed)
+    copies = (
+        F.floor(r_expr).cast("long")
+        + F.when(
+            frac_v < ((r_expr - F.floor(r_expr)) * HASH_MOD).cast("long"), 1
+        ).otherwise(0)
+    )
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") >= 1)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__copies")))
+        )
+        .drop("__copies")
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: Column,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Equal-frequency length buckets for packing-efficient batch assembly.
+
+    ntile over (n_tokens, id) — the id tiebreak makes bucket membership
+    deterministic. One shuffle (the global sort behind ntile); at 100 TB
+    prefer approx quantile cut-points computed once and applied as a
+    projection — this exact form is for bounded curation sets where
+    reproducible bucket membership matters more than avoiding the sort.
+    Returns per-bucket stats: (bucket, n_docs, min/max/avg tokens).
+    """
+    w = Window.orderBy(F.col("n_tokens"), F.col(id_col))
+    sized = df.select(F.col(id_col), n_tokens_col.alias("n_tokens"))
+    return (
+        sized.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+def heavy_keys(
+    df: DataFrame, key_col: str, top_k: int = 20
+) -> DataFrame:
+    """Skew diagnostic: heaviest join/partition keys with share of total.
+
+    One partial-aggregated groupBy (map-side combine collapses each
+    partition to its local key counts) then a single-partition top-k over
+    the aggregated — already tiny — key table. The output feeds the
+    salting decision for ``join_salted``: keys above a share threshold get
+    salt fan-out, the rest join plain.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = Window.partitionBy()
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+    return (
+        counts.withColumn("share", F.round(F.col("cnt") / F.sum("cnt").over(total), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def profile_columns(
+    df: DataFrame, numeric_cols: Sequence[str], string_cols: Sequence[str]
+) -> DataFrame:
+    """Long-format column profile: rows, nulls, distincts, min/max per column.
+
+    One aggregation pass per profiled column unioned into a long table —
+    Catalyst collapses the scans of a cached/parquet source, and each agg is
+    partial. Numeric extremes render through DECIMAL(18,2) so the string
+    form is engine-stable (doubles stringify differently across engines).
+    """
+    outs = []
+    for c, is_num in [(c, True) for c in numeric_cols] + [
+        (c, False) for c in string_cols
+    ]:
+        col = F.col(c)
+        if is_num:
+            mn = F.round(F.min(col), 2).cast("decimal(18,2)").cast("string")
+            mx = F.round(F.max(col), 2).cast("decimal(18,2)").cast("string")
+        else:
+            mn, mx = F.min(col).cast("string"), F.max(col).cast("string")
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(col.isNull(), 1).otherwise(0)).alias("n_nulls"),
+                F.count_distinct(col).alias("n_distinct"),
+                mn.alias("min_value"),
+                mx.alias("max_value"),
+            ).select(F.lit(c).alias("col_name"), "*")
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -1942,6 +1942,161 @@ def contamination_check_q(spark, sf_dir):
     )
 
 
+# --------------------------------------------------- corpus curation
+
+@register("split_leakfree", """
+WITH b AS (
+  SELECT user_id,
+         ('0x' || substr(md5(user_id::VARCHAR || '|42'), 1, 8))::BIGINT % 10000 AS v
+  FROM events
+), s AS (
+  SELECT CASE WHEN v < 8000 THEN 'train'
+              WHEN v < 9000 THEN 'val'
+              ELSE 'test' END AS split,
+         user_id
+  FROM b
+)
+SELECT split, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM s GROUP BY split
+""")
+def split_leakfree_q(spark, sf_dir):
+    """Leakage-free train/val/test split: hash the GROUP key (user_id) so
+    every event of a user lands in one split — eval contamination is
+    impossible by construction. The md5-derived hash is engine-independent;
+    the oracle replays the exact assignment. Assignment itself is a pure
+    projection (no shuffle); only this summary aggregates."""
+    from experimentsplan_datapipeline_spark.operators import curation as cur
+
+    ev = t(spark, sf_dir, "events")
+    split = cur.train_holdout_split(
+        ev, ["user_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@register("mixture_repeat", """
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || '|7'), 1, 8))::BIGINT % 10000 AS v,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                     WHEN 'src2' THEN 3.0 ELSE 1.0 END AS r
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         CAST(floor(r) AS BIGINT)
+           + CASE WHEN v < CAST((r - floor(r)) * 10000 AS BIGINT)
+                  THEN 1 ELSE 0 END AS copies
+  FROM b
+)
+SELECT doc_id, source, unnest(generate_series(1, copies)) AS copy
+FROM c WHERE copies >= 1
+""")
+def mixture_repeat_q(spark, sf_dir):
+    """Per-source epoch weighting: src0 repeats 2.5x, src1 0.25x, src2 3x,
+    rest 1x. Fractional epochs resolve per-row by the portable hash, so the
+    corpus-level mixture is exact and the oracle reproduces every copy.
+    Narrow explode — no shuffle."""
+    from experimentsplan_datapipeline_spark.operators import curation as cur
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cur.mixture_repeat(
+        docs, "source", {"src0": 2.5, "src1": 0.25, "src2": 3.0},
+        key_cols=["doc_id"], default_repeat=1.0, seed=7,
+    )
+
+
+@register("length_buckets", r"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens,
+         ntile(8) OVER (ORDER BY n_tokens, doc_id) AS bucket
+  FROM s
+)
+SELECT bucket, count(*) AS n_docs, min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens, round(avg(n_tokens), 6) AS avg_tokens
+FROM b GROUP BY bucket
+""")
+def length_buckets_q(spark, sf_dir):
+    """Equal-frequency token-length buckets (packing-efficient batching).
+    ntile with an id tiebreak makes membership deterministic; at 100 TB the
+    same API swaps to precomputed quantile cut-points to avoid the global
+    sort (see operators/curation.py::length_buckets)."""
+    from experimentsplan_datapipeline_spark.operators import curation as cur
+
+    docs = t(spark, sf_dir, "documents")
+    return cur.length_buckets(docs, "doc_id", token_count("text"), n_buckets=8)
+
+
+@register("skew_heavy_keys", """
+WITH c AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+), r AS (
+  SELECT user_id, cnt,
+         round(cnt / sum(cnt) OVER (), 6) AS share,
+         row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rank
+  FROM c
+)
+SELECT user_id, cnt, share, rank FROM r WHERE rank <= 20
+""")
+def skew_heavy_keys_q(spark, sf_dir):
+    """Skew diagnostic: the 20 heaviest keys with their share of all rows —
+    the input that decides which keys get salted in join_salted. Map-side
+    combine collapses the scan to one row per key before the only shuffle."""
+    from experimentsplan_datapipeline_spark.operators import curation as cur
+
+    ev = t(spark, sf_dir, "events").select("user_id")
+    return cur.heavy_keys(ev, "user_id", top_k=20)
+
+
+@register("profile_columns", """
+SELECT 'o_totalprice' AS col_name, count(*) AS n_rows,
+       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT o_totalprice) AS n_distinct,
+       round(min(o_totalprice), 2)::DECIMAL(18,2)::VARCHAR AS min_value,
+       round(max(o_totalprice), 2)::DECIMAL(18,2)::VARCHAR AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_custkey),
+       round(min(o_custkey), 2)::DECIMAL(18,2)::VARCHAR,
+       round(max(o_custkey), 2)::DECIMAL(18,2)::VARCHAR
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderpriority),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+""")
+def profile_columns_q(spark, sf_dir):
+    """Column profiling (rows/nulls/distincts/extremes) — the data-quality
+    pass a curation pipeline runs before sampling decisions. Numeric
+    extremes render through DECIMAL(18,2) so the strings match across
+    engines."""
+    from experimentsplan_datapipeline_spark.operators import curation as cur
+
+    orders = t(spark, sf_dir, "orders")
+    return cur.profile_columns(
+        orders,
+        numeric_cols=["o_totalprice", "o_custkey"],
+        string_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
 # ------------------------------------------------------------- flagship
 
 _FLAGSHIP_SQL = """

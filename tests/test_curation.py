@@ -1,0 +1,128 @@
+"""Unit tests for operators/curation.py (leakage-free splits, mixture
+repeat, length buckets, skew diagnostics, profiling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from experimentsplan_datapipeline_spark.operators import curation as cur
+
+
+def _events(spark, sf_dir):
+    from experimentsplan_datapipeline_spark.plans.queries import t
+
+    return t(spark, sf_dir, "events")
+
+
+def _docs(spark, sf_dir):
+    from experimentsplan_datapipeline_spark.plans.queries import t
+
+    return t(spark, sf_dir, "documents")
+
+
+class TestTrainHoldoutSplit:
+    def test_groups_never_straddle_splits(self, spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        out = cur.train_holdout_split(
+            ev, ["user_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        straddlers = (
+            out.groupBy("user_id")
+            .agg(F.count_distinct("split").alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+        assert straddlers == 0
+
+    def test_deterministic_and_total(self, spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        a = cur.train_holdout_split(ev, ["user_id"], {"train": 0.8, "test": 0.2})
+        b = cur.train_holdout_split(ev, ["user_id"], {"train": 0.8, "test": 0.2})
+        assert a.count() == ev.count()
+        assert a.exceptAll(b).count() == 0
+        assert set(
+            r["split"] for r in a.select("split").distinct().collect()
+        ) <= {"train", "test"}
+
+    def test_seed_changes_assignment(self, spark, sf_dir):
+        ev = _events(spark, sf_dir).select("user_id").distinct()
+        a = cur.train_holdout_split(ev, ["user_id"], {"train": 0.5, "test": 0.5},
+                                    seed=1)
+        b = cur.train_holdout_split(ev, ["user_id"], {"train": 0.5, "test": 0.5},
+                                    seed=2)
+        diff = (
+            a.join(b.withColumnRenamed("split", "split_b"), "user_id")
+            .filter(F.col("split") != F.col("split_b"))
+            .count()
+        )
+        assert diff > 0
+
+
+class TestMixtureRepeat:
+    def test_integer_repeats_exact(self, spark, sf_dir):
+        docs = _docs(spark, sf_dir).select("doc_id", "source")
+        out = cur.mixture_repeat(docs, "source", {"src0": 2.0}, ["doc_id"])
+        n0 = docs.filter(F.col("source") == "src0").count()
+        rest = docs.filter(F.col("source") != "src0").count()
+        assert out.count() == 2 * n0 + rest
+
+    def test_zero_repeat_drops_source(self, spark, sf_dir):
+        docs = _docs(spark, sf_dir).select("doc_id", "source")
+        out = cur.mixture_repeat(docs, "source", {"src0": 0.0}, ["doc_id"])
+        assert out.filter(F.col("source") == "src0").count() == 0
+
+    def test_fractional_repeat_bounded(self, spark, sf_dir):
+        docs = _docs(spark, sf_dir).select("doc_id", "source")
+        out = cur.mixture_repeat(docs, "source", {"src0": 1.5}, ["doc_id"])
+        n0 = docs.filter(F.col("source") == "src0").count()
+        got = out.filter(F.col("source") == "src0").count()
+        # every row once, about half twice — exact value is hash-determined
+        assert n0 <= got <= 2 * n0
+
+    def test_copy_ordinal_present(self, spark, sf_dir):
+        docs = _docs(spark, sf_dir).select("doc_id", "source")
+        out = cur.mixture_repeat(docs, "source", {"src0": 3.0}, ["doc_id"])
+        mx = out.filter(F.col("source") == "src0").agg(F.max("copy")).first()[0]
+        assert mx == 3
+
+
+class TestLengthBuckets:
+    def test_buckets_partition_corpus(self, spark, sf_dir):
+        from experimentsplan_datapipeline_spark.functions.text import token_count
+
+        docs = _docs(spark, sf_dir)
+        out = cur.length_buckets(docs, "doc_id", token_count("text"), 4).collect()
+        assert len(out) == 4
+        assert sum(r["n_docs"] for r in out) == docs.count()
+        by_bucket = sorted(out, key=lambda r: r["bucket"])
+        # equal-frequency: bucket boundaries are non-decreasing in length
+        for lo, hi in zip(by_bucket, by_bucket[1:]):
+            assert lo["max_tokens"] <= hi["min_tokens"]
+
+
+class TestHeavyKeys:
+    def test_topk_shares(self, spark, sf_dir):
+        ev = _events(spark, sf_dir).select("user_id")
+        out = cur.heavy_keys(ev, "user_id", top_k=5).collect()
+        assert len(out) == 5
+        ranks = sorted(r["rank"] for r in out)
+        assert ranks == [1, 2, 3, 4, 5]
+        cnts = [r["cnt"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert cnts == sorted(cnts, reverse=True)
+        assert all(0 < r["share"] < 1 for r in out)
+
+
+class TestProfileColumns:
+    def test_profile_shape(self, spark, sf_dir):
+        from experimentsplan_datapipeline_spark.plans.queries import t
+
+        orders = t(spark, sf_dir, "orders")
+        out = cur.profile_columns(
+            orders, numeric_cols=["o_totalprice"], string_cols=["o_orderstatus"]
+        ).collect()
+        assert {r["col_name"] for r in out} == {"o_totalprice", "o_orderstatus"}
+        for r in out:
+            assert r["n_rows"] == orders.count()
+            assert r["n_nulls"] == 0
+            assert r["n_distinct"] > 0
+            assert r["min_value"] <= r["max_value"]
