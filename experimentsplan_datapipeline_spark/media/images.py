@@ -51,12 +51,16 @@ DECODED_SCHEMA = StructType(
 
 
 def _fake_decode(content: bytes, size: int = 8) -> tuple[int, int, int, list[int]]:
-    """Deterministic stand-in for PIL decode: pixels derived from the content
-    hash. NOT an image decoder — plumbing stub only (see module docstring)."""
-    digest = hashlib.sha256(content if content else b"").digest()
-    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
-    px = rng.integers(0, 256, size=size * size * 3, dtype=np.int64)
-    return size, size, 3, px.tolist()
+    """Deterministic stand-in for PIL decode: pixel i is byte (i mod 32) of
+    sha256(content || str(i div 32)) — an engine-portable derivation (DuckDB
+    replays it with its sha256()), so even the stubbed mapInPandas pipeline
+    is oracle-checkable. NOT an image decoder — plumbing stub only."""
+    content = content if content else b""
+    n = size * size * 3
+    px: list[int] = []
+    for j in range((n + 31) // 32):
+        px.extend(hashlib.sha256(content + str(j).encode()).digest())
+    return size, size, 3, px[:n]
 
 
 def _real_decode(content: bytes) -> tuple[int, int, int, list[int]]:
@@ -106,19 +110,29 @@ def normalize_pixels(
 
 
 def deterministic_flip(
-    df: DataFrame, image_col: str = "image", seed_col: str = "seed", p: float = 0.5
+    df: DataFrame, image_col: str = "image", seed_col: str = "seed", p: float = 0.5,
+    portable_seed: int | None = None,
 ) -> DataFrame:
-    """P3: seed-column horizontal flip decision (xxhash64(seed) -> [0,1)).
+    """P3: seed-column horizontal flip decision (hash(seed) -> [0,1)).
 
     The flip *decision* is a pure expression; the pixel permutation itself
     would run in the same mapInPandas pass as decode at production scale.
+    ``portable_seed`` swaps xxhash64 for the md5-derived engine-portable
+    hash so the oracle can replay the decision.
     """
-    u = (F.pmod(F.xxhash64(F.col(seed_col)), F.lit(1_000_000)) / 1_000_000.0)
+    if portable_seed is not None:
+        from experimentsplan_datapipeline_spark.operators.curation import portable_hash
+
+        h = portable_hash([F.col(seed_col)], portable_seed)
+    else:
+        h = F.xxhash64(F.col(seed_col))
+    u = F.pmod(h, F.lit(1_000_000)) / 1_000_000.0
     return df.withColumn("flipped", u < p)
 
 
 def tokenize_captions(
-    df: DataFrame, caption_col: str, max_len: int = 77, vocab_size: int = 49408
+    df: DataFrame, caption_col: str, max_len: int = 77, vocab_size: int = 49408,
+    portable_seed: int | None = None,
 ) -> DataFrame:
     """P9: caption -> fixed-length int id array (pad/truncate), hash-vocab.
 
@@ -126,10 +140,18 @@ def tokenize_captions(
     dataloader.py:79-86). Real tokenizers plug in as a pandas_udf; the
     hash-vocab version keeps the schema and padding semantics testable
     without the tokenizer dependency. JVM-side end to end.
+    ``portable_seed`` switches the hash vocab to the md5-derived
+    engine-reproducible hash so the DuckDB oracle can replay the ids.
     """
+    from experimentsplan_datapipeline_spark.operators.curation import portable_hash
+
     toks = F.split(F.trim(F.col(caption_col)), r"\s+")
+    if portable_seed is not None:
+        hash_of = lambda s: portable_hash([s], portable_seed)  # noqa: E731
+    else:
+        hash_of = F.xxhash64
     ids = F.transform(
-        F.slice(toks, 1, max_len), lambda s: F.pmod(F.xxhash64(s), F.lit(vocab_size))
+        F.slice(toks, 1, max_len), lambda s: F.pmod(hash_of(s), F.lit(vocab_size))
     )
     pad_len = F.greatest(F.lit(max_len) - F.size(ids), F.lit(0))
     padded = F.concat(

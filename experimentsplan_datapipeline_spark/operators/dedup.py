@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint, ngrams
+from experimentsplan_datapipeline_spark.operators.curation import portable_hash
 from experimentsplan_datapipeline_spark.operators.util import spread_small_input
 
 
@@ -43,6 +44,7 @@ _MINHASH_PRIME = 2147483647
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = 32, shingle_size: int = 3,
+    portable_seed: int | None = None,
 ) -> DataFrame:
     """(id, mh_0..mh_{K-1}) signature table.
 
@@ -53,14 +55,23 @@ def minhash_signatures(
     hash is reduced into [0, p) first so the affine remix can't overflow a
     long (ANSI mode errors on overflow rather than wrapping).
 
+    ``portable_seed``: when set, the base shingle hash is the md5-derived
+    ``portable_hash`` (engine-reproducible — the DuckDB oracle replays the
+    whole signature) instead of xxhash64 (fastest, JVM-specific). Same
+    affine family either way.
+
     Docs with fewer than ``shingle_size`` tokens have no shingles and are
     absent from the output (nothing to band — equivalent to null signatures).
     """
     p = F.lit(_MINHASH_PRIME)
+    if portable_seed is not None:
+        base = portable_hash([F.col("__sh")], portable_seed)
+    else:
+        base = F.xxhash64("__sh")
     exploded = spread_small_input(df).select(
         F.col(id_col),
         F.explode(ngrams(text_col, shingle_size)).alias("__sh"),
-    ).select(F.col(id_col), F.pmod(F.xxhash64("__sh"), p).alias("__h"))
+    ).select(F.col(id_col), F.pmod(base, p).alias("__h"))
     aggs = []
     for i in range(num_hashes):
         a, b = 2 * i + 1, 7 * i + 3
@@ -71,20 +82,26 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sig: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8
+    sig: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8,
+    portable_seed: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     Signature -> B band keys (hash of rows-per-band minhashes) -> self-join on
     (band, key). Only hashes shuffle. Returns distinct (id_a, id_b) with
-    id_a < id_b.
+    id_a < id_b. ``portable_seed`` switches the band key to the
+    md5-derived engine-reproducible hash (see ``minhash_signatures``).
     """
     rows_per_band = num_hashes // bands
     band_structs = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if portable_seed is not None:
+            key = portable_hash(cols, portable_seed)
+        else:
+            key = F.xxhash64(*cols)
         band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key"))
+            F.struct(F.lit(b).alias("band"), key.alias("key"))
         )
     exploded = (
         sig.na.drop(subset=["mh_0"])
@@ -136,6 +153,7 @@ def minhash_lsh_dedup(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
     threshold: float = 0.8, materialize_signatures: bool = True,
+    portable_seed: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> Jaccard verify.
 
@@ -149,22 +167,37 @@ def minhash_lsh_dedup(
     tiny next to the corpus). At 100 TB write signatures to a parquet
     stage table instead: same idea, spill-safe and resumable.
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_size, portable_seed=portable_seed
+    )
     if materialize_signatures:
         sig = sig.localCheckpoint(eager=False)
-    cand = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
+    cand = minhash_lsh_candidates(
+        sig, id_col, num_hashes, bands, portable_seed=portable_seed
+    )
     return ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_size, threshold)
 
 
-def simhash(text_col: Column | str, bits: int = 64) -> Column:
-    """64-bit SimHash over whitespace tokens, as a signed long.
+def simhash(
+    text_col: Column | str, bits: int = 64, portable_seed: int | None = None
+) -> Column:
+    """SimHash over whitespace tokens, as a signed long (``bits`` <= 64).
 
     Per token: xxhash64; per bit: +1 if set else -1, summed over tokens; the
     sign of each bit-sum sets the output bit. Pure higher-order expressions.
+
+    ``portable_seed``: when set, tokens hash with the md5-derived 32-bit
+    ``portable_hash`` (engine-reproducible; requires ``bits`` <= 32) so the
+    DuckDB oracle can replay the signature bit-for-bit.
     """
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.trim(F.lower(t)), r"\s+")
-    hashes = F.transform(toks, lambda x: F.xxhash64(x))
+    if portable_seed is not None:
+        if bits > 32:
+            raise ValueError("portable simhash carries 32 hash bits at most")
+        hashes = F.transform(toks, lambda x: portable_hash([x], portable_seed))
+    else:
+        hashes = F.transform(toks, lambda x: F.xxhash64(x))
     bit_exprs = []
     for i in range(bits):
         vote = F.aggregate(
@@ -185,7 +218,8 @@ def simhash(text_col: Column | str, bits: int = 64) -> Column:
 
 
 def simhash_dedup(
-    df: DataFrame, text_col: str, id_col: str, prefix_bits: int = 16
+    df: DataFrame, text_col: str, id_col: str, prefix_bits: int = 16,
+    bits: int = 64, portable_seed: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates by SimHash prefix bucket.
 
@@ -193,8 +227,10 @@ def simhash_dedup(
     returns (bucket, id_a, id_b, hamming) pairs for verification. Bucketing
     keeps the self-join banded instead of all-pairs.
     """
-    sh = spread_small_input(df).select(F.col(id_col), simhash(text_col).alias("sh"))
-    bucketed = sh.withColumn("bucket", F.shiftright(F.col("sh"), 64 - prefix_bits))
+    sh = spread_small_input(df).select(
+        F.col(id_col), simhash(text_col, bits, portable_seed).alias("sh")
+    )
+    bucketed = sh.withColumn("bucket", F.shiftright(F.col("sh"), bits - prefix_bits))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))

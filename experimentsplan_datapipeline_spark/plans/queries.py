@@ -1007,24 +1007,122 @@ def events_session(spark, sf_dir):
     )
 
 
-@register("dedup_minhash")  # rows-only: xxhash64 minhash family is engine-specific
+# md5-derived portable hash, identical in Spark and DuckDB (see
+# operators/curation.py::portable_hash). ``{x}`` is the string expression.
+_DUCK_PHASH = "('0x' || substr(md5({x} || '|{seed}'), 1, 8))::BIGINT"
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
+    threshold: float = 0.5, seed: int = 42,
+) -> str:
+    """DuckDB twin of minhash_lsh_dedup(portable_seed=seed): replays
+    shingling, the affine minhash family, LSH banding, and the exact-Jaccard
+    verification. Generated (32 min-aggs / 8 band keys) rather than typed."""
+    p = dd._MINHASH_PRIME
+    n = shingle_size
+    base = _DUCK_PHASH.format(x="g", seed=seed)
+    mins = ",\n    ".join(
+        f"min(({2 * i + 1} * h + {7 * i + 3}) % {p}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    rows_per_band = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        concat = " || '|' || ".join(f"{c}::VARCHAR" for c in cols)
+        key = _DUCK_PHASH.format(x=f"({concat})", seed=seed)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS key FROM sig"
+        )
+    bands_sql = "\n    UNION ALL ".join(band_selects)
+    shingle = (
+        f"list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' '))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest({shingle}) AS g FROM toks),
+h AS (
+  SELECT doc_id, {base} % {p} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM h GROUP BY doc_id),
+bandkeys AS (
+    {bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+grams AS (
+  SELECT doc_id, list_distinct({shingle}) AS gr FROM toks)
+SELECT id_a, id_b,
+       round(CASE WHEN len(list_distinct(a.gr || b.gr)) > 0
+                  THEN len(list_intersect(a.gr, b.gr))::DOUBLE
+                       / len(list_distinct(a.gr || b.gr))
+                  ELSE 0.0 END, 6) AS jaccard
+FROM cand JOIN grams a ON cand.id_a = a.doc_id
+          JOIN grams b ON cand.id_b = b.doc_id
+WHERE round(CASE WHEN len(list_distinct(a.gr || b.gr)) > 0
+                 THEN len(list_intersect(a.gr, b.gr))::DOUBLE
+                      / len(list_distinct(a.gr || b.gr))
+                 ELSE 0.0 END, 6) >= {threshold}
+"""
+
+
+@register("dedup_minhash", _minhash_oracle_sql())
 def dedup_minhash(spark, sf_dir):
     """Near-dup detection: MinHash signatures -> LSH band buckets ->
-    exact-Jaccard verification on candidates only (never all-pairs)."""
+    exact-Jaccard verification on candidates only (never all-pairs).
+    Registered with the portable md5 hash family so the DuckDB oracle
+    replays signatures, banding, and verification end-to-end; swap
+    portable_seed=None for xxhash64 (fastest JVM path, same plan)."""
     docs = t(spark, sf_dir, "documents")
     return dd.minhash_lsh_dedup(
-        docs, "text", "doc_id", num_hashes=32, bands=8, shingle_size=3, threshold=0.5
+        docs, "text", "doc_id", num_hashes=32, bands=8, shingle_size=3,
+        threshold=0.5, portable_seed=42,
     )
 
 
-@register("dedup_simhash")  # rows-only: xxhash64-based
+def _simhash_oracle_sql(
+    bits: int = 32, prefix_bits: int = 12, max_hamming: int = 8, seed: int = 42,
+) -> str:
+    """DuckDB twin of simhash_dedup(bits=32, portable_seed=seed): per-token
+    portable hash, per-bit majority vote, prefix bucketing, Hamming filter."""
+    h = _DUCK_PHASH.format(x="tok", seed=seed)
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+h AS (SELECT doc_id, {h} AS h FROM toks),
+sig AS (SELECT doc_id, {bit_terms} AS sh FROM h GROUP BY doc_id),
+bucketed AS (SELECT doc_id, sh, sh >> {bits - prefix_bits} AS bucket FROM sig)
+SELECT a.bucket AS bucket, a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh)) AS hamming
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+@register("dedup_simhash", _simhash_oracle_sql())
 def dedup_simhash(spark, sf_dir):
-    """Near-dup candidates via 64-bit SimHash prefix buckets + Hamming
-    distance, filtered to hamming <= 16."""
+    """Near-dup candidates via SimHash prefix buckets + Hamming distance
+    (hamming <= 8 of 32 bits). Registered with the 32-bit portable hash so
+    the oracle replays every signature bit; the 64-bit xxhash64 variant
+    (bits=64, portable_seed=None) is the wider production default."""
     docs = t(spark, sf_dir, "documents")
-    return dd.simhash_dedup(docs, "text", "doc_id", prefix_bits=12).filter(
-        F.col("hamming") <= 16
-    )
+    return dd.simhash_dedup(
+        docs, "text", "doc_id", prefix_bits=12, bits=32, portable_seed=42
+    ).filter(F.col("hamming") <= 8)
 
 
 @register("ngram_jaccard", """
@@ -1054,10 +1152,45 @@ def ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(docs, cands, "text", "doc_id", shingle_size=3, threshold=-1.0)
 
 
-@register("ann_lsh")  # rows-only: recall depends on the hyperplane family
+def _ann_lsh_oracle_sql(
+    dim: int = 64, n_planes: int = 6, seed: int = 42, k: int = 10,
+    n_queries: int = 5,
+) -> str:
+    """DuckDB twin of lsh_bucketed_topk: the hyperplanes are a deterministic
+    LCG stream (similarity.fixed_hyperplanes), so their float values embed
+    as literals; sign-pattern buckets and the bucket join replay exactly.
+    The sign test is on the raw dot product on both sides — products and
+    the left-fold sum are bit-identical IEEE ops, so the only divergence
+    risk is |dot| below accumulation noise (~1e-14), vanishing for random
+    64-dim embeddings."""
+    planes = sim.fixed_hyperplanes(dim, n_planes, seed)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{vals}]) >= 0 THEN {bit} ELSE 0 END)".format(
+            vals=", ".join(repr(x) for x in plane), bit=1 << i
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.qid AS vec_id_q, b.vec_id,
+         round(list_cosine_similarity(b.v, q.qv), 6) AS cosine
+  FROM b JOIN q ON b.bucket = q.bucket)
+SELECT vec_id_q, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id_q
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@register("ann_lsh", _ann_lsh_oracle_sql())
 def ann_lsh(spark, sf_dir):
     """ANN top-k via random-hyperplane LSH buckets (deterministic planes);
-    exact twin: similarity_bruteforce."""
+    exact twin: similarity_bruteforce. The plane family is an LCG stream,
+    so the DuckDB oracle replays bucketing and ranking exactly."""
     emb = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
@@ -1246,11 +1379,31 @@ def join_bucketed(spark, sf_dir):
     )
 
 
-@register("media_decode_score")  # rows-only: mapInPandas plumbing, stub decode
+_MEDIA_DECODE_ORACLE = """
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 192),
+           i -> ('0x' || substr(sha256(text || (i // 32)::VARCHAR),
+                                (i % 32) * 2 + 1, 2))::BIGINT) AS pixels
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id, 8 AS height, 8 AS width,
+       (('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 8))::BIGINT
+        % 1000000) / 1000000.0 < 0.5 AS flipped,
+       round(list_avg(list_transform(pixels, p -> ((p / 255.0) - 0.5) / 0.5)),
+             6) AS score
+FROM px
+"""
+
+
+@register("media_decode_score", _MEDIA_DECODE_ORACLE)
 def media_decode_score(spark, sf_dir):
     """P1/P3/P4/P10 chain over a binary column: decode (stubbed — PIL not in
     container) -> JVM-side normalize -> seeded flip -> mapInPandas scoring.
-    Binary content synthesized deterministically from documents.text."""
+    Binary content synthesized deterministically from documents.text. The
+    stub's pixels are sha256-hex-derived and the flip hash is portable, so
+    the DuckDB oracle replays the ENTIRE mapInPandas pipeline — decode
+    bytes, normalization math, flip decisions, and the Arrow-batched
+    mean-score — value-for-value."""
     from experimentsplan_datapipeline_spark.media.images import (
         batch_inference_stub,
         decode_images,
@@ -1265,7 +1418,10 @@ def media_decode_score(spark, sf_dir):
         F.col("doc_id").alias("seed"),
     )
     scored = batch_inference_stub(
-        deterministic_flip(normalize_pixels(decode_images(bin_df)), seed_col="seed")
+        deterministic_flip(
+            normalize_pixels(decode_images(bin_df)), seed_col="seed",
+            portable_seed=42,
+        )
     )
     return scored.select(
         "doc_id",
@@ -1276,27 +1432,86 @@ def media_decode_score(spark, sf_dir):
     )
 
 
-@register("media_tokenize")  # rows-only: hash-vocab token ids are engine-specific
+_MEDIA_TOKENIZE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+ids AS (
+  SELECT doc_id, list_transform(t[1:least(len(t), 77)],
+         s -> {_DUCK_PHASH.format(x='s', seed=42)} % 49408) AS ids
+  FROM toks)
+SELECT doc_id, 77 AS n_tokens, ids[1] AS first_id,
+       list_sum(ids) AS ids_sum
+FROM ids
+"""
+
+
+@register("media_tokenize", _MEDIA_TOKENIZE_ORACLE)
 def media_tokenize(spark, sf_dir):
     """P9: caption -> fixed-length (77) token-id array, pad/truncate, fully
-    JVM-side (hash vocab stands in for the CLIP tokenizer)."""
+    JVM-side (hash vocab stands in for the CLIP tokenizer). The portable
+    hash vocab lets the oracle replay every id; ids_sum pins the whole
+    array (truncation + padding zeros), not just its head."""
     from experimentsplan_datapipeline_spark.media.images import tokenize_captions
 
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").alias("caption")
     )
-    out = tokenize_captions(docs, "caption")
+    out = tokenize_captions(docs, "caption", portable_seed=42)
     return out.select(
         "doc_id",
         F.size("token_ids").alias("n_tokens"),
         F.element_at("token_ids", 1).alias("first_id"),
+        F.aggregate(
+            "token_ids", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("ids_sum"),
     )
 
 
-@register("ann_ivf")  # rows-only: probe recall depends on the codebook
+def _ann_ivf_oracle_sql(
+    n_cells: int = 16, n_probe: int = 2, k: int = 10, n_queries: int = 5,
+) -> str:
+    """DuckDB twin of ivf_topk without a trained codebook: centroids are the
+    n_cells lowest-id vectors; cell assignment is argmax ROUNDED cosine with
+    ties to the larger cell id (Spark's array_max over (cos, cell) structs);
+    queries probe their n_probe best cells by the same ordering."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {n_cells}),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                        c.cell DESC) AS rn
+    FROM e CROSS JOIN c)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {n_queries}),
+qcells AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                        c.cell DESC) AS rn
+    FROM q CROSS JOIN c)
+  WHERE rn <= {n_probe}),
+scored AS (
+  SELECT DISTINCT qc.qid AS vec_id_q, a.vec_id,
+         round(list_cosine_similarity(a.v, qc.qv), 6) AS cosine
+  FROM assign a JOIN qcells qc ON a.cell = qc.cell)
+SELECT vec_id_q, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id_q
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@register("ann_ivf", _ann_ivf_oracle_sql())
 def ann_ivf(spark, sf_dir):
     """ANN top-k via IVF coarse quantization (n_probe nearest cells);
-    exact twin: similarity_bruteforce."""
+    exact twin: similarity_bruteforce. Cell seeds, assignment tie-breaks,
+    and probe ordering are all deterministic, so the DuckDB oracle replays
+    the probe set and ranking exactly."""
     emb = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
