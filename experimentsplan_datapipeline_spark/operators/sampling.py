@@ -52,14 +52,25 @@ def stratified_exact(
 ) -> DataFrame:
     """U3: exact-count stratified sample without replacement.
 
-    rank = row_number() over (partition by stratum order by rank_key) and keep
-    rank <= target — one shuffle, exact counts, deterministic under 'hash'
-    mode. When a stratum has fewer rows than its target, all of them are kept
-    (the reference falls back to with-replacement top-up: use
+    rank = row_number() over (partition by stratum order by rank_key), keep
+    rank <= target. Exact counts, deterministic under 'hash' mode. When a
+    stratum has fewer rows than its target, all of them are kept (the
+    reference falls back to with-replacement top-up: use
     ``stratified_with_replacement`` for that semantics).
+
+    Scale shape: a single stratum-partitioned window would funnel each
+    stratum into ONE task — fatal when 100 TB splits over a handful of
+    difficulty values. In 'hash' mode (deterministic rank expression) the
+    selection runs as two-phase top-k: per-(stratum, salt-bucket) local
+    ranks prune everything that cannot reach the global top-target
+    (global top-k ⊆ union of per-bucket top-k), then the exact rank runs
+    on <= buckets*target survivors per stratum. Both windows parallelize
+    across buckets; output is identical to the single-window form.
+    'rand' mode keeps the single window (rand() is not stable across
+    re-evaluation in different stages, so it cannot be ranked twice).
     """
     rk = _rank_col(key_cols, mode, seed)
-    w = Window.partitionBy(stratum_col).orderBy(rk, *[F.col(c) for c in key_cols])
+    order_cols = [F.col(c) for c in key_cols]
     target_expr = None
     for stratum, n in targets.items():
         cond = F.col(stratum_col) == stratum
@@ -67,8 +78,24 @@ def stratified_exact(
             F.when(cond, n) if target_expr is None else target_expr.when(cond, n)
         )
     target_expr = target_expr.otherwise(0)
+    if mode == "hash":
+        buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        pre = df.withColumn(
+            "__bkt", F.pmod(F.xxhash64(*order_cols), F.lit(buckets))
+        )
+        w1 = Window.partitionBy(stratum_col, "__bkt").orderBy(rk, *order_cols)
+        pre = (
+            pre.withColumn("__lrk", F.row_number().over(w1))
+            .filter(F.col("__lrk") <= target_expr)
+            .drop("__bkt", "__lrk")
+        )
+    else:
+        pre = df
+    w = Window.partitionBy(stratum_col).orderBy(rk, *order_cols)
     return (
-        df.withColumn("__rk", F.row_number().over(w))
+        pre.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= target_expr)
         .drop("__rk")
     )
