@@ -169,6 +169,101 @@ def weighted_union_sample(
     return stratified_exact(tagged, source_col, targets, key_cols, seed, mode)
 
 
+def hash_rank(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+    seed: int = 42,
+    rank_col: str = "rk",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Distributed dense ranking by md5 hash order, no single-task window.
+
+    Every row gets its EXACT 1-based rank (within ``partition_cols``) under
+    the engine-portable md5(key||seed) order — the primitive behind
+    deterministic shuffles, proportional interleaves, and epoch orderings.
+
+    Scale shape: a plain ``row_number() over (partition by p order by h)``
+    serializes each partition group into one task. Instead the hash value
+    range-buckets (bucket i = hash prefix in [i*2^32/B, (i+1)*2^32/B) —
+    buckets are ORDERED spans of the hash domain), local ranks run per
+    bucket in parallel, and per-bucket counts (B rows per group — tiny)
+    prefix-sum into offsets that broadcast back: rank = offset + local
+    rank. Identical output to the single window at any scale.
+    """
+    pcols = [F.col(c) for c in partition_cols]
+    if buckets is None:
+        buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    salted = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
+    )
+    hval = F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+    order_cols = [F.md5(salted)] + [F.col(c) for c in key_cols]
+    bucketed = df.withColumn(
+        "__bkt", (hval * buckets / F.lit(2**32)).cast("int")
+    )
+    w_local = Window.partitionBy(*pcols, "__bkt").orderBy(*order_cols)
+    local = bucketed.withColumn("__lrk", F.row_number().over(w_local))
+    counts = (
+        local.groupBy(*pcols, "__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w_off = (
+        Window.partitionBy(*pcols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).drop("__n")
+    joined = local.join(
+        F.broadcast(offsets), [*partition_cols, "__bkt"], "left"
+    )
+    return (
+        joined.withColumn(rank_col, (F.col("__off") + F.col("__lrk")).cast("long"))
+        .drop("__bkt", "__lrk", "__off")
+    )
+
+
+def mixture_interleave(
+    dfs: dict[str, DataFrame],
+    weights: dict[str, float],
+    key_cols: Sequence[str],
+    seed: int = 42,
+    source_col: str = "source",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic proportional interleave of sources (epoch ordering).
+
+    The reference's WeightedRandomSampler doesn't just pick counts — it
+    produces an ORDER in which sources appear in weight proportion
+    (train/train_stage_1_2/dataloader.py:102-124). Deterministic version:
+    rank rows within each source by portable hash, then position
+    pos = (rank-1)/weight; sorting the union by pos yields a stream where
+    every weight-w source occupies ~w of any prefix. Positions are
+    computed fully in parallel (hash_rank); materializing a total order is
+    the consumer's choice (sortWithinPartitions after range partitioning
+    by pos at scale — never a global single-task sort).
+    """
+    tagged = None
+    for name, df in dfs.items():
+        part = df.withColumn(source_col, F.lit(name))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    ranked = hash_rank(
+        tagged, key_cols, partition_cols=[source_col], seed=seed, rank_col="__srk"
+    )
+    weight_expr = None
+    for name, w in weights.items():
+        cond = F.col(source_col) == name
+        weight_expr = (
+            F.when(cond, float(w))
+            if weight_expr is None
+            else weight_expr.when(cond, float(w))
+        )
+    return ranked.withColumn(
+        pos_col, F.round((F.col("__srk") - 1) / weight_expr, 6)
+    ).drop("__srk")
+
+
 def deterministic_shuffle(
     df: DataFrame, key_cols: Sequence[str], seed: int = 42
 ) -> DataFrame:

@@ -2360,3 +2360,192 @@ def flagship_revenue(spark, sf_dir):
             ),
         )
     )
+
+
+# ------------------------------------- relational breadth II / ordering ops
+
+@register("agg_cube", """
+SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+       round(sum(l_quantity), 2) AS qty, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def agg_cube(spark, sf_dir):
+    """CUBE (all grouping-set combinations) — free via Catalyst: one shuffle
+    with partial aggregation expands every grouping set map-side."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "qty",
+            "n",
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+       round(sum(l_quantity), 2) AS qty, count(*) AS n
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@register("agg_grouping_sets", _GROUPING_SETS_SQL)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via the SQL surface — the same string both
+    engines execute (like flagship_sql), exercising Catalyst's Expand."""
+    from experimentsplan_datapipeline_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register("window_ntile", """
+SELECT o_orderpriority, quartile, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+FROM (SELECT o_orderpriority, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders)
+GROUP BY o_orderpriority, quartile
+""")
+def window_ntile(spark, sf_dir):
+    """ntile quartiles per group (price-band bucketing) + per-band stats.
+    Identical bucket-size semantics in both engines; o_orderkey breaks
+    price ties deterministically."""
+    from pyspark.sql.window import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register("unpivot_melt", """
+SELECT l_orderkey, l_linenumber, metric, round(value, 2) AS value FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity::DOUBLE AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+""")
+def unpivot_melt(spark, sf_dir):
+    """UNPIVOT/melt — wide metric columns to (metric, value) rows, the
+    inverse of the reference's J8 pivot (narrow scan: only the unpivoted
+    columns are read)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber",
+                F.col("l_quantity").cast("double").alias("quantity"),
+                F.col("l_extendedprice").alias("price"),
+                F.col("l_discount").alias("discount"))
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "price", "discount"],
+            "metric",
+            "value",
+        )
+        .withColumn("value", F.round("value", 2))
+    )
+
+
+@register("mixture_interleave", """
+SELECT o_orderkey, source,
+       round((rk - 1) / CASE source WHEN 'hi' THEN 0.3 ELSE 0.7 END, 6) AS pos
+FROM (SELECT o_orderkey, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(o_orderkey::VARCHAR || '|42'), o_orderkey) AS rk
+      FROM (SELECT o_orderkey,
+                   CASE WHEN o_totalprice > 100000 THEN 'hi' ELSE 'lo' END AS source
+            FROM orders))
+""")
+def mixture_interleave_q(spark, sf_dir):
+    """Deterministic proportional interleave: each source ranked by portable
+    hash, position = (rank-1)/weight — sorting by pos yields a stream whose
+    every prefix holds sources in weight proportion (the epoch-ordering half
+    of the reference's WeightedRandomSampler). Ranks come from the
+    range-bucketed hash_rank, never a single-task window."""
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "__src",
+        F.when(F.col("o_totalprice") > 100000, "hi").otherwise("lo"),
+    )
+    out = smp.mixture_interleave(
+        {
+            "hi": orders.filter(F.col("__src") == "hi").select("o_orderkey"),
+            "lo": orders.filter(F.col("__src") == "lo").select("o_orderkey"),
+        },
+        {"hi": 0.3, "lo": 0.7},
+        ["o_orderkey"],
+        seed=42,
+    )
+    return out.select("o_orderkey", "source", "pos")
+
+
+@register("kfold_assign", """
+SELECT fold, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers
+FROM (SELECT o_custkey,
+             ('0x' || substr(md5(o_custkey::VARCHAR || '|42'), 1, 8))::BIGINT % 5 AS fold
+      FROM orders)
+GROUP BY fold
+""")
+def kfold_assign(spark, sf_dir):
+    """Leakage-free k-fold assignment: fold = portable_hash(customer) % k, so
+    every order of a customer lands in ONE fold (cross-validation splits
+    with no group leakage — same contract as split_leakfree)."""
+    from experimentsplan_datapipeline_spark.operators.curation import portable_hash
+
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "fold", F.pmod(portable_hash([F.col("o_custkey")], 42), F.lit(5))
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register("join_topk_per_key", """
+SELECT o_orderkey, o_orderpriority, price, rnk FROM (
+  SELECT o.o_orderkey, o.o_orderpriority, round(l.l_extendedprice, 2) AS price,
+         row_number() OVER (
+           PARTITION BY o.o_orderkey
+           ORDER BY round(l.l_extendedprice, 2) DESC, l.l_linenumber,
+                    l.l_quantity, l.l_discount) AS rnk
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+WHERE rnk <= 2
+""")
+def join_topk_per_key(spark, sf_dir):
+    """Fan-out-capped join: top-2 lineitems per order by price — the
+    group-limited join that bounds skewed key explosions (rank window on
+    the join key; parallel across keys). Ordering covers every output
+    column plus tiebreaks, so duplicate (orderkey, linenumber) rows in the
+    synthetic data cannot destabilize the cut."""
+    from pyspark.sql.window import Window as W
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+    w = W.partitionBy("o_orderkey").orderBy(
+        F.col("price").desc(), "l_linenumber", "l_quantity", "l_discount"
+    )
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_orderkey", "o_orderpriority", "price", "rnk")
+    )

@@ -206,3 +206,47 @@ def test_range_join_banded_matches_theta(spark):
         .collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_hash_rank_matches_single_window(spark):
+    from pyspark.sql.window import Window
+
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    for buckets in (1, 7, 32):
+        got = {
+            (r.grp, r.id): r.rk
+            for r in smp.hash_rank(
+                df, ["id"], partition_cols=["grp"], seed=7, buckets=buckets
+            ).collect()
+        }
+        salted = F.concat_ws("|", F.col("id").cast("string"), F.lit("7"))
+        w = Window.partitionBy("grp").orderBy(F.md5(salted), "id")
+        want = {
+            (r.grp, r.id): r.rk
+            for r in df.withColumn("rk", F.row_number().over(w)).collect()
+        }
+        assert got == want
+
+
+def test_hash_rank_no_partition(spark):
+    df = spark.range(0, 100)
+    ranks = sorted(
+        r.rk for r in smp.hash_rank(df, ["id"], seed=1, buckets=8).collect()
+    )
+    assert ranks == list(range(1, 101))
+
+
+def test_mixture_interleave_proportions(spark):
+    a = spark.range(0, 700).select(F.col("id"))
+    b = spark.range(1000, 1300).select(F.col("id"))
+    out = smp.mixture_interleave(
+        {"a": a, "b": b}, {"a": 0.7, "b": 0.3}, ["id"], seed=3
+    ).collect()
+    assert len(out) == 1000
+    # every prefix of the pos-sorted stream holds sources ~in weight ratio
+    ordered = sorted(out, key=lambda r: (r.pos, r.source))
+    head = ordered[:100]
+    n_a = sum(1 for r in head if r.source == "a")
+    assert 60 <= n_a <= 80
