@@ -68,6 +68,11 @@ def stratified_exact(
     across buckets; output is identical to the single-window form.
     'rand' mode keeps the single window (rand() is not stable across
     re-evaluation in different stages, so it cannot be ranked twice).
+
+    The pre-phase engages adaptively: when the input has few partitions
+    (small/local data), one task per stratum already fits and the extra
+    shuffle is pure overhead, so the single window runs directly — the
+    output is identical either way, only the physical plan differs.
     """
     rk = _rank_col(key_cols, mode, seed)
     order_cols = [F.col(c) for c in key_cols]
@@ -78,7 +83,7 @@ def stratified_exact(
             F.when(cond, n) if target_expr is None else target_expr.when(cond, n)
         )
     target_expr = target_expr.otherwise(0)
-    if mode == "hash":
+    if mode == "hash" and df.rdd.getNumPartitions() > 16:
         buckets = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )

@@ -250,3 +250,27 @@ def test_mixture_interleave_proportions(spark):
     head = ordered[:100]
     n_a = sum(1 for r in head if r.source == "a")
     assert 60 <= n_a <= 80
+
+
+def test_stratified_exact_two_phase_matches_single_window(spark):
+    # >16 input partitions engages the bucketed pre-phase; the output must
+    # be identical to the plain single-window form (few partitions).
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    targets = {"0": 50, "1": 10, "2": 700}
+    wide = smp.stratified_exact(
+        df.repartition(32), "grp", targets, ["id"], seed=5, mode="hash"
+    )
+    narrow = smp.stratified_exact(
+        df.coalesce(1), "grp", targets, ["id"], seed=5, mode="hash"
+    )
+    got = sorted((r.grp, r.id) for r in wide.collect())
+    want = sorted((r.grp, r.id) for r in narrow.collect())
+    assert got == want
+    from collections import Counter
+
+    counts = Counter(g for g, _ in got)
+    # stratum "2" holds 666 rows < target 700 -> all kept (reference's
+    # short-stratum semantics without replacement)
+    assert counts == {"0": 50, "1": 10, "2": 666}
