@@ -117,3 +117,30 @@ def token_count_bpe(text: Column | str) -> Column:
     runs). The whitespace count (token_count) underestimates code and
     punctuation-heavy text; this is the budgeting-grade estimate."""
     return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_PRETOKEN_RE), 0))
+
+
+# PII patterns, deliberately RE2-compatible (identical semantics in Spark's
+# Java regex and DuckDB) — the redaction pass every training corpus needs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]+-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails/phones with typed placeholders (<EMAIL>, <PHONE>).
+
+    Single pass per pattern, pure Catalyst regexp_replace — rides the scan
+    at any corpus size. Order matters: emails first so phone-like digit
+    runs inside addresses are already collapsed.
+    """
+    t = _c(text)
+    out = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts — the audit side of redaction."""
+    t = _c(text)
+    return (
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)),
+    )

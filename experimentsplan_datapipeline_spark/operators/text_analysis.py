@@ -139,3 +139,52 @@ def pack_sequences(
             )
         ).cast("long").alias("bin"),
     )
+
+
+def token_entropy_profile(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document token-distribution quality stats: Shannon entropy (nats),
+    distinct-token ratio, and top-token share — the standard cheap detectors
+    for repetitive/boilerplate documents in LLM corpus curation.
+
+    entropy = ln(total) - sum(c*ln(c))/total over in-doc term counts (the
+    numerically stable form). Shuffle shape: explode -> groupBy(doc, term)
+    with map-side combine -> groupBy(doc); both aggregations shrink the
+    data, nothing corpus-sized is shuffled twice. Docs with no tokens are
+    absent (nothing to profile).
+    """
+    tf = (
+        spread_small_input(df)
+        .select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = F.sum("c")
+    slc = F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            total.alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("__top"),
+            slc.alias("__slc"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("__slc") / F.col("n_tokens"),
+                6,
+            ).alias("entropy"),
+            F.round(F.col("__top") / F.col("n_tokens").cast("double"), 6).alias(
+                "top_share"
+            ),
+            F.round(
+                F.col("n_distinct") / F.col("n_tokens").cast("double"), 6
+            ).alias("distinct_ratio"),
+        )
+    )

@@ -2549,3 +2549,109 @@ def join_topk_per_key(spark, sf_dir):
         .filter(F.col("rnk") <= 2)
         .select("o_orderkey", "o_orderpriority", "price", "rnk")
     )
+
+
+# --------------------------------------------- corpus-quality text ops II
+
+@register("text_entropy", r"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term),
+agg AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top,
+         sum(c * ln(c)) AS slc
+  FROM tf GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_distinct,
+       round(ln(n_tokens) - slc / n_tokens, 6) AS entropy,
+       round(top / n_tokens::DOUBLE, 6) AS top_share,
+       round(n_distinct / n_tokens::DOUBLE, 6) AS distinct_ratio
+FROM agg
+""")
+def text_entropy(spark, sf_dir):
+    """Token-distribution quality profile: Shannon entropy, top-token share,
+    distinct ratio — the cheap repetition/boilerplate detectors for corpus
+    curation. Two shrinking aggregations, corpus shuffled once."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        token_entropy_profile,
+    )
+
+    return token_entropy_profile(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("pii_redact", r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@mail.example.com or +1-555-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text2
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text2, '\+[0-9]+-[0-9]{3}-[0-9]{4}')) AS n_phones,
+       length(regexp_replace(regexp_replace(text2,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\+[0-9]+-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS len_redacted
+FROM planted
+""")
+def pii_redact(spark, sf_dir):
+    """PII scrubbing audit: plant a synthetic email+phone per document (the
+    corpus is word salad), then count matches and measure the redacted
+    length — regex semantics and the redaction pass verified against the
+    oracle; pure regexp_replace, rides the scan at any scale."""
+    from experimentsplan_datapipeline_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text2"),
+    )
+    n_emails, n_phones = pii_counts(F.col("text2"))
+    return planted.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.length(redact_pii(F.col("text2"))).alias("len_redacted"),
+    )
+
+
+@register("url_domain_filter", """
+SELECT domain, count(*) AS n_docs FROM (
+  SELECT regexp_extract('https://' || source || '.example.com/docs/' || doc_id::VARCHAR,
+                        '^https://([^/]+)/', 1) AS domain
+  FROM documents)
+WHERE domain NOT IN ('src0.example.com', 'src3.example.com')
+GROUP BY domain
+""")
+def url_domain_filter(spark, sf_dir):
+    """Domain extraction + blocklist anti-join (robots/safety filtering):
+    synthesize a URL per doc from its source, extract the registrable
+    domain (X2's URI parse at corpus scale), drop blocklisted domains via
+    a broadcast anti-join, count survivors per domain."""
+    docs = t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    domains = urls.select(
+        F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("domain")
+    )
+    block = domains.sparkSession.createDataFrame(
+        [("src0.example.com",), ("src3.example.com",)], ["domain"]
+    )
+    return (
+        domains.join(F.broadcast(block), "domain", "left_anti")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -233,3 +233,40 @@ def test_pack_sequences_budget(spark):
     out = {r.doc_id: r.bin for r in pack_sequences(docs, "doc_id", "text", budget=25).collect()}
     # 10 tokens each: cumsum-before = 0,10,20,30,... -> bins 0,0,0,1,1,2,2,2,3,3
     assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3, 9: 3}
+
+
+def test_redact_pii_and_counts(spark):
+    from experimentsplan_datapipeline_spark.functions.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c@x.co and +1-555-0100 ok"), (2, "clean text")],
+        ["id", "txt"],
+    )
+    ne, np_ = pii_counts("txt")
+    out = {
+        r.id: (r.red, r.ne, r.np)
+        for r in df.select(
+            "id", redact_pii("txt").alias("red"), ne.alias("ne"), np_.alias("np")
+        ).collect()
+    }
+    assert out[1] == ("mail <EMAIL> and <PHONE> ok", 1, 1)
+    assert out[2] == ("clean text", 0, 0)
+
+
+def test_token_entropy_profile_known_values(spark):
+    import math
+
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        token_entropy_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a b b"), (2, "x x x x"), (3, "")], ["id", "txt"]
+    )
+    rows = {r.id: r for r in token_entropy_profile(df, "id", "txt").collect()}
+    assert rows[1].entropy == round(math.log(2), 6)  # uniform over 2 tokens
+    assert rows[1].top_share == 0.5
+    assert rows[2].entropy == 0.0  # single repeated token
+    assert rows[2].distinct_ratio == 0.25
+    assert 3 not in rows  # empty doc absent
