@@ -2655,3 +2655,56 @@ def url_domain_filter(spark, sf_dir):
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register("media_frame_sample", """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(list_filter(range(0, 8 + doc_id % 9), i -> i % 3 = 0)) AS frame_idx
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id, frame_idx,
+       round(list_avg(list_transform(range(0, 64),
+             p -> ('0x' || substr(sha256(text || '|f' || frame_idx::VARCHAR
+                                  || '|' || (p // 32)::VARCHAR),
+                                  (p % 32) * 2 + 1, 2))::BIGINT)), 6) AS mean_intensity
+FROM f
+""")
+def media_frame_sample(spark, sf_dir):
+    """Video-column plumbing: every-3rd-frame sampling as a mapInPandas
+    UDTF fan-out (one clip row -> k frame rows, clip bytes never shuffled).
+    Frame count synthesized per doc; the sha256-derived stub decode lets
+    the oracle replay every sampled pixel."""
+    from experimentsplan_datapipeline_spark.media.av import sample_frames
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    clips = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("content"),
+        (F.lit(8) + F.pmod(F.col("doc_id"), F.lit(9))).cast("int").alias("n_frames"),
+    )
+    out = sample_frames(clips, every_k=3)
+    return out.select(
+        "doc_id", "frame_idx", F.round("mean_intensity", 6).alias("mean_intensity")
+    )
+
+
+@register("media_audio_energy", """
+WITH c AS (
+  SELECT doc_id, text, unnest(range(0, 4)) AS chunk_id
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id, chunk_id,
+       round(sqrt(list_avg(list_transform(range(0, 32),
+             p -> pow(('0x' || substr(sha256(text || '|a' || chunk_id::VARCHAR),
+                                      p * 2 + 1, 2))::BIGINT, 2)))), 6) AS rms
+FROM c
+""")
+def media_audio_energy(spark, sf_dir):
+    """Audio-column plumbing: per-window RMS energy via the same Arrow
+    fan-out pass (1 clip -> 4 chunk rows); the sha256-derived stub waveform
+    is replayed sample-for-sample by the oracle."""
+    from experimentsplan_datapipeline_spark.media.av import audio_chunk_energy
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    clips = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    out = audio_chunk_energy(clips, n_chunks=4)
+    return out.select("doc_id", "chunk_id", F.round("rms", 6).alias("rms"))

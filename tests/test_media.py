@@ -110,3 +110,33 @@ def test_crop_center_and_seeded(spark):
     a = {r.id: r.cropped.pixels for r in seeded.collect()}
     b = {r.id: r.cropped.pixels for r in seeded.collect()}
     assert a == b
+
+
+def test_sample_frames_fanout_and_determinism(spark):
+    from experimentsplan_datapipeline_spark.media.av import sample_frames
+
+    df = spark.createDataFrame(
+        [("a", b"v1", 10), ("b", b"v2", 3)], ["vid", "content", "n_frames"]
+    )
+    out1 = sample_frames(df, every_k=4).collect()
+    out2 = sample_frames(df, every_k=4).collect()
+    assert sorted((r.vid, r.frame_idx) for r in out1) == [
+        ("a", 0), ("a", 4), ("a", 8), ("b", 0),
+    ]
+    assert {(r.vid, r.frame_idx, r.mean_intensity) for r in out1} == {
+        (r.vid, r.frame_idx, r.mean_intensity) for r in out2
+    }
+    for r in out1:
+        assert 0.0 <= r.mean_intensity <= 255.0
+
+
+def test_audio_chunk_energy_shape(spark):
+    from experimentsplan_datapipeline_spark.media.av import audio_chunk_energy
+
+    df = spark.createDataFrame([("a", b"clip")], ["cid", "content"])
+    out = audio_chunk_energy(df, n_chunks=3).collect()
+    assert [r.chunk_id for r in sorted(out, key=lambda r: r.chunk_id)] == [0, 1, 2]
+    # RMS of uniform-ish bytes lands strictly inside (0, 255)
+    assert all(0.0 < r.rms < 255.0 for r in out)
+    # distinct chunks hash differently
+    assert len({r.rms for r in out}) == 3
