@@ -37,8 +37,10 @@ def tfidf_top_terms(
     Shuffle shape: one explode -> one groupBy(doc, term) with map-side
     combine -> a doc-frequency agg that collapses to |vocab| rows (broadcast
     back) -> one window per doc. The corpus-sized side is shuffled once.
+    N (corpus size) stays IN the plan as a broadcast single-row aggregate —
+    a driver-side ``df.count()`` would be a second full corpus scan.
     """
-    n_docs = df.count()
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("__n"))
     tf = (
         spread_small_input(df)
         .select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
@@ -47,13 +49,17 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(doc_freq), "term").select(
-        F.col(id_col),
-        F.col("term"),
-        F.round(
-            F.col("tf").cast("double") * F.log(F.lit(float(n_docs)) / F.col("df")),
-            6,
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf").cast("double") * F.log(F.col("__n") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
