@@ -37,6 +37,10 @@ HEADLINE = [
     "join_range",
     "curate_corpus",
     "rollup_time_multi",
+    "text_entropy",
+    "mixture_interleave",
+    "join_topk_per_key",
+    "media_frame_sample",
 ]
 
 
