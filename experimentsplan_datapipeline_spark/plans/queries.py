@@ -2708,3 +2708,32 @@ def media_audio_energy(spark, sf_dir):
     clips = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
     out = audio_chunk_energy(clips, n_chunks=4)
     return out.select("doc_id", "chunk_id", F.round("rms", 6).alias("rms"))
+
+
+@register("dedup_incremental", """
+WITH corpus AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id < 400),
+batch AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id >= 300)
+SELECT b.doc_id, b.fp FROM batch b
+WHERE b.fp NOT IN (SELECT fp FROM corpus)
+""")
+def dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: a new batch anti-joins the existing
+    corpus's fingerprint table, so daily ingest never rescans corpus text —
+    at 100 TB the fingerprint table is a 16-byte-key stage table (bucketed
+    by fp for a zero-exchange anti join; broadcast here as the batch side's
+    complement is small). Survivors append; the fingerprint table grows by
+    exactly the surviving rows."""
+    docs = t(spark, sf_dir, "documents")
+    corpus_fp = docs.filter(F.col("doc_id") < 400).select(
+        doc_fingerprint("text").alias("fp")
+    )
+    # the batch overlaps the corpus (docs 300-399 re-ingested) so the anti
+    # join demonstrably drops the already-seen rows
+    batch = docs.filter(F.col("doc_id") >= 300).select(
+        "doc_id", doc_fingerprint("text").alias("fp")
+    )
+    return batch.join(F.broadcast(corpus_fp), "fp", "left_anti")

@@ -63,3 +63,39 @@ class TestPlanShapes:
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan
         assert plan.count("Bucketed: true") == 2
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+class TestNewOpPlanShapes:
+    def test_url_domain_filter_broadcast_anti(self, spark):
+        # blocklist must broadcast; an exchange-both-sides anti join would
+        # shuffle the corpus for a 2-row blocklist
+        plan = _plan(spark, "url_domain_filter")
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_text_entropy_two_shrinking_aggs(self, spark):
+        # explode -> groupBy(doc,term) -> groupBy(doc): two hash exchanges
+        # max, both after partial aggregation (the RoundRobin spread is
+        # spread_small_input's local-test no-op, not a key shuffle)
+        plan = _plan(spark, "text_entropy")
+        assert plan.count("Exchange hashpartitioning") <= 2
+        assert "partial_sum" in plan
+
+    def test_pii_redact_rides_the_scan(self, spark):
+        # pure regexp projection: zero shuffles
+        plan = _plan(spark, "pii_redact")
+        assert "Exchange" not in plan
+
+    def test_tfidf_docfreq_broadcasts(self, spark):
+        # document-frequency (|vocab| rows) broadcasts back onto tf; the
+        # corpus-sized side must not sort-merge
+        plan = _plan(spark, "tfidf_top_terms")
+        assert "BroadcastHashJoin" in plan
+
+    def test_mixture_interleave_offsets_broadcast(self, spark):
+        # per-bucket offsets (B rows/group) broadcast back; corpus-sized
+        # side never sort-merges against them
+        plan = _plan(spark, "mixture_interleave")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
