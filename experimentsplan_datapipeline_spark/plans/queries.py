@@ -2737,3 +2737,41 @@ def dedup_incremental(spark, sf_dir):
         "doc_id", doc_fingerprint("text").alias("fp")
     )
     return batch.join(F.broadcast(corpus_fp), "fp", "left_anti")
+
+
+_REGION_REVENUE_SQL = """
+SELECT r_name, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register("join_region_rollup", _REGION_REVENUE_SQL)
+def join_region_rollup(spark, sf_dir):
+    """Five-way star join up the full dimension chain (lineitem -> orders ->
+    customer -> nation -> region), revenue per region. Every dimension
+    broadcasts; the fact table shuffles exactly once for the fact-fact join
+    and once for the final aggregation — the deep-hierarchy rollup shape."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = F.broadcast(t(spark, sf_dir, "customer"))
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    region = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
