@@ -2775,3 +2775,78 @@ def join_region_rollup(spark, sf_dir):
             ).alias("revenue"),
         )
     )
+
+
+@register("join_local_supply", """
+SELECT n_name, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def join_local_supply(spark, sf_dir):
+    """TPC-H Q5 semantics: revenue from intra-nation commerce — the
+    supplier join carries a SECOND equality (s_nationkey = c_nationkey)
+    beyond the key match, so the join both looks up and filters. All
+    dimensions broadcast; the fact table shuffles once."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = F.broadcast(t(spark, sf_dir, "customer"))
+    supplier = F.broadcast(t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register("window_zscore", """
+SELECT event_id, event_type, z FROM (
+  SELECT event_id, event_type,
+         round((value - avg(value) OVER w) / stddev(value) OVER w, 6) AS z
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+WHERE abs(z) >= 2.5
+""")
+def window_zscore(spark, sf_dir):
+    """Trailing-window anomaly detection: z-score of each event's value
+    against the 20 preceding events of its type; |z| >= 2.5 flags. The
+    standard monitoring shape over the step-keyed metric stream (T1);
+    at scale the per-type serialization bounds via time-bucketed
+    pre-partitioning (each day ranks independently)."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value") - F.avg("value").over(w)) / F.stddev("value").over(w),
+                6,
+            ).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= 2.5)
+    )
