@@ -2850,3 +2850,51 @@ def window_zscore(spark, sf_dir):
         )
         .filter(F.abs(F.col("z")) >= 2.5)
     )
+
+
+@register("events_funnel", """
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT v.user_id,
+       strftime(v.first_view, '%Y-%m-%d %H:%M:%S') AS first_view,
+       count(p.ts) AS purchases_1h,
+       CASE WHEN count(p.ts) > 0 THEN 1 ELSE 0 END AS converted
+FROM v LEFT JOIN p
+  ON p.user_id = v.user_id
+ AND p.ts > v.first_view
+ AND p.ts <= v.first_view + INTERVAL 1 HOUR
+GROUP BY v.user_id, v.first_view
+""")
+def events_funnel(spark, sf_dir):
+    """Conversion funnel: per user, purchases within 1h of their first
+    view. The banded-range join shape (equi on user + time band) — at
+    scale the band predicate pushes into a bucketed-by-user join, never a
+    cross product; min(ts) is one partial-aggregated groupBy."""
+    ev = t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = v.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("first_view"))
+        & (F.col("p_ts") <= F.col("first_view") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("user_id", "first_view").agg(
+        F.count("p_ts").alias("purchases_1h"),
+        F.when(F.count("p_ts") > 0, 1).otherwise(0).alias("converted"),
+    ).select(
+        "user_id",
+        F.date_format("first_view", "yyyy-MM-dd HH:mm:ss").alias("first_view"),
+        "purchases_1h",
+        "converted",
+    )
