@@ -2898,3 +2898,29 @@ def events_funnel(spark, sf_dir):
         "purchases_1h",
         "converted",
     )
+
+
+@register("events_props_extract", """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""")
+def events_props_extract(spark, sf_dir):
+    """JSON property extraction from the event payload column (the
+    reference's nested metric-results documents, metrics.py:454-477, as an
+    ingest-side parse): get_json_object rides the scan — extraction is a
+    projection, only (type, k) reach the aggregation shuffle."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
