@@ -2924,3 +2924,46 @@ def events_props_extract(spark, sf_dir):
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register("metric_ssim", """
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 192),
+           i -> (('0x' || substr(sha256(text || (i // 32)::VARCHAR),
+                                 (i % 32) * 2 + 1, 2))::BIGINT)::DOUBLE) AS x
+  FROM documents WHERE doc_id < 200),
+st AS (
+  SELECT doc_id, x, list_reverse(x) AS y, len(x)::DOUBLE AS n,
+         list_sum(x) AS sx,
+         list_sum(list_transform(x, v -> v * v)) AS sxx
+  FROM px),
+m AS (
+  SELECT doc_id, sx / n AS mx, sx / n AS my,
+         sxx / n - (sx / n) * (sx / n) AS vx,
+         sxx / n - (sx / n) * (sx / n) AS vy,
+         list_sum(list_transform(range(1, len(x) + 1),
+                  i -> x[i] * y[i])) / n - (sx / n) * (sx / n) AS cov
+  FROM st)
+SELECT doc_id,
+       round(((2 * mx * my + 6.5025) * (2 * cov + 58.5225))
+             / ((mx * mx + my * my + 6.5025) * (vx + vy + 58.5225)), 6) AS ssim
+FROM m
+""")
+def metric_ssim(spark, sf_dir):
+    """P7 SSIM: closed-form global SSIM between each stub-decoded image and
+    its mirrored self (x vs reverse(x): identical means/variances, reduced
+    covariance — the metric math is what's under test; real pred⋈gt pairing
+    is join_pred_gt). Decode via the Arrow mapInPandas pass, metric entirely
+    JVM-side higher-order expressions."""
+    from experimentsplan_datapipeline_spark.functions.vectors import ssim_global
+    from experimentsplan_datapipeline_spark.media.images import decode_images
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    bin_df = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    decoded = decode_images(bin_df)
+    x = F.transform(F.col("image.pixels"), lambda v: v.cast("double"))
+    return decoded.select(
+        "doc_id",
+        F.round(ssim_global(x, F.reverse(x)), 6).alias("ssim"),
+    )

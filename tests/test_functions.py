@@ -105,3 +105,23 @@ def test_vector_math(spark):
 
     zero = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], ["a", "b"])
     assert zero.select(cosine_similarity("a", "b").alias("c")).collect()[0].c == 0.0
+
+
+def test_ssim_identical_is_one(spark):
+    from experimentsplan_datapipeline_spark.functions.vectors import ssim_global
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [([10.0, 50.0, 200.0, 30.0],)], ["x"]
+    )
+    out = df.select(F.round(ssim_global("x", "x"), 6).alias("s")).collect()[0]
+    assert out.s == 1.0
+
+
+def test_l2_distance(spark):
+    from experimentsplan_datapipeline_spark.functions.vectors import l2_distance
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([([0.0, 3.0], [4.0, 0.0])], ["a", "b"])
+    out = df.select(F.round(l2_distance("a", "b"), 6).alias("d")).collect()[0]
+    assert out.d == 5.0
