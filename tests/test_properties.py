@@ -112,3 +112,59 @@ def test_exact_dedup_idempotent_and_complete(spark, docs):
     # accounts for every input row
     assert sum(r.dup_count for r in out) == len(docs)
     assert len({r.fingerprint for r in out}) == len(out)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9999), st.sampled_from(["x", "y"])),
+        min_size=2,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    ),
+    buckets=st.integers(1, 40),
+)
+@SLOW
+def test_hash_rank_is_group_permutation(spark, rows, buckets):
+    """hash_rank assigns each group's rows exactly the ranks 1..|group|,
+    for ANY bucket count (bucketing must never skip or duplicate a rank)."""
+    from collections import defaultdict
+
+    from experimentsplan_datapipeline_spark.operators.sampling import hash_rank
+
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = hash_rank(df, ["id"], partition_cols=["grp"], seed=11, buckets=buckets)
+    by_grp = defaultdict(list)
+    for r in out.collect():
+        by_grp[r.grp].append(r.rk)
+    want_sizes = defaultdict(int)
+    for _, g in rows:
+        want_sizes[g] += 1
+    assert {g: sorted(v) for g, v in by_grp.items()} == {
+        g: list(range(1, n + 1)) for g, n in want_sizes.items()
+    }
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@SLOW
+def test_token_entropy_bounds(spark, texts):
+    """0 <= entropy <= ln(n_distinct); shares and ratios land in (0, 1]."""
+    import math
+
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        token_entropy_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "txt"]
+    )
+    for r in token_entropy_profile(df, "id", "txt").collect():
+        assert -1e-9 <= r.entropy <= math.log(r.n_distinct) + 1e-9
+        assert 0 < r.top_share <= 1.0
+        assert 0 < r.distinct_ratio <= 1.0
+        assert r.n_distinct <= r.n_tokens
