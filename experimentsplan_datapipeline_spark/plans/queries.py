@@ -2967,3 +2967,74 @@ def metric_ssim(spark, sf_dir):
         "doc_id",
         F.round(ssim_global(x, F.reverse(x)), 6).alias("ssim"),
     )
+
+
+@register("pairs_contrastive", """
+WITH d AS (SELECT doc_id, source FROM documents),
+pos AS (
+  SELECT doc_id, source,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS pos_id
+  FROM d),
+neg AS (
+  SELECT p.doc_id, p.source, p.pos_id,
+         ('0x' || substr(md5(p.doc_id::VARCHAR || '|42'), 1, 8))::BIGINT
+           % (SELECT count(*) FROM d) AS neg_id
+  FROM pos p)
+SELECT n.doc_id, n.pos_id, n.neg_id
+FROM neg n JOIN d nd ON nd.doc_id = n.neg_id
+WHERE n.pos_id IS NOT NULL AND nd.source <> n.source
+""")
+def pairs_contrastive(spark, sf_dir):
+    """Contrastive training-pair construction (the reference's
+    train_contrastive_diffusion/ is an unimplemented stub — this is the
+    data half it would need): positive = next same-source doc (window
+    lead, parallel across sources), negative = portable-hash-picked doc,
+    kept only when it lands in a different source. One window + one hash
+    join; nothing text-sized shuffles."""
+    from pyspark.sql.window import Window as W
+    from experimentsplan_datapipeline_spark.operators.curation import portable_hash
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    n_docs = d.select(F.count(F.lit(1)).alias("__n"))
+    w = W.partitionBy("source").orderBy("doc_id")
+    pos = d.withColumn("pos_id", F.lead("doc_id").over(w))
+    neg = pos.crossJoin(F.broadcast(n_docs)).withColumn(
+        "neg_id", F.pmod(portable_hash([F.col("doc_id")], 42), F.col("__n"))
+    )
+    nd = d.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return (
+        neg.join(nd, "neg_id")
+        .filter(F.col("pos_id").isNotNull() & (F.col("neg_source") != F.col("source")))
+        .select("doc_id", "pos_id", "neg_id")
+    )
+
+
+@register("normalize_by_group", """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev(value) OVER (PARTITION BY event_type), 6) AS value_z
+FROM events
+""")
+def normalize_by_group(spark, sf_dir):
+    """Per-group feature normalization (z-scale value within event_type) —
+    the feature-engineering analogue of the reference's Normalize transform
+    (P4, train/common/metrics.py:65-73) applied per group. Implemented as
+    groupBy-aggregate + broadcast join back (5 groups), NOT an
+    unbounded-frame window — the window form serializes each group into
+    one task; the join form scales to any group size."""
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"), F.stddev("value").alias("__sd")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("__mu")) / F.col("__sd"), 6).alias(
+                "value_z"
+            ),
+        )
+    )
