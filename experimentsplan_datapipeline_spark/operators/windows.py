@@ -101,3 +101,87 @@ def ordered_limit(df: DataFrame, order_by: Sequence[Column], n: int) -> DataFram
     train/common/examples.py:216). Spark turns orderBy+limit into a
     TakeOrderedAndProject — no global sort materialization."""
     return df.orderBy(*order_by).limit(n)
+
+
+def trailing_stats_halo(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    n_preceding: int = 20,
+    bucket: str = "DAY",
+) -> DataFrame:
+    """Trailing-N-row mean/stddev per group WITHOUT a single-task-per-group
+    window: rows bucket by time, each bucket's last N rows also ride along
+    into the NEXT non-empty bucket as non-emitting "halo" rows, and the
+    frame window runs per (group, bucket) — parallel across buckets, output
+    identical to the global per-group window (every row's N preceding rows
+    are either in its own bucket or in the halo; the successor lookup runs
+    over the DISTINCT bucket table, so empty calendar gaps cannot strand a
+    halo). Adds columns __mu/__sd (trailing stats over rows
+    [-n_preceding, -1]).
+
+    A short bucket cannot strand the frame: a row halos into EVERY later
+    bucket whose start lies within N cumulative rows of it (bucket-pair gap
+    table over per-bucket counts — tiny), so the frame is complete even when
+    several consecutive buckets hold fewer than N rows together.
+
+    The unbounded form of this trade-off is ``normalize_by_group`` (plain
+    aggregate + broadcast join); this is the order-sensitive variant the
+    reference's step-stream monitoring needs (train/train_stage_1/
+    train.py:89-119 logs per-step metrics that dashboards z-score).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    base = df.withColumn("__b", b)
+    # per-(group, bucket) row counts — tiny (groups x non-empty buckets)
+    counts = base.groupBy(group_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("__cum", F.sum("__c").over(wb))
+    # bucket pairs (i -> j, j later) whose inter-bucket gap < N: a row in
+    # the tail of bucket i can appear in the frame of rows in bucket j iff
+    # (rows after it in i) + (rows in buckets strictly between) < N
+    ci = cum.select(
+        F.col(group_col), F.col("__b").alias("__bi"), F.col("__cum").alias("__cum_i")
+    )
+    cj = cum.select(
+        F.col(group_col), F.col("__b").alias("__bj"), F.col("__c").alias("__cj"),
+        F.col("__cum").alias("__cum_j"),
+    )
+    pairs = ci.join(cj, group_col).filter(
+        (F.col("__bj") > F.col("__bi"))
+        & ((F.col("__cum_j") - F.col("__cj")) - F.col("__cum_i") < n_preceding)
+    ).select(group_col, "__bi", "__bj",
+             ((F.col("__cum_j") - F.col("__cj")) - F.col("__cum_i")).alias("__gap"))
+    # tail rows of each bucket (only the last N can ever reach a later frame)
+    wd = Window.partitionBy(group_col, "__b").orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    tails = (
+        base.withColumn("__rnd", F.row_number().over(wd))
+        .filter(F.col("__rnd") <= n_preceding)
+    )
+    halo = (
+        tails.withColumnRenamed("__b", "__bi")
+        .join(F.broadcast(pairs), [group_col, "__bi"])
+        .filter(F.col("__rnd") - 1 + F.col("__gap") < n_preceding)
+        .withColumn("__b", F.col("__bj"))
+        .drop("__bi", "__bj", "__gap", "__rnd")
+        .withColumn("__emit", F.lit(False))
+    )
+    unioned = base.withColumn("__emit", F.lit(True)).unionByName(halo)
+    wf = (
+        Window.partitionBy(group_col, "__b")
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(-n_preceding, -1)
+    )
+    return (
+        unioned.withColumn("__mu", F.avg(value_col).over(wf))
+        .withColumn("__sd", F.stddev(value_col).over(wf))
+        .filter(F.col("__emit"))
+        .drop("__emit", "__b")
+    )

@@ -2828,25 +2828,23 @@ WHERE abs(z) >= 2.5
 def window_zscore(spark, sf_dir):
     """Trailing-window anomaly detection: z-score of each event's value
     against the 20 preceding events of its type; |z| >= 2.5 flags. The
-    standard monitoring shape over the step-keyed metric stream (T1);
-    at scale the per-type serialization bounds via time-bucketed
-    pre-partitioning (each day ranks independently)."""
-    from pyspark.sql.window import Window as W
+    standard monitoring shape over the step-keyed metric stream (T1).
+    Computed via trailing_stats_halo — daily buckets with halo rows, so no
+    per-type single-task window; the oracle is the PLAIN global window
+    SQL, so the pass proves the halo decomposition is exactly equivalent."""
+    from experimentsplan_datapipeline_spark.operators.windows import (
+        trailing_stats_halo,
+    )
 
     ev = t(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-20, -1)
+    stats = trailing_stats_halo(
+        ev, "event_type", "ts", "event_id", "value", n_preceding=20, bucket="DAY"
     )
     return (
-        ev.select(
+        stats.select(
             "event_id",
             "event_type",
-            F.round(
-                (F.col("value") - F.avg("value").over(w)) / F.stddev("value").over(w),
-                6,
-            ).alias("z"),
+            F.round((F.col("value") - F.col("__mu")) / F.col("__sd"), 6).alias("z"),
         )
         .filter(F.abs(F.col("z")) >= 2.5)
     )

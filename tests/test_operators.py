@@ -274,3 +274,45 @@ def test_stratified_exact_two_phase_matches_single_window(spark):
     # stratum "2" holds 666 rows < target 700 -> all kept (reference's
     # short-stratum semantics without replacement)
     assert counts == {"0": 50, "1": 10, "2": 666}
+
+
+def test_trailing_stats_halo_matches_global_window(spark):
+    # buckets deliberately SHORTER than the frame (2-3 rows/day, N=5) so a
+    # row's frame spans several buckets back — the chained-halo path
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    rows = []
+    ts = dt.datetime(2024, 1, 1)
+    for i in range(40):
+        # 2-3 events per day across 2 groups
+        ts = ts + dt.timedelta(hours=9 + (i % 3) * 5)
+        rows.append((i, "g" + str(i % 2), ts, float((i * 37) % 100)))
+    df = spark.createDataFrame(rows, ["event_id", "grp", "ts", "value"])
+
+    from experimentsplan_datapipeline_spark.operators.windows import (
+        trailing_stats_halo,
+    )
+
+    got = {
+        r["event_id"]: (r["__mu"], r["__sd"])
+        for r in trailing_stats_halo(
+            df, "grp", "ts", "event_id", "value", n_preceding=5, bucket="DAY"
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("grp").orderBy("ts", "event_id").rowsBetween(-5, -1)
+    )
+    want = {
+        r.event_id: (r.mu, r.sd)
+        for r in df.select(
+            "event_id",
+            F.avg("value").over(w).alias("mu"),
+            F.stddev("value").over(w).alias("sd"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for a, b in zip(got[k], want[k]):
+            assert (a is None and b is None) or abs(a - b) < 1e-9
