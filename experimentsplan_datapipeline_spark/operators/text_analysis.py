@@ -121,29 +121,57 @@ def pack_sequences(
     """Greedy sequence packing: assign docs (in id order) to fixed
     token-budget bins — the training-batch packing pass.
 
-    bin = floor(cumulative_tokens_before_doc / budget) over an id-ordered
-    window: deterministic, one shuffle (the window sort), and docs larger
-    than the budget get bins to themselves as the cumsum jumps. An exact
-    bin-packing would be sequential; this streaming-friendly rule is the
-    standard scale compromise.
+    bin = floor(cumulative_tokens_before_doc / budget) in id order:
+    deterministic, and docs larger than the budget get bins to themselves
+    as the cumsum jumps. An exact bin-packing would be sequential; this
+    streaming-friendly rule is the standard scale compromise.
+
+    Scale shape: a global id-ordered window is ONE task for the whole
+    corpus. Instead the cumsum is two-phase: range-partition by id, local
+    cumsum per partition (sortWithinPartitions — parallel), per-partition
+    totals (one tiny row each) prefix-sum into broadcast offsets, global
+    cumsum = offset + local. Exact and independent of where the range
+    boundaries land. The totals and the final join both consume the same
+    range exchange (one subtree, deduplicated by Spark's default exchange
+    reuse), so every row sees one consistent boundary set.
     Returns (id, n_tokens, bin).
     """
     from experimentsplan_datapipeline_spark.functions.text import token_count
     from pyspark.sql.window import Window
 
-    w = (
-        Window.orderBy(id_col)
+    sized = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    parallelism = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        sized.repartitionByRange(parallelism, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    sized = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
-    return sized.select(
-        id_col,
-        "n_tokens",
-        (
-            F.floor(
-                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget)
-            )
-        ).cast("long").alias("bin"),
+    local = ranged.withColumn(
+        "__lcum", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    totals = local.groupBy("__pid").agg(F.sum("n_tokens").alias("__tot"))
+    w_off = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor((F.col("__lcum") + F.col("__off")) / F.lit(budget))
+            .cast("long")
+            .alias("bin"),
+        )
     )
 
 

@@ -270,3 +270,19 @@ def test_token_entropy_profile_known_values(spark):
     assert rows[2].entropy == 0.0  # single repeated token
     assert rows[2].distinct_ratio == 0.25
     assert 3 not in rows  # empty doc absent
+
+
+def test_pack_sequences_distributed_matches_cumsum(spark):
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        pack_sequences,
+    )
+
+    rows = [(i, " ".join(["w"] * ((i * 13) % 40 + 1))) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "txt"]).repartition(32)
+    got = {r.id: r.bin for r in pack_sequences(df, "id", "txt", budget=100).collect()}
+    # reference: plain python cumsum in id order
+    cum, want = 0, {}
+    for i, txt in sorted(rows):
+        want[i] = cum // 100
+        cum += len(txt.split())
+    assert got == want
