@@ -127,17 +127,34 @@ def length_buckets(
 ) -> DataFrame:
     """Equal-frequency length buckets for packing-efficient batch assembly.
 
-    ntile over (n_tokens, id) — the id tiebreak makes bucket membership
-    deterministic. One shuffle (the global sort behind ntile); at 100 TB
-    prefer approx quantile cut-points computed once and applied as a
-    projection — this exact form is for bounded curation sets where
-    reproducible bucket membership matters more than avoiding the sort.
+    Exact ntile semantics over (n_tokens, id) — the id tiebreak makes
+    bucket membership deterministic — but computed WITHOUT the single-task
+    global window behind ntile: ``ordered_rank`` range-partitions on the
+    sort key, ranks locally, and offsets by broadcast per-partition counts;
+    the bucket then derives from (rank, total) with ntile's first-buckets-
+    get-the-remainder rule. Identical output to plain ntile at any scale
+    (the oracle runs literal ntile SQL). For approximate needs, quantile
+    cut-points applied as a projection skip the ranking entirely.
     Returns per-bucket stats: (bucket, n_docs, min/max/avg tokens).
     """
-    w = Window.orderBy(F.col("n_tokens"), F.col(id_col))
+    from experimentsplan_datapipeline_spark.operators.sampling import ordered_rank
+
     sized = df.select(F.col(id_col), n_tokens_col.alias("n_tokens"))
+    ranked = ordered_rank(sized, ["n_tokens", id_col], rank_col="__rk")
+    total = sized.select(F.count(F.lit(1)).alias("__tot"))
+    # ntile: first (tot % B) buckets hold ceil(tot/B) rows, the rest floor
+    big = F.floor(F.col("__tot") / n_buckets) + 1
+    small = F.floor(F.col("__tot") / n_buckets)
+    extra = F.col("__tot") % n_buckets
+    cut = extra * big
+    bucket = F.when(
+        F.col("__rk") <= cut, F.floor((F.col("__rk") - 1) / big)
+    ).otherwise(
+        extra + F.floor((F.col("__rk") - cut - 1) / F.greatest(small, F.lit(1)))
+    ) + 1
     return (
-        sized.withColumn("bucket", F.ntile(n_buckets).over(w))
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("bucket", bucket.cast("int"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

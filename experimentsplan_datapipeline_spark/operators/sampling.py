@@ -328,3 +328,44 @@ def curriculum_plan(
         )
         outs.append(s.withColumn("stage", F.lit(stage)))
     return union_all(*outs)
+
+
+def ordered_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "rk",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based rank in ``order_cols`` order without a
+    single-task window — the value-ordered complement of ``hash_rank``.
+
+    Range-partition on the order keys (sampled boundaries balance skewed
+    value distributions), local row_number per partition, per-partition
+    counts prefix-summed into broadcast offsets: rank = offset + local.
+    Exact wherever the boundaries land; both consumers of the ranged data
+    share one exchange (Spark's default exchange reuse). Ties across a
+    boundary get arbitrary relative ranks — pass a unique tiebreak column
+    last, as with any deterministic ranking.
+    """
+    if partitions is None:
+        partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(partitions, *cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    local = ranged.withColumn("__lrk", F.row_number().over(w_local))
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.col("__lrk")).cast("long"))
+        .drop("__pid", "__lrk", "__off")
+    )

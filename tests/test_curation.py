@@ -126,3 +126,44 @@ class TestProfileColumns:
             assert r["n_nulls"] == 0
             assert r["n_distinct"] > 0
             assert r["min_value"] <= r["max_value"]
+
+
+def test_length_buckets_matches_plain_ntile(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from experimentsplan_datapipeline_spark.operators.curation import length_buckets
+
+    # 203 rows % 8 buckets != 0 exercises the remainder rule; 32 partitions
+    # exercises the distributed rank path
+    rows = [(i, ((i * 31) % 57) + 1) for i in range(203)]
+    df = spark.createDataFrame(rows, ["id", "n"]).repartition(32)
+    got = {
+        r.bucket: (r.n_docs, r.min_tokens, r.max_tokens)
+        for r in length_buckets(df, "id", F.col("n"), n_buckets=8).collect()
+    }
+    w = Window.orderBy("n_tokens", "id")
+    want_rows = (
+        df.select("id", F.col("n").alias("n_tokens"))
+        .withColumn("bucket", F.ntile(8).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("mn"),
+            F.max("n_tokens").alias("mx"),
+        )
+        .collect()
+    )
+    want = {r.bucket: (r.n_docs, r.mn, r.mx) for r in want_rows}
+    assert got == want
+
+
+def test_ordered_rank_is_sorted_permutation(spark):
+    from experimentsplan_datapipeline_spark.operators.sampling import ordered_rank
+
+    rows = [(i, (i * 17) % 23) for i in range(150)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(32)
+    out = ordered_rank(df, ["v", "id"], rank_col="rk").collect()
+    assert sorted(r.rk for r in out) == list(range(1, 151))
+    by_rank = sorted(out, key=lambda r: r.rk)
+    assert [(r.v, r.id) for r in by_rank] == sorted((v, i) for i, v in rows)
