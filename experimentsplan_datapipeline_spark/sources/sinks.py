@@ -103,3 +103,28 @@ def write_partitioned(
     the selected slices.
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_binary_files(
+    df: DataFrame, out_dir: str, name_col: str = "name", content_col: str = "content"
+) -> None:
+    """S10: per-row binary artifact sink — each row's content bytes land in
+    ``{out_dir}/{name}`` (the reference saves generated PNGs named
+    ``{stem}_result.png`` in a driver loop, train/train_CATVTON/
+    inference.py:210-213; here every executor writes its own partition's
+    files in parallel). Names must be bare filenames — separators are
+    rejected so a crafted name cannot escape the sink directory. For object
+    stores swap the open() for the Hadoop FileSystem API; the partition
+    layout is identical.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        for r in rows:
+            name = r[name_col]
+            if os.sep in name or name in (".", ".."):
+                raise ValueError(f"not a bare filename: {name!r}")
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(bytes(r[content_col]))
+
+    df.select(name_col, content_col).foreachPartition(write_partition)

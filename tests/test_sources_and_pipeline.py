@@ -157,3 +157,29 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     # the data filters
     assert "PartitionFilters" in plan and "difficulty" in plan.split("PartitionFilters")[1][:120]
     assert back.count() == 20
+
+
+def test_write_binary_files(spark, tmp_path):
+    import os
+
+    from experimentsplan_datapipeline_spark.sources.sinks import write_binary_files
+
+    df = spark.createDataFrame(
+        [("a_result.png", b"\x89PNG-a"), ("b_result.png", b"\x89PNG-b")],
+        ["name", "content"],
+    )
+    out = str(tmp_path / "imgs")
+    write_binary_files(df, out)
+    assert sorted(os.listdir(out)) == ["a_result.png", "b_result.png"]
+    with open(os.path.join(out, "a_result.png"), "rb") as f:
+        assert f.read() == b"\x89PNG-a"
+
+
+def test_write_binary_files_rejects_traversal(spark, tmp_path):
+    import pytest as _pytest
+
+    from experimentsplan_datapipeline_spark.sources.sinks import write_binary_files
+
+    df = spark.createDataFrame([("../evil", b"x")], ["name", "content"])
+    with _pytest.raises(Exception):
+        write_binary_files(df, str(tmp_path / "imgs"))
