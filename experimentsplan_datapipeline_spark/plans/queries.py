@@ -3036,3 +3036,72 @@ def normalize_by_group(spark, sf_dir):
             ),
         )
     )
+
+
+@register("dedup_chunks", r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents WHERE length(trim(text)) > 0),
+chunks AS (
+  SELECT doc_id, i AS chunk_id,
+         array_to_string(tk[i*56+1 : i*56+64], ' ') AS chunk_text
+  FROM toks CROSS JOIN unnest(generate_series(0,
+         greatest(ceil((len(tk) - 8) / 56.0)::INT, 1) - 1)) AS t(i))
+SELECT md5(chunk_text) AS fp, count(*) AS dup_count,
+       min(doc_id) AS rep_doc, min(len(string_split(chunk_text, ' '))) AS n_tokens
+FROM chunks
+GROUP BY md5(chunk_text)
+HAVING count(*) >= 2
+""")
+def dedup_chunks(spark, sf_dir):
+    """Paragraph-level dedup: chunk every document (64-token windows),
+    fingerprint each chunk, keep fingerprints seen >= 2 times — catches
+    copy-pasted passages ACROSS documents that whole-document dedup
+    misses. Chunking rides the scan; only (16-byte fp) rows shuffle."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    return (
+        chunks.withColumn("fp", F.md5("chunk_text"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("rep_doc"),
+            F.min(F.size(F.split("chunk_text", " "))).alias("n_tokens"),
+        )
+        .filter(F.col("dup_count") >= 2)
+    )
+
+
+@register("boilerplate_ngrams", r"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 4, 0) + 1),
+           i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+4], ' ')
+         ))) AS g
+  FROM documents)
+SELECT g AS ngram, count(*) AS doc_freq FROM grams
+GROUP BY g HAVING count(*) >= 3
+""")
+def boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate/template detection: 5-grams appearing in >= 3 distinct
+    documents (each doc contributes its distinct grams once). The inverted-
+    index shape of contamination_check turned on the corpus itself; the
+    output list feeds a removal regexp. One shuffle of (gram) rows after
+    per-doc dedup."""
+    from experimentsplan_datapipeline_spark.functions.text import ngrams
+
+    docs = t(spark, sf_dir, "documents")
+    toks_lower = F.lower(F.col("text"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams(toks_lower, 5))).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 3)
+    )
