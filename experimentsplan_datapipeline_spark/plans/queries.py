@@ -3105,3 +3105,27 @@ def boilerplate_ngrams(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .filter(F.col("doc_freq") >= 3)
     )
+
+
+@register("embedding_centroids", """
+SELECT label, dim, round(avg(v), 6) AS mean_v, count(*) AS n
+FROM (SELECT label, i AS dim, embedding[i]::DOUBLE AS v
+      FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) AS t(i))
+GROUP BY label, dim
+""")
+def embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroid (long format: one row per label x dim) —
+    cluster profiling / codebook seeding. posexplode fans each vector to 64
+    (label, dim, value) rows that partial-aggregate map-side, so the
+    shuffle carries one partial sum per (label, dim) per partition, not
+    the vectors."""
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "v")
+        )
+        .select("label", (F.col("pos") + 1).alias("dim"),
+                F.col("v").cast("double").alias("v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("mean_v"), F.count(F.lit(1)).alias("n"))
+    )
