@@ -99,3 +99,14 @@ class TestNewOpPlanShapes:
         plan = _plan(spark, "mixture_interleave")
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_no_query_degrades_to_cartesian_product(spark):
+    """Registry-wide plan lint: no registered query may plan a non-broadcast
+    CartesianProduct — the all-pairs shapes (ngram_jaccard, dedup_embedding)
+    are bounded AND broadcastable, so even they must come out as broadcast
+    nested-loop, never a shuffled cartesian."""
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
