@@ -63,6 +63,32 @@ def main() -> None:
         f"{len(revenue)} groups, {sum(counts.values())} rows aggregated"
     )
 
+    # --- dedup family, same style: per-row md5 fingerprint into a dict
+    # (the reference's completeness/lookup loops, dataset.py:112-159 shape)
+    import hashlib
+    import re
+
+    t2 = time.time()
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    load2_s = time.time() - t2
+    t3 = time.time()
+    seen: dict[str, tuple[int, int]] = {}
+    for row in docs:
+        fp = hashlib.md5(
+            re.sub(r"\s+", " ", row["text"].strip().lower()).encode()
+        ).hexdigest()
+        rep, n = seen.get(fp, (row["doc_id"], 0))
+        seen[fp] = (min(rep, row["doc_id"]), n + 1)
+    dedup_s = time.time() - t3
+    print(
+        f"reference-shape exact-dedup @ {sf_dir}: "
+        f"total={round(load2_s + dedup_s, 3)}s "
+        f"(load={round(load2_s, 3)}s, fingerprint+group={round(dedup_s, 3)}s), "
+        f"{len(seen)} fingerprints over {len(docs)} docs"
+    )
+
 
 if __name__ == "__main__":
     main()
