@@ -68,9 +68,12 @@ def minhash_signatures(
         base = portable_hash([F.col("__sh")], portable_seed)
     else:
         base = F.xxhash64("__sh")
+    # distinct BEFORE exploding: duplicate shingles cannot change any of the
+    # K minima, so hashing them is pure waste (word-salad text repeats
+    # shingles heavily)
     exploded = spread_small_input(df).select(
         F.col(id_col),
-        F.explode(ngrams(text_col, shingle_size)).alias("__sh"),
+        F.explode(F.array_distinct(ngrams(text_col, shingle_size))).alias("__sh"),
     ).select(F.col(id_col), F.pmod(base, p).alias("__h"))
     aggs = []
     for i in range(num_hashes):
