@@ -256,15 +256,18 @@ HAVING count(DISTINCT l_returnflag) = 3
 def join_triplet(spark, sf_dir):
     """J1: group-pivot assembly + completeness (triplet shape).
 
-    Explicit pivot values skip the distinct-values job; dropna is the
-    completeness filter.
+    Implemented as conditional aggregation — one slot-sum per pivot value
+    in a SINGLE groupBy — rather than ``.pivot()``, which plans a second
+    exchange (agg by (key, slot), then pivotfirst by key). Same result,
+    half the shuffles; dropna is the completeness filter (dataset.py:
+    143-159's keep-only-complete-stems semantics).
     """
-    pivoted = (
-        t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.round(F.sum("l_quantity"), 2))
-        .withColumnsRenamed({"A": "qty_a", "N": "qty_n", "R": "qty_r"})
+    li = t(spark, sf_dir, "lineitem")
+    slot = lambda v: F.round(  # noqa: E731
+        F.sum(F.when(F.col("l_returnflag") == v, F.col("l_quantity"))), 2
+    )
+    pivoted = li.groupBy("l_orderkey").agg(
+        slot("A").alias("qty_a"), slot("N").alias("qty_n"), slot("R").alias("qty_r")
     )
     return pivoted.na.drop(subset=["qty_a", "qty_n", "qty_r"])
 
