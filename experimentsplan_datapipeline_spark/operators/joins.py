@@ -27,14 +27,18 @@ def assemble_triplets(
 
     Reference: group S3 keys by extracted stem, one slot per image_type,
     keep only stems with all three slots filled
-    (train/common/dataset.py:112-159). One shuffle (groupBy key), pivot with
-    an explicit slot list so Spark skips the extra distinct-values job.
+    (train/common/dataset.py:112-159). ONE shuffle: a conditional
+    first-non-null per slot in a single groupBy — ``.pivot()`` would plan a
+    second exchange (agg by (key, slot), then pivotfirst by key) for the
+    same result.
     """
-    pivoted = (
-        df.groupBy(key_col)
-        .pivot(slot_col, list(slots))
-        .agg(F.first(value_col, ignorenulls=True))
-    )
+    aggs = [
+        F.first(
+            F.when(F.col(slot_col) == s, F.col(value_col)), ignorenulls=True
+        ).alias(s)
+        for s in slots
+    ]
+    pivoted = df.groupBy(key_col).agg(*aggs)
     return pivoted.na.drop(subset=list(slots))
 
 
