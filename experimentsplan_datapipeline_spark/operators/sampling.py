@@ -119,11 +119,12 @@ def stratified_with_replacement(
     (train/common/dataset.py:205-216). Implementation: deterministic
     round-robin replication — rank rows within the stratum, then each row i
     appears ceil/floor times so the stratum totals exactly ``target``.
-    Deterministic (hash-ranked), single shuffle + explode.
+    Deterministic (hash-ranked), and scale-shaped: the in-stratum rank is
+    ``hash_rank`` (range-bucketed, no single-task window — identical md5
+    ordering to the rest of the sampler family) and stratum sizes come
+    from a partial-aggregated groupBy broadcast back, never a whole-
+    stratum count window.
     """
-    rk = _rank_col(key_cols, "hash", seed)
-    w = Window.partitionBy(stratum_col).orderBy(rk, *[F.col(c) for c in key_cols])
-    cnt_w = Window.partitionBy(stratum_col)
     target_expr = None
     for stratum, n in targets.items():
         cond = F.col(stratum_col) == stratum
@@ -131,9 +132,12 @@ def stratified_with_replacement(
             F.when(cond, n) if target_expr is None else target_expr.when(cond, n)
         )
     target_expr = target_expr.otherwise(0)
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
     ranked = (
-        df.withColumn("__rk", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(cnt_w))
+        hash_rank(
+            df, key_cols, partition_cols=[stratum_col], seed=seed, rank_col="__rk"
+        )
+        .join(F.broadcast(counts), stratum_col)
         .withColumn("__target", target_expr)
     )
     # row i (1-based) replicates: base = target div n, +1 for the first
