@@ -3132,3 +3132,24 @@ def embedding_centroids(spark, sf_dir):
         .groupBy("label", "dim")
         .agg(F.round(F.avg("v"), 6).alias("mean_v"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@register("agg_corr", """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def agg_corr(spark, sf_dir):
+    """Pearson correlation per group — the normalized companion to
+    agg_cov_shape's covariance (the FID-style feature-statistics family,
+    train/train_stage_1/metrics.py:13-55): a single partial-aggregated
+    groupBy (corr's sufficient statistics combine map-side)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_extendedprice"), 6).alias("corr_disc_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
