@@ -164,7 +164,9 @@ def test_token_entropy_bounds(spark, texts):
         [(i, t) for i, t in enumerate(texts)], ["id", "txt"]
     )
     for r in token_entropy_profile(df, "id", "txt").collect():
-        assert -1e-9 <= r.entropy <= math.log(r.n_distinct) + 1e-9
+        # entropy is rounded to 6 decimals in the operator (oracle-portable
+        # hashing), so the bound check needs a half-ulp-of-rounding slack.
+        assert -5e-7 <= r.entropy <= math.log(r.n_distinct) + 5e-7
         assert 0 < r.top_share <= 1.0
         assert 0 < r.distinct_ratio <= 1.0
         assert r.n_distinct <= r.n_tokens
