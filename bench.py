@@ -41,6 +41,8 @@ HEADLINE = [
     "mixture_interleave",
     "join_topk_per_key",
     "media_frame_sample",
+    "bm25_topk",
+    "join_bloom_semi",
 ]
 
 

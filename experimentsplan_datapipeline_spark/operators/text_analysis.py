@@ -69,6 +69,96 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    cache_tf: bool = False,
+) -> DataFrame:
+    """BM25 retrieval: top-k documents per query, Lucene idf form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always positive). Query terms are
+    deduplicated (short-query convention; no query-term-frequency weight).
+
+    Scale shape: the query term set broadcasts onto the term-frequency side,
+    pruning the corpus to docs containing at least one query term BEFORE any
+    further join. Document frequency is computed only for the pruned
+    vocabulary (|query vocab| rows, broadcast back). Corpus stats (N, avgdl)
+    stay in-plan as a single-row broadcast aggregate. Doc length joins on
+    the doc key — the only corpus-scale shuffle after tf itself. Final
+    ranking is two-phase top-k (per-bucket partials), never one task per
+    query. N counts docs with >= 1 token (empty docs can never match).
+
+    The tf subplan feeds three branches (doc length, doc frequency, the
+    scored join); Catalyst re-derives it per branch, so a lazy one-shot run
+    scans the corpus three times. Pass ``cache_tf=True`` to persist tf
+    (MEMORY_AND_DISK) when the corpus fits the cluster's storage tier or
+    when serving many query batches over one corpus — the caller owns the
+    eventual ``unpersist``.
+
+    Reference parity: the reference has no retrieval op; this extends the
+    north-star text-analysis family (BASELINE.json mandate).
+    """
+    from experimentsplan_datapipeline_spark.operators.windows import (
+        top_k_per_key_two_phase,
+    )
+
+    tf = (
+        spread_small_input(docs)
+        .select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if cache_tf:
+        tf = tf.persist()
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(_tokens(query_text_col))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    qvocab = qterms.select("term").distinct()
+    dfreq = (
+        tf.join(F.broadcast(qvocab), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * F.col("tf").cast("double") * (k1 + 1.0) / (
+        F.col("tf").cast("double")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+    return top_k_per_key_two_phase(
+        scored,
+        [query_id_col],
+        [F.col("bm25").desc(), F.col(id_col).asc()],
+        k,
+        bucket_cols=[id_col],
+    ).select(query_id_col, id_col, "bm25", "rank")
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

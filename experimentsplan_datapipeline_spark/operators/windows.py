@@ -71,6 +71,43 @@ def top_k_per_key(
     )
 
 
+def top_k_per_key_two_phase(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Ranked top-k when there are FEW keys with HUGE groups (the shape a
+    plain window can't survive: partitionBy(query_id) over a 100 TB corpus
+    funnels each key through one task).
+
+    Phase 1 ranks within (key, hash-bucket-of-row-identity) — n_buckets-way
+    parallel per key — and keeps <= k rows per bucket. Phase 2 ranks the
+    <= k*n_buckets survivors per key, which is driver-trivial. Any row in
+    the true top-k is in the top-k of its own bucket, so the result is
+    exactly the single-window answer; ``order_by`` must be deterministic
+    (rounded value + tiebreak) for that equivalence to be engine-stable.
+    """
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in bucket_cols]), F.lit(n_buckets)
+    )
+    w1 = Window.partitionBy(*[F.col(c) for c in key_cols], bucket).orderBy(
+        *order_by
+    )
+    survivors = (
+        df.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def priority_fallback(
     sources: Sequence[tuple[DataFrame, int]], key_cols: Sequence[str],
     ts_col: str, tiebreak: Sequence[Column] = (),

@@ -3153,3 +3153,71 @@ def agg_corr(spark, sf_dir):
         F.round(F.corr("l_discount", "l_extendedprice"), 6).alias("corr_disc_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register("bm25_topk", r"""
+WITH q(query_id, query_text) AS (
+  VALUES ('q1', 'fast table scan'), ('q2', 'stream window agg sort')),
+qt AS (
+  SELECT query_id, unnest(list_distinct(
+           regexp_split_to_array(trim(lower(query_text)), '\s+'))) AS term
+  FROM q),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df
+  FROM tf WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))),
+               6) AS bm25
+  FROM tf JOIN qt USING (term)
+          JOIN dfreq ON tf.term = dfreq.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id)
+SELECT query_id, doc_id, bm25, rank FROM (
+  SELECT query_id, doc_id, bm25,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+""")
+def bm25_topk_q(spark, sf_dir):
+    """BM25 retrieval (north-star text analysis): top-10 documents for each
+    of two literal queries, Lucene idf. Query vocab broadcasts onto the
+    term-frequency side so the corpus prunes before any corpus-scale join;
+    ranking is two-phase top-k (never one task per query)."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import bm25_topk
+
+    queries = spark.createDataFrame(
+        [("q1", "fast table scan"), ("q2", "stream window agg sort")],
+        ["query_id", "query_text"],
+    )
+    return bm25_topk(
+        t(spark, sf_dir, "documents"), queries, "doc_id", "text", k=10
+    )
+
+
+@register("join_bloom_semi", """
+SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+""")
+def join_bloom_semi(spark, sf_dir):
+    """S14 existence probe at scale: Bloom-pruned exact semi join. The
+    bitset built over the filtered build side prunes the probe side before
+    its shuffle; the trailing exact semi join makes the result bit-identical
+    to a plain semi join (which is what the oracle runs)."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    return jn.bloom_semi_join(li, sup, "l_suppkey", "s_suppkey").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"
+    )

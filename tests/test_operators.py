@@ -316,3 +316,96 @@ def test_trailing_stats_halo_matches_global_window(spark):
     for k in want:
         for a, b in zip(got[k], want[k]):
             assert (a is None and b is None) or abs(a - b) < 1e-9
+
+
+def test_bloom_semi_join_matches_exact_semi(spark):
+    """Bloom prune must never change the semi-join answer (false positives
+    are filtered by the trailing exact join; hashing keys as strings on
+    both sides prevents type-split false negatives)."""
+    from experimentsplan_datapipeline_spark.operators.joins import (
+        bloom_semi_join,
+        semi_join,
+    )
+
+    big = spark.range(0, 5000).selectExpr("id as k", "id * 2 as v")
+    small = spark.range(0, 5000).selectExpr("cast(id * 7 as int) as sk").filter(
+        "sk < 300"
+    )
+    got = sorted(
+        r["k"] for r in bloom_semi_join(big, small, "k", "sk").collect()
+    )
+    want = sorted(
+        r["k"]
+        for r in semi_join(
+            big.alias("l"), small.alias("r"),
+            big["k"] == small["sk"],
+        ).collect()
+    )
+    assert got == want and len(got) == 43  # multiples of 7 below 300
+
+
+def test_bloom_semi_join_empty_build_side(spark):
+    from experimentsplan_datapipeline_spark.operators.joins import bloom_semi_join
+
+    big = spark.range(0, 100).selectExpr("id as k")
+    small = spark.range(0, 100).selectExpr("id as sk").filter("sk < 0")
+    assert bloom_semi_join(big, small, "k", "sk").count() == 0
+
+
+def test_two_phase_topk_equals_single_window(spark):
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.operators.windows import (
+        top_k_per_key_two_phase,
+        top_k_per_key,
+    )
+
+    df = spark.range(0, 3000).selectExpr(
+        "cast(id % 3 as string) as key",
+        "id as rid",
+        "cast((id * 131) % 997 as double) as score",
+    )
+    order = [F.col("score").desc(), F.col("rid").asc()]
+    got = sorted(
+        (r["key"], r["rid"], r["rank"])
+        for r in top_k_per_key_two_phase(
+            df, ["key"], order, 7, bucket_cols=["rid"], n_buckets=8
+        ).collect()
+    )
+    want_rows = top_k_per_key(df, ["key"], order, 7).collect()
+    # recompute ranks for the single-window reference
+    want = sorted(
+        (r["key"], r["rid"], rank)
+        for key in {r["key"] for r in want_rows}
+        for rank, r in enumerate(
+            sorted(
+                (r for r in want_rows if r["key"] == key),
+                key=lambda r: (-r["score"], r["rid"]),
+            ),
+            start=1,
+        )
+    )
+    assert got == want
+
+
+def test_bm25_topk_ranks_matching_docs(spark):
+    from experimentsplan_datapipeline_spark.operators.text_analysis import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffle join"),
+            (1, "spark spark spark shuffle"),
+            (2, "cat dog fish"),
+            (3, "join join shuffle spark extra words here padding tokens"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [("q1", "spark shuffle")], ["query_id", "query_text"]
+    )
+    rows = bm25_topk(docs, queries, "doc_id", "text", k=10).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert ids == {0, 1, 3}  # doc 2 shares no term -> absent
+    assert all(r["bm25"] > 0 for r in rows)
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == [1, 2, 3]

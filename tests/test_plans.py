@@ -110,3 +110,24 @@ def test_no_query_degrades_to_cartesian_product(spark):
     for name, fn in QUERIES.items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+class TestNewOpPlanShapes:
+    def test_bloom_semi_prunes_before_shuffle(self, spark):
+        """The bloom bit-test must reach the probe-side scan (DataFilters),
+        and the trailing exact semi join must still be present."""
+        plan = _plan(spark, "join_bloom_semi")
+        scan_lines = [
+            l for l in plan.splitlines()
+            if "FileScan" in l and "lineitem" in l
+        ]
+        assert scan_lines and "element_at" in scan_lines[0]
+        assert "LeftSemi" in plan
+
+    def test_bm25_broadcasts_query_side(self, spark):
+        """Query vocab, doc frequency, and corpus stats all broadcast; the
+        only corpus-scale exchanges are the tf/doc-length aggregations."""
+        plan = _plan(spark, "bm25_topk")
+        assert plan.count("BroadcastExchange") >= 3
+        assert "CartesianProduct" not in plan
