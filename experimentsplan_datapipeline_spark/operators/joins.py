@@ -192,6 +192,31 @@ def bloom_semi_join(
     )
 
 
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """MERGE INTO with last-write-wins semantics: rows in ``updates``
+    override same-key rows in ``base``; new keys insert. The generalized
+    batch form of the reference's "latest/ overwrite" checkpoint publish
+    (train/train_CATVTON/utils.py:39-40, train/common/checkpoint_utils.py).
+
+    ONE shuffle: union + groupBy(key) with a priority-keyed ``max_by`` on
+    the packed payload struct (map-side combinable) — no window, no join.
+    Both sides must be unique per key (dedup upstream otherwise); column
+    sets must match ``base``'s non-key columns.
+    """
+    cols = [c for c in base.columns if c not in key_cols]
+    tagged = base.select(
+        *key_cols, *cols, F.lit(0).alias("__prio")
+    ).unionByName(updates.select(*key_cols, *cols, F.lit(1).alias("__prio")))
+    payload = F.struct(*[F.col(c) for c in cols])
+    return (
+        tagged.groupBy(*key_cols)
+        .agg(F.max_by(payload, F.col("__prio")).alias("__p"))
+        .select(*key_cols, *[F.col(f"__p.{c}").alias(c) for c in cols])
+    )
+
+
 def anti_join(left: DataFrame, right: DataFrame, on: Column) -> DataFrame:
     """S14 complement: rows with no match (missing-asset detection)."""
     return left.join(right, on, "left_anti")

@@ -3221,3 +3221,82 @@ def join_bloom_semi(spark, sf_dir):
     return jn.bloom_semi_join(li, sup, "l_suppkey", "s_suppkey").select(
         "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"
     )
+
+
+@register("merge_upsert", """
+WITH u AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT -o_orderkey - 1, 'I', o_totalprice
+  FROM orders WHERE o_orderkey % 17 = 0),
+b AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+allr AS (
+  SELECT *, 1 AS prio FROM u
+  UNION ALL
+  SELECT *, 0 AS prio FROM b)
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderkey ORDER BY prio DESC) AS rn
+  FROM allr)
+WHERE rn = 1
+""")
+def merge_upsert_q(spark, sf_dir):
+    """MERGE/upsert (last-write-wins): a deterministic update batch
+    (10% modified rows + inserts under fresh negative keys) merged into
+    orders by key — one shuffle via priority max_by, no window/join."""
+    o = t(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    # doubling is IEEE-exact, so no cross-engine rounding is needed anywhere
+    upd = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 17 == 0).select(
+                # -key - 1 so key 0 (divisible by both 10 and 17) cannot
+                # collide with its own 'U' row — a same-key same-priority
+                # tie would be genuinely nondeterministic
+                (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+                F.lit("I").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+            )
+        )
+    )
+    return jn.merge_upsert(base, upd, ["o_orderkey"])
+
+
+@register("union_evolve", """
+SELECT id, name, round(acctbal, 2) AS acctbal, nationkey, src FROM (
+  SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+         NULL AS nationkey, 'customer' AS src
+  FROM customer
+  UNION ALL BY NAME
+  SELECT s_suppkey AS id, s_name AS name, s_nationkey::BIGINT AS nationkey,
+         NULL AS acctbal, 'supplier' AS src
+  FROM supplier)
+""")
+def union_evolve(spark, sf_dir):
+    """Schema-evolution union: two sources with divergent columns align by
+    name, missing columns null-fill (unionByName allowMissingColumns —
+    the mergeSchema read path expressed relationally). Pure narrow op:
+    zero shuffles at any scale."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.lit("customer").alias("src"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        F.lit("supplier").alias("src"),
+    )
+    return c.unionByName(s, allowMissingColumns=True).select(
+        "id", "name", "acctbal", "nationkey", "src"
+    )

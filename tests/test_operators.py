@@ -409,3 +409,23 @@ def test_bm25_topk_ranks_matching_docs(spark):
     assert all(r["bm25"] > 0 for r in rows)
     ranks = sorted(r["rank"] for r in rows)
     assert ranks == [1, 2, 3]
+
+
+def test_merge_upsert_semantics(spark):
+    """Updates override by key, new keys insert, untouched base rows pass
+    through — one max_by aggregation, no window."""
+    from experimentsplan_datapipeline_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 99.0), (9, "new", 1.0)], ["k", "s", "v"]
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(base, upd, ["k"]).collect()}
+    assert got == {
+        1: ("a", 10.0),
+        2: ("B", 99.0),
+        3: ("c", 30.0),
+        9: ("new", 1.0),
+    }
