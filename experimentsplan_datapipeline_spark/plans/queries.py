@@ -3300,3 +3300,108 @@ def union_evolve(spark, sf_dir):
     return c.unionByName(s, allowMissingColumns=True).select(
         "id", "name", "acctbal", "nationkey", "src"
     )
+
+
+def _events_stream(spark, sf_dir):
+    """File-stream over the events parquet with the nanos->micros fix
+    (same normalization as the batch ``t()`` reader)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    _ensure_events_readable(spark)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+@register("stream_session", """
+SELECT event_type, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM (SELECT *, sum(new_session) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                                >= INTERVAL 30 MINUTE
+                           OR lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+            FROM events))
+GROUP BY event_type, session_id
+""")
+def stream_session(spark, sf_dir):
+    """T2 live (session domain): readStream -> watermarked session_window ->
+    memory sink drained with availableNow; the LIVE twin of the batch
+    events_session (same gaps-and-islands oracle). Complete output mode so
+    sessions still open at end-of-stream land too."""
+    from experimentsplan_datapipeline_spark.streaming.events import (
+        sessionized_metrics,
+    )
+
+    sessions = sessionized_metrics(
+        _events_stream(spark, sf_dir), gap="30 minutes", watermark="2 hours"
+    )
+    name = "stream_session_result"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    return spark.table(name).select(
+        "event_type",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n",
+        "avg_value",
+    )
+
+
+@register("stream_funnel_join", """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+SELECT v.user_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS left_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS right_ts,
+       p.event_id AS right_event_id, p.value AS right_value
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+""")
+def stream_funnel_join(spark, sf_dir):
+    """LIVE stream-stream interval join: the view->purchase attribution
+    funnel joined across two watermarked streams (state evictable because
+    the time band is bounded both ways). Batch twin: events_funnel."""
+    from experimentsplan_datapipeline_spark.streaming.events import (
+        stream_stream_interval_join,
+    )
+
+    ev_v = _events_stream(spark, sf_dir)
+    ev_p = _events_stream(spark, sf_dir)
+    views = ev_v.filter(F.col("event_type") == "view").select("user_id", "ts")
+    buys = ev_p.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = stream_stream_interval_join(
+        views, buys, "user_id", within="1 hour", watermark="2 hours"
+    )
+    name = "stream_funnel_join_result"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("left_ts", "yyyy-MM-dd HH:mm:ss").alias("left_ts"),
+        F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("right_ts"),
+        "right_event_id",
+        "right_value",
+    )

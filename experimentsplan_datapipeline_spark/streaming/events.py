@@ -168,6 +168,73 @@ def run_available_now(writer, timeout_sec: float = 120.0) -> None:
         q.stop()
 
 
+def sessionized_metrics(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """T2 (session domain): gap-based session windows with bounded state.
+
+    ``session_window`` merges events closer than ``gap`` into one window
+    per key; the watermark lets the engine finalize (and drop state for)
+    sessions once no in-gap extension can still arrive. Same logical plan
+    runs batch — the oracle twin is the gaps-and-islands rewrite
+    (plans/queries.py::events_session).
+    """
+    wm = events.withWatermark(ts_col, watermark)
+    return wm.groupBy(
+        F.col(key_col), F.session_window(ts_col, gap).alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(value_col), 6).alias("avg_value"),
+    )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream join: right events within ``(left.ts,
+    left.ts + within]`` of a same-key left event (the funnel shape —
+    view -> purchase within the attribution window — as a LIVE join).
+
+    Both sides carry watermarks and the join condition bounds the time
+    range in BOTH directions, so Spark can size the state store and evict
+    rows once they can no longer match — without the range bound,
+    stream-stream state grows forever. Batch twin:
+    operators/joins.py::range_join_banded (events_funnel's oracle shape).
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{ts_col}") > F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key_col}").alias(key_col),
+        F.col(f"l.{ts_col}").alias("left_ts"),
+        F.col(f"r.{ts_col}").alias("right_ts"),
+        *[
+            F.col(f"l.{c}").alias(f"left_{c}")
+            for c in left.columns
+            if c not in (key_col, ts_col)
+        ],
+        *[
+            F.col(f"r.{c}").alias(f"right_{c}")
+            for c in right.columns
+            if c not in (key_col, ts_col)
+        ],
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     id_cols: list[str],

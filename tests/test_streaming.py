@@ -170,3 +170,102 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.event_id for r in spark.table("dedup_stream_out").collect())
     assert got == [1, 2, 3]
+
+
+def test_sessionized_metrics_stream_matches_batch(spark, tmp_path):
+    """Session windows computed on a live stream equal the batch run of the
+    same plan (and the gaps-and-islands semantics)."""
+    from experimentsplan_datapipeline_spark.streaming.events import (
+        run_available_now,
+        sessionized_metrics,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [
+        (_ts(0), "loss", 1.0),
+        (_ts(10), "loss", 2.0),   # within 30min gap -> same session
+        (_ts(55), "loss", 3.0),   # 45min gap -> new session
+        (_ts(5), "lr", 0.1),
+    ]
+    _write_chunk(spark, src, rows)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = sessionized_metrics(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.w.start.minute): (r.n, r.avg_value)
+        for r in spark.table("sess_out").collect()
+    }
+    batch = sessionized_metrics(
+        spark.read.schema(SCHEMA).parquet(src), gap="30 minutes"
+    )
+    want = {
+        (r.event_type, r.w.start.minute): (r.n, r.avg_value)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert got[("loss", 0)] == (2, 1.5)
+    assert got[("loss", 55)] == (1, 3.0)
+
+
+def test_stream_stream_interval_join_live(spark, tmp_path):
+    """Two live streams join on key + time band; result equals the batch
+    join of the same frames."""
+    from experimentsplan_datapipeline_spark.streaming.events import (
+        stream_stream_interval_join,
+    )
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    views = [
+        (1, _ts(0), 0.0),
+        (2, _ts(5), 0.0),
+        (3, _ts(10), 0.0),
+    ]
+    buys = [
+        (1, _ts(20), 9.0),   # within 1h of view -> match
+        (2, _ts(4), 5.0),    # BEFORE the view -> no match
+        (3, _ts(10), 7.0),   # equal ts -> excluded (strict >)
+    ]
+    vsrc, bsrc = str(tmp_path / "v"), str(tmp_path / "b")
+    spark.createDataFrame(views, schema).write.parquet(vsrc)
+    spark.createDataFrame(buys, schema).write.parquet(bsrc)
+
+    vs = spark.readStream.schema(schema).parquet(vsrc)
+    bs = spark.readStream.schema(schema).parquet(bsrc)
+    joined = stream_stream_interval_join(vs, bs, "user_id", within="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.right_value) for r in spark.table("ssj_out").collect()
+    )
+    assert got == [(1, 9.0)]
+
+    batch = stream_stream_interval_join(
+        spark.read.schema(schema).parquet(vsrc),
+        spark.read.schema(schema).parquet(bsrc),
+        "user_id",
+        within="1 hour",
+    )
+    want = sorted((r.user_id, r.right_value) for r in batch.collect())
+    assert got == want
