@@ -296,3 +296,90 @@ def crop_images(
             yield out
 
     return with_off.mapInPandas(run, schema=out_schema).drop("__oy", "__ox")
+
+
+def image_ahash(
+    decoded: DataFrame, image_col: str = "image"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over a decoded image: per-position
+    luminance vs the image mean -> 64 bits, packed as two 32-bit halves
+    (``ahash_lo`` bits 0-31, ``ahash_hi`` bits 32-63; two halves so the
+    packing is a plain integer SUM — no sign-bit traps in any engine).
+
+    All integer math: bit_i = (64 * s_i >= T) with s_i = R+G+B of position i
+    and T = sum of all s_i — no float comparisons, so the hash is
+    bit-reproducible across engines and architectures. Pure JVM expressions
+    over the decoded struct (the mapInPandas decode is the only Python).
+    Assumes the 8x8x3 decode layout (pixels length 192).
+    """
+    px = F.col(f"{image_col}.pixels")
+    s = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.element_at(px, i * 3 + 1)
+        + F.element_at(px, i * 3 + 2)
+        + F.element_at(px, i * 3 + 3),
+    )
+    with_s = decoded.withColumn("__s", s).withColumn(
+        "__t", F.aggregate("__s", F.lit(0), lambda a, x: a + x)
+    )
+    def half(lo_bit: int) -> F.Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at("__s", i + lo_bit + 1) * 64 >= F.col("__t"),
+                F.pow(F.lit(2.0), i).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    return (
+        with_s.withColumn("ahash_lo", half(0))
+        .withColumn("ahash_hi", half(32))
+        .drop("__s", "__t")
+    )
+
+
+def ahash_near_dup(
+    hashed: DataFrame, id_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Image near-dup pairs by aHash hamming distance, LSH-banded.
+
+    The 64 bits split into four 16-bit chunks; any pair within hamming
+    ``max_hamming`` <= 3 per half shares at least one equal chunk
+    (pigeonhole), so candidates come from an equi-join on (chunk_idx,
+    chunk_val) — the corpus-scale shuffle is on 16-bit band keys, never an
+    all-pairs product. Exact verification: bit_count(xor) over both halves.
+    """
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("ci"),
+                F.shiftright(F.col(h), sh).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+            )
+            for c, (h, sh) in enumerate(
+                [("ahash_lo", 0), ("ahash_lo", 16), ("ahash_hi", 0), ("ahash_hi", 16)]
+            )
+        ]
+    )
+    banded = hashed.select(
+        F.col(id_col), "ahash_lo", "ahash_hi", F.explode(chunks).alias("c")
+    ).select(id_col, "ahash_lo", "ahash_hi", "c.ci", "c.cv")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo"))
+    ) + F.bit_count(F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -401,3 +401,36 @@ def contamination_check(
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .filter(F.col("shared_grams") >= min_shared)
     )
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of a crawl URL: lowercase, scheme dropped, leading
+    ``www.`` dropped, query string / fragment dropped, trailing slash
+    dropped. Pure JVM regexp chain — the normalization every URL-level
+    dedup tier runs before hashing (the crawl-scale analogue of the
+    reference's s3:// URI parse, train/common/dataset.py:255-269)."""
+    c = F.lower(url if isinstance(url, Column) else F.col(url))
+    c = F.regexp_replace(c, r"^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, r"[?#].*$", "")
+    return F.regexp_replace(c, r"/$", "")
+
+
+def url_dedup(
+    df: DataFrame, url_col: str, id_col: str
+) -> DataFrame:
+    """URL-level dedup: one row per canonical URL, keeping the smallest id
+    (deterministic winner) and the duplicate count.
+
+    One shuffle on the canonical-url key with map-side combine (min/count
+    are partial-aggregable); at 100 TB this runs before any content hash —
+    it needs only the metadata column, never the document bytes.
+    """
+    return (
+        df.withColumn("canonical_url", canonicalize_url(url_col))
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

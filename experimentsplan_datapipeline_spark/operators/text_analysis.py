@@ -312,3 +312,75 @@ def token_entropy_profile(
             ).alias("distinct_ratio"),
         )
     )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style per-document repetition/quality signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1) — the filters a pretraining corpus
+    runs before anything expensive touches a document.
+
+    Per document: word count, mean word length, top-word fraction (count of
+    the most frequent word / word count), duplicate-bigram fraction
+    (1 - distinct bigrams / bigrams), and the keep verdict at Gopher's
+    thresholds (top word <= 20% of tokens, duplicate bigrams <= 20%,
+    3 <= mean word length <= 10).
+
+    Scale shape: every signal is a higher-order function over the row's own
+    token array — zero shuffles, zero UDFs, fully map-side and
+    whole-stage-codegen'd; the per-word frequency scan is O(distinct x n)
+    within one row, never a corpus-wide explode. This is the cheapest tier
+    of the curation cascade and must not cost a shuffle at 100 TB.
+    """
+    words = _tokens(text_col)
+    d = df.withColumn("__w", words)
+    n = F.size("__w")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct("__w"),
+            lambda w: F.size(F.filter("__w", lambda x: x == w)),
+        )
+    )
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__w", i + 1), F.element_at("__w", i + 2)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    d = (
+        d.withColumn("n_words", n)
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                F.aggregate(
+                    "__w", F.lit(0), lambda a, w: a + F.length(w)
+                ) / F.greatest(F.col("n_words"), F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "top_word_frac",
+            F.round(top_count / F.greatest(F.col("n_words"), F.lit(1)), 6),
+        )
+        .withColumn("__bg", bigrams)
+        .withColumn(
+            "dup_bigram_frac",
+            F.when(
+                F.size("__bg") > 0,
+                F.round(
+                    1 - F.size(F.array_distinct("__bg")) / F.size("__bg"), 6
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_word_frac") <= 0.2)
+            & (F.col("dup_bigram_frac") <= 0.2)
+            & F.col("mean_word_len").between(3.0, 10.0),
+        )
+    )
+    return d.select(
+        id_col, "n_words", "mean_word_len", "top_word_frac",
+        "dup_bigram_frac", "keep",
+    )

@@ -3405,3 +3405,197 @@ def stream_funnel_join(spark, sf_dir):
         "right_event_id",
         "right_value",
     )
+
+
+@register("dedup_image_ahash", """
+WITH content AS (
+  -- content planted as text of (doc_id % 150): ids i and i+150 carry
+  -- identical bytes, giving the hamming-0 pairs the check verifies
+  SELECT d.doc_id, r.text
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+  JOIN documents r ON r.doc_id = d.doc_id % 150),
+px AS (
+  SELECT doc_id,
+         list_transform(range(0, 192),
+           i -> ('0x' || substr(sha256(text || (i // 32)::VARCHAR),
+                                (i % 32) * 2 + 1, 2))::BIGINT) AS pixels
+  FROM content),
+s AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           i -> pixels[3*i+1] + pixels[3*i+2] + pixels[3*i+3]) AS s
+  FROM px),
+h AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 32),
+           i -> CASE WHEN 64 * s[i+1] >= list_sum(s)
+                THEN (2**i)::BIGINT ELSE 0 END)) AS ahash_lo,
+         list_sum(list_transform(range(0, 32),
+           i -> CASE WHEN 64 * s[i+33] >= list_sum(s)
+                THEN (2**i)::BIGINT ELSE 0 END)) AS ahash_hi
+  FROM s),
+banded AS (
+  SELECT doc_id, ahash_lo, ahash_hi, c.ci,
+         CASE c.ci WHEN 0 THEN ahash_lo & 65535
+                   WHEN 1 THEN (ahash_lo >> 16) & 65535
+                   WHEN 2 THEN ahash_hi & 65535
+                   ELSE (ahash_hi >> 16) & 65535 END AS cv
+  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS ci) c)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.ahash_lo, b.ahash_lo))
+       + bit_count(xor(a.ahash_hi, b.ahash_hi)) AS hamming
+FROM banded a JOIN banded b
+  ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash_lo, b.ahash_lo))
+      + bit_count(xor(a.ahash_hi, b.ahash_hi)) <= 6
+""")
+def dedup_image_ahash(spark, sf_dir):
+    """Image near-dup detection: stub decode -> average-hash (64 bits from
+    pure integer luminance-vs-mean tests) -> 16-bit-chunk LSH banding ->
+    exact hamming verify (bit_count over xor). The image twin of
+    dedup_minhash; the sha256 stub decode keeps the whole chain
+    oracle-replayable."""
+    from experimentsplan_datapipeline_spark.media.images import (
+        ahash_near_dup,
+        decode_images,
+        image_ahash,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    # plant duplicates: ids i and i+150 share (i % 150)'s bytes — with a
+    # sha256 stub decode, identical content is the only achievable "near"
+    # (real decoders give graded hamming; the machinery under test is the
+    # banding + verify join either way)
+    rep = docs.filter(F.col("doc_id") < 150).select(
+        F.col("doc_id").alias("k"), "text"
+    )
+    bin_df = (
+        docs.filter(F.col("doc_id") < 300)
+        .select("doc_id", (F.col("doc_id") % 150).alias("k"))
+        .join(rep, "k")
+        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    )
+    hashed = image_ahash(decode_images(bin_df)).select(
+        "doc_id", "ahash_lo", "ahash_hi"
+    )
+    return ahash_near_dup(hashed, "doc_id", max_hamming=6)
+
+
+@register("stream_ema", """
+SELECT event_type,
+       round(list_reduce(list(value ORDER BY ts, value), (s, x) -> 0.01 * x + 0.99 * s), 6) AS ema
+FROM events GROUP BY event_type
+""")
+def stream_ema(spark, sf_dir):
+    """T4 LIVE: the reference's EMA-over-the-step-stream
+    (train/train_DIT/utils.py:19-25) as a running applyInPandasWithState
+    query — one double of state per key, drained with availableNow into a
+    memory sink. Same oracle as the batch agg_ema (decay 0.99, ordered by
+    (ts, value)); the events parquet is a single file, so availableNow
+    delivers one micro-batch and the update-mode sink holds exactly one
+    final row per key."""
+    from experimentsplan_datapipeline_spark.streaming.events import ema_stream
+
+    out = ema_stream(
+        _events_stream(spark, sf_dir),
+        decay=0.99,
+        key_col="event_type",
+        order_col=["ts", "value"],
+        value_col="value",
+    )
+    name = "stream_ema_result"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    return spark.table(name).select(
+        F.col("key").alias("event_type"), F.round("ema", 6).alias("ema")
+    )
+
+
+@register("gopher_quality", r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents),
+b AS (
+  SELECT doc_id, ws, len(ws) AS n_words,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bg
+  FROM w)
+SELECT doc_id, n_words,
+       round(list_sum(list_transform(ws, x -> strlen(x))) / greatest(n_words, 1), 6) AS mean_word_len,
+       round(list_max(list_transform(list_distinct(ws),
+             d -> len(list_filter(ws, x -> x = d)))) / greatest(n_words, 1), 6) AS top_word_frac,
+       CASE WHEN len(bg) > 0
+            THEN round(1 - len(list_distinct(bg)) / len(bg), 6)
+            ELSE 0.0 END AS dup_bigram_frac,
+       (round(list_max(list_transform(list_distinct(ws),
+              d -> len(list_filter(ws, x -> x = d)))) / greatest(n_words, 1), 6) <= 0.2
+        AND CASE WHEN len(bg) > 0
+                 THEN round(1 - len(list_distinct(bg)) / len(bg), 6)
+                 ELSE 0.0 END <= 0.2
+        AND round(list_sum(list_transform(ws, x -> strlen(x))) / greatest(n_words, 1), 6)
+            BETWEEN 3.0 AND 10.0) AS keep
+FROM b
+""")
+def gopher_quality(spark, sf_dir):
+    """Gopher-style repetition/quality rules per document (top-word
+    fraction, duplicate-bigram fraction, mean word length + keep verdict)
+    — every signal a higher-order function over the row's own tokens, so
+    the whole tier is map-side with zero shuffles
+    (operators/text_analysis.py::repetition_signals)."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    return repetition_signals(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("url_canonical_dedup", r"""
+WITH u AS (
+  SELECT doc_id,
+         'src' || ((doc_id % 250) % 5)::VARCHAR || '.example.com/docs/'
+              || (doc_id % 250)::VARCHAR AS base
+  FROM documents),
+m AS (
+  SELECT doc_id, CASE doc_id % 4
+     WHEN 0 THEN 'https://' || base
+     WHEN 1 THEN 'http://WWW.' || upper(base) || '/'
+     WHEN 2 THEN 'https://' || base || '?utm_source=feed'
+     ELSE 'https://www.' || base || '#frag' END AS url
+  FROM u)
+SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+         '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/$', '') AS canonical_url,
+       min(doc_id) AS keeper, count(*) AS n_docs
+FROM m GROUP BY 1
+""")
+def url_canonical_dedup(spark, sf_dir):
+    """URL-level dedup tier: scheme/www/query/fragment/trailing-slash
+    canonicalization (pure regexp chain, no UDF) then one map-side-
+    combinable groupBy on the canonical key — min-id winner + dup count.
+    URLs synthesized deterministically from doc_id so four crawl-style
+    variants of each page collapse to one canonical row
+    (operators/dedup.py::url_dedup)."""
+    from experimentsplan_datapipeline_spark.operators.dedup import url_dedup
+
+    key = F.pmod(F.col("doc_id"), F.lit(250))
+    base = F.concat(
+        F.lit("src"), F.pmod(key, F.lit(5)).cast("string"),
+        F.lit(".example.com/docs/"), key.cast("string"),
+    )
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), base))
+        .when(v == 1, F.concat(F.lit("http://WWW."), F.upper(base), F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://"), base, F.lit("?utm_source=feed")))
+        .otherwise(F.concat(F.lit("https://www."), base, F.lit("#frag")))
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return url_dedup(docs, "url", "doc_id").select(
+        "canonical_url", "keeper", "n_docs"
+    )

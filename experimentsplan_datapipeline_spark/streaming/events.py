@@ -92,25 +92,29 @@ def ema_stream(
     events: DataFrame,
     decay: float = 0.9999,
     key_col: str = "event_type",
-    order_col: str = "ts",
+    order_col: str | list[str] = "ts",
     value_col: str = "value",
 ) -> DataFrame:
     """T4: stateful EMA over a keyed stream via applyInPandasWithState.
 
     s <- (1-d)*x + d*s per arriving value (order within a micro-batch by
     ``order_col``); state is one double per key — O(keys) memory regardless
-    of stream length. Batch twin: operators/aggregates.py::ema (the oracle-
-    checked form).
+    of stream length. A key's rows can arrive split across several Arrow
+    chunks, so the micro-batch is concatenated before the one sort — sorting
+    chunks independently would interleave out of order. Batch twin:
+    operators/aggregates.py::ema (the oracle-checked form).
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (s,) = state.get if state.exists else (None,)
         n = 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
-            for x in pdf[value_col]:
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values(order_cols)
+            for x in batch[value_col]:
                 s = float(x) if s is None else (1.0 - decay) * float(x) + decay * s
                 n += 1
         state.update((s,))

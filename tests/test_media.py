@@ -140,3 +140,27 @@ def test_audio_chunk_energy_shape(spark):
     assert all(0.0 < r.rms < 255.0 for r in out)
     # distinct chunks hash differently
     assert len({r.rms for r in out}) == 3
+
+
+def test_image_ahash_near_dup(spark):
+    """Identical bytes -> hamming 0 pair; distinct random contents don't
+    cross the hamming threshold (sha256 stub pixels are ~32 bits apart)."""
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.media.images import (
+        ahash_near_dup,
+        decode_images,
+        image_ahash,
+    )
+
+    rows = [(0, b"alpha"), (1, b"beta"), (2, b"alpha"), (3, b"gamma")]
+    df = spark.createDataFrame(rows, ["id", "content"])
+    hashed = image_ahash(decode_images(df))
+    pairs = ahash_near_dup(hashed.select("id", "ahash_lo", "ahash_hi"), "id")
+    got = [(r.id_a, r.id_b, r.hamming) for r in pairs.collect()]
+    assert got == [(0, 2, 0)]
+    # halves are genuine 32-bit values
+    h = {r.id: (r.ahash_lo, r.ahash_hi) for r in hashed.collect()}
+    for lo, hi in h.values():
+        assert 0 <= lo < 2**32 and 0 <= hi < 2**32
+    assert h[0] == h[2] and h[0] != h[1]

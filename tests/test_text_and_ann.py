@@ -286,3 +286,52 @@ def test_pack_sequences_distributed_matches_cumsum(spark):
         want[i] = cum // 100
         cum += len(txt.split())
     assert got == want
+
+
+def test_repetition_signals_hand_computed(spark):
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),          # 6 words, top 'the' 2/6
+            (2, "go go go go"),                      # top 1.0, dup bigrams 2/3
+            (3, "alpha"),                            # 1 word, no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_signals(df, "doc_id", "text").collect()
+    }
+    assert rows[1]["n_words"] == 6
+    assert abs(rows[1]["top_word_frac"] - 2 / 6) < 1e-6
+    assert rows[1]["dup_bigram_frac"] == 0.0
+    assert abs(rows[1]["mean_word_len"] - 17 / 6) < 1e-6
+    assert rows[1]["keep"] is False  # mean word len 2.83 < Gopher's 3.0 floor
+    assert rows[2]["top_word_frac"] == 1.0
+    assert abs(rows[2]["dup_bigram_frac"] - 2 / 3) < 1e-6
+    assert rows[2]["keep"] is False
+    assert rows[3]["n_words"] == 1
+    assert rows[3]["dup_bigram_frac"] == 0.0
+
+
+def test_url_dedup_canonicalization(spark):
+    from experimentsplan_datapipeline_spark.operators.dedup import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a/b"),
+            (2, "http://WWW.EXAMPLE.COM/a/b/"),
+            (3, "https://example.com/a/b?utm=x"),
+            (4, "https://example.com/a/b#frag"),
+            (5, "https://other.com/c"),
+        ],
+        ["doc_id", "url"],
+    )
+    out = {r["canonical_url"]: r for r in url_dedup(df, "url", "doc_id").collect()}
+    assert set(out) == {"example.com/a/b", "other.com/c"}
+    assert out["example.com/a/b"]["keeper"] == 1
+    assert out["example.com/a/b"]["n_docs"] == 4
+    assert out["other.com/c"]["n_docs"] == 1
