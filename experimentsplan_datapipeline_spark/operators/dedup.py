@@ -434,3 +434,62 @@ def url_dedup(
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+
+def jaccard_prefix_join(
+    df: DataFrame, text_col: str, id_col: str,
+    shingle_size: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs/PPJoin,
+    Bayardo et al., WWW'07): all pairs with shingle-set Jaccard >=
+    ``threshold``, with 100% recall — unlike the MinHash/LSH path there are
+    no probabilistic misses — and still never an all-pairs product.
+
+    Tokens get a global rarity order (ascending document frequency); each
+    set keeps only its prefix of the |s| - ceil(t*|s|) + 1 rarest tokens.
+    Any pair at Jaccard >= t shares its lowest-ranked common token in BOTH
+    prefixes (pigeonhole: a set's suffix holds ceil(t*|s|) - 1 < t*|s| <=
+    |overlap| tokens), so the candidate join is an equi-join on prefix
+    tokens + the length filter t*|a| <= |b| <= |a|/t, then exact verify.
+
+    Shuffle shape: one vocab agg (map-side combinable, collapses to
+    |vocab| rows), one join to attach ranks, one groupBy to re-sort each
+    set, and a candidate join keyed on PREFIX tokens only — rarity
+    ordering puts the least-common tokens in prefixes, so bucket sizes
+    stay small exactly where a frequency-blind banding would explode.
+    """
+    sets = spread_small_input(df).select(
+        F.col(id_col),
+        F.array_distinct(ngrams(text_col, shingle_size)).alias("grams"),
+    )
+    tok = sets.select(F.col(id_col), F.explode("grams").alias("g"))
+    dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(dfreq, "g")
+    sorted_sets = ranked.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("df", "g"))).alias("sg")
+    )
+    n = F.size("sg")
+    plen = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    pref = sorted_sets.select(
+        F.col(id_col),
+        n.alias("n"),
+        F.explode(F.slice("sg", F.lit(1), plen)).alias("p"),
+    ).select(id_col, "n", F.col("p.g").alias("g"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
+            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return ngram_jaccard_pairs(
+        df, cand, text_col, id_col, shingle_size, threshold
+    )

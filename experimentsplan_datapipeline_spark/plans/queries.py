@@ -3599,3 +3599,57 @@ def url_canonical_dedup(spark, sf_dir):
     return url_dedup(docs, "url", "doc_id").select(
         "canonical_url", "keeper", "n_docs"
     )
+
+
+@register("jaccard_prefix_join", r"""
+WITH src AS (
+  SELECT d.doc_id,
+         r.text || CASE WHEN d.doc_id >= 50
+                        THEN ' tail marker extra words here' ELSE '' END AS text
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+  JOIN documents r ON r.doc_id = d.doc_id % 50),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
+                i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+              )) AS grams
+       FROM src),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                    THEN len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / len(list_distinct(a.grams || b.grams))
+                    ELSE 0.0 END, 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+""")
+def jaccard_prefix_join_q(spark, sf_dir):
+    """Exact similarity self-join with prefix filtering: the oracle computes
+    ALL-pairs Jaccard and filters at the threshold, so a hash match proves
+    the prefix-filtered join has 100% recall — the exactness guarantee LSH
+    can't give (operators/dedup.py::jaccard_prefix_join). Near-dups planted
+    by giving ids 50..99 the text of id%50 plus a short tail."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    rep = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("k"), F.col("text").alias("base")
+    )
+    planted = (
+        docs.filter(F.col("doc_id") < 100)
+        .select("doc_id", F.pmod(F.col("doc_id"), F.lit(50)).alias("k"))
+        .join(rep, "k")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("base"),
+                F.when(
+                    F.col("doc_id") >= 50, F.lit(" tail marker extra words here")
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    return jaccard_prefix_join(
+        planted, "text", "doc_id", shingle_size=3, threshold=0.8
+    )

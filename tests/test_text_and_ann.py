@@ -335,3 +335,42 @@ def test_url_dedup_canonicalization(spark):
     assert out["example.com/a/b"]["keeper"] == 1
     assert out["example.com/a/b"]["n_docs"] == 4
     assert out["other.com/c"]["n_docs"] == 1
+
+
+def test_jaccard_prefix_join_matches_bruteforce(spark):
+    """Prefix filtering must lose nothing: same pairs as all-pairs verify."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        jaccard_prefix_join,
+        ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base + " extra"),                      # near-dup of 0
+        (2, "one two three four five six seven"),  # unrelated
+        (3, base),                                 # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_prefix_join(
+            df, "text", "doc_id", shingle_size=3, threshold=0.5
+        ).collect()
+    }
+    ids = df.select("doc_id")
+    allpairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, allpairs, "text", "doc_id", shingle_size=3, threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)] == 1.0
+    assert (0, 1) in got and 0.5 <= got[(0, 1)] < 1.0
+    assert all(2 not in pair for pair in got)
