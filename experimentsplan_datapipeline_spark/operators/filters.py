@@ -91,3 +91,43 @@ def coalesce_cols(df: DataFrame, out_col: str, *candidates: str) -> DataFrame:
     (train/train_VTON_GAN/train.py:161-191).
     """
     return df.withColumn(out_col, F.coalesce(*[F.col(c) for c in candidates]))
+
+
+def expectation_report(
+    df: DataFrame, checks: dict[str, Column]
+) -> DataFrame:
+    """Declarative data-quality expectations: one output row per named rule
+    with its violation count and pass verdict (the dbt-test / Delta
+    CHECK-constraint shape; the engine's generalization of the reference's
+    guard asserts, checkpoints/upload.py:16-18 and NaN guards
+    train/train_stage_1/test.py:62-99).
+
+    ``checks`` maps rule name -> violation predicate (true = row violates).
+    All rules evaluate in ONE pass over the data: each predicate becomes a
+    conditional count in a single global aggregate (map-side combinable, no
+    per-rule scans), then unpivots to the (rule, n_violations, passed)
+    report. At 100 TB the cost is one scan regardless of rule count.
+    """
+    aggs = [
+        F.count(F.when(cond, 1)).alias(name) for name, cond in checks.items()
+    ]
+    wide = df.agg(*aggs)
+    names = list(checks)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(name).alias("n_violations"),
+                    )
+                    for name in names
+                ]
+            )
+        ).alias("r")
+    )
+    return stacked.select(
+        "r.rule",
+        "r.n_violations",
+        (F.col("r.n_violations") == 0).alias("passed"),
+    )

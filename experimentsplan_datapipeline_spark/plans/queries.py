@@ -3653,3 +3653,113 @@ def jaccard_prefix_join_q(spark, sf_dir):
     return jaccard_prefix_join(
         planted, "text", "doc_id", shingle_size=3, threshold=0.8
     )
+
+
+@register("window_range_frame", """
+SELECT event_id, event_type,
+       count(*) OVER w AS n_1h,
+       round(avg(value) OVER w, 6) AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""")
+def window_range_frame(spark, sf_dir):
+    """Time-RANGE window frame: trailing 1-hour stats per event ordered by
+    event time — a frame bounded by VALUE distance, not row count (the
+    complement of window_moving_avg's ROWS frame). Spark expresses it as
+    rangeBetween over epoch MICROseconds (unix_timestamp would truncate to
+    seconds and disagree with the oracle's microsecond-exact INTERVAL
+    arithmetic); both engines include ORDER-BY peers, so tied timestamps
+    agree. At scale prefer the bucketed halo form (trailing_stats_halo) —
+    this is the declarative single-window baseline it must match."""
+    w = (
+        win.Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )
+
+
+@register("histogram_bins", """
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT event_type,
+       least(floor((value - lo) / ((hi - lo) / 10)), 9)::BIGINT AS bin,
+       count(*) AS n
+FROM events, b
+GROUP BY 1, 2
+""")
+def histogram_bins(spark, sf_dir):
+    """Fixed-width value histogram (10 bins over the global [min, max]) per
+    event type. The bounds stay IN the plan as a broadcast single-row
+    aggregate (no driver collect); bin edges are the same IEEE doubles in
+    both engines, so the floor() is bit-reproducible. One scan for bounds
+    + one shuffled agg on (type, bin) — |types| x 10 result rows at any
+    corpus size."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 10
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width), F.lit(9)
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("dq_expectations", """
+WITH j AS (
+  SELECT l.*, o.o_orderkey AS ok
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey)
+SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'qty_positive' AS rule,
+         count(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 END) AS n_violations FROM j
+  UNION ALL
+  SELECT 'discount_in_range',
+         count(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 1 THEN 1 END) FROM j
+  UNION ALL
+  SELECT 'orderkey_resolves', count(CASE WHEN ok IS NULL THEN 1 END) FROM j
+  UNION ALL
+  SELECT 'shipdate_not_null', count(CASE WHEN l_shipdate IS NULL THEN 1 END) FROM j)
+""")
+def dq_expectations(spark, sf_dir):
+    """Declarative data-quality gate: named expectations (positivity, range,
+    referential integrity, non-null) evaluated as conditional counts in ONE
+    aggregate over one scan — rule count doesn't multiply passes
+    (operators/filters.py::expectation_report). The referential rule rides
+    the same pass via a broadcast left join against the distinct FK
+    targets."""
+    from experimentsplan_datapipeline_spark.operators.filters import (
+        expectation_report,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    ok = t(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    j = li.join(
+        F.broadcast(ok.withColumnRenamed("o_orderkey", "ok")),
+        li["l_orderkey"] == F.col("ok"),
+        "left",
+    )
+    q = F.col("l_quantity")
+    d = F.col("l_discount")
+    return expectation_report(
+        j,
+        {
+            "qty_positive": q.isNull() | (q <= 0),
+            "discount_in_range": d.isNull() | (d < 0) | (d > 1),
+            "orderkey_resolves": F.col("ok").isNull(),
+            "shipdate_not_null": F.col("l_shipdate").isNull(),
+        },
+    )

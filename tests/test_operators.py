@@ -429,3 +429,26 @@ def test_merge_upsert_semantics(spark):
         3: ("c", 30.0),
         9: ("new", 1.0),
     }
+
+
+def test_expectation_report_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.operators.filters import (
+        expectation_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (4, 2.0)], ["id", "v"]
+    )
+    out = {
+        r.rule: (r.n_violations, r.passed)
+        for r in expectation_report(
+            df,
+            {
+                "v_positive": F.col("v").isNull() | (F.col("v") <= 0),
+                "id_nonnull": F.col("id").isNull(),
+            },
+        ).collect()
+    }
+    assert out == {"v_positive": (2, False), "id_nonnull": (0, True)}
