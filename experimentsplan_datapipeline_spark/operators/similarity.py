@@ -277,3 +277,115 @@ def kmeans_assign(
     return df.select(
         F.col(id_col), _assign_expr(F.col(vec_col), cents).alias("cluster")
     )
+
+
+def pq_codebooks_from_corpus(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, m: int, ksub: int
+) -> list[list[tuple[int, list[float]]]]:
+    """Untrained PQ codebooks: subspace slices of the ``ksub`` lowest-id
+    vectors (the deterministic seed path, same convention as ivf_topk's
+    default cells — the oracle can replay it from the data alone)."""
+    dsub = dim // m
+    rows = (
+        df.orderBy(id_col)
+        .limit(ksub)
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
+    )
+    return [
+        [
+            (int(r[id_col]), [float(x) for x in r[vec_col]][j * dsub : (j + 1) * dsub])
+            for r in rows
+        ]
+        for j in range(m)
+    ]
+
+
+def pq_train(
+    df: DataFrame, id_col: str, vec_col: str, dim: int,
+    m: int = 4, ksub: int = 8, iters: int = 2,
+) -> list[list[tuple[int, list[float]]]]:
+    """Trained PQ codebooks: deterministic ``kmeans_lite`` per subspace over
+    the sliced vectors. Driver holds m x ksub x (dim/m) floats; the corpus
+    never leaves executors."""
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col), F.slice(vec_col, j * dsub + 1, dsub).alias("__sub")
+        )
+        books.append(kmeans_lite(sub, id_col, "__sub", k=ksub, iters=iters))
+    return books
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str,
+    codebooks: list[list[tuple[int, list[float]]]],
+) -> DataFrame:
+    """Product-quantization encoding: each vector becomes m small codes
+    (argmin sub-centroid per subspace; broadcast literal codebooks, zero
+    shuffle, whole-stage codegen). This is the 100 TB memory story: a
+    64-dim float vector (256 B) compresses to m=4 codes (~4 B) while
+    distances stay approximable — the corpus-resident side of an IVF-PQ
+    index keeps ONLY (id, codes)."""
+    dsub = len(codebooks[0][0][1])
+    codes = F.array(
+        *[
+            _assign_expr(F.slice(F.col(vec_col), j * dsub + 1, dsub), cb)
+            for j, cb in enumerate(codebooks)
+        ]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes: the query
+    keeps its exact vector, every corpus vector is its m codes; distance =
+    sum_j ||q_sub_j - centroid[code_j]||^2, looked up from broadcast
+    literal codebooks. Per-subspace terms are ROUNDED to 6 before the sum
+    (and the sum again), so addition order can't flip the ranking across
+    engines. The scan side touches codes only — with a small query set the
+    join is a broadcast nested loop over compressed rows, never the raw
+    vectors; compose with IVF cells to prune the scan at corpus scale."""
+    dsub = len(codebooks[0][0][1])
+    encoded = pq_encode(corpus, corpus_id, vec_col, codebooks)
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    terms = []
+    for j, cb in enumerate(codebooks):
+        cb_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(int(cid)).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in cv]).alias("cvec"),
+                )
+                for cid, cv in cb
+            ]
+        )
+        match = F.element_at(
+            F.filter(cb_lit, lambda s: s["cid"] == F.col("codes")[j]), 1
+        )["cvec"]
+        terms.append(
+            F.round(_sq_dist(F.slice("__qvec", j * dsub + 1, dsub), match), 6)
+        )
+    adist = F.round(sum(terms[1:], terms[0]), 6)
+    scored = encoded.crossJoin(F.broadcast(q)).select(
+        F.col("__qid").alias(query_id + "_q"),
+        F.col(corpus_id),
+        adist.alias("adist"),
+    )
+    w = Window.partitionBy(query_id + "_q").orderBy(
+        F.col("adist").asc(), F.col(corpus_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

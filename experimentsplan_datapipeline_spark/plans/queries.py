@@ -3763,3 +3763,60 @@ def dq_expectations(spark, sf_dir):
             "shipdate_not_null": F.col("l_shipdate").isNull(),
         },
     )
+
+
+def _ann_pq_oracle_sql(
+    dim: int = 64, m: int = 4, ksub: int = 8, k: int = 10, n_queries: int = 5,
+) -> str:
+    """DuckDB twin of pq_topk with the untrained codebooks: sub-centroids
+    are subspace slices of the ksub lowest-id vectors; code assignment is
+    argmin ROUNDED squared distance with ties to the smaller codeword id
+    (Spark's array_min over (d, cid) structs); ADC rounds each subspace
+    term to 6 before the sum so addition order cannot flip a rank."""
+    dsub = dim // m
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cw AS (SELECT vec_id AS ci, v AS cv FROM e WHERE vec_id < {ksub}),
+sub AS (SELECT e.vec_id, e.v, j.j
+        FROM e CROSS JOIN (SELECT unnest(range(0, {m})) AS j) j),
+asg AS (
+  SELECT vec_id, j, ci FROM (
+    SELECT s.vec_id, s.j, c.ci,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY round(list_sum(list_transform(range(1, {dsub} + 1),
+                   p -> (s.v[s.j * {dsub} + p] - c.cv[s.j * {dsub} + p]) ^ 2)), 6) ASC,
+                        c.ci ASC) AS rn
+    FROM sub s CROSS JOIN cw c)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT qid AS vec_id_q, vec_id, round(sum(t), 6) AS adist FROM (
+    SELECT q.qid, a.vec_id,
+           round(list_sum(list_transform(range(1, {dsub} + 1),
+               p -> (q.qv[a.j * {dsub} + p] - c.cv[a.j * {dsub} + p]) ^ 2)), 6) AS t
+    FROM asg a JOIN cw c ON a.ci = c.ci CROSS JOIN q)
+  GROUP BY vec_id_q, vec_id)
+SELECT vec_id_q, vec_id, adist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id_q
+                               ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@register("ann_pq", _ann_pq_oracle_sql())
+def ann_pq(spark, sf_dir):
+    """Product-quantization ANN (ADC): corpus vectors compress to m=4
+    codes against per-subspace codebooks; queries rank by summed
+    sub-distances looked up from broadcast literals. The corpus-resident
+    state is (id, codes) — the memory story that makes billion-vector
+    search fit a cluster. Untrained (lowest-id) codebooks keep the whole
+    chain deterministic for the oracle; pq_train swaps in per-subspace
+    k-means without changing the search plan
+    (operators/similarity.py::pq_topk)."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    books = sim.pq_codebooks_from_corpus(emb, "vec_id", "embedding", 64, 4, 8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.pq_topk(emb, queries, "vec_id", "vec_id", "embedding", books, k=10)

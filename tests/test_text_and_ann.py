@@ -374,3 +374,49 @@ def test_jaccard_prefix_join_matches_bruteforce(spark):
     assert (0, 3) in got and got[(0, 3)] == 1.0
     assert (0, 1) in got and 0.5 <= got[(0, 1)] < 1.0
     assert all(2 not in pair for pair in got)
+
+
+def test_pq_encode_and_adc_ranking(spark):
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        pq_codebooks_from_corpus,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    # two tight clusters in 4-dim space, m=2 subspaces
+    a = [1.0, 1.0, 0.0, 0.0]
+    b = [0.0, 0.0, 1.0, 1.0]
+    rows = [
+        (0, a), (1, [x + 0.01 for x in a]), (2, [x + 0.02 for x in a]),
+        (3, b), (4, [x + 0.01 for x in b]), (5, [x + 0.02 for x in b]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_codebooks_from_corpus(emb, "vec_id", "embedding", 4, 2, 4)
+    assert len(books) == 2 and all(len(cb) == 4 for cb in books)
+
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb, "vec_id", "embedding", books).collect()
+    }
+    assert all(len(c) == 2 for c in codes.values())
+    # a query from cluster A must rank all A members above all B members
+    out = pq_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "vec_id",
+        "embedding", books, k=6,
+    ).collect()
+    ranked = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert set(ranked[:3]) == {0, 1, 2}
+    assert [r.adist for r in sorted(out, key=lambda r: r.rank)] == sorted(
+        r.adist for r in out
+    )
+
+    # trained codebooks are deterministic and slot into the same search
+    t1 = pq_train(emb, "vec_id", "embedding", 4, m=2, ksub=2, iters=2)
+    t2 = pq_train(emb, "vec_id", "embedding", 4, m=2, ksub=2, iters=2)
+    assert t1 == t2
+    out_t = pq_topk(
+        emb, emb.filter(F.col("vec_id") == 3), "vec_id", "vec_id",
+        "embedding", t1, k=3,
+    ).collect()
+    assert set(r.vec_id for r in out_t) == {3, 4, 5}
