@@ -355,11 +355,32 @@ def pq_topk(
     engines. The scan side touches codes only — with a small query set the
     join is a broadcast nested loop over compressed rows, never the raw
     vectors; compose with IVF cells to prune the scan at corpus scale."""
-    dsub = len(codebooks[0][0][1])
     encoded = pq_encode(corpus, corpus_id, vec_col, codebooks)
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
     )
+    adist = _adc_dist(codebooks, "__qvec")
+    scored = encoded.crossJoin(F.broadcast(q)).select(
+        F.col("__qid").alias(query_id + "_q"),
+        F.col(corpus_id),
+        adist.alias("adist"),
+    )
+    w = Window.partitionBy(query_id + "_q").orderBy(
+        F.col("adist").asc(), F.col(corpus_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _adc_dist(
+    codebooks: list[list[tuple[int, list[float]]]], qvec_col: str
+):
+    """ADC distance Column: sum_j ||q_sub_j - centroid[codes[j]]||^2 with
+    each subspace term ROUNDED to 6 before the (fixed-order) sum, so
+    addition order cannot flip a rank across engines. Expects a ``codes``
+    column (pq_encode) and the query vector in ``qvec_col``."""
+    dsub = len(codebooks[0][0][1])
     terms = []
     for j, cb in enumerate(codebooks):
         cb_lit = F.array(
@@ -375,13 +396,84 @@ def pq_topk(
             F.filter(cb_lit, lambda s: s["cid"] == F.col("codes")[j]), 1
         )["cvec"]
         terms.append(
-            F.round(_sq_dist(F.slice("__qvec", j * dsub + 1, dsub), match), 6)
+            F.round(_sq_dist(F.slice(qvec_col, j * dsub + 1, dsub), match), 6)
         )
-    adist = F.round(sum(terms[1:], terms[0]), 6)
-    scored = encoded.crossJoin(F.broadcast(q)).select(
+    return F.round(sum(terms[1:], terms[0]), 6)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: coarse cells prune the scan, PQ codes compress what remains —
+    the standard billion-vector index (Jegou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011) as two DataFrame stages.
+
+    The corpus materializes once as (id, cell, codes) — a few bytes per
+    vector; queries probe their ``n_probe`` best cells (same deterministic
+    rounded-cosine ranking as ivf_topk) and rank candidates by ADC distance
+    from broadcast codebook lookups. The only corpus-scale operation is a
+    hash join on the cell id; raw vectors appear in no join.
+    """
+    if centroids is None:
+        rows = (
+            corpus.orderBy(corpus_id)
+            .limit(n_cells)
+            .select(F.col(corpus_id).alias("cell"), F.col(vec_col).alias("cvec"))
+            .collect()
+        )
+        centroids = [(int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows]
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cvec"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+
+    def scored_cells(vec):
+        return F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                F.round(cosine_similarity(vec, c["cvec"]), 6).alias("cos"),
+                c["cell"].alias("cell"),
+            ),
+        )
+
+    index = pq_encode(corpus, corpus_id, vec_col, codebooks).join(
+        corpus.select(
+            F.col(corpus_id),
+            F.array_max(scored_cells(F.col(vec_col)))["cell"].alias("__cell"),
+        ),
+        corpus_id,
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
+    ).withColumn(
+        "__cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(scored_cells(F.col("__qvec")))), 1, n_probe
+                ),
+                lambda s: s["cell"],
+            )
+        ),
+    )
+    scored = index.join(F.broadcast(q), "__cell").select(
         F.col("__qid").alias(query_id + "_q"),
         F.col(corpus_id),
-        adist.alias("adist"),
+        _adc_dist(codebooks, "__qvec").alias("adist"),
     )
     w = Window.partitionBy(query_id + "_q").orderBy(
         F.col("adist").asc(), F.col(corpus_id).asc()

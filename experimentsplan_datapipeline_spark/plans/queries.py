@@ -3820,3 +3820,79 @@ def ann_pq(spark, sf_dir):
     books = sim.pq_codebooks_from_corpus(emb, "vec_id", "embedding", 64, 4, 8)
     queries = emb.filter(F.col("vec_id") < 5)
     return sim.pq_topk(emb, queries, "vec_id", "vec_id", "embedding", books, k=10)
+
+
+def _ann_ivfpq_oracle_sql(
+    dim: int = 64, m: int = 4, ksub: int = 8, k: int = 10,
+    n_cells: int = 16, n_probe: int = 2, n_queries: int = 5,
+) -> str:
+    """DuckDB twin of ivfpq_topk: IVF cell probing (rounded-cosine argmax,
+    ties to the larger cell id — ann_ivf's convention) composed with PQ
+    code assignment + ADC ranking (ann_pq's convention)."""
+    dsub = dim // m
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cw AS (SELECT vec_id AS ci, v AS cv FROM e WHERE vec_id < {ksub}),
+cells AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {n_cells}),
+sub AS (SELECT e.vec_id, e.v, j.j
+        FROM e CROSS JOIN (SELECT unnest(range(0, {m})) AS j) j),
+asg AS (
+  SELECT vec_id, j, ci FROM (
+    SELECT s.vec_id, s.j, c.ci,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY round(list_sum(list_transform(range(1, {dsub} + 1),
+                   p -> (s.v[s.j * {dsub} + p] - c.cv[s.j * {dsub} + p]) ^ 2)), 6) ASC,
+                        c.ci ASC) AS rn
+    FROM sub s CROSS JOIN cw c)
+  WHERE rn = 1),
+cellasg AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                        c.cell DESC) AS rn
+    FROM e CROSS JOIN cells c)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {n_queries}),
+qcells AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                        c.cell DESC) AS rn
+    FROM q CROSS JOIN cells c)
+  WHERE rn <= {n_probe}),
+scored AS (
+  SELECT qid AS vec_id_q, vec_id, round(sum(t), 6) AS adist FROM (
+    SELECT qc.qid, a.vec_id,
+           round(list_sum(list_transform(range(1, {dsub} + 1),
+               p -> (qc.qv[a.j * {dsub} + p] - c.cv[a.j * {dsub} + p]) ^ 2)), 6) AS t
+    FROM cellasg ca
+    JOIN qcells qc ON ca.cell = qc.cell
+    JOIN asg a ON a.vec_id = ca.vec_id
+    JOIN cw c ON a.ci = c.ci)
+  GROUP BY vec_id_q, vec_id)
+SELECT vec_id_q, vec_id, adist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id_q
+                               ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@register("ann_ivfpq", _ann_ivfpq_oracle_sql())
+def ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composed index (Jegou et al. 2011): coarse cells prune the
+    scan (hash join on cell id), PQ codes compress what remains (ADC from
+    broadcast codebook lookups). The corpus-resident index is
+    (id, cell, codes) — a few bytes per vector; raw vectors appear in no
+    corpus-scale join (operators/similarity.py::ivfpq_topk)."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    books = sim.pq_codebooks_from_corpus(emb, "vec_id", "embedding", 64, 4, 8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivfpq_topk(
+        emb, queries, "vec_id", "vec_id", "embedding", books,
+        k=10, n_cells=16, n_probe=2,
+    )

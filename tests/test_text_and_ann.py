@@ -420,3 +420,35 @@ def test_pq_encode_and_adc_ranking(spark):
         "embedding", t1, k=3,
     ).collect()
     assert set(r.vec_id for r in out_t) == {3, 4, 5}
+
+
+def test_ivfpq_full_probe_matches_flat_pq(spark):
+    """Probing ALL cells makes IVF-PQ rank exactly like flat PQ ADC."""
+    import math
+
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks_from_corpus,
+        pq_topk,
+    )
+
+    rows = [
+        (i, [math.cos(i * 0.7), math.sin(i * 0.7),
+             math.cos(i * 1.3), math.sin(i * 1.3)])
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_codebooks_from_corpus(emb, "vec_id", "embedding", 4, 2, 4)
+    qs = emb.filter(F.col("vec_id") < 2)
+    flat = {
+        (r.vec_id_q, r.rank): r.vec_id
+        for r in pq_topk(emb, qs, "vec_id", "vec_id", "embedding", books, k=5).collect()
+    }
+    ivfpq = {
+        (r.vec_id_q, r.rank): r.vec_id
+        for r in ivfpq_topk(
+            emb, qs, "vec_id", "vec_id", "embedding", books,
+            k=5, n_cells=6, n_probe=6,
+        ).collect()
+    }
+    assert ivfpq == flat
