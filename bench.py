@@ -43,6 +43,9 @@ HEADLINE = [
     "media_frame_sample",
     "bm25_topk",
     "join_bloom_semi",
+    "jaccard_prefix_join",
+    "gopher_quality",
+    "ann_ivfpq",
 ]
 
 

@@ -3896,3 +3896,112 @@ def ann_ivfpq(spark, sf_dir):
         emb, queries, "vec_id", "vec_id", "embedding", books,
         k=10, n_cells=16, n_probe=2,
     )
+
+
+@register("outliers_mad", """
+WITH s AS (
+  SELECT event_type,
+         median(value) AS med
+  FROM events GROUP BY event_type),
+d AS (
+  SELECT e.event_type, e.event_id, e.value, s.med,
+         abs(e.value - s.med) AS adev
+  FROM events e JOIN s USING (event_type)),
+m AS (
+  SELECT event_type, median(adev) AS mad FROM d GROUP BY event_type)
+SELECT d.event_type, count(*) AS n,
+       round(any_value(d.med), 6) AS med, round(any_value(m.mad), 6) AS mad,
+       count(CASE WHEN d.adev > 3 * m.mad THEN 1 END) AS n_outliers
+FROM d JOIN m USING (event_type)
+GROUP BY d.event_type
+""")
+def outliers_mad(spark, sf_dir):
+    """Robust outlier screen: per-key median + median-absolute-deviation,
+    then count rows beyond 3*MAD — the heavy-tail-safe twin of the z-score
+    screen (window_zscore), since median/MAD don't move when the outliers
+    themselves do. Two grouped exact-percentile aggregations + one
+    broadcast-joined conditional count; no window over the raw stream."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.count(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@register("diff_versions", """
+WITH v1 AS (SELECT doc_id, text FROM documents),
+v2 AS (  -- next snapshot: drop doc_id%97=0, mutate doc_id%31=0, add 100 new
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0 THEN text || ' [edited]' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'new doc ' || doc_id::VARCHAR
+  FROM documents WHERE doc_id < 100)
+SELECT status, count(*) AS n FROM (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.text <> b.text THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+GROUP BY status
+""")
+def diff_versions(spark, sf_dir):
+    """Snapshot diff audit: FULL OUTER join two table versions on the key
+    and classify every row added / removed / changed / unchanged — the
+    incremental-ingest reconciliation report (the auditable form of the
+    reference's blind 'latest' checkpoint overwrite,
+    train/train_CATVTON/utils.py:39-40). One shuffle on the key; the
+    classification is pure projection."""
+    v1 = t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = t(spark, sf_dir, "documents")
+    v2 = (
+        base.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(31)) == 0,
+                F.concat(F.col("text"), F.lit(" [edited]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") < 100).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+        .select(
+            F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+            .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+            .when(F.col("a.text") != F.col("b.text"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
