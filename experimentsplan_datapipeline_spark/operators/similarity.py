@@ -318,6 +318,18 @@ def pq_train(
     return books
 
 
+def _pq_codes_expr(vec_col: str, codebooks: list[list[tuple[int, list[float]]]]):
+    """Column expression: m PQ codes (argmin sub-centroid per subspace) from
+    broadcast literal codebooks — pure codegen, composable into any select."""
+    dsub = len(codebooks[0][0][1])
+    return F.array(
+        *[
+            _assign_expr(F.slice(F.col(vec_col), j * dsub + 1, dsub), cb)
+            for j, cb in enumerate(codebooks)
+        ]
+    )
+
+
 def pq_encode(
     df: DataFrame, id_col: str, vec_col: str,
     codebooks: list[list[tuple[int, list[float]]]],
@@ -328,14 +340,9 @@ def pq_encode(
     64-dim float vector (256 B) compresses to m=4 codes (~4 B) while
     distances stay approximable — the corpus-resident side of an IVF-PQ
     index keeps ONLY (id, codes)."""
-    dsub = len(codebooks[0][0][1])
-    codes = F.array(
-        *[
-            _assign_expr(F.slice(F.col(vec_col), j * dsub + 1, dsub), cb)
-            for j, cb in enumerate(codebooks)
-        ]
+    return df.select(
+        F.col(id_col), _pq_codes_expr(vec_col, codebooks).alias("codes")
     )
-    return df.select(F.col(id_col), codes.alias("codes"))
 
 
 def pq_topk(
@@ -450,12 +457,13 @@ def ivfpq_topk(
             ),
         )
 
-    index = pq_encode(corpus, corpus_id, vec_col, codebooks).join(
-        corpus.select(
-            F.col(corpus_id),
-            F.array_max(scored_cells(F.col(vec_col)))["cell"].alias("__cell"),
-        ),
-        corpus_id,
+    # ONE projection over the corpus yields the whole index (id, codes, cell):
+    # both the PQ codes and the coarse-cell argmax are literal-codebook
+    # expressions, so no second corpus scan and no corpus-scale join exists.
+    index = corpus.select(
+        F.col(corpus_id),
+        _pq_codes_expr(vec_col, codebooks).alias("codes"),
+        F.array_max(scored_cells(F.col(vec_col)))["cell"].alias("__cell"),
     )
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")

@@ -491,12 +491,18 @@ def agg_pct_of_total(spark, sf_dir):
 WITH counts AS (SELECT c_mktsegment AS stratum, count(*) AS n FROM customer GROUP BY 1),
      w(stratum, weight) AS (VALUES ('BUILDING', 0.25), ('AUTOMOBILE', 0.25), ('MACHINERY', 0.5)),
      tot AS (SELECT sum(n) AS total FROM counts)
-SELECT c.stratum, c.n, tot.total, w.weight::DOUBLE AS weight,
+SELECT c.stratum, c.n, CAST(tot.total AS BIGINT) AS total,
+       CAST(round(w.weight * 100) AS BIGINT) AS weight_pct,
        CAST(floor(tot.total * w.weight) AS BIGINT) AS target
 FROM counts c CROSS JOIN tot JOIN w ON c.stratum = w.stratum
 """)
 def agg_weighted_targets(spark, sf_dir):
-    """A6: per-stratum target counts = floor(total * weight)."""
+    """A6: per-stratum target counts = floor(total * weight).
+
+    All output columns are integers: the fractional ``weight`` double is
+    rendered as ``weight_pct`` (an exact BIGINT) on both Spark and oracle
+    sides so no floating/decimal formatting can diverge in value hashing.
+    """
     counts = (
         t(spark, sf_dir, "customer")
         .groupBy(F.col("c_mktsegment").alias("stratum"))
@@ -507,7 +513,13 @@ def agg_weighted_targets(spark, sf_dir):
         ["stratum", "weight"],
     )
     out = agg.weighted_targets(counts, weights, "stratum", "weight")
-    return out.select("stratum", "n", "total", "weight", "target")
+    return out.select(
+        "stratum",
+        "n",
+        F.col("total").cast("long").alias("total"),
+        F.round(F.col("weight") * 100).cast("long").alias("weight_pct"),
+        "target",
+    )
 
 
 @register("agg_mse", """
