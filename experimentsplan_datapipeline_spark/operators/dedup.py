@@ -308,11 +308,15 @@ def resolve_duplicate_clusters(
     """Collapse near-dup PAIRS into clusters: every row gets a representative
     id = the minimum id reachable through the duplicate graph.
 
-    Iterative min-label propagation: each round is one hash join on ids plus
-    a partial-aggregated min — shuffle keys are single longs, never text.
-    Converges in O(cluster diameter) rounds (near-dup clusters are shallow in
-    practice; max_iter bounds pathology). localCheckpoint truncates lineage
-    each round so the plan stays linear instead of doubling per iteration.
+    Min-label propagation WITH pointer jumping: each round propagates the min
+    over direct neighbors (one hash join + partial-aggregated min — shuffle
+    keys are single longs, never text), then path-compresses rep <- rep(rep)
+    (safe because rep(x) <= x is an invariant, so compression only tightens).
+    Compression makes label distance double per round, so convergence is
+    O(log diameter) — max_iter=10 covers chains of diameter ~2^10, not 10.
+    If the loop exhausts without converging we RAISE rather than silently
+    return an under-merged clustering. localCheckpoint truncates lineage each
+    round so the plan stays linear instead of doubling per iteration.
 
     Returns (id_col, rep_id) for EVERY input row; singletons map to
     themselves. Downstream "keep one per cluster" = filter id == rep_id.
@@ -330,19 +334,29 @@ def resolve_duplicate_clusters(
         .withColumn("rep", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             bidir.join(labels, bidir["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("rep").alias("nrep"))
         )
+        prop = labels.join(neigh, labels["node"] == neigh["src"], "left").select(
+            F.col("node"),
+            F.least(
+                F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
+            ).alias("rep"),
+        )
+        # pointer jump: rep <- rep(rep). rep(x) <= x always, so this is a
+        # monotone tightening; it doubles label reach per round (O(log d)).
+        jump = prop.select(
+            F.col("node").alias("jnode"), F.col("rep").alias("jrep")
+        )
         new_labels = (
-            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            prop.join(jump, prop["rep"] == jump["jnode"], "left")
             .select(
-                F.col("node"),
-                F.least(
-                    F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
-                ).alias("rep"),
+                prop["node"],
+                F.coalesce(F.col("jrep"), prop["rep"]).alias("rep"),
             )
             .localCheckpoint()
         )
@@ -356,7 +370,14 @@ def resolve_duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"resolve_duplicate_clusters: not converged after {max_iter} "
+            "pointer-jumping rounds (cluster diameter > ~2^"
+            f"{max_iter}); raise max_iter"
+        )
     return (
         df.select(F.col(id_col))
         .join(labels, df[id_col] == labels["node"], "left")

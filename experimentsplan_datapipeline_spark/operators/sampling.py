@@ -75,7 +75,13 @@ def stratified_exact(
     output is identical either way, only the physical plan differs.
     """
     rk = _rank_col(key_cols, mode, seed)
-    order_cols = [F.col(c) for c in key_cols]
+    # key_cols may not uniquely identify rows; without a unique tiebreak the
+    # picked row among key-duplicates would be partition-order dependent. A
+    # full-row hash pins the choice independent of physical layout (rows that
+    # tie on EVERY column are interchangeable, so a residual hash collision
+    # cannot change the multiset of results).
+    row_tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
+    order_cols = [F.col(c) for c in key_cols] + [row_tiebreak]
     target_expr = None
     for stratum, n in targets.items():
         cond = F.col(stratum_col) == stratum

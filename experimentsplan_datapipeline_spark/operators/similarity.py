@@ -27,8 +27,17 @@ def brute_force_topk(
     """Exact cosine top-k per query via broadcast cross-score.
 
     The query set is broadcast (queries are few; the corpus is the 100 TB
-    side). Returns (query_id, corpus_id, cosine, rank<=k).
+    side). Ranking is TWO-PHASE (operators.windows.top_k_per_key_two_phase):
+    a plain Window.partitionBy(query_id) would funnel every corpus score for
+    one query through a single task — a straggler/OOM at corpus scale. Phase 1
+    ranks within (query, hash-bucket-of-corpus-id) in parallel; phase 2 ranks
+    the <= k*n_buckets survivors. Returns (query_id, corpus_id, cosine,
+    rank<=k), identical to the single-window answer.
     """
+    from experimentsplan_datapipeline_spark.operators.windows import (
+        top_k_per_key_two_phase,
+    )
+
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
@@ -41,12 +50,12 @@ def brute_force_topk(
         F.col(corpus_id),
         F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
     )
-    w = Window.partitionBy(query_id + "_q").orderBy(
-        F.col("cosine").desc(), F.col(corpus_id).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return top_k_per_key_two_phase(
+        scored,
+        key_cols=[query_id + "_q"],
+        order_by=[F.col("cosine").desc(), F.col(corpus_id).asc()],
+        k=k,
+        bucket_cols=[corpus_id],
     )
 
 

@@ -51,14 +51,32 @@ def register(name: str, oracle: str | None = None):
 
 
 def _ensure_events_readable(spark: SparkSession) -> None:
-    """events.parquet carries TIMESTAMP(NANOS), unreadable without the
-    nanosAsLong legacy conf. Our session factory sets it, but the driver
-    may hand us its own session — the conf is runtime-settable, so set it
-    defensively before any events read. Same for the session timezone:
-    every timestamp the oracle compares is formatted as a string, which
-    must happen in UTC to match DuckDB."""
+    """Some generations of events.parquet carry TIMESTAMP(NANOS), which Spark
+    can only read as a long under the nanosAsLong legacy conf; set it
+    defensively so the read never fails regardless of file vintage. Also pin
+    the session timezone: every timestamp the oracle compares is formatted as
+    a string, which must happen in UTC to match DuckDB."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Schema-adaptive ts normalization: the driver's events.parquet has
+    carried TIMESTAMP(NANOS)-read-as-long in some rounds and plain
+    timestamp[us] in others. Branch on the read dtype so both work:
+      bigint         -> nanos-long: truncate to micros like DuckDB does
+      timestamp_ntz  -> cast to session-tz timestamp (UTC session =>
+                        identical wall-clock; downstream window/unix_ts
+                        code was written for TIMESTAMP)
+      timestamp      -> pass through
+    Works on batch and streaming frames alike (dtype branch happens at plan
+    build, not per row)."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -66,9 +84,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _ensure_events_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts arrives as nanos-long; truncate to micros exactly like DuckDB
-        # does when it reads the same file.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = _normalize_events_ts(df)
     return df
 
 
@@ -1732,17 +1748,7 @@ def stream_windowed(spark, sf_dir):
     of final-watermark position."""
     from experimentsplan_datapipeline_spark.streaming.events import windowed_metrics
 
-    path = os.path.join(sf_dir, "events.parquet")
-    _ensure_events_readable(spark)
-    schema = spark.read.parquet(path).schema  # ts arrives as nanos-long
-    # the file stream source wants a directory: stream the sf_dir with a
-    # glob filter selecting just the events file
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _events_stream(spark, sf_dir)
     windowed = windowed_metrics(stream, window="1 hour", watermark="2 hours")
     name = "stream_windowed_result"
     q = (
@@ -3206,7 +3212,9 @@ def bm25_topk_q(spark, sf_dir):
     """BM25 retrieval (north-star text analysis): top-10 documents for each
     of two literal queries, Lucene idf. Query vocab broadcasts onto the
     term-frequency side so the corpus prunes before any corpus-scale join;
-    ranking is two-phase top-k (never one task per query)."""
+    ranking is two-phase top-k (never one task per query). cache_tf=True:
+    the tf subplan feeds three branches (dl, df, scored) — persisting it
+    makes this ONE corpus scan instead of three."""
     from experimentsplan_datapipeline_spark.operators.text_analysis import bm25_topk
 
     queries = spark.createDataFrame(
@@ -3214,7 +3222,8 @@ def bm25_topk_q(spark, sf_dir):
         ["query_id", "query_text"],
     )
     return bm25_topk(
-        t(spark, sf_dir, "documents"), queries, "doc_id", "text", k=10
+        t(spark, sf_dir, "documents"), queries, "doc_id", "text", k=10,
+        cache_tf=True,
     )
 
 
@@ -3315,8 +3324,8 @@ def union_evolve(spark, sf_dir):
 
 
 def _events_stream(spark, sf_dir):
-    """File-stream over the events parquet with the nanos->micros fix
-    (same normalization as the batch ``t()`` reader)."""
+    """File-stream over the events parquet with the same schema-adaptive ts
+    normalization as the batch ``t()`` reader."""
     path = os.path.join(sf_dir, "events.parquet")
     _ensure_events_readable(spark)
     schema = spark.read.parquet(path).schema
@@ -3325,7 +3334,7 @@ def _events_stream(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return _normalize_events_ts(stream)
 
 
 @register("stream_session", """

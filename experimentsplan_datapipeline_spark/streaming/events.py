@@ -134,14 +134,26 @@ def checkpointed_metrics_sink(
     out_root: str,
     checkpoint_dir: str,
     query_name: str = "metrics_sink",
+    key_cols: tuple[str, ...] = ("event_type", "window_start", "window_end"),
 ):
-    """T3+T5: foreachBatch sink writing versioned batches + 'latest' overwrite.
+    """T3+T5: foreachBatch sink writing versioned batches + a 'latest'
+    SNAPSHOT.
 
-    Each micro-batch appends under ``batch={id}`` and replaces ``latest/`` —
-    the reference's dual checkpoint write (train/train_CATVTON/utils.py:39-40)
-    with exactly-once bookkeeping from ``checkpointLocation`` (resume = T3:
-    restarting with the same checkpoint dir skips completed batches).
+    Each micro-batch appends under ``batch={id}``; ``latest/`` is the full
+    current state, maintained by merge-upserting the micro-batch into the
+    previous snapshot (operators.joins.merge_upsert, last-write-wins on
+    ``key_cols``). Update output mode emits only CHANGED keys per batch, so a
+    plain overwrite of latest/ would leave readers a partial state — the
+    upsert keeps it whole. The reference's dual checkpoint write
+    (train/train_CATVTON/utils.py:39-40) with exactly-once bookkeeping from
+    ``checkpointLocation`` (resume = T3: restarting with the same checkpoint
+    dir skips completed batches).
+
+    ``key_cols`` defaults to the windowed-metrics identity; keys absent from
+    the batch schema are ignored so the same sink serves unwindowed keyed
+    streams.
     """
+    from experimentsplan_datapipeline_spark.operators.joins import merge_upsert
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # watermark-advance batches are empty; they must not clobber 'latest'
@@ -153,7 +165,22 @@ def checkpointed_metrics_sink(
                 "window_end", F.col("w.end")
             ).drop("w")
         flat.write.mode("overwrite").parquet(os.path.join(out_root, f"batch={batch_id}"))
-        flat.write.mode("overwrite").parquet(os.path.join(out_root, "latest"))
+        latest_path = os.path.join(out_root, "latest")
+        spark = flat.sparkSession
+        keys = [c for c in key_cols if c in flat.columns]
+        snapshot = flat
+        try:
+            base = spark.read.parquet(latest_path)
+            if keys and set(base.columns) == set(flat.columns):
+                snapshot = merge_upsert(base, flat, keys)
+        except Exception:
+            pass  # first batch: no latest/ yet
+        # materialize BEFORE overwriting latest/ — the merged plan reads the
+        # very files the overwrite deletes (eager localCheckpoint cuts that
+        # dependency; state is one row per live key, small by construction)
+        snapshot.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            latest_path
+        )
 
     return (
         windowed.writeStream.foreachBatch(write_batch)

@@ -78,6 +78,26 @@ def test_stratified_exact_counts_and_determinism(spark):
     assert got1 != got3
 
 
+def test_stratified_exact_duplicate_keys_deterministic(spark):
+    """key_cols that do NOT uniquely identify rows: the full-row hash
+    tiebreak must pin which duplicate is picked independent of the physical
+    partitioning (without it the choice is partition-order dependent)."""
+    rows = [(i % 10, f"payload_{i}", "a") for i in range(100)]
+    df1 = spark.createDataFrame(rows, ["id", "payload", "stratum"]).repartition(2)
+    df2 = spark.createDataFrame(rows[::-1], ["id", "payload", "stratum"]).repartition(
+        17, "payload"
+    )
+    pick1 = sorted(
+        (r.id, r.payload)
+        for r in smp.stratified_exact(df1, "stratum", {"a": 5}, ["id"], seed=3).collect()
+    )
+    pick2 = sorted(
+        (r.id, r.payload)
+        for r in smp.stratified_exact(df2, "stratum", {"a": 5}, ["id"], seed=3).collect()
+    )
+    assert pick1 == pick2
+
+
 def test_stratified_with_replacement_tops_up(spark):
     rows = [(i, "a") for i in range(3)]
     df = spark.createDataFrame(rows, ["id", "stratum"])

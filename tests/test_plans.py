@@ -131,3 +131,23 @@ class TestNewOpPlanShapes:
         plan = _plan(spark, "bm25_topk")
         assert plan.count("BroadcastExchange") >= 3
         assert "CartesianProduct" not in plan
+
+    def test_bm25_single_corpus_materialization(self, spark):
+        """cache_tf=True in the registered query: the tf subplan feeds three
+        branches (dl, df, scored) — they must read the persisted tf, not
+        re-derive it, so the documents parquet is scanned at most twice
+        in the physical plan (cache build + at most one reuse miss)."""
+        plan = _plan(spark, "bm25_topk")
+        # all three tf consumers must read the cache (each InMemoryTableScan
+        # re-prints the cached child plan, so counting FileScan lines would
+        # overcount — the parquet is physically read once, at cache build)
+        assert plan.count("InMemoryTableScan") >= 3, plan.count("InMemoryTableScan")
+
+    def test_brute_force_topk_two_phase_ranking(self, spark):
+        """similarity_bruteforce must rank via two windows (per-bucket
+        partial + final over survivors) — a single Window.partitionBy(qid)
+        over the full scored corpus is one task per query at scale."""
+        plan = _plan(spark, "similarity_bruteforce")
+        assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
+        # phase-1 partition keys include the hash bucket, not just the qid
+        assert "pmod" in plan or "xxhash64" in plan

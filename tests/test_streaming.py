@@ -93,6 +93,11 @@ def test_checkpoint_resume_skips_processed(spark, stream_dir, tmp_path):
     latest = spark.read.parquet(os.path.join(out_root, "latest"))
     rows = {(r.event_type, r.window_start.minute) for r in latest.collect()}
     assert ("loss", 10) in rows  # the new window arrived
+    # latest/ is a SNAPSHOT: update-mode batches carry only changed keys, but
+    # the merge-upsert must keep every previously published window visible
+    assert ("loss", 0) in rows
+    assert ("loss", 5) in rows
+    assert ("lr", 5) in rows
     n_batches_second = len([d for d in os.listdir(out_root) if d.startswith("batch=")])
     assert n_batches_second > n_batches_first  # appended, not rewritten
 

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from experimentsplan_datapipeline_spark.operators.dedup import embedding_near_dup
@@ -112,6 +113,40 @@ def test_resolve_duplicate_clusters(spark):
         for r in resolve_duplicate_clusters(docs, pairs, "doc_id").collect()
     }
     assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_resolve_clusters_long_chain_converges(spark):
+    """Pointer-jumping regression: a diameter-15 chain must collapse to ONE
+    representative within the default max_iter (plain one-hop min-label
+    propagation would silently under-merge it)."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        resolve_duplicate_clusters,
+    )
+
+    n = 16
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(n)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    out = {
+        r.doc_id: r.rep_id
+        for r in resolve_duplicate_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_resolve_clusters_raises_when_not_converged(spark):
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        resolve_duplicate_clusters,
+    )
+
+    n = 8
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(n)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        resolve_duplicate_clusters(docs, pairs, "doc_id", max_iter=1).collect()
 
 
 def test_salted_join_matches_plain(spark):
