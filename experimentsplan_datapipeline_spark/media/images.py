@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     IntegerType,
+    StringType,
     StructField,
     StructType,
 )
@@ -64,25 +65,51 @@ def _fake_decode(content: bytes, size: int = 8) -> tuple[int, int, int, list[int
 
 
 def _real_decode(content: bytes) -> tuple[int, int, int, list[int]]:
-    import io
+    """Decode actual image bytes. PIL when importable; else the vendored
+    pure-Python PNG codec (media/png.py) — so the REAL path runs in this
+    container too, not just the sha256 stub."""
+    if HAS_PIL:
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    img = Image.open(io.BytesIO(content)).convert("RGB")
-    arr = np.asarray(img)
+        img = Image.open(io.BytesIO(content)).convert("RGB")
+        arr = np.asarray(img)
+    else:
+        from experimentsplan_datapipeline_spark.media.png import decode_png
+
+        arr = decode_png(content)
+        if arr.shape[2] == 1:  # grayscale -> RGB for a uniform contract
+            arr = np.repeat(arr, 3, axis=2)
+        elif arr.shape[2] == 4:  # drop alpha
+            arr = arr[:, :, :3]
     h, w, c = arr.shape
     return h, w, c, arr.reshape(-1).astype(np.int64).tolist()
 
 
 def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
     """P1: binary -> decoded struct(height,width,channels,pixels) via
-    mapInPandas (Arrow batches; per-batch vectorized loop)."""
-    decode = _real_decode if HAS_PIL else _fake_decode
+    mapInPandas (Arrow batches; per-batch vectorized loop).
+
+    Per-row dispatch: PNG payloads (and anything PIL recognizes, when PIL is
+    present) take the REAL decode; other payloads fall back to the
+    deterministic sha256 stub so synthetic non-image fixtures stay
+    oracle-replayable."""
+    from experimentsplan_datapipeline_spark.media.png import is_png
+
     out_schema = StructType(
         [f for f in df.schema.fields if f.name != content_col]
         + [StructField("image", DECODED_SCHEMA)]
     )
     other_cols = [f.name for f in df.schema.fields if f.name != content_col]
+
+    def decode(content: bytes) -> tuple[int, int, int, list[int]]:
+        if content and (is_png(bytes(content)) or HAS_PIL):
+            try:
+                return _real_decode(bytes(content))
+            except Exception:
+                pass  # unrecognized/corrupt image -> deterministic stub
+        return _fake_decode(content)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,6 +212,53 @@ def batch_inference_stub(
             ]
             out = pdf.copy()
             out["score"] = scores
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def batch_inference_broadcast(
+    df: DataFrame,
+    weights: "np.ndarray",
+    input_col: str = "pixels_norm",
+    model_version: str = "npfilter-v1",
+) -> DataFrame:
+    """P7/P8/P10: the broadcast-model-weights inference pattern, proven with
+    a real NumPy weight matrix instead of framework weights.
+
+    The weights ship to executors ONCE via ``SparkContext.broadcast`` (torrent
+    protocol — not serialized into every task closure) and are materialized
+    per Python worker on first use; each Arrow batch then runs a vectorized
+    ``features @ W`` scoring pass. This is exactly where real checkpoint
+    tensors plug in (reference loads per-worker models in
+    train/common/metrics.py:41-170 and dataset.py:73-81); only the
+    ``score()`` body changes.
+
+    Rows whose feature vector length doesn't match the filter are scored by
+    cyclic weight indexing (len-robust for variable-size inputs) — keeps the
+    op total, deterministic, and oracle-free-testable by hash.
+    """
+    sc = df.sparkSession.sparkContext
+    bw = sc.broadcast(np.asarray(weights, dtype=np.float64))
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("score", DoubleType()), StructField("model", StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bw.value  # one deserialization per worker, reused across batches
+        for pdf in batches:
+            scores = []
+            for x in pdf[input_col]:
+                v = np.asarray(x, dtype=np.float64)
+                if v.size == 0:
+                    scores.append(0.0)
+                    continue
+                ww = w[np.arange(v.size) % w.size]
+                scores.append(round(float(v @ ww), 6))
+            out = pdf.copy()
+            out["score"] = scores
+            out["model"] = model_version
             yield out
 
     return df.mapInPandas(run, schema=out_schema)

@@ -4026,3 +4026,89 @@ def diff_versions(spark, sf_dir):
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register("read_npy_tensor", """
+SELECT k::BIGINT AS file_id, i::BIGINT AS idx,
+       (i * (k + 1) * 0.5)::DOUBLE AS value, 'float64' AS dtype, 2 AS ndims
+FROM range(2) t(k), range(12) s(i)
+""")
+def read_npy_tensor(spark, sf_dir):
+    """S7: the .npy tensor source end-to-end — write two deterministic
+    float64 arrays as real npy files, scan them with the distributed
+    binaryFile source, parse headers + data in an Arrow-batched pass
+    (sources/tensors.py), and flatten to (file_id, idx, value) rows the
+    DuckDB oracle reconstructs from first principles. Reference loads the
+    same format per sample at train/train_OOTDiffusion/dataloader.py:75-83.
+    """
+    import tempfile
+
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.sources.tensors import (
+        npy_bytes,
+        read_npy,
+    )
+
+    root = tempfile.mkdtemp(prefix="npy_src_")
+    for k in range(2):
+        arr = (np.arange(12, dtype=np.float64) * (k + 1) * 0.5).reshape(3, 4)
+        with open(os.path.join(root, f"tensor_{k}.npy"), "wb") as fh:
+            fh.write(npy_bytes(arr))
+    tensors = read_npy(spark, root)
+    return tensors.select(
+        F.regexp_extract("path", r"tensor_(\d+)\.npy", 1)
+        .cast("long")
+        .alias("file_id"),
+        F.posexplode("values").alias("idx", "value"),
+        F.col("dtype"),
+        F.size("shape").alias("ndims"),
+    ).select(
+        "file_id", F.col("idx").cast("long").alias("idx"), "value", "dtype",
+        "ndims",
+    )
+
+
+_INFER_BROADCAST_ORACLE = """
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 192),
+           i -> ('0x' || substr(sha256(text || (i // 32)::VARCHAR),
+                                (i % 32) * 2 + 1, 2))::BIGINT) AS pixels
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       round(list_sum(list_transform(range(0, 192),
+         i -> (((pixels[i + 1] / 255.0) - 0.5) / 0.5)
+              * (CASE i % 4 WHEN 0 THEN 0.1 WHEN 1 THEN -0.2
+                            WHEN 2 THEN 0.3 ELSE 0.4 END))), 6) AS score,
+       'npfilter-v1' AS model
+FROM px
+"""
+
+
+@register("media_infer_broadcast", _INFER_BROADCAST_ORACLE)
+def media_infer_broadcast(spark, sf_dir):
+    """P8/P10: broadcast-model-weights inference, proven with a real NumPy
+    weight vector. The weights travel to executors once via
+    SparkContext.broadcast (never in task closures) and score each Arrow
+    batch vectorized (media/images.py::batch_inference_broadcast — where
+    real checkpoint tensors plug in, reference
+    train/common/metrics.py:41-170). The sha256-stub pixels and the fixed
+    filter make the whole pass replayable by the DuckDB oracle."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.images import (
+        batch_inference_broadcast,
+        decode_images,
+        normalize_pixels,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    bin_df = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    scored = batch_inference_broadcast(
+        normalize_pixels(decode_images(bin_df)),
+        weights=np.array([0.1, -0.2, 0.3, 0.4]),
+    )
+    return scored.select("doc_id", "score", "model")

@@ -164,3 +164,150 @@ def test_image_ahash_near_dup(spark):
     for lo, hi in h.values():
         assert 0 <= lo < 2**32 and 0 <= hi < 2**32
     assert h[0] == h[2] and h[0] != h[1]
+
+
+def test_png_codec_roundtrip():
+    """Pure-Python PNG codec: encode -> decode is identity for RGB,
+    grayscale, and RGBA, and survives zlib's real filter pipeline."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.png import (
+        decode_png,
+        encode_png,
+        is_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 9, 3), (8, 8, 1), (4, 3, 4)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        blob = encode_png(arr)
+        assert is_png(blob)
+        back = decode_png(blob)
+        assert back.shape == arr.shape
+        assert (back == arr).all()
+
+
+def test_png_decode_all_filter_types():
+    """Decode PNGs whose scanlines use explicit filter types 1-4 (Sub, Up,
+    Average, Paeth) — encoders in the wild emit all of them."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media import png as png_mod
+
+    h, w, ch = 4, 6, 3
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+    # hand-filter each row with a different filter type
+    def paeth_row(cur, prev):
+        out = np.zeros_like(cur)
+        for x in range(len(cur)):
+            left = int(cur[x - ch]) if x >= ch else 0
+            ul = int(prev[x - ch]) if x >= ch else 0
+            out[x] = (int(cur[x]) - png_mod._paeth(left, int(prev[x]), ul)) & 0xFF
+        return out
+
+    rows = []
+    flat = arr.reshape(h, w * ch)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y, ftype in zip(range(h), [1, 2, 3, 4]):
+        cur = flat[y]
+        if ftype == 1:
+            filt = np.array(
+                [(int(cur[x]) - (int(cur[x - ch]) if x >= ch else 0)) & 0xFF
+                 for x in range(len(cur))], dtype=np.uint8)
+        elif ftype == 2:
+            filt = (cur.astype(np.int16) - prev) % 256
+        elif ftype == 3:
+            filt = np.array(
+                [(int(cur[x]) - ((int(cur[x - ch]) if x >= ch else 0)
+                                 + int(prev[x])) // 2) & 0xFF
+                 for x in range(len(cur))], dtype=np.uint8)
+        else:
+            filt = paeth_row(cur, prev)
+        rows.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + png_mod._chunk(b"IHDR", ihdr)
+        + png_mod._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + png_mod._chunk(b"IEND", b"")
+    )
+    assert (png_mod.decode_png(blob) == arr).all()
+
+
+def test_decode_images_real_path_for_png(spark):
+    """decode_images dispatches real decode for PNG payloads and the
+    deterministic stub for everything else — in the same batch."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.png import encode_png
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame(
+        [("real.png", bytearray(encode_png(arr))), ("fake.bin", bytearray(b"junk"))],
+        ["path", "content"],
+    )
+    out = {r.path: r.image for r in decode_images(df).collect()}
+    real = out["real.png"]
+    assert (real.height, real.width, real.channels) == (4, 4, 3)
+    assert real.pixels == list(range(48))  # REAL pixels, not a hash
+    stub = out["fake.bin"]
+    assert (stub.height, stub.width, stub.channels) == (8, 8, 3)  # stub shape
+
+
+def test_batch_inference_broadcast_weights(spark):
+    """Broadcast-weights scoring: cyclic dot product with the shipped NumPy
+    filter, reproducible across runs."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.images import (
+        batch_inference_broadcast,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0, 5.0]), (2, [0.5, -0.5]), (3, [])],
+        ["id", "pixels_norm"],
+    )
+    w = np.array([1.0, 0.0, -1.0])
+    out = {r.id: r.score for r in batch_inference_broadcast(df, w).collect()}
+    # id=1: 1*1 + 2*0 + 3*(-1) + 4*1 + 5*0 = 2 ; id=2: 0.5*1 + (-0.5)*0 = 0.5
+    assert out == {1: 2.0, 2: 0.5, 3: 0.0}
+    out2 = {r.id: r.score for r in batch_inference_broadcast(df, w).collect()}
+    assert out == out2
+
+
+def test_read_npy_source(spark, tmp_path):
+    """S7: npy files written by numpy round-trip through the binaryFile +
+    mapInPandas source with dtype, shape, and values intact."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.sources.tensors import (
+        npy_bytes,
+        parse_npy,
+        read_npy,
+    )
+
+    a = np.arange(6, dtype=np.float32).reshape(2, 3)
+    b = np.array([[1.5, -2.5]], dtype=np.float64)
+    (tmp_path / "a.npy").write_bytes(npy_bytes(a))
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "b.npy").write_bytes(npy_bytes(b))
+    (tmp_path / "ignore.txt").write_bytes(b"not a tensor")
+
+    out = {
+        r.path.split("/")[-1]: r
+        for r in read_npy(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"a.npy", "b.npy"}
+    assert out["a.npy"].dtype == "float32"
+    assert out["a.npy"].shape == [2, 3]
+    assert out["a.npy"].values == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    assert out["b.npy"].dtype == "float64"
+    assert out["b.npy"].values == [1.5, -2.5]
+    # direct parse twin
+    assert parse_npy(npy_bytes(b))[1] == [1, 2]
