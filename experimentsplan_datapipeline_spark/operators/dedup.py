@@ -41,6 +41,33 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 _MINHASH_PRIME = 2147483647
 
 
+def minhash_coeffs(num_hashes: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """Deterministic pseudo-random affine coefficients for the minhash
+    family: a_i in [1, p), b_i in [0, p), drawn from splitmix64 (public
+    constants, Steele et al. 2014). Replaces the old (2i+1, 7i+3) ladder,
+    whose near-linear relation across rows correlated the K min-estimates
+    and cost recall. Both the Spark signatures and the DuckDB oracle call
+    THIS function, so the two sides can never drift.
+
+    h < p = 2^31-1 and a < p keep a*h + b under 2^62 — no long overflow
+    under ANSI mode."""
+    mask = (1 << 64) - 1
+
+    def smix(x: int) -> tuple[int, int]:
+        x = (x + 0x9E3779B97F4A7C15) & mask
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        return x, z ^ (z >> 31)
+
+    out, state = [], seed
+    for _ in range(num_hashes):
+        state, r1 = smix(state)
+        state, r2 = smix(state)
+        out.append((r1 % (_MINHASH_PRIME - 1) + 1, r2 % _MINHASH_PRIME))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = 32, shingle_size: int = 3,
@@ -76,8 +103,7 @@ def minhash_signatures(
         F.explode(F.array_distinct(ngrams(text_col, shingle_size))).alias("__sh"),
     ).select(F.col(id_col), F.pmod(base, p).alias("__h"))
     aggs = []
-    for i in range(num_hashes):
-        a, b = 2 * i + 1, 7 * i + 3
+    for i, (a, b) in enumerate(minhash_coeffs(num_hashes)):
         aggs.append(
             F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), p)).alias(f"mh_{i}")
         )

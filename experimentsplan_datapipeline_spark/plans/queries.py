@@ -1053,9 +1053,10 @@ def _minhash_oracle_sql(
     p = dd._MINHASH_PRIME
     n = shingle_size
     base = _DUCK_PHASH.format(x="g", seed=seed)
+    # the SAME coefficient generator the Spark signatures use — one source
     mins = ",\n    ".join(
-        f"min(({2 * i + 1} * h + {7 * i + 3}) % {p}) AS mh_{i}"
-        for i in range(num_hashes)
+        f"min(({a} * h + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(dd.minhash_coeffs(num_hashes))
     )
     rows_per_band = num_hashes // bands
     band_selects = []

@@ -46,15 +46,26 @@ def discover_latest_version(
     spark: SparkSession, root: str, version_col: str = "step"
 ) -> int | None:
     """S11 read side: top-1-by-version discovery over the directory layout
-    (the W2 regex-extract shape, but on partition names)."""
-    base = root if "://" in root else os.path.abspath(root)
-    if not os.path.exists(base):
+    (the W2 regex-extract shape, but on partition names).
+
+    Listing goes through the Hadoop FileSystem API, so ANY scheme the
+    cluster can reach works — local paths, hdfs://, s3a:// — where a plain
+    ``os.listdir`` would silently see nothing on object stores. Returns
+    None only when the root genuinely doesn't exist."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
         return None
-    versions = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(base)
-        if d.startswith(f"{version_col}=")
-    ]
+    versions = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.startswith(f"{version_col}="):
+            try:
+                versions.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass  # foreign dir like step=tmp: not a version
     return max(versions) if versions else None
 
 

@@ -487,3 +487,79 @@ def test_ivfpq_full_probe_matches_flat_pq(spark):
         ).collect()
     }
     assert ivfpq == flat
+
+
+def test_pq_index_arrow_matches_expression_path(spark):
+    """The Arrow-vectorized index build must produce the exact codes, cells,
+    and final rankings of the Catalyst expression form."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks_from_corpus,
+        pq_topk,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        .filter(F.col("vec_id") < 400)
+    )
+    books = pq_codebooks_from_corpus(emb, "vec_id", "embedding", 64, 4, 8)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    def key(rows):
+        return sorted((r.vec_id_q, r.vec_id, r.adist, r.rank) for r in rows)
+
+    fast = key(pq_topk(emb, queries, "vec_id", "vec_id", "embedding", books,
+                       k=5, arrow=True).collect())
+    slow = key(pq_topk(emb, queries, "vec_id", "vec_id", "embedding", books,
+                       k=5, arrow=False).collect())
+    assert fast == slow and len(fast) == 15
+
+    fast_i = key(ivfpq_topk(emb, queries, "vec_id", "vec_id", "embedding",
+                            books, k=5, n_cells=8, n_probe=2,
+                            arrow=True).collect())
+    slow_i = key(ivfpq_topk(emb, queries, "vec_id", "vec_id", "embedding",
+                            books, k=5, n_cells=8, n_probe=2,
+                            arrow=False).collect())
+    assert fast_i == slow_i and fast_i
+
+
+def test_minhash_coeffs_well_distributed():
+    """Affine family sanity: coefficients deterministic, in range, and free
+    of the old (2i+1, 7i+3) linear ladder (adjacent a's differing by a
+    constant would correlate the K min-estimates)."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        _MINHASH_PRIME,
+        minhash_coeffs,
+    )
+
+    c1 = minhash_coeffs(32)
+    assert c1 == minhash_coeffs(32)  # deterministic
+    assert len({a for a, _ in c1}) == 32 and len({b for _, b in c1}) == 32
+    assert all(1 <= a < _MINHASH_PRIME and 0 <= b < _MINHASH_PRIME for a, b in c1)
+    gaps = {c1[i + 1][0] - c1[i][0] for i in range(len(c1) - 1)}
+    assert len(gaps) > 1  # not an arithmetic progression
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    """Behavioral regression across the coefficient change: duplicate text
+    pairs, dissimilar text stays unpaired."""
+    from experimentsplan_datapipeline_spark.operators.dedup import minhash_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, "completely different words about spark query planning at scale"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dedup(
+            docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
