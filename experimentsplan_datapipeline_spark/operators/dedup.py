@@ -411,6 +411,71 @@ def resolve_duplicate_clusters(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.85,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): embeddings bucket into coarse k-means cells, and the
+    exact cosine verification runs ONLY within a cell.
+
+    Scale shape: cell assignment is a broadcast-literal argmax projection
+    (zero shuffle); candidates come from a self-equi-join on the cell id, so
+    the quadratic cost is bounded by the largest cell, never corpus-wide —
+    the property that makes SemDeDup run on web-scale corpora. Ties and
+    float noise are pinned: assignment uses ROUNDED cosine with ties to the
+    larger cell id (ivf_topk's convention); the pair filter compares the
+    ROUNDED cosine so engines agree at the threshold boundary.
+
+    Returns (id_a, id_b, cell, cosine) with id_a < id_b. Compose with
+    resolve_duplicate_clusters + keep-min-id for the "keep one per semantic
+    cluster" policy.
+    """
+    from experimentsplan_datapipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_similarity(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv])),
+                    6,
+                ).alias("cos"),
+                F.lit(int(cid)).alias("cell"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_max(cent_arr)["cell"].alias("cell"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(
+        cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.cell").alias("cell"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     probes: DataFrame,

@@ -27,6 +27,7 @@ def tfidf_top_terms(
     id_col: str,
     text_col: str,
     k: int = 3,
+    cache_tf: bool = False,
 ) -> DataFrame:
     """Top-k terms per document by tf-idf (ln smoothing-free idf).
 
@@ -39,6 +40,11 @@ def tfidf_top_terms(
     back) -> one window per doc. The corpus-sized side is shuffled once.
     N (corpus size) stays IN the plan as a broadcast single-row aggregate —
     a driver-side ``df.count()`` would be a second full corpus scan.
+
+    The tf subplan feeds two branches (doc frequency + the scored join), so
+    a lazy run tokenizes the corpus twice; ``cache_tf=True`` persists tf
+    (MEMORY_AND_DISK) for one tokenization pass — caller owns the eventual
+    unpersist.
     """
     n_docs = df.select(F.count(F.lit(1)).cast("double").alias("__n"))
     tf = (
@@ -48,6 +54,8 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if cache_tf:
+        tf = tf.persist()
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(doc_freq), "term")

@@ -1289,7 +1289,9 @@ def tfidf_top_terms_q(spark, sf_dir):
         tfidf_top_terms,
     )
 
-    return tfidf_top_terms(t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    return tfidf_top_terms(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=3, cache_tf=True
+    )
 
 
 @register("approx_distinct")  # rows-only: HLL++ estimate is engine-specific
@@ -4113,3 +4115,47 @@ def media_infer_broadcast(spark, sf_dir):
         weights=np.array([0.1, -0.2, 0.3, 0.4]),
     )
     return scored.select("doc_id", "score", "model")
+
+
+def _dedup_semantic_oracle_sql(
+    n_cells: int = 16, threshold: float = 0.45,
+) -> str:
+    """DuckDB twin of semantic_dedup_pairs with the deterministic lowest-id
+    cell centroids: replay cell argmax (rounded cosine, ties to the larger
+    cell — ivf's convention) and the within-cell rounded-cosine pair scan."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {n_cells}),
+asg AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                        c.cell DESC) AS rn
+    FROM e CROSS JOIN cells c)
+  WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+"""
+
+
+@register("dedup_semantic", _dedup_semantic_oracle_sql())
+def dedup_semantic(spark, sf_dir):
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): embeddings bucket into
+    coarse cells by broadcast-literal cosine argmax, exact cosine pairs run
+    only WITHIN a cell — the quadratic verification is bounded by cell size,
+    never corpus-wide (operators/dedup.py::semantic_dedup_pairs). Lowest-id
+    centroids keep the whole chain oracle-replayable; kmeans_lite swaps in
+    trained cells without changing the plan."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(16).collect()
+    ]
+    return dd.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", cents, threshold=0.45
+    )

@@ -48,8 +48,9 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         # many-small-files catalogs: pack up to 128MB per input partition
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # parquet TIMESTAMP(NANOS) (events.ts) reads as long; we convert via
-        # timestamp_micros(ns div 1000) which matches DuckDB's ns->us truncation
+        # some events.parquet vintages carry TIMESTAMP(NANOS), readable only
+        # as long under this conf; plans.queries._normalize_events_ts then
+        # adapts to whatever dtype the file actually yields
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if master is None:
@@ -74,14 +75,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "SparkSession"]:
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
-    # events.parquet is TIMESTAMP(NANOS); settable at runtime, so foreign
-    # (driver-built) sessions work too
+    # some events.parquet vintages carry TIMESTAMP(NANOS); the conf is
+    # settable at runtime, so foreign (driver-built) sessions work too
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
+            if name == "events":
+                from experimentsplan_datapipeline_spark.plans.queries import (
+                    _normalize_events_ts,
+                )
+
+                df = _normalize_events_ts(df)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -11,6 +11,7 @@ small summary location, never of the versioned history.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -114,6 +115,54 @@ def write_partitioned(
     the selected slices.
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def copy_tree(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    exclude_suffixes: tuple[str, ...] = (),
+    path_glob: str | None = None,
+) -> int:
+    """S12/S13: bulk recursive tree copy with exclusion — the distributed
+    form of the reference's directory upload-with-ignore and prefix download
+    loops (paginated listings + per-object GET/PUT in a driver thread).
+
+    Listing + fetch run as ONE distributed binaryFile scan: every executor
+    copies its own partition's files, relative paths preserved under
+    ``dst_root``. ``path_glob`` pushes an INCLUDE pattern into the listing
+    itself (pruned before any byte moves); ``exclude_suffixes`` drops
+    matches after listing (the upload-side ignore list). Returns the number
+    of files copied. Local/NFS destinations write directly; an object-store
+    destination takes the same plan with the per-partition writer swapped
+    for the store's client.
+    """
+    reader = (
+        spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    files = reader.load(src_root)
+    for sfx in exclude_suffixes:
+        files = files.filter(~F.col("path").endswith(sfx))
+    src_abs = os.path.abspath(src_root)
+    rel = F.regexp_replace(
+        F.regexp_replace("path", "^file:", ""), re.escape(src_abs) + "/?", ""
+    )
+    to_copy = files.select(rel.alias("rel"), "content")
+
+    def write_partition(rows) -> None:
+        for r in rows:
+            if ".." in r["rel"].split("/"):
+                raise ValueError(f"path escapes destination: {r['rel']!r}")
+            target = os.path.join(dst_root, r["rel"])
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            with open(target, "wb") as f:
+                f.write(bytes(r["content"]))
+
+    os.makedirs(dst_root, exist_ok=True)
+    to_copy.foreachPartition(write_partition)
+    return to_copy.count()
 
 
 def write_binary_files(

@@ -183,3 +183,30 @@ def test_write_binary_files_rejects_traversal(spark, tmp_path):
     df = spark.createDataFrame([("../evil", b"x")], ["name", "content"])
     with _pytest.raises(Exception):
         write_binary_files(df, str(tmp_path / "imgs"))
+
+
+def test_copy_tree_with_exclusion(spark, tmp_path):
+    """S12/S13: recursive distributed copy preserves structure and honors
+    both the include glob and the exclusion suffix list."""
+    from experimentsplan_datapipeline_spark.sources.sinks import copy_tree
+
+    src = tmp_path / "src"
+    (src / "a").mkdir(parents=True)
+    (src / "b" / "c").mkdir(parents=True)
+    (src / "root.txt").write_bytes(b"root")
+    (src / "a" / "one.txt").write_bytes(b"one")
+    (src / "a" / "skip.tmp").write_bytes(b"nope")
+    (src / "b" / "c" / "deep.txt").write_bytes(b"deep")
+
+    dst = tmp_path / "dst"
+    n = copy_tree(spark, str(src), str(dst), exclude_suffixes=(".tmp",))
+    assert n == 3
+    assert (dst / "root.txt").read_bytes() == b"root"
+    assert (dst / "a" / "one.txt").read_bytes() == b"one"
+    assert (dst / "b" / "c" / "deep.txt").read_bytes() == b"deep"
+    assert not (dst / "a" / "skip.tmp").exists()
+
+    # include-glob variant: only .txt under a/
+    dst2 = tmp_path / "dst2"
+    n2 = copy_tree(spark, str(src), str(dst2), path_glob="*.txt")
+    assert n2 == 3 and not (dst2 / "a" / "skip.tmp").exists()

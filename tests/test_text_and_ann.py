@@ -563,3 +563,31 @@ def test_minhash_lsh_finds_near_dups(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_semantic_dedup_pairs_cell_bounded(spark):
+    """SemDeDup: near-identical vectors pair; cross-cell pairs never appear
+    even when cosine clears the threshold."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # centroid A
+        (1, [0.0, 1.0, 0.0]),   # centroid B
+        (10, [0.99, 0.1, 0.0]),  # cell A
+        (11, [0.98, 0.12, 0.0]), # cell A, near-dup of 10
+        (20, [0.1, 0.99, 0.0]),  # cell B
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    pairs = {
+        (r.id_a, r.id_b): r.cell
+        for r in semantic_dedup_pairs(
+            emb, "vec_id", "embedding", cents, threshold=0.95
+        ).collect()
+    }
+    assert (10, 11) in pairs and pairs[(10, 11)] == 0
+    assert (0, 10) in pairs  # centroid row itself lands in its cell
+    # 20 sits in cell B: no pair with the cell-A members despite any cosine
+    assert all(not (a == 20 or b == 20) or (a, b) == (1, 20) for a, b in pairs)
