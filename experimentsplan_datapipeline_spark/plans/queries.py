@@ -4159,3 +4159,36 @@ def dedup_semantic(spark, sf_dir):
     return dd.semantic_dedup_pairs(
         emb, "vec_id", "embedding", cents, threshold=0.45
     )
+
+
+@register("stream_dedup", """
+SELECT event_type, count(DISTINCT event_id) AS n
+FROM events GROUP BY event_type
+""")
+def stream_dedup(spark, sf_dir):
+    """Streaming exact-dedup at ingest (streaming/events.py::streaming_dedup):
+    dropDuplicatesWithinWatermark keeps per-key state only inside the
+    watermark horizon — bounded memory on an unbounded stream, the first
+    tier of the dedup cascade at 100 TB/day. Drained with availableNow into
+    a memory sink, then aggregated; the oracle twin is count(DISTINCT) per
+    type, which the kept-first semantics must reproduce exactly."""
+    from experimentsplan_datapipeline_spark.streaming.events import streaming_dedup
+
+    stream = _events_stream(spark, sf_dir)
+    deduped = streaming_dedup(stream, ["event_id"], watermark="4 hours")
+    name = "stream_dedup_result"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
