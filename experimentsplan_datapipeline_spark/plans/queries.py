@@ -4192,3 +4192,70 @@ def stream_dedup(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register("agg_cube", """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def agg_cube(spark, sf_dir):
+    """Multi-dimensional rollup via CUBE grouping sets: all four
+    (status x priority) aggregation levels in ONE pass — Spark expands the
+    grouping sets inside a single shuffle (partial aggregation per set), so
+    the cube costs one scan, not 2^dims scans. The reference computes its
+    report slices in separate passes (train/common/metrics.py report
+    loops); grouping sets subsume them."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register("agg_percentiles", """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` =
+    DuckDB ``quantile_cont``, both linear interpolation). One shuffle on the
+    group key; at 100 TB swap to ``approx_percentile`` (t-digest, map-side
+    combinable) when exactness can trade for a bounded-memory sketch — the
+    exact form is the oracle-checkable twin."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register("set_intersect_except", """
+SELECT 'both' AS side, count(*) AS n FROM (
+  SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'customers_without_orders', count(*) FROM (
+  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+""")
+def set_intersect_except(spark, sf_dir):
+    """Relational set ops (INTERSECT / EXCEPT): Spark plans both as
+    hash-aggregated semi/anti joins — one shuffle each on the key, no
+    distinct-then-join double shuffle. The reference's existence probes
+    (S14) compose from these."""
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    both = o.intersect(c).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("side"), "n"
+    )
+    without = c.exceptAll(o.distinct()).distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("customers_without_orders").alias("side"), "n")
+    return both.unionByName(without)
