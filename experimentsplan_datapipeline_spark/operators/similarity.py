@@ -382,11 +382,18 @@ def pq_topk(
         else pq_encode(corpus, corpus_id, vec_col, codebooks)
     )
     # LUT materializes on the (small) query side BELOW the broadcast, so the
-    # per-corpus-row cost is m array lookups, not m distance evaluations
-    q = queries.select(
-        F.col(query_id).alias("__qid"),
-        _adc_lut(codebooks, F.col(vec_col)).alias("__lut"),
-    )
+    # per-corpus-row cost is m array lookups, not m distance evaluations.
+    # On the arrow path the LUT computes driver-side in numpy and ships as
+    # DATA (the literal-expression form costs Catalyst analysis time).
+    if arrow:
+        q = _query_probe_lut_frame(
+            queries, query_id, vec_col, codebooks, None, 0
+        ).drop("__cell")
+    else:
+        q = queries.select(
+            F.col(query_id).alias("__qid"),
+            _adc_lut(codebooks, F.col(vec_col)).alias("__lut"),
+        )
     scored = encoded.crossJoin(F.broadcast(q)).select(
         F.col("__qid").alias(query_id + "_q"),
         F.col(corpus_id),
@@ -634,22 +641,38 @@ def ivfpq_topk(
         top_k_per_key_two_phase,
     )
 
-    q = queries.select(
-        F.col(query_id).alias("__qid"),
-        F.col(vec_col).alias("__qvec"),
-        _adc_lut(codebooks, F.col(vec_col)).alias("__lut"),
-    ).withColumn(
-        "__cell",
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.reverse(F.array_sort(scored_cells(F.col("__qvec")))), 1, n_probe
-                ),
-                lambda s: s["cell"],
+    if arrow:
+        # The query set is k-bounded and tiny BY DEFINITION (it broadcasts),
+        # so its probe cells and ADC LUTs compute on the driver in numpy and
+        # ship as DATA rows. The expression form embeds ~n_cells*dim +
+        # m*ksub*dsub literal nodes in the plan, and Catalyst ANALYSIS of
+        # those (not execution) dominated this query's wall clock.
+        q = F.broadcast(
+            _query_probe_lut_frame(
+                queries, query_id, vec_col, codebooks, centroids, n_probe
             )
-        ),
-    )
-    scored = index.join(F.broadcast(q), "__cell").select(
+        )
+    else:
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id).alias("__qid"),
+                F.col(vec_col).alias("__qvec"),
+                _adc_lut(codebooks, F.col(vec_col)).alias("__lut"),
+            ).withColumn(
+                "__cell",
+                F.explode(
+                    F.transform(
+                        F.slice(
+                            F.reverse(F.array_sort(scored_cells(F.col("__qvec")))),
+                            1,
+                            n_probe,
+                        ),
+                        lambda s: s["cell"],
+                    )
+                ),
+            )
+        )
+    scored = index.join(q, "__cell").select(
         F.col("__qid").alias(query_id + "_q"),
         F.col(corpus_id),
         _adc_dist_from_lut(codebooks).alias("adist"),
@@ -661,3 +684,72 @@ def ivfpq_topk(
         k=k,
         bucket_cols=[corpus_id],
     )
+
+
+def _query_probe_lut_frame(
+    queries: DataFrame,
+    query_id: str,
+    vec_col: str,
+    codebooks: list[list[tuple[int, list[float]]]],
+    centroids: list[tuple[int, list[float]]] | None,
+    n_probe: int,
+) -> DataFrame:
+    """(qid, __cell, __lut) rows computed driver-side in numpy.
+
+    Semantics identical to the expression form: probe cells are the n_probe
+    best by ROUNDED cosine with ties to the larger cell id; lut[j][p] is the
+    rounded squared distance to codebook position p of subspace j (codebook
+    cid order). One k-bounded collect — same budget class as the codebook
+    collects this index already does."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cb_mats = [np.array([cv for _, cv in cb], dtype=np.float64) for cb in codebooks]
+    dsub = cb_mats[0].shape[1]
+    rows = queries.select(query_id, vec_col).collect()
+    out = []
+    cent_ids = cent_mat = cent_norm = None
+    if centroids is not None:
+        cent_ids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+        cent_mat = np.array([cv for _, cv in centroids], dtype=np.float64)
+        cent_norm = np.sqrt((cent_mat * cent_mat).sum(1))
+    for r in rows:
+        qid = r[query_id]
+        v = np.asarray([float(x) for x in r[vec_col]], dtype=np.float64)
+        lut = [
+            [
+                float(x)
+                for x in _np_round_half_up(
+                    ((v[j * dsub : (j + 1) * dsub] - cb_mats[j]) ** 2).sum(1)
+                )
+            ]
+            for j in range(len(cb_mats))
+        ]
+        if centroids is None:
+            out.append((qid, None, lut))
+            continue
+        vn = np.sqrt((v * v).sum())
+        denom = vn * cent_norm
+        cos = np.divide(
+            cent_mat @ v, denom, out=np.zeros_like(denom), where=denom != 0
+        )
+        cos = _np_round_half_up(cos)
+        # sort by (cos desc, cell desc): lexsort keys ascending -> negate
+        order = np.lexsort((-cent_ids, -cos))
+        for cell in cent_ids[order[:n_probe]]:
+            out.append((qid, int(cell), lut))
+    id_type = queries.schema[query_id].dataType
+    schema = StructType(
+        [
+            StructField("__qid", id_type),
+            StructField("__cell", LongType()),
+            StructField("__lut", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+    return queries.sparkSession.createDataFrame(out, schema)
