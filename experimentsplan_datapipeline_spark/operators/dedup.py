@@ -443,7 +443,7 @@ def semantic_dedup_pairs(
         *[
             F.struct(
                 F.round(
-                    cosine_similarity(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv])),
+                    cosine_similarity(F.col(vec_col), F.lit([float(x) for x in cv])),
                     6,
                 ).alias("cos"),
                 F.lit(int(cid)).alias("cell"),

@@ -63,7 +63,7 @@ def _hyperplane_bucket(vec, planes: list[list[float]]):
     """Sign-pattern bucket id from fixed random hyperplanes (deterministic)."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
+        arr = F.lit([float(x) for x in plane])
         dot = F.aggregate(
             F.zip_with(vec, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
         )
@@ -157,7 +157,7 @@ def ivf_topk(
         *[
             F.struct(
                 F.lit(int(cid)).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cvec"),
+                F.lit([float(x) for x in cv]).alias("cvec"),
             )
             for cid, cv in centroids
         ]
@@ -217,7 +217,7 @@ def _assign_expr(vec, cents: list[tuple[int, list[float]]]):
         *[
             F.struct(
                 F.round(
-                    _sq_dist(vec, F.array(*[F.lit(float(x)) for x in c])), 6
+                    _sq_dist(vec, F.lit([float(x) for x in c])), 6
                 ).alias("d"),
                 F.lit(int(cid)).alias("cid"),
             )
@@ -426,7 +426,7 @@ def _adc_dist(
             *[
                 F.struct(
                     F.lit(int(cid)).alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in cv]).alias("cvec"),
+                    F.lit([float(x) for x in cv]).alias("cvec"),
                 )
                 for cid, cv in cb
             ]
@@ -455,7 +455,7 @@ def _adc_lut(codebooks: list[list[tuple[int, list[float]]]], qvec_col):
                     F.round(
                         _sq_dist(
                             F.slice(qvec_col, j * dsub + 1, dsub),
-                            F.array(*[F.lit(float(x)) for x in cv]),
+                            F.lit([float(x) for x in cv]),
                         ),
                         6,
                     )
@@ -477,7 +477,7 @@ def _adc_dist_from_lut(
     Fixed-order sum + final round — identical numerics to _adc_dist."""
     terms = []
     for j, cb in enumerate(codebooks):
-        cids = F.array(*[F.lit(int(cid)) for cid, _ in cb])
+        cids = F.lit([int(cid) for cid, _ in cb])
         pos = F.array_position(cids, F.col(codes_col)[j]).cast("int")
         terms.append(F.element_at(F.element_at(F.col(lut_col), j + 1), pos))
     return F.round(sum(terms[1:], terms[0]), 6)
@@ -609,7 +609,7 @@ def ivfpq_topk(
         *[
             F.struct(
                 F.lit(int(cid)).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cvec"),
+                F.lit([float(x) for x in cv]).alias("cvec"),
             )
             for cid, cv in centroids
         ]
