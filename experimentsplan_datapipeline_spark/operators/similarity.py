@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from experimentsplan_datapipeline_spark.functions.vectors import cosine_similarity
 
@@ -115,12 +114,18 @@ def lsh_bucketed_topk(
         F.col(corpus_id),
         F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
     )
-    w = Window.partitionBy(query_id + "_q").orderBy(
-        F.col("cosine").desc(), F.col(corpus_id).asc()
+    from experimentsplan_datapipeline_spark.operators.windows import (
+        top_k_per_key_two_phase,
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+
+    # two-phase ranking: one bucket can hold a large candidate slab per
+    # query — never funnel it through one task
+    return top_k_per_key_two_phase(
+        scored,
+        key_cols=[query_id + "_q"],
+        order_by=[F.col("cosine").desc(), F.col(corpus_id).asc()],
+        k=k,
+        bucket_cols=[corpus_id],
     )
 
 
@@ -195,13 +200,18 @@ def ivf_topk(
         F.col(corpus_id),
         F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
     )
-    w = Window.partitionBy(query_id + "_q").orderBy(
-        F.col("cosine").desc(), F.col(corpus_id).asc()
+    from experimentsplan_datapipeline_spark.operators.windows import (
+        top_k_per_key_two_phase,
     )
-    return (
-        scored.dropDuplicates([query_id + "_q", corpus_id])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+
+    # two-phase ranking: a probe can return a whole cell's candidates per
+    # query — never funnel them through one task
+    return top_k_per_key_two_phase(
+        scored.dropDuplicates([query_id + "_q", corpus_id]),
+        key_cols=[query_id + "_q"],
+        order_by=[F.col("cosine").desc(), F.col(corpus_id).asc()],
+        k=k,
+        bucket_cols=[corpus_id],
     )
 
 
