@@ -4259,3 +4259,36 @@ def set_intersect_except(spark, sf_dir):
         F.count(F.lit(1)).alias("n")
     ).select(F.lit("customers_without_orders").alias("side"), "n")
     return both.unionByName(without)
+
+
+@register("events_retention", """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+       (a.d - f.cohort) AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+""")
+def events_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, counted per
+    day-offset of later activity — the standard activation/retention matrix.
+    Three shrinking aggregations (first-seen per user, distinct active days
+    per user, cohort x offset rollup), all with map-side combine; the only
+    corpus-scale shuffle keys on user_id and serves both the cohort
+    assignment and the activity dedup."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
