@@ -170,3 +170,90 @@ def test_token_entropy_bounds(spark, texts):
         assert 0 < r.top_share <= 1.0
         assert 0 < r.distinct_ratio <= 1.0
         assert r.n_distinct <= r.n_tokens
+
+
+@given(
+    shape=st.tuples(
+        st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 3, 4])
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+@SLOW
+def test_png_roundtrip_property(shape, seed):
+    """encode->decode is identity for any 8-bit image shape/content."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert (decode_png(encode_png(arr)) == arr).all()
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=30,
+    ),
+)
+@SLOW
+def test_resolve_clusters_matches_union_find(spark, edges):
+    """Pointer-jumping cluster resolution equals a plain union-find on any
+    random pair graph (self-loops tolerated)."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        resolve_duplicate_clusters,
+    )
+
+    n = 25
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(n)], ["doc_id", "text"])
+    pair_rows = [(a, b) for a, b in edges if a != b] or [(0, 0)]
+    pairs = spark.createDataFrame(pair_rows, ["id_a", "id_b"])
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+
+    got = {
+        r.doc_id: r.rep_id
+        for r in resolve_duplicate_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert got == expected
+
+
+@given(
+    arrs=st.lists(
+        st.lists(st.floats(-100, 100, width=32), min_size=1, max_size=20),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@SLOW
+def test_npy_roundtrip_property(spark, tmp_path_factory, arrs):
+    """Any float array written as .npy comes back with exact dtype, shape,
+    and values through the distributed source."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.sources.tensors import npy_bytes, read_npy
+
+    root = tmp_path_factory.mktemp("npy_prop")
+    expect = {}
+    for i, vals in enumerate(arrs):
+        a = np.array(vals, dtype=np.float64)
+        (root / f"t{i}.npy").write_bytes(npy_bytes(a))
+        expect[f"t{i}.npy"] = a
+    out = {r.path.split("/")[-1]: r for r in read_npy(spark, str(root)).collect()}
+    assert set(out) == set(expect)
+    for name, a in expect.items():
+        assert out[name].shape == list(a.shape)
+        assert out[name].values == a.reshape(-1).tolist()
