@@ -102,12 +102,16 @@ def bm25_topk(
     ranking is two-phase top-k (per-bucket partials), never one task per
     query. N counts docs with >= 1 token (empty docs can never match).
 
-    The tf subplan feeds three branches (doc length, doc frequency, the
-    scored join); Catalyst re-derives it per branch, so a lazy one-shot run
-    scans the corpus three times. Pass ``cache_tf=True`` to persist tf
-    (MEMORY_AND_DISK) when the corpus fits the cluster's storage tier or
-    when serving many query batches over one corpus — the caller owns the
-    eventual ``unpersist``.
+    Doc length rides INSIDE the (doc, term) aggregation: the token array's
+    size attaches before the explode and survives as ``any_value`` per
+    group, so no corpus-scale dl join exists at all. Corpus stats (N,
+    avgdl) derive from a no-explode projection of the same scan (array
+    size only — no shuffle, single-row aggregate). The tf subplan then
+    feeds two branches (doc frequency + the scored join); pass
+    ``cache_tf=True`` to persist it when serving many query batches over
+    one corpus — the caller owns the eventual ``unpersist``. One-shot
+    queries leave it off: re-deriving a pipelined scan->explode->agg twice
+    is cheaper than materializing the full tf table.
 
     Reference parity: the reference has no retrieval op; this extends the
     north-star text-analysis family (BASELINE.json mandate).
@@ -116,19 +120,29 @@ def bm25_topk(
         top_k_per_key_two_phase,
     )
 
+    toks = spread_small_input(docs).select(
+        F.col(id_col),
+        F.filter(_tokens(text_col), lambda t: t != "").alias("__toks"),
+    )
     tf = (
-        spread_small_input(docs)
-        .select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
-        .filter(F.col("term") != "")
+        toks.select(
+            F.col(id_col),
+            F.size("__toks").cast("double").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.any_value("dl").alias("dl"))
     )
     if cache_tf:
         tf = tf.persist()
-    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("double").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("__n"),
-        F.avg("dl").alias("__avgdl"),
+    # N = docs with >= 1 token (empty docs can never match); avgdl over those
+    stats = (
+        toks.select(F.size("__toks").cast("double").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.avg("dl").alias("__avgdl"),
+        )
     )
     qterms = queries.select(
         F.col(query_id_col),
@@ -153,7 +167,6 @@ def bm25_topk(
     scored = (
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum(term_score), 6).alias("bm25"))

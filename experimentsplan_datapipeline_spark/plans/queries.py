@@ -3215,9 +3215,11 @@ def bm25_topk_q(spark, sf_dir):
     """BM25 retrieval (north-star text analysis): top-10 documents for each
     of two literal queries, Lucene idf. Query vocab broadcasts onto the
     term-frequency side so the corpus prunes before any corpus-scale join;
-    ranking is two-phase top-k (never one task per query). cache_tf=True:
-    the tf subplan feeds three branches (dl, df, scored) — persisting it
-    makes this ONE corpus scan instead of three."""
+    doc length rides inside the tf aggregation (no dl join exists); corpus
+    stats derive from a no-explode projection; ranking is two-phase top-k
+    (never one task per query). cache_tf stays off for this one-shot form —
+    re-deriving the pipelined tf twice beats materializing it; flip it on
+    when serving many query batches over one corpus."""
     from experimentsplan_datapipeline_spark.operators.text_analysis import bm25_topk
 
     queries = spark.createDataFrame(
@@ -3225,8 +3227,7 @@ def bm25_topk_q(spark, sf_dir):
         ["query_id", "query_text"],
     )
     return bm25_topk(
-        t(spark, sf_dir, "documents"), queries, "doc_id", "text", k=10,
-        cache_tf=True,
+        t(spark, sf_dir, "documents"), queries, "doc_id", "text", k=10
     )
 
 

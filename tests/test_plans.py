@@ -132,16 +132,18 @@ class TestNewOpPlanShapes:
         assert plan.count("BroadcastExchange") >= 3
         assert "CartesianProduct" not in plan
 
-    def test_bm25_single_corpus_materialization(self, spark):
-        """cache_tf=True in the registered query: the tf subplan feeds three
-        branches (dl, df, scored) — they must read the persisted tf, not
-        re-derive it, so the documents parquet is scanned at most twice
-        in the physical plan (cache build + at most one reuse miss)."""
+    def test_bm25_no_doc_length_join(self, spark):
+        """Doc length rides inside the tf aggregation (any_value per
+        (doc, term) group), so no corpus-scale dl join exists: at most
+        three documents scans (tf x2 + the no-explode stats projection)
+        and no sort-merge join anywhere."""
         plan = _plan(spark, "bm25_topk")
-        # all three tf consumers must read the cache (each InMemoryTableScan
-        # re-prints the cached child plan, so counting FileScan lines would
-        # overcount — the parquet is physically read once, at cache build)
-        assert plan.count("InMemoryTableScan") >= 3, plan.count("InMemoryTableScan")
+        doc_scans = [
+            l for l in plan.splitlines()
+            if "FileScan" in l and "documents" in l
+        ]
+        assert len(doc_scans) <= 3, f"{len(doc_scans)} documents scans"
+        assert "SortMergeJoin" not in plan
 
     def test_brute_force_topk_two_phase_ranking(self, spark):
         """similarity_bruteforce must rank via two windows (per-bucket
