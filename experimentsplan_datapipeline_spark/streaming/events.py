@@ -169,12 +169,16 @@ def checkpointed_metrics_sink(
         spark = flat.sparkSession
         keys = [c for c in key_cols if c in flat.columns]
         snapshot = flat
-        try:
+        # foreachBatch runs driver-side, so the Hadoop FS existence probe is
+        # available — a blind try/except here would also swallow REAL read
+        # errors and silently publish a partial latest/
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(latest_path)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
             base = spark.read.parquet(latest_path)
             if keys and set(base.columns) == set(flat.columns):
                 snapshot = merge_upsert(base, flat, keys)
-        except Exception:
-            pass  # first batch: no latest/ yet
         # materialize BEFORE overwriting latest/ — the merged plan reads the
         # very files the overwrite deletes (eager localCheckpoint cuts that
         # dependency; state is one row per live key, small by construction)
