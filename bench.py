@@ -68,7 +68,7 @@ def main() -> None:
 
     # best-of-N per query: the box this runs on has ±50% contention noise;
     # min-of-reps measures the plan, not the neighbors
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
