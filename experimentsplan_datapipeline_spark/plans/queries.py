@@ -4293,3 +4293,68 @@ def events_retention(spark, sf_dir):
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register("events_gapfill", """
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+         round(avg(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2),
+ext AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+  FROM b GROUP BY event_type),
+grid AS (
+  SELECT e.event_type, g.g AS bucket
+  FROM ext e, LATERAL (SELECT unnest(generate_series(e.lo, e.hi, INTERVAL 1 HOUR)) AS g) g)
+SELECT g.event_type,
+       strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       b.avg_value,
+       round(last_value(b.avg_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket
+         ROWS UNBOUNDED PRECEDING), 6) AS filled_value,
+       b.avg_value IS NULL AS was_gap
+FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket
+""")
+def events_gapfill(spark, sf_dir):
+    """Time-bucket gap-fill with last-observation-carried-forward (the
+    hypertable ``time_bucket_gapfill`` + ``locf`` shape): hourly averages
+    per type, a dense bucket grid generated per type's observed extent
+    (sequence + explode — no driver loop), missing buckets filled by the
+    previous value via last(ignorenulls) over an unbounded-preceding
+    window. The grid explode is |types| x |buckets| rows — tiny next to the
+    events it summarizes; the only corpus-scale operation is the bucket
+    aggregation itself."""
+    ev = t(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    ext = b.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = ext.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(b, ["event_type", "bucket"], "left")
+    return joined.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "avg_value",
+        F.round(F.last("avg_value", ignorenulls=True).over(w), 6).alias(
+            "filled_value"
+        ),
+        F.col("avg_value").isNull().alias("was_gap"),
+    )
