@@ -4358,3 +4358,105 @@ def events_gapfill(spark, sf_dir):
         ),
         F.col("avg_value").isNull().alias("was_gap"),
     )
+
+
+@register("events_interpolate", """
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+         round(avg(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2),
+ext AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+  FROM b GROUP BY event_type),
+grid AS (
+  SELECT e.event_type, g.g AS bucket
+  FROM ext e, LATERAL (SELECT unnest(generate_series(e.lo, e.hi, INTERVAL 1 HOUR)) AS g) g),
+j AS (
+  SELECT g.event_type, g.bucket, b.avg_value
+  FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket),
+w AS (
+  SELECT *,
+    last_value(avg_value IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS pv,
+    last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS pt,
+    first_value(avg_value IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j)
+SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       round(CASE
+         WHEN avg_value IS NOT NULL THEN avg_value
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv) * (epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt))
+       END, 6) AS interp_value,
+       avg_value IS NULL AS was_gap
+FROM w
+""")
+def events_interpolate(spark, sf_dir):
+    """Linear-interpolation resample (the hypertable ``interpolate``
+    companion of locf): gaps fill with the line between the previous and
+    next observed buckets; leading/trailing gaps take the nearest
+    observation. Same dense-grid shape as events_gapfill; the two
+    ignore-nulls window sweeps (backward carry + forward carry) each run
+    over the per-type bucket grid, which is tiny next to the events
+    corpus."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    ext = b.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = ext.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    j = grid.join(b, ["event_type", "bucket"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
+    w = (
+        j.withColumn("pv", F.last("avg_value", ignorenulls=True).over(back))
+        .withColumn("pt", F.last(obs_t, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("avg_value", ignorenulls=True).over(fwd))
+        .withColumn("nt", F.first(obs_t, ignorenulls=True).over(fwd))
+    )
+    # association matches the oracle's left-assoc (nv-pv) * dt / span —
+    # a pre-divided ratio differs by an ulp and flips the 6th decimal
+    dt = (F.unix_timestamp("bucket") - F.unix_timestamp("pt")).cast("double")
+    span = (F.unix_timestamp("nt") - F.unix_timestamp("pt")).cast("double")
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv") + (F.col("nv") - F.col("pv")) * dt / span
+        )
+    )
+    return w.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.round(interp, 6).alias("interp_value"),
+        F.col("avg_value").isNull().alias("was_gap"),
+    )
