@@ -87,9 +87,14 @@ def pct_of_total(df: DataFrame, key_col: str, limit: int | None = None) -> DataF
     if limit is not None:
         df = df.limit(limit)
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
-    total = Window.partitionBy()
-    return counts.withColumn(
-        "pct", F.round(F.col("n") * 100.0 / F.sum("n").over(total), 4)
+    # grand total as a single-row broadcast, NOT an empty-partition window:
+    # the window form funnels every group through one task, which breaks at
+    # high group cardinality; the broadcast form scales at any cardinality
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("pct", F.round(F.col("n") * 100.0 / F.col("__total"), 4))
+        .drop("__total")
     )
 
 

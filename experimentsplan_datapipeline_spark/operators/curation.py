@@ -171,18 +171,35 @@ def heavy_keys(
     """Skew diagnostic: heaviest join/partition keys with share of total.
 
     One partial-aggregated groupBy (map-side combine collapses each
-    partition to its local key counts) then a single-partition top-k over
-    the aggregated — already tiny — key table. The output feeds the
-    salting decision for ``join_salted``: keys above a share threshold get
-    salt fan-out, the rest join plain.
+    partition to its local key counts), the grand total as a single-row
+    broadcast, and a TWO-PHASE top-k over the key table — the key table is
+    small for low-cardinality keys but can be corpus-scale for
+    high-cardinality ones (user ids, urls), where a global
+    ``Window.orderBy`` rank would funnel every distinct key through one
+    task. The output feeds the salting decision for ``join_salted``: keys
+    above a share threshold get salt fan-out, the rest join plain.
     """
+    from experimentsplan_datapipeline_spark.operators.windows import (
+        top_k_per_key_two_phase,
+    )
+
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
-    total = Window.partitionBy()
-    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    shared = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("cnt") / F.col("__total"), 6))
+        .drop("__total")
+        .withColumn("__g", F.lit(1))
+    )
     return (
-        counts.withColumn("share", F.round(F.col("cnt") / F.sum("cnt").over(total), 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+        top_k_per_key_two_phase(
+            shared,
+            key_cols=["__g"],
+            order_by=[F.col("cnt").desc(), F.col(key_col).asc()],
+            k=top_k,
+            bucket_cols=[key_col],
+        )
+        .drop("__g")
     )
 
 
