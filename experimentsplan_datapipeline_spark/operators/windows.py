@@ -222,3 +222,59 @@ def trailing_stats_halo(
         .filter(F.col("__emit"))
         .drop("__emit", "__b")
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    val_col: str,
+    out_col: str = "cumsum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Running sum per group WITHOUT a one-task-per-group window.
+
+    A plain ``sum() OVER (PARTITION BY group ORDER BY ...)`` funnels each
+    group through a single task — fatal when groups are few and huge (an
+    event_type over a 100 TB stream). Distributed form: range-partition on
+    (group, order) so each group's rows are contiguous across ordered
+    partitions, run the cumulative sum locally per (group, physical
+    partition), then add per-(group, partition) offsets — the prefix sums
+    of earlier partitions' totals, a table of at most
+    |groups| x partitions rows that broadcasts.
+
+    Identical result set to the single-window form up to floating-point
+    association (offset + local vs strictly sequential adds) — equal when
+    rounded, like every cross-engine float in this repo.
+    """
+    if partitions is None:
+        partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(partitions, *gcols, *ocols)
+        .sortWithinPartitions(*group_cols, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("__pid", *group_cols).orderBy(*ocols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = ranged.withColumn("__lcum", F.sum(val_col).over(w_local))
+    totals = local.groupBy("__pid", *group_cols).agg(
+        F.sum(val_col).alias("__tot")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0.0))
+    ).select("__pid", *group_cols, "__off")
+    return (
+        local.join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(out_col, F.col("__lcum") + F.col("__off"))
+        .drop("__pid", "__lcum", "__off")
+    )

@@ -4460,3 +4460,33 @@ def events_interpolate(spark, sf_dir):
         F.round(interp, 6).alias("interp_value"),
         F.col("avg_value").isNull().alias("was_gap"),
     )
+
+
+@register("window_cumsum_dist", """
+SELECT event_id, event_type,
+       round(sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_total
+FROM events
+""")
+def window_cumsum_dist(spark, sf_dir):
+    """Per-TYPE running total via the distributed grouped prefix-sum
+    (operators/windows.py::grouped_prefix_sum): range-partitioned local
+    cumsums + broadcast per-partition offsets. Same answer as the plain
+    window (the oracle IS the plain window), but no one-task-per-group
+    funnel — event_type has a handful of values, so the naive window
+    collapses a 100 TB stream onto ~5 tasks; this form scales with the
+    data, not the group count."""
+    from experimentsplan_datapipeline_spark.operators.windows import (
+        grouped_prefix_sum,
+    )
+
+    out = grouped_prefix_sum(
+        t(spark, sf_dir, "events"),
+        ["event_type"],
+        ["ts", "event_id"],
+        "value",
+        out_col="running_total",
+    )
+    return out.select(
+        "event_id", "event_type", F.round("running_total", 6).alias("running_total")
+    )
