@@ -4490,3 +4490,87 @@ def window_cumsum_dist(spark, sf_dir):
     return out.select(
         "event_id", "event_type", F.round("running_total", 6).alias("running_total")
     )
+
+
+@register("window_rank_family", """
+SELECT o_orderkey, o_orderpriority,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS prank,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM orders
+WHERE o_orderkey <= 2000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""")
+def window_rank_family(spark, sf_dir):
+    """The full SQL ranking-function family (rank / dense_rank / ntile /
+    percent_rank / cume_dist) in one windowed pass — one shuffle on the
+    partition key, every function computed in the same window frame.
+    Ordering carries the key tiebreak so ties are engine-stable."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+    )
+
+
+@register("agg_grouping_sets", """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid,
+       count(*) AS n, round(avg(o_totalprice), 6) AS avg_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (two one-dimension slices + grand total) with
+    the grouping-id disambiguator — NULL-as-aggregated vs NULL-as-value is
+    distinguishable. One shuffle; Spark expands the sets with partial
+    aggregation per set, like the cube."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            (
+                F.grouping("o_orderstatus")
+                + F.lit(2) * F.grouping("o_orderpriority")
+            ).alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+@register("ann_ivf_trained")
+def ann_ivf_trained(spark, sf_dir):
+    """IVF probe under TRAINED k-means cells (kmeans_lite: deterministic
+    Lloyd fixpoint, every distance and centroid coordinate rounded to 6 so
+    the codebook is partitioning-independent). Same search plan as ann_ivf —
+    only the centroid table differs — proving the trained path end-to-end.
+    No SQL oracle: replaying two Lloyd iterations in SQL is not expressible
+    in a maintainable form, so this registers rows-only; determinism is
+    pytest-checked instead (tests/test_text_and_ann.py)."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(
+        emb, queries, "vec_id", "vec_id", "embedding",
+        k=10, n_cells=8, n_probe=2, centroids=cents,
+    )

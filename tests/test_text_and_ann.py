@@ -591,3 +591,33 @@ def test_semantic_dedup_pairs_cell_bounded(spark):
     assert (0, 10) in pairs  # centroid row itself lands in its cell
     # 20 sits in cell B: no pair with the cell-A members despite any cosine
     assert all(not (a == 20 or b == 20) or (a, b) == (1, 20) for a, b in pairs)
+
+
+def test_ivf_trained_deterministic_across_partitionings(spark):
+    """kmeans_lite's rounded fixpoint must give identical centroids — and
+    identical search results — regardless of input partitioning."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_lite,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        .filter(F.col("vec_id") < 300)
+    )
+    c1 = kmeans_lite(emb.repartition(2), "vec_id", "embedding", k=4, iters=2)
+    c2 = kmeans_lite(emb.repartition(13), "vec_id", "embedding", k=4, iters=2)
+    assert c1 == c2
+    queries = emb.filter(F.col("vec_id") < 2)
+    r1 = sorted(
+        (r.vec_id_q, r.rank, r.vec_id)
+        for r in ivf_topk(emb, queries, "vec_id", "vec_id", "embedding",
+                          k=5, centroids=c1).collect()
+    )
+    r2 = sorted(
+        (r.vec_id_q, r.rank, r.vec_id)
+        for r in ivf_topk(emb.repartition(7), queries, "vec_id", "vec_id",
+                          "embedding", k=5, centroids=c2).collect()
+    )
+    assert r1 == r2 and r1
