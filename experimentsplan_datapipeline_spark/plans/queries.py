@@ -4574,3 +4574,30 @@ def ann_ivf_trained(spark, sf_dir):
         emb, queries, "vec_id", "vec_id", "embedding",
         k=10, n_cells=8, n_probe=2, centroids=cents,
     )
+
+
+@register("unpivot_metrics", """
+SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS value
+FROM part WHERE p_partkey <= 2000
+UNION ALL
+SELECT p_partkey, 'retailprice', round(p_retailprice, 2)
+FROM part WHERE p_partkey <= 2000
+""")
+def unpivot_metrics(spark, sf_dir):
+    """Wide-to-long unpivot (the inverse of the J8 dict-merge pivot): two
+    metric columns melt into (key, metric, value) rows via the native
+    ``unpivot`` — a narrow expression expansion, zero shuffles, unlike the
+    UNION-of-selects form which scans the table once per metric."""
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 2000)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.round("p_retailprice", 2).alias("retailprice"),
+        )
+        .unpivot(
+            ["p_partkey"], ["size", "retailprice"], "metric", "value"
+        )
+        .select("p_partkey", "metric", "value")
+    )
