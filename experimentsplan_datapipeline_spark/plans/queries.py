@@ -4601,3 +4601,77 @@ def unpivot_metrics(spark, sf_dir):
         )
         .select("p_partkey", "metric", "value")
     )
+
+
+@register("text_collocations", """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+uni AS (
+  SELECT u.tok, count(*) AS c FROM toks, unnest(toks.t) AS u(tok) GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM uni),
+big AS (
+  SELECT b.bg, count(*) AS c FROM toks,
+    unnest(list_transform(range(1, len(toks.t)), i -> toks.t[i] || ' ' || toks.t[i + 1])) AS b(bg)
+  GROUP BY 1),
+btot AS (SELECT sum(c)::DOUBLE AS b FROM big)
+SELECT bg AS bigram, big.c AS n,
+       round(ln((big.c / btot.b) / ((x.c / tot.t) * (y.c / tot.t))), 6) AS pmi
+FROM big
+JOIN uni x ON x.tok = split_part(big.bg, ' ', 1)
+JOIN uni y ON y.tok = split_part(big.bg, ' ', 2)
+CROSS JOIN tot CROSS JOIN btot
+WHERE big.c >= 20
+ORDER BY pmi DESC, bigram LIMIT 50
+""")
+def text_collocations(spark, sf_dir):
+    """Collocation extraction by pointwise mutual information: adjacent
+    token pairs scored by ln(P(xy)/(P(x)P(y))) — the statistically
+    improbable phrases a corpus audit surfaces (boilerplate, templates,
+    named entities). Shuffle shape: one unigram and one bigram aggregation
+    (map-side combined), two hash joins of the bigram table against the
+    unigram counts on the term key (both sides shrink to vocab size before
+    joining), corpus totals as single-row broadcasts. Final top-50 is an
+    ordered limit (TakeOrdered — no global sort materialization) on the
+    ROUNDED score with a bigram tiebreak."""
+    toks_col = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = t(spark, sf_dir, "documents").select(toks_col.alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+            )
+        ).alias("bg")
+    )
+    big = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    btot = big.agg(F.sum("c").cast("double").alias("b"))
+    x = uni.select(F.col("tok").alias("__xt"), F.col("c").alias("xc"))
+    y = uni.select(F.col("tok").alias("__yt"), F.col("c").alias("yc"))
+    pmi = F.round(
+        F.log(
+            (F.col("c") / F.col("b"))
+            / ((F.col("xc") / F.col("t")) * (F.col("yc") / F.col("t")))
+        ),
+        6,
+    )
+    return (
+        big.filter(F.col("c") >= 20)
+        .join(x, F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("__xt"))
+        .join(y, F.split_part(F.col("bg"), F.lit(" "), F.lit(2)) == F.col("__yt"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("c").alias("n"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
