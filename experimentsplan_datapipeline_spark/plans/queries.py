@@ -4675,3 +4675,41 @@ def text_collocations(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
         .limit(50)
     )
+
+
+@register("text_zipf_fit", """
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+uni AS (
+  SELECT u.tok, count(*) AS c FROM toks, unnest(toks.t) AS u(tok) GROUP BY 1),
+r AS (
+  SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM uni)
+SELECT round(regr_slope(ln(c), ln(rk)), 6) AS zipf_slope,
+       round(regr_r2(ln(c), ln(rk)), 6) AS r2,
+       count(*) AS vocab
+FROM r
+""")
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary: regression slope of
+    ln(frequency) on ln(rank) — a healthy natural-language corpus sits near
+    -1; word salad or template spam bends the curve. The rank is the
+    DISTRIBUTED exact global rank (operators/sampling.py::ordered_rank —
+    range-partitioned local ranks + broadcast prefix offsets, no
+    single-task window over the vocabulary), and the regression is one
+    built-in aggregate over the vocab-sized table."""
+    from experimentsplan_datapipeline_spark.operators.sampling import ordered_rank
+
+    toks_col = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    uni = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(toks_col).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("__negc", -F.col("c"))
+    )
+    ranked = ordered_rank(uni, ["__negc", "tok"], rank_col="rk")
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("c"), F.log("rk")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("c"), F.log("rk")), 6).alias("r2"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
