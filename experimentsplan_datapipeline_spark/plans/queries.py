@@ -4713,3 +4713,54 @@ def text_zipf_fit(spark, sf_dir):
         F.round(F.regr_r2(F.log("c"), F.log("rk")), 6).alias("r2"),
         F.count(F.lit(1)).alias("vocab"),
     )
+
+
+@register("embedding_dim_stats", """
+SELECT i AS dim,
+       round(avg(t.e[i + 1]), 6) AS mean,
+       round(stddev_pop(t.e[i + 1]), 6) AS std,
+       round(min(t.e[i + 1]), 6) AS min_v, round(max(t.e[i + 1]), 6) AS max_v
+FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings) t,
+     (SELECT unnest(range(0, 64)) AS i) d
+GROUP BY i
+""")
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension statistics over the embedding column — the dead/
+    degenerate-dimension audit (a dim with ~zero variance carries no
+    signal; one far off-scale breaks cosine geometry). posexplode fans each
+    vector into (dim, value) rows; ONE partial-aggregated groupBy on the
+    dim id computes all four statistics — dims are few, so the aggregated
+    table is tiny regardless of corpus size."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "v")
+    )
+    return emb.groupBy("dim").agg(
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.stddev_pop("v"), 6).alias("std"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
+
+
+@register("events_user_activity_dist", """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+SELECT n_events, count(*) AS n_users
+FROM per_user GROUP BY n_events
+""")
+def events_user_activity_dist(spark, sf_dir):
+    """Activity distribution: how many users produced how many events —
+    the engagement histogram and the bot/outlier screen in one shape. Two
+    strictly shrinking aggregations (corpus -> |users| -> |distinct
+    counts|), both map-side combined; the histogram table is tiny at any
+    scale."""
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return per_user.groupBy("n_events").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
