@@ -4764,3 +4764,78 @@ def events_user_activity_dist(spark, sf_dir):
     return per_user.groupBy("n_events").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register("events_rolling_dau", """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM du)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       count(DISTINCT CASE WHEN du.d = days.d THEN du.user_id END) AS dau,
+       count(DISTINCT du.user_id) AS wau
+FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+GROUP BY days.d
+""")
+def events_rolling_dau(spark, sf_dir):
+    """Daily / trailing-7-day active users (DAU/WAU). Exact rolling
+    distinct is not a window aggregate, so the plan joins the DISTINCT
+    (day, user) table onto the day spine with a 7-day band — a bounded
+    <=7x fanout of an already-deduplicated table, then one grouped
+    count-distinct. The corpus-scale work is only the first distinct; the
+    band join runs on |days| x |daily actives| rows."""
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct().withColumnRenamed("d", "day_d")
+    joined = days.join(
+        du,
+        (F.col("d") >= F.date_sub(F.col("day_d"), 6))
+        & (F.col("d") <= F.col("day_d")),
+    )
+    return joined.groupBy(
+        F.date_format("day_d", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count_distinct(
+            F.when(F.col("d") == F.col("day_d"), F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct("user_id").alias("wau"),
+    )
+
+
+@register("part_price_outliers_iqr", """
+WITH q AS (
+  SELECT p_brand,
+         quantile_cont(p_retailprice, 0.25) AS q1,
+         quantile_cont(p_retailprice, 0.75) AS q3
+  FROM part GROUP BY p_brand)
+SELECT p.p_brand, count(*) AS n,
+       round(any_value(q.q1), 6) AS q1, round(any_value(q.q3), 6) AS q3,
+       count(CASE WHEN p.p_retailprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                    OR p.p_retailprice > q.q3 + 1.5 * (q.q3 - q.q1)
+             THEN 1 END) AS n_outliers
+FROM part p JOIN q USING (p_brand)
+GROUP BY p.p_brand
+""")
+def part_price_outliers_iqr(spark, sf_dir):
+    """Tukey IQR outlier screen per brand (the quartile companion of the
+    MAD screen): exact interpolated quartiles per group, fences at
+    1.5 x IQR, conditional count in one re-aggregation. The quartile table
+    is |groups| rows and broadcasts back onto the fact side."""
+    part = t(spark, sf_dir, "part")
+    q = part.groupBy("p_brand").agg(
+        F.expr("percentile(p_retailprice, 0.25)").alias("q1"),
+        F.expr("percentile(p_retailprice, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("p_retailprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("p_retailprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        part.join(F.broadcast(q), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.any_value("q1"), 6).alias("q1"),
+            F.round(F.any_value("q3"), 6).alias("q3"),
+            F.count(F.when(is_out, 1)).alias("n_outliers"),
+        )
+    )
