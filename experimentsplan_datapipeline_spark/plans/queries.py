@@ -4839,3 +4839,48 @@ def part_price_outliers_iqr(spark, sf_dir):
             F.count(F.when(is_out, 1)).alias("n_outliers"),
         )
     )
+
+
+@register("basket_part_pairs", """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT part_a, part_b, count(*) AS support
+FROM pairs GROUP BY part_a, part_b
+HAVING count(*) >= 2
+ORDER BY support DESC, part_a, part_b LIMIT 100
+""")
+def basket_part_pairs(spark, sf_dir):
+    """Market-basket co-occurrence (association mining's support-counting
+    core): part pairs appearing in the same order, support >= 2, top-100.
+    The self-join keys on the order id, so the pair fanout is bounded by
+    per-order basket size (TPC-H ~7 lines), never corpus-quadratic; the
+    distinct-first dedup keeps multi-line repeats of a part from inflating
+    support. Ordered limit on (support desc, pair) — TakeOrdered, no
+    global sort."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(100)
+    )
