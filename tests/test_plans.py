@@ -113,7 +113,7 @@ def test_no_query_degrades_to_cartesian_product(spark):
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
-class TestNewOpPlanShapes:
+class TestRetrievalPlanShapes:
     def test_bloom_semi_prunes_before_shuffle(self, spark):
         """The bloom bit-test must reach the probe-side scan (DataFilters),
         and the trailing exact semi join must still be present."""
@@ -153,3 +153,44 @@ class TestNewOpPlanShapes:
         assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
         # phase-1 partition keys include the hash bucket, not just the qid
         assert "pmod" in plan or "xxhash64" in plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+class TestRound3PlanShapes:
+    def test_gapfill_grid_no_cartesian_and_broadcast(self, spark):
+        # the dense bucket grid joins the aggregated buckets with a hash
+        # join on (type, bucket) — never a cartesian against the corpus
+        plan = _plan(spark, "events_gapfill")
+        assert "CartesianProduct" not in plan
+
+    def test_retention_single_user_shuffle(self, spark):
+        # cohort assignment and activity dedup both key on user_id; the
+        # join of two user-keyed aggregates must not re-shuffle a third time
+        plan = _plan(spark, "events_retention")
+        assert plan.count("Exchange hashpartitioning") <= 4
+        assert "CartesianProduct" not in plan
+
+    def test_collocations_broadcast_totals(self, spark):
+        # corpus totals are single-row broadcasts; the unigram joins are
+        # hash joins, and the top-50 is TakeOrdered, not a global sort
+        plan = _plan(spark, "text_collocations")
+        assert "BroadcastExchange" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_rolling_dau_band_join_not_cartesian(self, spark):
+        # the 7-day band join must plan as a range-condition join off the
+        # day spine, never a shuffled cartesian
+        plan = _plan(spark, "events_rolling_dau")
+        assert "CartesianProduct" not in plan
+
+    def test_basket_pairs_keyed_self_join(self, spark):
+        # the pair generation must key on l_orderkey (bounded fanout) —
+        # an unkeyed product of the items table would be corpus-quadratic
+        plan = _plan(spark, "basket_part_pairs")
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_cumsum_dist_offsets_broadcast(self, spark):
+        plan = _plan(spark, "window_cumsum_dist")
+        assert "BroadcastExchange" in plan  # per-partition offsets
+        assert "RangePartitioning" in plan or "rangepartitioning" in plan
