@@ -4195,29 +4195,6 @@ def stream_dedup(spark, sf_dir):
     )
 
 
-@register("agg_cube", """
-SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
-FROM orders
-GROUP BY CUBE (o_orderstatus, o_orderpriority)
-""")
-def agg_cube(spark, sf_dir):
-    """Multi-dimensional rollup via CUBE grouping sets: all four
-    (status x priority) aggregation levels in ONE pass — Spark expands the
-    grouping sets inside a single shuffle (partial aggregation per set), so
-    the cube costs one scan, not 2^dims scans. The reference computes its
-    report slices in separate passes (train/common/metrics.py report
-    loops); grouping sets subsume them."""
-    return (
-        t(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
-
-
 @register("agg_percentiles", """
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
@@ -4526,14 +4503,14 @@ def window_rank_family(spark, sf_dir):
     )
 
 
-@register("agg_grouping_sets", """
+@register("agg_grouping_id", """
 SELECT o_orderstatus, o_orderpriority,
        grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid,
        count(*) AS n, round(avg(o_totalprice), 6) AS avg_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """)
-def agg_grouping_sets(spark, sf_dir):
+def agg_grouping_id(spark, sf_dir):
     """Explicit GROUPING SETS (two one-dimension slices + grand total) with
     the grouping-id disambiguator — NULL-as-aggregated vs NULL-as-value is
     distinguishable. One shuffle; Spark expands the sets with partial
@@ -4573,33 +4550,6 @@ def ann_ivf_trained(spark, sf_dir):
     return sim.ivf_topk(
         emb, queries, "vec_id", "vec_id", "embedding",
         k=10, n_cells=8, n_probe=2, centroids=cents,
-    )
-
-
-@register("unpivot_metrics", """
-SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS value
-FROM part WHERE p_partkey <= 2000
-UNION ALL
-SELECT p_partkey, 'retailprice', round(p_retailprice, 2)
-FROM part WHERE p_partkey <= 2000
-""")
-def unpivot_metrics(spark, sf_dir):
-    """Wide-to-long unpivot (the inverse of the J8 dict-merge pivot): two
-    metric columns melt into (key, metric, value) rows via the native
-    ``unpivot`` — a narrow expression expansion, zero shuffles, unlike the
-    UNION-of-selects form which scans the table once per metric."""
-    return (
-        t(spark, sf_dir, "part")
-        .filter(F.col("p_partkey") <= 2000)
-        .select(
-            "p_partkey",
-            F.col("p_size").cast("double").alias("size"),
-            F.round("p_retailprice", 2).alias("retailprice"),
-        )
-        .unpivot(
-            ["p_partkey"], ["size", "retailprice"], "metric", "value"
-        )
-        .select("p_partkey", "metric", "value")
     )
 
 
