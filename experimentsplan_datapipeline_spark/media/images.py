@@ -246,6 +246,10 @@ def batch_inference_broadcast(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from experimentsplan_datapipeline_spark.operators.similarity import (
+            _np_round_half_up,
+        )
+
         w = bw.value  # one deserialization per worker, reused across batches
         for pdf in batches:
             scores = []
@@ -255,7 +259,11 @@ def batch_inference_broadcast(
                     scores.append(0.0)
                     continue
                 ww = w[np.arange(v.size) % w.size]
-                scores.append(round(float(v @ ww), 6))
+                # HALF_UP, not Python round()'s half-to-even: the repo-wide
+                # cross-engine tie contract (F.round / DuckDB round are
+                # ties-away-from-zero); an exact .5 at the 6th decimal must
+                # not flip a score vs the oracle
+                scores.append(float(_np_round_half_up(v @ ww)))
             out = pdf.copy()
             out["score"] = scores
             out["model"] = model_version

@@ -261,8 +261,12 @@ def kmeans_lite(
         .select(F.col(id_col), F.col(vec_col))
         .collect()
     )
+    # HALF_UP, not Python round()'s half-to-even — the repo-wide cross-engine
+    # rounding contract (F.round / DuckDB round), so the SQL oracle can
+    # replay the init codebook exactly
     cents = [
-        (int(r[id_col]), [round(float(x), 6) for x in r[vec_col]]) for r in init
+        (int(r[id_col]), [float(_np_round_half_up(float(x))) for x in r[vec_col]])
+        for r in init
     ]
     for _ in range(iters):
         assigned = df.select(
@@ -704,14 +708,19 @@ def _query_probe_lut_frame(
     centroids: list[tuple[int, list[float]]] | None,
     n_probe: int,
 ) -> DataFrame:
-    """(qid, __cell, __lut) rows computed driver-side in numpy.
+    """(qid, __cell, __lut) rows computed EXECUTOR-side via mapInPandas.
 
     Semantics identical to the expression form: probe cells are the n_probe
     best by ROUNDED cosine with ties to the larger cell id; lut[j][p] is the
     rounded squared distance to codebook position p of subspace j (codebook
-    cid order). One k-bounded collect — same budget class as the codebook
-    collects this index already does."""
+    cid order). The query frame NEVER collects to the driver — a bulk query
+    batch (the realistic retrieval workload) streams through Arrow batches
+    and scales with executors; only the small (qid, cell, lut) RESULT is
+    broadcast by the caller. Codebooks/centroids ride the closure (k x dim
+    floats — the same budget class as every broadcast literal here)."""
     import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -722,38 +731,13 @@ def _query_probe_lut_frame(
 
     cb_mats = [np.array([cv for _, cv in cb], dtype=np.float64) for cb in codebooks]
     dsub = cb_mats[0].shape[1]
-    rows = queries.select(query_id, vec_col).collect()
-    out = []
+    mlen = len(cb_mats)
     cent_ids = cent_mat = cent_norm = None
     if centroids is not None:
         cent_ids = np.array([cid for cid, _ in centroids], dtype=np.int64)
         cent_mat = np.array([cv for _, cv in centroids], dtype=np.float64)
         cent_norm = np.sqrt((cent_mat * cent_mat).sum(1))
-    for r in rows:
-        qid = r[query_id]
-        v = np.asarray([float(x) for x in r[vec_col]], dtype=np.float64)
-        lut = [
-            [
-                float(x)
-                for x in _np_round_half_up(
-                    ((v[j * dsub : (j + 1) * dsub] - cb_mats[j]) ** 2).sum(1)
-                )
-            ]
-            for j in range(len(cb_mats))
-        ]
-        if centroids is None:
-            out.append((qid, None, lut))
-            continue
-        vn = np.sqrt((v * v).sum())
-        denom = vn * cent_norm
-        cos = np.divide(
-            cent_mat @ v, denom, out=np.zeros_like(denom), where=denom != 0
-        )
-        cos = _np_round_half_up(cos)
-        # sort by (cos desc, cell desc): lexsort keys ascending -> negate
-        order = np.lexsort((-cent_ids, -cos))
-        for cell in cent_ids[order[:n_probe]]:
-            out.append((qid, int(cell), lut))
+
     id_type = queries.schema[query_id].dataType
     schema = StructType(
         [
@@ -762,4 +746,48 @@ def _query_probe_lut_frame(
             StructField("__lut", ArrayType(ArrayType(DoubleType()))),
         ]
     )
-    return queries.sparkSession.createDataFrame(out, schema)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n = len(pdf)
+            # lut terms vectorized per subspace over the whole Arrow batch
+            per_j = []
+            for j in range(mlen):
+                qs = Q[:, j * dsub : (j + 1) * dsub]
+                diff = qs[:, None, :] - cb_mats[j][None, :, :]
+                per_j.append(_np_round_half_up((diff * diff).sum(-1)))
+            luts = [
+                [[float(x) for x in per_j[j][i]] for j in range(mlen)]
+                for i in range(n)
+            ]
+            if centroids is None:
+                yield pd.DataFrame(
+                    {
+                        "__qid": pdf[query_id],
+                        "__cell": pd.array([None] * n, dtype="Int64"),
+                        "__lut": luts,
+                    }
+                )
+                continue
+            qn = np.sqrt((Q * Q).sum(1))
+            denom = qn[:, None] * cent_norm[None, :]
+            cos = np.divide(
+                Q @ cent_mat.T, denom, out=np.zeros_like(denom), where=denom != 0
+            )
+            cos = _np_round_half_up(cos)
+            qids, cells, out_luts = [], [], []
+            for i in range(n):
+                # sort by (cos desc, cell desc): lexsort keys asc -> negate
+                order = np.lexsort((-cent_ids, -cos[i]))
+                for cell in cent_ids[order[:n_probe]]:
+                    qids.append(pdf[query_id].iloc[i])
+                    cells.append(int(cell))
+                    out_luts.append(luts[i])
+            yield pd.DataFrame(
+                {"__qid": qids, "__cell": cells, "__lut": out_luts}
+            )
+
+    return queries.select(query_id, vec_col).mapInPandas(run, schema=schema)

@@ -253,10 +253,18 @@ def grouped_prefix_sum(
         )
     gcols = [F.col(c) for c in group_cols]
     ocols = [F.col(c) for c in order_cols]
+    # localCheckpoint PINS one materialized partitioning: RangePartitioner
+    # boundaries come from order-dependent reservoir sampling and
+    # spark_partition_id is nondeterministic, and this frame feeds THREE
+    # consumers (local cumsum, totals, final join) — recomputed
+    # independently, a task retry could assign __pid differently per branch
+    # and corrupt the running totals. Checkpoint cost is one
+    # memory-and-disk materialization of the ranged frame.
     ranged = (
         df.repartitionByRange(partitions, *gcols, *ocols)
         .sortWithinPartitions(*group_cols, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_local = Window.partitionBy("__pid", *group_cols).orderBy(*ocols).rowsBetween(
         Window.unboundedPreceding, 0

@@ -1253,6 +1253,46 @@ def dedup_embedding(spark, sf_dir):
     return dd.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.3)
 
 
+def _dedup_embedding_lsh_oracle_sql(
+    dim: int = 64, n_planes: int = 6, seed: int = 42, threshold: float = 0.3
+) -> str:
+    """DuckDB twin of embedding_near_dup's n_planes>0 SCALE path: the
+    hyperplanes are a deterministic LCG stream (sim.fixed_hyperplanes), so
+    bucket assignment replays as literal dot-product sign tests (ann_lsh's
+    convention) and the pair set restricts to same-bucket pairs — proving
+    the 100 TB form, not just the bounded all-pairs twin."""
+    planes = sim.fixed_hyperplanes(dim, n_planes, seed)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{vals}]) >= 0 THEN {bit} ELSE 0 END)".format(
+            vals=", ".join(repr(x) for x in plane), bit=1 << i
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+"""
+
+
+@register("dedup_embedding_lsh", _dedup_embedding_lsh_oracle_sql())
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup, LSH-bucketed (the 100 TB path): hyperplane
+    sign-pattern buckets turn the all-pairs product into a hash self-join
+    on the bucket id; exact cosine verifies same-bucket pairs only
+    (operators/dedup.py::embedding_near_dup, n_planes=6). Runs on the FULL
+    embeddings table — the bounded all-pairs twin is dedup_embedding."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return dd.embedding_near_dup(
+        emb, "vec_id", "embedding", threshold=0.3, dim=64, n_planes=6
+    )
+
+
 @register("text_fingerprint", """
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
@@ -4172,7 +4212,17 @@ def stream_dedup(spark, sf_dir):
     watermark horizon — bounded memory on an unbounded stream, the first
     tier of the dedup cascade at 100 TB/day. Drained with availableNow into
     a memory sink, then aggregated; the oracle twin is count(DISTINCT) per
-    type, which the kept-first semantics must reproduce exactly."""
+    type, which the kept-first semantics must reproduce exactly.
+
+    FIXTURE ASSUMPTION: the oracle asserts a GLOBAL distinct count, but
+    dropDuplicatesWithinWatermark only guarantees dedup of re-deliveries
+    arriving within the watermark horizon of each other. The current
+    testdata has NO duplicate event_ids at any sf (verified: max same-id
+    event-time span is NULL), so the global oracle holds trivially; a
+    regenerated fixture would need its max duplicate spacing <= the 4-hour
+    watermark here, else widen the watermark (more state) or put a batch
+    exact_dedup tier behind the stream — which is exactly the cascade's
+    design."""
     from experimentsplan_datapipeline_spark.streaming.events import streaming_dedup
 
     stream = _events_stream(spark, sf_dir)
@@ -4533,15 +4583,82 @@ def agg_grouping_id(spark, sf_dir):
     )
 
 
-@register("ann_ivf_trained")
+def _ann_ivf_trained_oracle_sql(
+    dim: int = 64, k_cells: int = 8, iters: int = 2,
+    n_probe: int = 2, k: int = 10, n_queries: int = 5,
+) -> str:
+    """DuckDB replay of kmeans_lite's deterministic Lloyd fixpoint + the
+    ann_ivf search convention. Every step is engine-pinned: init = the
+    k_cells lowest-id vectors HALF_UP-rounded to 6; assignment = argmin
+    ROUNDED squared distance with ties to the smaller cid; new centroids =
+    per-dimension ROUNDED avg, empty clusters keeping their previous
+    centroid. Unrolled for a fixed iteration count — the same determinism
+    that makes the Spark side partitioning-independent makes it SQL-
+    replayable."""
+    it_blocks = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        it_blocks.append(f"""
+a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_sum(list_transform(range(1, {dim} + 1),
+                   p -> (e.v[p] - c.cv[p]) ^ 2)), 6) ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {prev} c)
+  WHERE rn = 1),
+m{i} AS (
+  SELECT a.cid, pos.p, round(avg(a.v[pos.p]), 6) AS m
+  FROM a{i} a CROSS JOIN pos GROUP BY a.cid, pos.p),
+n{i} AS (SELECT cid, list(m ORDER BY p) AS cv FROM m{i} GROUP BY cid),
+c{i} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv
+         FROM {prev} c LEFT JOIN n{i} n USING (cid))""")
+        prev = f"c{i}"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pos AS (SELECT unnest(range(1, {dim} + 1)) AS p),
+c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       FROM e WHERE vec_id < {k_cells}),{",".join(it_blocks)},
+cells AS (SELECT cid AS cell, cv FROM {prev}),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                        c.cell DESC) AS rn
+    FROM e CROSS JOIN cells c)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {n_queries}),
+qcells AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                        c.cell DESC) AS rn
+    FROM q CROSS JOIN cells c)
+  WHERE rn <= {n_probe}),
+scored AS (
+  SELECT DISTINCT qc.qid AS vec_id_q, a.vec_id,
+         round(list_cosine_similarity(a.v, qc.qv), 6) AS cosine
+  FROM assign a JOIN qcells qc ON a.cell = qc.cell)
+SELECT vec_id_q, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id_q
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@register("ann_ivf_trained", _ann_ivf_trained_oracle_sql())
 def ann_ivf_trained(spark, sf_dir):
     """IVF probe under TRAINED k-means cells (kmeans_lite: deterministic
     Lloyd fixpoint, every distance and centroid coordinate rounded to 6 so
     the codebook is partitioning-independent). Same search plan as ann_ivf —
     only the centroid table differs — proving the trained path end-to-end.
-    No SQL oracle: replaying two Lloyd iterations in SQL is not expressible
-    in a maintainable form, so this registers rows-only; determinism is
-    pytest-checked instead (tests/test_text_and_ann.py)."""
+    The oracle replays the unrolled 2-iteration Lloyd in SQL
+    (_ann_ivf_trained_oracle_sql) — the determinism contract (HALF_UP
+    round-6 on every distance, mean, and init coordinate) is exactly what
+    makes that possible."""
     emb = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )

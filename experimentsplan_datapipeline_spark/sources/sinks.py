@@ -17,6 +17,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _fs_and_path(root: str):
+    """Resolve a destination root to a (pyarrow FileSystem, path) pair.
+
+    Executor-side tasks can't reach the JVM Hadoop FileSystem (Python
+    workers have no py4j gateway), so the binary sinks use pyarrow.fs for
+    the same scheme-agnostic abstraction: a bare path or file:// URI maps
+    to LocalFileSystem, s3://bucket/prefix to S3FileSystem, hdfs:// to
+    HadoopFileSystem — one writer code path for all of them (SCALE.md
+    "Object-store recipe"). Note Spark READS use the s3a:// scheme; the
+    pyarrow write side spells the same bucket s3://."""
+    from pyarrow import fs as pafs
+
+    if "://" in root:
+        return pafs.FileSystem.from_uri(root)
+    return pafs.LocalFileSystem(), os.path.abspath(root)
+
+
 def write_json_results(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S8: JSON results sink. One file per partition; coalesce(1) only for
     tiny summary documents (a deliberate driver-side funnel, never for data).
@@ -145,22 +162,40 @@ def copy_tree(
     files = reader.load(src_root)
     for sfx in exclude_suffixes:
         files = files.filter(~F.col("path").endswith(sfx))
-    src_abs = os.path.abspath(src_root)
+    # normalize the SOURCE root the same way the path column is normalized:
+    # a file:/ or file:/// src_root strips to its local path, a non-local
+    # scheme (s3a://...) keeps its full URI prefix — binaryFile reports
+    # paths in the same spelling, so the anchored strip below matches
+    src_norm = re.sub(r"^file:/{0,2}(?=/)", "", src_root)
+    src_abs = src_norm.rstrip("/") if "://" in src_norm else os.path.abspath(src_norm)
+    # both patterns ANCHORED: binaryFile may report file:/ or file:/// URI
+    # forms, so normalize the scheme+slashes prefix first, then strip the
+    # source root only at the string START — an un-anchored replace could
+    # leave rel absolute (symlinked roots, non-local schemes) and
+    # the join below would then silently discard dst_root
     rel = F.regexp_replace(
-        F.regexp_replace("path", "^file:", ""), re.escape(src_abs) + "/?", ""
+        F.regexp_replace("path", "^file:/{0,2}(?=/)", ""),
+        "^" + re.escape(src_abs) + "/?",
+        "",
     )
     to_copy = files.select(rel.alias("rel"), "content")
 
     def write_partition(rows) -> None:
+        fs, root = _fs_and_path(dst_root)
+        made: set[str] = set()
         for r in rows:
-            if ".." in r["rel"].split("/"):
+            if r["rel"].startswith("/") or ".." in r["rel"].split("/"):
                 raise ValueError(f"path escapes destination: {r['rel']!r}")
-            target = os.path.join(dst_root, r["rel"])
-            os.makedirs(os.path.dirname(target), exist_ok=True)
-            with open(target, "wb") as f:
+            target = root.rstrip("/") + "/" + r["rel"]
+            parent = target.rsplit("/", 1)[0]
+            if parent not in made:
+                fs.create_dir(parent, recursive=True)
+                made.add(parent)
+            with fs.open_output_stream(target) as f:
                 f.write(bytes(r["content"]))
 
-    os.makedirs(dst_root, exist_ok=True)
+    fs0, root0 = _fs_and_path(dst_root)
+    fs0.create_dir(root0, recursive=True)
     to_copy.foreachPartition(write_partition)
     return to_copy.count()
 
@@ -173,18 +208,20 @@ def write_binary_files(
     ``{stem}_result.png`` in a driver loop, train/train_CATVTON/
     inference.py:210-213; here every executor writes its own partition's
     files in parallel). Names must be bare filenames — separators are
-    rejected so a crafted name cannot escape the sink directory. For object
-    stores swap the open() for the Hadoop FileSystem API; the partition
-    layout is identical.
+    rejected so a crafted name cannot escape the sink directory. The writer
+    goes through pyarrow.fs (_fs_and_path), so a file://, s3:// or hdfs://
+    ``out_dir`` takes the identical partition layout.
     """
-    os.makedirs(out_dir, exist_ok=True)
+    fs0, root0 = _fs_and_path(out_dir)
+    fs0.create_dir(root0, recursive=True)
 
     def write_partition(rows) -> None:
+        fs, root = _fs_and_path(out_dir)
         for r in rows:
             name = r[name_col]
-            if os.sep in name or name in (".", ".."):
+            if "/" in name or os.sep in name or name in (".", ".."):
                 raise ValueError(f"not a bare filename: {name!r}")
-            with open(os.path.join(out_dir, name), "wb") as f:
+            with fs.open_output_stream(root.rstrip("/") + "/" + name) as f:
                 f.write(bytes(r[content_col]))
 
     df.select(name_col, content_col).foreachPartition(write_partition)

@@ -166,25 +166,38 @@ def checkpointed_metrics_sink(
             ).drop("w")
         flat.write.mode("overwrite").parquet(os.path.join(out_root, f"batch={batch_id}"))
         latest_path = os.path.join(out_root, "latest")
+        tmp_path = os.path.join(out_root, "latest.tmp")
         spark = flat.sparkSession
         keys = [c for c in key_cols if c in flat.columns]
-        snapshot = flat
         # foreachBatch runs driver-side, so the Hadoop FS existence probe is
         # available — a blind try/except here would also swallow REAL read
         # errors and silently publish a partial latest/
         jvm = spark.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(latest_path)
-        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        if fs.exists(hpath):
+        hadoop_path = jvm.org.apache.hadoop.fs.Path
+        h_latest, h_tmp = hadoop_path(latest_path), hadoop_path(tmp_path)
+        fs = h_latest.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        # crash recovery: a prior run may have died between delete(latest)
+        # and rename(tmp, latest) — a COMPLETE tmp (has _SUCCESS) is the
+        # accumulated state; promote it before merging, or the replayed
+        # batch would publish only its own keys as the "full snapshot"
+        if not fs.exists(h_latest) and fs.exists(
+            hadoop_path(os.path.join(tmp_path, "_SUCCESS"))
+        ):
+            fs.rename(h_tmp, h_latest)
+        snapshot = flat
+        if fs.exists(h_latest):
             base = spark.read.parquet(latest_path)
             if keys and set(base.columns) == set(flat.columns):
                 snapshot = merge_upsert(base, flat, keys)
-        # materialize BEFORE overwriting latest/ — the merged plan reads the
-        # very files the overwrite deletes (eager localCheckpoint cuts that
-        # dependency; state is one row per live key, small by construction)
-        snapshot.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            latest_path
-        )
+        # atomic publish: write the merged snapshot BESIDE latest/ (so the
+        # plan can still read latest's files), then swap via delete+rename.
+        # At every instant latest/ is either the old complete snapshot or
+        # the new one; a crash mid-tmp-write leaves latest/ untouched, and
+        # a crash inside the swap window is healed by the promotion above.
+        snapshot.write.mode("overwrite").parquet(tmp_path)
+        if fs.exists(h_latest):
+            fs.delete(h_latest, True)
+        fs.rename(h_tmp, h_latest)
 
     return (
         windowed.writeStream.foreachBatch(write_batch)

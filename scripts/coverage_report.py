@@ -95,7 +95,26 @@ EXTENSIONS: dict[str, list[str]] = {
         "bm25_topk", "join_bloom_semi", "merge_upsert", "union_evolve",
     ],
     "Streaming II (live queries vs batch oracle)": [
-        "stream_session", "stream_funnel_join", "stream_ema",
+        "stream_session", "stream_funnel_join", "stream_ema", "stream_dedup",
+    ],
+    "North star: similarity search II (trained/scale paths)": [
+        "ann_ivf_trained", "dedup_embedding_lsh", "dedup_semantic",
+        "embedding_dim_stats",
+    ],
+    "Event analytics (sessions, retention, time-series)": [
+        "events_gapfill", "events_interpolate", "events_retention",
+        "events_rolling_dau", "events_user_activity_dist",
+    ],
+    "Text analysis II (statistics of the corpus)": [
+        "text_collocations", "text_zipf_fit",
+    ],
+    "Beyond-reference relational II": [
+        "agg_grouping_id", "agg_percentiles", "basket_part_pairs",
+        "part_price_outliers_iqr", "set_intersect_except",
+        "window_cumsum_dist", "window_rank_family",
+    ],
+    "North star: multimodal III (tensor sources, inference)": [
+        "media_infer_broadcast", "read_npy_tensor",
     ],
 }
 

@@ -193,4 +193,28 @@ class TestRound3PlanShapes:
     def test_cumsum_dist_offsets_broadcast(self, spark):
         plan = _plan(spark, "window_cumsum_dist")
         assert "BroadcastExchange" in plan  # per-partition offsets
-        assert "RangePartitioning" in plan or "rangepartitioning" in plan
+        # the range partitioning is PINNED by an eager localCheckpoint (one
+        # materialization feeds cumsum/totals/join — __pid must agree), so
+        # the final plan reads the checkpointed RDD instead of replanning
+        # the range exchange per consumer
+        assert "Scan ExistingRDD" in plan
+        assert "RangePartitioning" not in plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+class TestRound4PlanShapes:
+    def test_ivfpq_query_luts_executor_side(self, spark):
+        """The PQ query-side probe/LUT build must run in executors
+        (mapInPandas over the queries scan), never as a driver collect
+        materialized into a LocalTableScan — a bulk query batch would
+        OOM the driver otherwise. Two MapInPandas: index + query LUTs."""
+        plan = _plan(spark, "ann_ivfpq")
+        assert plan.count("MapInPandas") >= 2
+        assert "LocalTableScan" not in plan
+        assert "Scan ExistingRDD" not in plan
+
+    def test_pq_query_luts_executor_side(self, spark):
+        plan = _plan(spark, "ann_pq")
+        assert plan.count("MapInPandas") >= 2
+        assert "LocalTableScan" not in plan
+        assert "Scan ExistingRDD" not in plan

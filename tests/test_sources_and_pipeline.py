@@ -210,3 +210,33 @@ def test_copy_tree_with_exclusion(spark, tmp_path):
     dst2 = tmp_path / "dst2"
     n2 = copy_tree(spark, str(src), str(dst2), path_glob="*.txt")
     assert n2 == 3 and not (dst2 / "a" / "skip.tmp").exists()
+
+
+def test_copy_tree_uri_destination(spark, tmp_path):
+    """The object-store code path: a scheme-qualified destination resolves
+    through pyarrow.fs (FileSystem.from_uri) — the same branch an s3:// or
+    hdfs:// dst_root takes — and a file:/// SOURCE URI (triple-slash form)
+    still yields anchored relative paths, never absolute ones."""
+    from experimentsplan_datapipeline_spark.sources.sinks import copy_tree
+
+    src = tmp_path / "src"
+    (src / "a").mkdir(parents=True)
+    (src / "a" / "one.txt").write_bytes(b"one")
+    (src / "root.txt").write_bytes(b"root")
+
+    dst = tmp_path / "dst_uri"
+    n = copy_tree(spark, f"file://{src}", f"file://{dst}")
+    assert n == 2
+    assert (dst / "a" / "one.txt").read_bytes() == b"one"
+    assert (dst / "root.txt").read_bytes() == b"root"
+    # nothing escaped the destination root
+    assert not (tmp_path / "one.txt").exists()
+
+
+def test_write_binary_files_uri_destination(spark, tmp_path):
+    from experimentsplan_datapipeline_spark.sources.sinks import write_binary_files
+
+    df = spark.createDataFrame([("x.bin", b"xyz")], ["name", "content"])
+    out = tmp_path / "imgs_uri"
+    write_binary_files(df, f"file://{out}")
+    assert (out / "x.bin").read_bytes() == b"xyz"
