@@ -66,8 +66,8 @@ def _fake_decode(content: bytes, size: int = 8) -> tuple[int, int, int, list[int
 
 def _real_decode(content: bytes) -> tuple[int, int, int, list[int]]:
     """Decode actual image bytes. PIL when importable; else the vendored
-    pure-Python PNG codec (media/png.py) — so the REAL path runs in this
-    container too, not just the sha256 stub."""
+    pure-Python codecs (media/png.py for PNG, media/bmp.py for BMP) — so
+    the REAL path runs in this container too, not just the sha256 stub."""
     if HAS_PIL:
         import io
 
@@ -76,13 +76,17 @@ def _real_decode(content: bytes) -> tuple[int, int, int, list[int]]:
         img = Image.open(io.BytesIO(content)).convert("RGB")
         arr = np.asarray(img)
     else:
+        from experimentsplan_datapipeline_spark.media.bmp import decode_bmp, is_bmp
         from experimentsplan_datapipeline_spark.media.png import decode_png
 
-        arr = decode_png(content)
-        if arr.shape[2] == 1:  # grayscale -> RGB for a uniform contract
-            arr = np.repeat(arr, 3, axis=2)
-        elif arr.shape[2] == 4:  # drop alpha
-            arr = arr[:, :, :3]
+        if is_bmp(content):
+            arr = decode_bmp(content)  # always (h, w, 3)
+        else:
+            arr = decode_png(content)
+            if arr.shape[2] == 1:  # grayscale -> RGB for a uniform contract
+                arr = np.repeat(arr, 3, axis=2)
+            elif arr.shape[2] == 4:  # drop alpha
+                arr = arr[:, :, :3]
     h, w, c = arr.shape
     return h, w, c, arr.reshape(-1).astype(np.int64).tolist()
 
@@ -91,10 +95,11 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
     """P1: binary -> decoded struct(height,width,channels,pixels) via
     mapInPandas (Arrow batches; per-batch vectorized loop).
 
-    Per-row dispatch: PNG payloads (and anything PIL recognizes, when PIL is
-    present) take the REAL decode; other payloads fall back to the
-    deterministic sha256 stub so synthetic non-image fixtures stay
+    Per-row dispatch: PNG and BMP payloads (and anything PIL recognizes,
+    when PIL is present) take the REAL decode; other payloads fall back to
+    the deterministic sha256 stub so synthetic non-image fixtures stay
     oracle-replayable."""
+    from experimentsplan_datapipeline_spark.media.bmp import is_bmp
     from experimentsplan_datapipeline_spark.media.png import is_png
 
     out_schema = StructType(
@@ -104,7 +109,7 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
     other_cols = [f.name for f in df.schema.fields if f.name != content_col]
 
     def decode(content: bytes) -> tuple[int, int, int, list[int]]:
-        if content and (is_png(bytes(content)) or HAS_PIL):
+        if content and (is_png(bytes(content)) or is_bmp(bytes(content)) or HAS_PIL):
             try:
                 return _real_decode(bytes(content))
             except Exception:

@@ -1,0 +1,174 @@
+"""sf0.1 -> sf1 scaling probe for the five most expensive headline queries.
+
+The 2x-of-baseline gate at sf0.1 can hide superlinear candidate growth
+(LSH band buckets, prefix-filter candidates, IVF cell scans), so this
+script measures the sf0.1 -> sf1 wall-clock exponent directly: it
+synthesizes a 10x corpus from the sf0.1 parquet (id-shifted copies;
+documents get per-copy word-SHUFFLED text so the copies are not a planted
+10-way near-dup cluster that no real corpus has; embeddings get a small
+per-copy deterministic perturbation so vectors are distinct), then times
+each query at both scales on the same session. Near-linear scaling shows
+as a ratio <= ~12x (10x data + shuffle overhead); results are recorded in
+BASELINE.md.
+
+Usage: python scripts/sf1_probe.py [out_dir=/tmp/spark_graft_sf1]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+import duckdb
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+HEAVY = [
+    "bm25_topk",
+    "dedup_minhash",
+    "jaccard_prefix_join",
+    "ann_ivfpq",
+    "join_topk_per_key",
+]
+
+
+def build_sf1(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+
+    def shuffled_text(text: str, c: int) -> str:
+        words = text.split()
+        random.Random((c << 20) ^ len(words)).shuffle(words)
+        return " ".join(words)
+
+    # documents: shift doc_id by copy*N; copy 0 keeps original text, later
+    # copies shuffle word order (kills cross-copy shingle overlap)
+    docs = con.execute(
+        f"SELECT * FROM '{SRC}/documents.parquet' ORDER BY doc_id"
+    ).fetch_df()
+    n_docs = len(docs)
+    frames = []
+    for c in range(COPIES):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + c * n_docs
+        if c:
+            d["text"] = [shuffled_text(t, c) for t in d["text"]]
+        frames.append(d)
+    import pandas as pd
+
+    big_docs = pd.concat(frames, ignore_index=True)
+    con.register("big_docs", big_docs)
+    con.execute(
+        f"COPY big_docs TO '{out_dir}/documents.parquet' (FORMAT PARQUET)"
+    )
+
+    # embeddings: shift vec_id; perturb one coordinate per copy so vectors
+    # are distinct but the distribution (cell occupancy) is preserved
+    emb = con.execute(
+        f"SELECT * FROM '{SRC}/embeddings.parquet' ORDER BY vec_id"
+    ).fetch_df()
+    n_emb = len(emb)
+    eframes = []
+    for c in range(COPIES):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + c * n_emb
+        if c:
+            e["embedding"] = [
+                [float(x) + (0.001 * c if i == (c % len(v)) else 0.0)
+                 for i, x in enumerate(v)]
+                for v in e["embedding"]
+            ]
+        eframes.append(e)
+    big_emb = pd.concat(eframes, ignore_index=True)
+    con.register("big_emb", big_emb)
+    con.execute(
+        f"COPY (SELECT vec_id, embedding::FLOAT[] AS embedding, label "
+        f"FROM big_emb) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+
+    # orders/lineitem: pure id shifts keep per-key group sizes constant
+    n_ord = con.execute(
+        f"SELECT max(o_orderkey) + 1 FROM '{SRC}/orders.parquet'"
+    ).fetchone()[0]
+    for tbl, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
+        selects = " UNION ALL ".join(
+            f"SELECT * REPLACE ({key} + {c * n_ord} AS {key}) "
+            f"FROM '{SRC}/{tbl}.parquet'"
+            for c in range(COPIES)
+        )
+        con.execute(
+            f"COPY ({selects}) TO '{out_dir}/{tbl}.parquet' (FORMAT PARQUET)"
+        )
+    # small dims some query prologs may touch: symlink-copy as-is
+    for tbl in ["region", "nation", "customer", "supplier", "part", "events"]:
+        src = f"{SRC}/{tbl}.parquet"
+        dst = f"{out_dir}/{tbl}.parquet"
+        if os.path.exists(src) and not os.path.exists(dst):
+            con.execute(
+                f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)"
+            )
+
+
+def _jaccard_full_corpus(spark, sf_dir):
+    """The registered jaccard_prefix_join query caps its corpus at 100 docs
+    (its oracle twin is all-pairs), so the scaling probe runs the raw
+    OPERATOR over the whole documents table instead — that is the shape
+    whose candidate growth the probe exists to measure."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+
+    return jaccard_prefix_join(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        shingle_size=3, threshold=0.8,
+    )
+
+
+def time_queries(sf_dir: str, spark) -> dict[str, float]:
+    from experimentsplan_datapipeline_spark.plans.queries import QUERIES
+
+    out = {}
+    for name in HEAVY:
+        fn = (
+            _jaccard_full_corpus
+            if name == "jaccard_prefix_join"
+            else QUERIES[name]
+        )
+        fn(spark, sf_dir).count()  # warm (plan + code paths)
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+        print("building 10x corpus ...", file=sys.stderr)
+        build_sf1(out_dir)
+    from experimentsplan_datapipeline_spark.session import get_session
+
+    spark = get_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    small = time_queries(SRC, spark)
+    big = time_queries(out_dir, spark)
+    result = {
+        name: {
+            "sf0.1_sec": small[name],
+            "sf1_sec": big[name],
+            "ratio": round(big[name] / small[name], 2) if small[name] else None,
+        }
+        for name in HEAVY
+    }
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

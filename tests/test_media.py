@@ -240,22 +240,95 @@ def test_png_decode_all_filter_types():
     assert (png_mod.decode_png(blob) == arr).all()
 
 
-def test_decode_images_real_path_for_png(spark):
-    """decode_images dispatches real decode for PNG payloads and the
-    deterministic stub for everything else — in the same batch."""
+def test_bmp_codec_roundtrip():
+    """Pure-Python BMP codec: encode -> decode is identity for 24-bit RGB
+    (including non-multiple-of-4 widths, which exercise row padding) and
+    grayscale input promoted to RGB."""
     import numpy as np
 
+    from experimentsplan_datapipeline_spark.media.bmp import (
+        decode_bmp,
+        encode_bmp,
+        is_bmp,
+    )
+
+    rng = np.random.default_rng(13)
+    for shape in [(5, 9, 3), (4, 6, 3), (3, 7)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        blob = encode_bmp(arr)
+        assert is_bmp(blob)
+        back = decode_bmp(blob)
+        want = arr if arr.ndim == 3 else np.repeat(arr[:, :, None], 3, axis=2)
+        assert back.shape == want.shape
+        assert (back == want).all()
+
+
+def test_bmp_decode_paletted_and_topdown():
+    """Decode the wild variants the encoder doesn't emit: 8-bit paletted
+    rows and negative-height (top-down) 24-bit files."""
+    import struct
+
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.bmp import decode_bmp, encode_bmp
+
+    # 8-bit paletted 2x3: palette entry i = (i, 2i, 3i) RGB stored as BGRA
+    w, h = 3, 2
+    pal = b"".join(
+        bytes([(3 * i) & 0xFF, (2 * i) & 0xFF, i & 0xFF, 0]) for i in range(256)
+    )
+    idx = np.array([[0, 1, 2], [250, 251, 252]], dtype=np.uint8)
+    stride = (w + 3) & ~3
+    body = b"".join(
+        bytes(idx[y]) + b"\x00" * (stride - w) for y in range(h - 1, -1, -1)
+    )
+    data_off = 14 + 40 + len(pal)
+    blob = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 0, 0, 256, 0)
+        + pal
+        + body
+    )
+    got = decode_bmp(blob)
+    want = np.stack(
+        [
+            np.stack([[i & 0xFF, (2 * i) & 0xFF, (3 * i) & 0xFF] for i in row])
+            for row in idx
+        ]
+    )
+    assert (got == want).all()
+
+    # top-down: flip the height sign on an encoded file and reverse rows
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob24 = bytearray(encode_bmp(arr))
+    struct.pack_into("<i", blob24, 22, -2)  # height = -2 -> top-down
+    got_td = decode_bmp(bytes(blob24))
+    assert (got_td == arr[::-1]).all()
+
+
+def test_decode_images_real_path_for_png_and_bmp(spark):
+    """decode_images dispatches REAL decode for PNG and BMP payloads and
+    the deterministic stub for everything else — in the same batch."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.bmp import encode_bmp
     from experimentsplan_datapipeline_spark.media.png import encode_png
 
     arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
     df = spark.createDataFrame(
-        [("real.png", bytearray(encode_png(arr))), ("fake.bin", bytearray(b"junk"))],
+        [
+            ("real.png", bytearray(encode_png(arr))),
+            ("real.bmp", bytearray(encode_bmp(arr))),
+            ("fake.bin", bytearray(b"junk")),
+        ],
         ["path", "content"],
     )
     out = {r.path: r.image for r in decode_images(df).collect()}
-    real = out["real.png"]
-    assert (real.height, real.width, real.channels) == (4, 4, 3)
-    assert real.pixels == list(range(48))  # REAL pixels, not a hash
+    for name in ("real.png", "real.bmp"):
+        real = out[name]
+        assert (real.height, real.width, real.channels) == (4, 4, 3)
+        assert real.pixels == list(range(48))  # REAL pixels, not a hash
     stub = out["fake.bin"]
     assert (stub.height, stub.width, stub.channels) == (8, 8, 3)  # stub shape
 

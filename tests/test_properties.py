@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -257,3 +259,72 @@ def test_npy_roundtrip_property(spark, tmp_path_factory, arrs):
     for name, a in expect.items():
         assert out[name].shape == list(a.shape)
         assert out[name].values == a.reshape(-1).tolist()
+
+
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_dedup_cascade_recovers_planted_clusters(spark, seed):
+    """END-TO-END recall of the composed cascade: minhash -> LSH banding ->
+    exact-Jaccard verify -> cluster resolution recovers every PLANTED
+    cluster exactly. Each stage is unit-proven elsewhere; this is the
+    composed guarantee a 100 TB user actually relies on.
+
+    Planted shapes per seed:
+    - a CHAIN of 40 docs where only ADJACENT members are near-dups
+      (cumulative 1-token edits; diameter 39 > 32) — recovering it needs
+      every adjacent pair caught by some band AND transitive closure to
+      span the chain (pointer jumping's O(log d) rounds);
+    - a STAR of 5 docs, all within 2 token edits pairwise (cross-band
+      duplicates: different pairs land in different band buckets);
+    - 30 random background docs that must stay singletons (the exact
+      verify step guarantees zero false merges at threshold).
+    """
+    import random
+
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        resolve_duplicate_clusters,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i:04d}" for i in range(5000)]
+    T = 100
+    docs: list[tuple[int, str]] = []
+    for i in range(30):  # background singletons
+        docs.append((1000 + i, " ".join(rng.choice(vocab) for _ in range(T))))
+    # chain: member k = member k-1 with token at position k replaced
+    base = [rng.choice(vocab) for _ in range(T)]
+    cur = list(base)
+    chain_ids = []
+    for k in range(40):
+        cur = list(cur)
+        old = cur[k]
+        while cur[k] == old:
+            cur[k] = rng.choice(vocab)
+        docs.append((k, " ".join(cur)))
+        chain_ids.append(k)
+    # star: base2 plus 5 members each with a DIFFERENT single position edited
+    base2 = [rng.choice(vocab) for _ in range(T)]
+    star_ids = []
+    for m in range(5):
+        mem = list(base2)
+        pos = 10 + 7 * m
+        old = mem[pos]
+        while mem[pos] == old:
+            mem[pos] = rng.choice(vocab)
+        docs.append((100 + m, " ".join(mem)))
+        star_ids.append(100 + m)
+
+    df = spark.createDataFrame(docs, ["id", "text"])
+    pairs = minhash_lsh_dedup(
+        df, "text", "id", num_hashes=32, bands=8, shingle_size=3, threshold=0.8
+    )
+    resolved = resolve_duplicate_clusters(df, pairs, "id", max_iter=10)
+    rep = {r.id: r.rep_id for r in resolved.collect()}
+    assert len(rep) == len(docs)
+    # chain collapses to ONE cluster under its min id
+    assert {rep[k] for k in chain_ids} == {0}
+    # star collapses to ONE cluster under its min id
+    assert {rep[s] for s in star_ids} == {100}
+    # background: all singletons, no false merges anywhere
+    for i in range(30):
+        assert rep[1000 + i] == 1000 + i
