@@ -66,8 +66,8 @@ def _fake_decode(content: bytes, size: int = 8) -> tuple[int, int, int, list[int
 
 def _real_decode(content: bytes) -> tuple[int, int, int, list[int]]:
     """Decode actual image bytes. PIL when importable; else the vendored
-    pure-Python codecs (media/png.py for PNG, media/bmp.py for BMP) — so
-    the REAL path runs in this container too, not just the sha256 stub."""
+    pure-Python codecs (media/png.py, media/bmp.py, media/jpeg.py) — so the
+    REAL path runs in this container too, not just the sha256 stub."""
     if HAS_PIL:
         import io
 
@@ -77,10 +77,13 @@ def _real_decode(content: bytes) -> tuple[int, int, int, list[int]]:
         arr = np.asarray(img)
     else:
         from experimentsplan_datapipeline_spark.media.bmp import decode_bmp, is_bmp
+        from experimentsplan_datapipeline_spark.media.jpeg import decode_jpeg, is_jpeg
         from experimentsplan_datapipeline_spark.media.png import decode_png
 
         if is_bmp(content):
             arr = decode_bmp(content)  # always (h, w, 3)
+        elif is_jpeg(content):
+            arr = decode_jpeg(content)  # always (h, w, 3)
         else:
             arr = decode_png(content)
             if arr.shape[2] == 1:  # grayscale -> RGB for a uniform contract
@@ -95,11 +98,12 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
     """P1: binary -> decoded struct(height,width,channels,pixels) via
     mapInPandas (Arrow batches; per-batch vectorized loop).
 
-    Per-row dispatch: PNG and BMP payloads (and anything PIL recognizes,
-    when PIL is present) take the REAL decode; other payloads fall back to
-    the deterministic sha256 stub so synthetic non-image fixtures stay
-    oracle-replayable."""
+    Per-row dispatch: PNG, BMP, and baseline-JPEG payloads (and anything
+    PIL recognizes, when PIL is present) take the REAL decode; other
+    payloads fall back to the deterministic sha256 stub so synthetic
+    non-image fixtures stay oracle-replayable."""
     from experimentsplan_datapipeline_spark.media.bmp import is_bmp
+    from experimentsplan_datapipeline_spark.media.jpeg import is_jpeg
     from experimentsplan_datapipeline_spark.media.png import is_png
 
     out_schema = StructType(
@@ -109,7 +113,12 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
     other_cols = [f.name for f in df.schema.fields if f.name != content_col]
 
     def decode(content: bytes) -> tuple[int, int, int, list[int]]:
-        if content and (is_png(bytes(content)) or is_bmp(bytes(content)) or HAS_PIL):
+        if content and (
+            is_png(bytes(content))
+            or is_bmp(bytes(content))
+            or is_jpeg(bytes(content))
+            or HAS_PIL
+        ):
             try:
                 return _real_decode(bytes(content))
             except Exception:

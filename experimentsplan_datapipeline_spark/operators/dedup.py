@@ -156,12 +156,16 @@ def minhash_lsh_candidates(
 def ngram_jaccard_pairs(
     df: DataFrame, candidates: DataFrame, text_col: str, id_col: str,
     shingle_size: int = 3, threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (LSH verification step).
 
-    Joins shingle SETS (arrays) onto the candidate pair list; never all-pairs.
+    Joins shingle SETS (arrays) onto the candidate pair list; never
+    all-pairs. ``shingles`` lets a caller that already materialized the
+    (id, sh) frame (jaccard_prefix_join checkpoints it for candidate
+    generation) reuse it instead of re-scanning + re-shingling the corpus.
     """
-    sh = spread_small_input(df).select(
+    sh = shingles if shingles is not None else spread_small_input(df).select(
         F.col(id_col), F.array_distinct(ngrams(text_col, shingle_size)).alias("sh")
     )
     a = sh.alias("a")
@@ -557,51 +561,117 @@ def jaccard_prefix_join(
     ``threshold``, with 100% recall — unlike the MinHash/LSH path there are
     no probabilistic misses — and still never an all-pairs product.
 
-    Tokens get a global rarity order (ascending document frequency); each
-    set keeps only its prefix of the |s| - ceil(t*|s|) + 1 rarest tokens.
-    Any pair at Jaccard >= t shares its lowest-ranked common token in BOTH
-    prefixes (pigeonhole: a set's suffix holds ceil(t*|s|) - 1 < t*|s| <=
-    |overlap| tokens), so the candidate join is an equi-join on prefix
-    tokens + the length filter t*|a| <= |b| <= |a|/t, then exact verify.
+    Tokens get a global rarity order (ascending document frequency); any
+    pair at Jaccard >= t shares its lowest-ranked common token near the
+    front of both sorted sets (pigeonhole), so the candidate join is an
+    equi-join on prefix tokens, then exact verify. Three exact prunes keep
+    the candidate count near-linear in corpus size (each provably loses no
+    true pair — the sf0.1 -> sf1 probe in scripts/sf1_probe.py measures the
+    resulting scaling exponent):
 
-    Shuffle shape: one vocab agg (map-side combinable, collapses to
-    |vocab| rows), one join to attach ranks, one groupBy to re-sort each
-    set, and a candidate join keyed on PREFIX tokens only — rarity
+    - length filter: t*|a| <= |b| <= |a|/t;
+    - asymmetric prefixes (PPJoin indexing prefix): pairs are oriented by
+      (|s|, id) lex order; a true pair's overlap O >= ceil(2t/(1+t)*|x|)
+      for the lex-SMALLER x, so x's first common token sits in its first
+      |x| - ceil(2t/(1+t)*|x|) + 1 tokens (at t=0.8 about half the probing
+      prefix), while the larger side y needs only O >= t*|y| and keeps the
+      standard |y| - ceil(t*|y|) + 1 prefix;
+    - positional filter (PPJoin): a common token at 0-based positions
+      (pa, pb) bounds the overlap by 1 + min(|a|-pa-1, |b|-pb-1), which
+      must reach alpha = ceil(t/(1+t)*(|a|+|b|)); the bound always holds
+      at the FIRST common token of a true pair, so OR-ing it across
+      matched tokens keeps 100% recall.
+
+    Shuffle shape: the whole pipeline is ONE candidate join plus one vocab
+    agg (map-side combinable, collapses to |vocab| rows) — verification is
+    FUSED into the candidate join instead of re-joining the corpus twice:
+    shingles are compressed to xxhash64 ids, every prefix row carries its
+    set's full sorted id array (~8 bytes/shingle vs ~25 for strings), and
+    the join computes the id-set Jaccard inline. A hash collision can only
+    merge two distinct shingles, which INFLATES the id-Jaccard (never
+    deflates) — so inline passing preserves 100% recall unconditionally,
+    and the surviving pairs (output-sized, tiny) take a final exact
+    verify on the true string shingles that removes any phantom. Rarity
     ordering puts the least-common tokens in prefixes, so bucket sizes
-    stay small exactly where a frequency-blind banding would explode.
+    stay small exactly where a frequency-blind banding would explode. The
+    shingle-set frame feeds the prefix stages AND the final verify, so it
+    is localCheckpointed once (|corpus| rows of distinct shingles; at
+    100 TB write it to parquet instead, like the MinHash signature note).
     """
-    sets = spread_small_input(df).select(
-        F.col(id_col),
-        F.array_distinct(ngrams(text_col, shingle_size)).alias("grams"),
+    sets = (
+        spread_small_input(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(ngrams(text_col, shingle_size)).alias("grams"),
+        )
+        .localCheckpoint(eager=False)
     )
-    tok = sets.select(F.col(id_col), F.explode("grams").alias("g"))
-    dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    ranked = tok.join(dfreq, "g")
+    tok = sets.select(
+        F.col(id_col),
+        F.explode(F.transform("grams", lambda g: F.xxhash64(g))).alias("gid"),
+    )
+    dfreq = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(dfreq, "gid")
     sorted_sets = ranked.groupBy(id_col).agg(
-        F.array_sort(F.collect_list(F.struct("df", "g"))).alias("sg")
+        F.array_sort(F.collect_list(F.struct("df", "gid"))).alias("sg")
+    ).select(
+        id_col,
+        "sg",
+        F.transform("sg", lambda s: s["gid"]).alias("ids"),
     )
     n = F.size("sg")
-    plen = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
-    pref = sorted_sets.select(
-        F.col(id_col),
-        n.alias("n"),
-        F.explode(F.slice("sg", F.lit(1), plen)).alias("p"),
-    ).select(id_col, "n", F.col("p.g").alias("g"))
-    a, b = pref.alias("a"), pref.alias("b")
+    t_lit = F.lit(threshold)
+    plen_std = n - F.ceil(t_lit * n).cast("int") + 1
+    plen_short = n - F.ceil(F.lit(2.0 * threshold / (1.0 + threshold)) * n).cast(
+        "int"
+    ) + 1
+
+    def prefix_frame(plen):
+        return sorted_sets.select(
+            F.col(id_col),
+            n.alias("n"),
+            F.col("ids"),
+            F.posexplode(F.slice("sg", F.lit(1), plen)).alias("pos", "p"),
+        ).select(id_col, "n", "ids", "pos", F.col("p.gid").alias("gid"))
+
+    # Both prefix frames are corpus-sized and carry the id arrays; size
+    # estimates after explode/localCheckpoint are unreliable, and a planner
+    # that guesses broadcast here OOMs the driver at scale — pin sort-merge.
+    a = prefix_frame(plen_short).hint("merge").alias("a")  # lex-smaller side
+    b = prefix_frame(plen_std).hint("merge").alias("b")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n"))
+    )
+    lex_lt = (F.col("a.n") < F.col("b.n")) | (
+        (F.col("a.n") == F.col("b.n"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    pos_ok = (
+        1
+        + F.least(
+            F.col("a.n") - F.col("a.pos") - 1, F.col("b.n") - F.col("b.pos") - 1
+        )
+    ) >= alpha
+    inter = F.size(F.array_intersect(F.col("a.ids"), F.col("b.ids")))
+    id_jaccard_ok = (
+        inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter)
+    ) >= t_lit
     cand = (
         a.join(
             b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
-            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n")),
+            (F.col("a.gid") == F.col("b.gid"))
+            & lex_lt
+            & (F.col("b.n") <= F.col("a.n") / t_lit)  # with lex order, b >= a
+            & pos_ok
+            & id_jaccard_ok,  # inline fused verify on the id arrays
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
         )
         .distinct()
     )
     return ngram_jaccard_pairs(
-        df, cand, text_col, id_col, shingle_size, threshold
+        df, cand, text_col, id_col, shingle_size, threshold,
+        shingles=sets.select(F.col(id_col), F.col("grams").alias("sh")),
     )

@@ -30,8 +30,15 @@ def get_session(
     ``master=None`` and let spark-submit decide.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # In local mode the driver JVM hosts every executor thread, and Spark's
+    # default heap is 1g — 32 concurrent tasks in 1g means constant GC and
+    # spurious OOMs on join builds. Size it like a worker node. (Takes
+    # effect only at JVM launch; a getOrCreate() against a live session
+    # keeps that session's heap.)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # coalesce to the advisory size rather than defending parallelism:

@@ -307,19 +307,22 @@ def test_bmp_decode_paletted_and_topdown():
     assert (got_td == arr[::-1]).all()
 
 
-def test_decode_images_real_path_for_png_and_bmp(spark):
-    """decode_images dispatches REAL decode for PNG and BMP payloads and
-    the deterministic stub for everything else — in the same batch."""
+def test_decode_images_real_path_for_png_bmp_jpeg(spark):
+    """decode_images dispatches REAL decode for PNG, BMP, and JPEG payloads
+    and the deterministic stub for everything else — in the same batch."""
     import numpy as np
 
     from experimentsplan_datapipeline_spark.media.bmp import encode_bmp
+    from experimentsplan_datapipeline_spark.media.jpeg import encode_jpeg
     from experimentsplan_datapipeline_spark.media.png import encode_png
 
     arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    solid = np.full((8, 8, 3), 77, np.uint8)  # lossless through JPEG q95
     df = spark.createDataFrame(
         [
             ("real.png", bytearray(encode_png(arr))),
             ("real.bmp", bytearray(encode_bmp(arr))),
+            ("real.jpg", bytearray(encode_jpeg(solid, quality=95))),
             ("fake.bin", bytearray(b"junk")),
         ],
         ["path", "content"],
@@ -329,6 +332,9 @@ def test_decode_images_real_path_for_png_and_bmp(spark):
         real = out[name]
         assert (real.height, real.width, real.channels) == (4, 4, 3)
         assert real.pixels == list(range(48))  # REAL pixels, not a hash
+    jpg = out["real.jpg"]
+    assert (jpg.height, jpg.width, jpg.channels) == (8, 8, 3)
+    assert jpg.pixels == [77] * (8 * 8 * 3)  # solid color survives exactly
     stub = out["fake.bin"]
     assert (stub.height, stub.width, stub.channels) == (8, 8, 3)  # stub shape
 
@@ -384,3 +390,87 @@ def test_read_npy_source(spark, tmp_path):
     assert out["b.npy"].values == [1.5, -2.5]
     # direct parse twin
     assert parse_npy(npy_bytes(b))[1] == [1, 2]
+
+
+def test_jpeg_codec_roundtrip():
+    """Pure-Python baseline JPEG codec: encode -> decode recovers the image
+    within JPEG-typical loss (PSNR-gated), across 4:4:4, 4:2:0, grayscale,
+    and non-multiple-of-8 dimensions; solid color is exact."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        is_jpeg,
+    )
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [(yy * 5 + 20) % 256, (xx * 3 + 80) % 256, ((yy + xx) * 4) % 256], axis=2
+    ).astype(np.uint8)
+    img = np.clip(
+        img.astype(int) + rng.integers(-5, 6, img.shape), 0, 255
+    ).astype(np.uint8)
+
+    for quality, subsample, floor in [(95, False, 37.0), (85, True, 34.0)]:
+        blob = encode_jpeg(img, quality=quality, subsample=subsample)
+        assert is_jpeg(blob)
+        back = decode_jpeg(blob)
+        assert back.shape == img.shape
+        assert psnr(img, back) > floor
+
+    solid = np.full((16, 16, 3), 130, np.uint8)
+    assert (decode_jpeg(encode_jpeg(solid, quality=95)) == solid).all()
+
+    gray = ((yy * 7 + xx * 2) % 256).astype(np.uint8)
+    back_g = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert back_g.shape == (24, 40, 3)
+    assert psnr(np.repeat(gray[:, :, None], 3, axis=2), back_g) > 45.0
+
+    odd = img[:17, :23]  # forces MCU edge padding in both axes
+    back_o = decode_jpeg(encode_jpeg(odd, quality=85, subsample=True))
+    assert back_o.shape == odd.shape
+    assert psnr(odd, back_o) > 33.0
+
+
+def test_jpeg_restart_markers_transparent():
+    """DRI + RSTn restart intervals (the camera-JPEG resilience layout)
+    decode to pixels byte-identical to the no-restart encode."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack([(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=2)
+    img = np.clip(img + rng.integers(-4, 5, img.shape), 0, 255).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=88, subsample=True))
+    for interval in (1, 3):
+        with_rst = decode_jpeg(
+            encode_jpeg(img, quality=88, subsample=True, restart_interval=interval)
+        )
+        assert (with_rst == base).all()
+
+
+def test_jpeg_rejects_unsupported():
+    """Clear errors for progressive frames, bad magic, and truncation —
+    decode_images then falls back to the deterministic stub for these."""
+    import numpy as np
+    import pytest
+
+    from experimentsplan_datapipeline_spark.media.jpeg import decode_jpeg, encode_jpeg
+
+    blob = bytearray(encode_jpeg(np.full((8, 8), 10, np.uint8), quality=90))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # rewrite baseline SOF0 -> progressive SOF2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="signature"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(bytes(encode_jpeg(np.full((8, 8), 10, np.uint8))[:20]))
