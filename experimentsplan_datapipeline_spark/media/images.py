@@ -394,6 +394,45 @@ def crop_images(
     return with_off.mapInPandas(run, schema=out_schema).drop("__oy", "__ox")
 
 
+def encode_images(
+    df: DataFrame,
+    fmt_col: str = "fmt",
+    height_col: str = "height",
+    width_col: str = "width",
+    fill_col: str = "fill",
+) -> DataFrame:
+    """Synthesize real encoded image payloads per row: (fmt, h, w, fill) ->
+    ``content`` binary via the vendored pure-Python codecs (png/bmp/jpeg).
+
+    Runs the ENCODERS executor-side under mapInPandas — the write-path twin
+    of decode_images, used by tests and the header-probe query to create
+    format-true binaries without any image library in the container."""
+    from pyspark.sql.types import BinaryType
+
+    from experimentsplan_datapipeline_spark.media.bmp import encode_bmp
+    from experimentsplan_datapipeline_spark.media.jpeg import encode_jpeg
+    from experimentsplan_datapipeline_spark.media.png import encode_png
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("content", BinaryType())]
+    )
+    encoders = {"png": encode_png, "bmp": encode_bmp, "jpeg": encode_jpeg}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for fmt, h, w, fill in zip(
+                pdf[fmt_col], pdf[height_col], pdf[width_col], pdf[fill_col]
+            ):
+                arr = np.full((int(h), int(w), 3), int(fill) % 256, np.uint8)
+                blobs.append(encoders[fmt](arr))
+            out = pdf.copy()
+            out["content"] = blobs
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def image_ahash(
     decoded: DataFrame, image_col: str = "image"
 ) -> DataFrame:

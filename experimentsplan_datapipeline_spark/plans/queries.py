@@ -4951,3 +4951,159 @@ def basket_part_pairs(spark, sf_dir):
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(100)
     )
+
+
+_DSIR_ORACLE = """
+WITH w AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM w),
+bk AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(g || '|7'), 1, 8))::BIGINT % 64 AS b
+  FROM bg),
+raw AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+tgt AS (SELECT b, count(*) AS c FROM bk WHERE source = 'src0' GROUP BY b),
+tot AS (
+  SELECT (SELECT sum(c) FROM raw) AS n_raw, (SELECT sum(c) FROM tgt) AS n_tgt),
+lr AS (
+  SELECT raw.b,
+         ln(((coalesce(tgt.c, 0) + 1.0) / (tot.n_tgt + 64.0))
+            / ((raw.c + 1.0) / (tot.n_raw + 64.0))) AS logratio
+  FROM raw LEFT JOIN tgt USING (b), tot)
+SELECT bk.doc_id, round(sum(lr.logratio), 6) AS dsir_score
+FROM bk JOIN lr ON bk.b = lr.b
+GROUP BY bk.doc_id
+"""
+
+
+@register("dsir_importance", _DSIR_ORACLE)
+def dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each raw document by
+    the hashed-bigram log-likelihood ratio between a TARGET distribution
+    (here: the source='src0' slice stands in for the high-quality domain)
+    and the RAW corpus distribution, with add-one smoothing over 64 hash
+    buckets. Docs scoring high look like the target domain; resampling by
+    these weights is the domain-matching step of a pretraining mixture.
+
+    Scale shape: two map-side-combinable aggregations that COLLAPSE to 64
+    rows each, one broadcast join of that 64-row ratio table onto the
+    exploded bigram stream, one groupBy(doc). No corpus-sized side ever
+    crosses a join build; the bucket hash is the portable md5 so the
+    weights are replayable in any engine (cf. reference sampling decisions,
+    train/common/dataset.py:118-166, which are process-local RNG instead)."""
+    from experimentsplan_datapipeline_spark.functions.text import ngrams
+    from experimentsplan_datapipeline_spark.operators.curation import portable_hash
+
+    docs = t(spark, sf_dir, "documents")
+    bk = docs.select(
+        "doc_id",
+        "source",
+        F.explode(ngrams("text", 2)).alias("g"),
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(portable_hash([F.col("g")], 7), F.lit(64)).alias("b"),
+    )
+    raw = bk.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        bk.filter(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    totals = raw.agg(F.sum("c_raw").alias("n_raw")).crossJoin(
+        tgt.agg(F.sum("c_tgt").alias("n_tgt"))
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"c_tgt": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.log(
+                ((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + 64.0))
+                / ((F.col("c_raw") + 1.0) / (F.col("n_raw") + 64.0))
+            ).alias("logratio"),
+        )
+    )
+    return (
+        bk.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("logratio"), 6).alias("dsir_score"))
+    )
+
+
+_HEADER_DIMS_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+       2 + (doc_id % 6) AS width,
+       2 + (doc_id % 4) AS height
+FROM documents WHERE doc_id < 120
+"""
+
+
+@register("media_header_dims", _HEADER_DIMS_ORACLE)
+def media_header_dims(spark, sf_dir):
+    """Header-only image dimension probe: read width/height out of the
+    first bytes of a binary column with PURE column expressions — no
+    decode, no Python. At 100 TB of images this is the difference between
+    a metadata pass (substring the first 26 bytes of each blob) and
+    decompressing every pixel; format is detected from the magic, PNG dims
+    come from the IHDR chunk (always first, big-endian at offset 17), BMP
+    dims from the BITMAPINFOHEADER (little-endian at 19/23, signed height
+    for top-down files).
+
+    The payloads are synthesized by the real vendored ENCODERS
+    (media/png.py, media/bmp.py) executor-side with dimensions derived
+    from doc_id, so the oracle's closed-form dims check the encoder's
+    header bytes AND this header-peek arithmetic end-to-end."""
+    from experimentsplan_datapipeline_spark.media.images import encode_images
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    spec = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("png"))
+        .otherwise(F.lit("bmp"))
+        .alias("fmt_in"),
+        (F.lit(2) + F.col("doc_id") % 4).alias("h_in"),
+        (F.lit(2) + F.col("doc_id") % 6).alias("w_in"),
+        (F.col("doc_id") * 7 % 256).alias("fill"),
+    )
+    blobs = encode_images(
+        spec, fmt_col="fmt_in", height_col="h_in", width_col="w_in"
+    ).select("doc_id", "content")
+
+    def be32(off):  # 1-based big-endian u32
+        return F.conv(F.hex(F.substring("content", off, 4)), 16, 10).cast("long")
+
+    def le32(off):  # 1-based little-endian i32 (BMP headers)
+        raw = F.conv(
+            F.concat(
+                F.hex(F.substring("content", off + 3, 1)),
+                F.hex(F.substring("content", off + 2, 1)),
+                F.hex(F.substring("content", off + 1, 1)),
+                F.hex(F.substring("content", off, 1)),
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.when(raw >= F.lit(2**31), raw - F.lit(2**32)).otherwise(raw)
+
+    is_bmp = F.hex(F.substring("content", 1, 2)) == "424D"
+    is_png = F.hex(F.substring("content", 2, 3)) == "504E47"
+    return blobs.select(
+        "doc_id",
+        F.when(is_png, F.lit("png"))
+        .when(is_bmp, F.lit("bmp"))
+        .otherwise(F.lit("unknown"))
+        .alias("fmt"),
+        F.when(is_png, be32(17)).when(is_bmp, le32(19)).alias("width"),
+        F.when(is_png, be32(21))
+        .when(is_bmp, F.abs(le32(23)))
+        .alias("height"),
+    )

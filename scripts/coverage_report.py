@@ -116,6 +116,9 @@ EXTENSIONS: dict[str, list[str]] = {
     "North star: multimodal III (tensor sources, inference)": [
         "media_infer_broadcast", "read_npy_tensor",
     ],
+    "North star: curation III (domain matching, metadata probes)": [
+        "dsir_importance", "media_header_dims",
+    ],
 }
 
 
