@@ -328,3 +328,51 @@ def test_dedup_cascade_recovers_planted_clusters(spark, seed):
     # background: all singletons, no false merges anywhere
     for i in range(30):
         assert rep[1000 + i] == 1000 + i
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_jaccard_prefix_join_matches_bruteforce(spark, seed):
+    """The fused AllPairs/PPJoin implementation (asymmetric indexing
+    prefix + positional filter + inline xxhash64-id verify + string
+    re-verify) returns EXACTLY the all-pairs truth: same pair set, same
+    jaccard values. Corpora are built adversarially — a small vocabulary
+    (hot prefix tokens), documents mutated from shared bases at varying
+    edit counts so pairs straddle the threshold, plus exact duplicates."""
+    import random
+
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        jaccard_prefix_join,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]  # small vocab -> hot shingles
+    docs = []
+    doc_id = 0
+    for base_i in range(8):
+        base = [rng.choice(vocab) for _ in range(rng.randint(12, 25))]
+        for n_edits in (0, 0, 1, 2, 4, 8):  # two exact copies + near/far
+            words = list(base)
+            for _ in range(n_edits):
+                pos = rng.randrange(len(words))
+                words[pos] = rng.choice(vocab)
+            docs.append((doc_id, " ".join(words)))
+            doc_id += 1
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_prefix_join(df, "text", "doc_id", 2, 0.7).collect()
+    }
+
+    a = df.selectExpr("doc_id AS id_a")
+    b = df.selectExpr("doc_id AS id_b")
+    all_pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, all_pairs, "text", "doc_id", 2, 0.7
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture must plant at least one qualifying pair"
