@@ -587,16 +587,26 @@ def jaccard_prefix_join(
     FUSED into the candidate join instead of re-joining the corpus twice:
     shingles are compressed to xxhash64 ids, every prefix row carries its
     set's full sorted id array (~8 bytes/shingle vs ~25 for strings), and
-    the join computes the id-set Jaccard inline. A hash collision can only
-    merge two distinct shingles, which INFLATES the id-Jaccard (never
-    deflates) — so inline passing preserves 100% recall unconditionally,
-    and the surviving pairs (output-sized, tiny) take a final exact
-    verify on the true string shingles that removes any phantom. Rarity
-    ordering puts the least-common tokens in prefixes, so bucket sizes
-    stay small exactly where a frequency-blind banding would explode. The
-    shingle-set frame feeds the prefix stages AND the final verify, so it
-    is localCheckpointed once (|corpus| rows of distinct shingles; at
-    100 TB write it to parquet instead, like the MinHash signature note).
+    the join computes the id-set Jaccard inline. Recall stays exact by a
+    collision-locality argument: DEFLATING a pair's id-Jaccard (the only
+    way to lose a true pair) requires two distinct COMMON shingles to
+    collide — both then sit in BOTH documents, so both documents show an
+    INTERNAL collision (|id set| < |gram set|, detectable per row for
+    free). Between internally-collision-free documents only
+    cross-collisions are possible, and those strictly inflate (+1
+    intersection, -1 union), so every gid-space filter (prefix pigeonhole,
+    length, positional, inline Jaccard) is sound. The operator therefore
+    RAISES on any internal collision (per-row codegen check, expected
+    never: P < |corpus|*|doc|^2/2^64) instead of silently under-recalling
+    — same contract as the pointer-jumping convergence guard in
+    resolve_duplicate_clusters. Surviving pairs (output-sized, tiny) take
+    the final exact verify on true string shingles, which removes any
+    inflation phantoms. Rarity ordering puts the least-common tokens in prefixes,
+    so bucket sizes stay small exactly where a frequency-blind banding
+    would explode. The shingle-set frame feeds the prefix stages AND the
+    final verify, so it is localCheckpointed once (|corpus| rows of
+    distinct shingles; at 100 TB write it to parquet instead, like the
+    MinHash signature note).
     """
     sets = (
         spread_small_input(df)
@@ -608,15 +618,29 @@ def jaccard_prefix_join(
     )
     tok = sets.select(
         F.col(id_col),
-        F.explode(F.transform("grams", lambda g: F.xxhash64(g))).alias("gid"),
+        F.size("grams").alias("n_str"),
+        F.explode(
+            F.array_distinct(F.transform("grams", lambda g: F.xxhash64(g)))
+        ).alias("gid"),
     )
     dfreq = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("df"))
     ranked = tok.join(dfreq, "gid")
     sorted_sets = ranked.groupBy(id_col).agg(
-        F.array_sort(F.collect_list(F.struct("df", "gid"))).alias("sg")
+        F.array_sort(F.collect_list(F.struct("df", "gid"))).alias("sg"),
+        F.first("n_str").alias("n_str"),
     ).select(
         id_col,
-        "sg",
+        # internal-collision guard: all downstream gid-space pruning is
+        # only sound for documents whose shingles hash injectively
+        F.when(
+            F.size("sg") < F.col("n_str"),
+            F.raise_error(
+                "jaccard_prefix_join: xxhash64 collision between two "
+                "shingles of one document — gid-space pruning would "
+                "under-recall; rerun with a different shingle_size or "
+                "report this astronomically unlikely corpus"
+            ),
+        ).otherwise(F.col("sg")).alias("sg"),
         F.transform("sg", lambda s: s["gid"]).alias("ids"),
     )
     n = F.size("sg")
