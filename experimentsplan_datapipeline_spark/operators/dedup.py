@@ -552,6 +552,57 @@ def url_dedup(
     )
 
 
+def _ranked_gid_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_size: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front end of the exact set-join family (jaccard/containment):
+    distinct shingle sets (localCheckpointed — they feed candidate
+    generation AND the final verify), xxhash64 shingle ids, a global
+    rarity order (ascending document frequency, gid tiebreak), and the
+    per-document arrays sorted by that order.
+
+    Returns (sets, sorted_sets): sets = (id, grams: array<string>);
+    sorted_sets = (id, sg: array<struct<df,gid>> rarity-sorted, ids:
+    array<bigint>). Includes the internal-collision guard: gid-space
+    pruning is only sound for documents whose shingles hash injectively
+    (see jaccard_prefix_join's collision-locality argument), so a document
+    with |id set| < |gram set| raises instead of risking under-recall."""
+    sets = (
+        spread_small_input(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(ngrams(text_col, shingle_size)).alias("grams"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tok = sets.select(
+        F.col(id_col),
+        F.size("grams").alias("n_str"),
+        F.explode(
+            F.array_distinct(F.transform("grams", lambda g: F.xxhash64(g)))
+        ).alias("gid"),
+    )
+    dfreq = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(dfreq, "gid")
+    sorted_sets = ranked.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("df", "gid"))).alias("sg"),
+        F.first("n_str").alias("n_str"),
+    ).select(
+        id_col,
+        F.when(
+            F.size("sg") < F.col("n_str"),
+            F.raise_error(
+                "exact set join: xxhash64 collision between two shingles "
+                "of one document — gid-space pruning would under-recall; "
+                "rerun with a different shingle_size or report this "
+                "astronomically unlikely corpus"
+            ),
+        ).otherwise(F.col("sg")).alias("sg"),
+        F.transform("sg", lambda s: s["gid"]).alias("ids"),
+    )
+    return sets, sorted_sets
+
+
 def jaccard_prefix_join(
     df: DataFrame, text_col: str, id_col: str,
     shingle_size: int = 3, threshold: float = 0.8,
@@ -608,41 +659,7 @@ def jaccard_prefix_join(
     distinct shingles; at 100 TB write it to parquet instead, like the
     MinHash signature note).
     """
-    sets = (
-        spread_small_input(df)
-        .select(
-            F.col(id_col),
-            F.array_distinct(ngrams(text_col, shingle_size)).alias("grams"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    tok = sets.select(
-        F.col(id_col),
-        F.size("grams").alias("n_str"),
-        F.explode(
-            F.array_distinct(F.transform("grams", lambda g: F.xxhash64(g)))
-        ).alias("gid"),
-    )
-    dfreq = tok.groupBy("gid").agg(F.count(F.lit(1)).alias("df"))
-    ranked = tok.join(dfreq, "gid")
-    sorted_sets = ranked.groupBy(id_col).agg(
-        F.array_sort(F.collect_list(F.struct("df", "gid"))).alias("sg"),
-        F.first("n_str").alias("n_str"),
-    ).select(
-        id_col,
-        # internal-collision guard: all downstream gid-space pruning is
-        # only sound for documents whose shingles hash injectively
-        F.when(
-            F.size("sg") < F.col("n_str"),
-            F.raise_error(
-                "jaccard_prefix_join: xxhash64 collision between two "
-                "shingles of one document — gid-space pruning would "
-                "under-recall; rerun with a different shingle_size or "
-                "report this astronomically unlikely corpus"
-            ),
-        ).otherwise(F.col("sg")).alias("sg"),
-        F.transform("sg", lambda s: s["gid"]).alias("ids"),
-    )
+    sets, sorted_sets = _ranked_gid_sets(df, text_col, id_col, shingle_size)
     n = F.size("sg")
     t_lit = F.lit(threshold)
     plen_std = n - F.ceil(t_lit * n).cast("int") + 1
@@ -699,3 +716,88 @@ def jaccard_prefix_join(
         df, cand, text_col, id_col, shingle_size, threshold,
         shingles=sets.select(F.col(id_col), F.col("grams").alias("sh")),
     )
+
+
+def containment_prefix_join(
+    df: DataFrame, text_col: str, id_col: str,
+    shingle_size: int = 3, threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT asymmetric containment self-join: all ordered pairs where
+    shingle-set containment |Sx ∩ Sy| / |Sx| >= ``threshold`` — "document
+    x is mostly inside document y". Jaccard misses these when |y| >> |x|
+    (a page quoting a whole email scores near-zero Jaccard but 1.0
+    containment), so this is the dedup pass for quoted/embedded/expanded
+    content: boilerplate wrappers, mailing-list digests, page-plus-comments
+    rehosts of an article.
+
+    Same fused AllPairs machinery as jaccard_prefix_join (shared
+    ``_ranked_gid_sets`` front end, collision guard included, so all
+    gid-space pruning below is sound):
+
+    - x probes with its |x| - ceil(t*|x|) + 1 rarest tokens: a qualifying
+      pair has overlap O >= ceil(t*|x|), so by pigeonhole the FIRST common
+      token (rarity order) sits in that prefix;
+    - y cannot prune its index side at all — containment puts no lower
+      bound on O relative to |y| — so y indexes its FULL sorted token list
+      (the inherent asymmetry of containment joins);
+    - length filter: |y| >= t*|x|; positional filter at the matched token:
+      1 + min(|x|-px-1, |y|-py-1) >= ceil(t*|x|);
+    - inline id-containment >= t, then the output-sized survivor set
+      re-verifies on true string shingles.
+
+    Output columns: id_inner (the contained x), id_outer (the container
+    y), containment (rounded 6dp). Both directions of a pair can appear —
+    containment is directional.
+    """
+    sets, sorted_sets = _ranked_gid_sets(df, text_col, id_col, shingle_size)
+    n = F.size("sg")
+    t_lit = F.lit(threshold)
+    plen_probe = n - F.ceil(t_lit * n).cast("int") + 1
+
+    def frame(plen):
+        return sorted_sets.select(
+            F.col(id_col),
+            n.alias("n"),
+            F.col("ids"),
+            F.posexplode(F.slice("sg", F.lit(1), plen)).alias("pos", "p"),
+        ).select(id_col, "n", "ids", "pos", F.col("p.gid").alias("gid"))
+
+    a = frame(plen_probe).hint("merge").alias("a")  # contained side: prefix
+    b = frame(n).hint("merge").alias("b")  # container side: full index
+    need = F.ceil(t_lit * F.col("a.n"))
+    pos_ok = (
+        1
+        + F.least(
+            F.col("a.n") - F.col("a.pos") - 1, F.col("b.n") - F.col("b.pos") - 1
+        )
+    ) >= need
+    inter = F.size(F.array_intersect(F.col("a.ids"), F.col("b.ids")))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gid") == F.col("b.gid"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            & (F.col("b.n") >= need)
+            & pos_ok
+            & (inter >= need),  # inline fused containment on id arrays
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_inner"),
+            F.col(f"b.{id_col}").alias("id_outer"),
+        )
+        .distinct()
+    )
+    sh = sets.select(F.col(id_col), F.col("grams").alias("sh"))
+    x, y = sh.alias("x"), sh.alias("y")
+    joined = (
+        cand.join(x, cand["id_inner"] == F.col(f"x.{id_col}"))
+        .join(y, cand["id_outer"] == F.col(f"y.{id_col}"))
+    )
+    containment = F.size(
+        F.array_intersect(F.col("x.sh"), F.col("y.sh"))
+    ).cast("double") / F.size("x.sh")
+    return joined.select(
+        "id_inner",
+        "id_outer",
+        F.round(containment, 6).alias("containment"),
+    ).filter(F.col("containment") >= threshold)

@@ -5107,3 +5107,57 @@ def media_header_dims(spark, sf_dir):
         .when(is_bmp, F.abs(le32(23)))
         .alias("height"),
     )
+
+
+_CONTAINMENT_ORACLE = r"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+src AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT 40 + b1.doc_id // 2 AS doc_id, b1.text || ' ' || b2.text AS text
+  FROM base b1 JOIN base b2 ON b2.doc_id = b1.doc_id + 1
+  WHERE b1.doc_id % 2 = 0),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
+         i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+       )) AS grams
+       FROM src),
+pairs AS (
+  SELECT x.doc_id AS id_inner, y.doc_id AS id_outer,
+         round(len(list_intersect(x.grams, y.grams))::DOUBLE
+               / len(x.grams), 6) AS containment
+  FROM sh x JOIN sh y ON x.doc_id <> y.doc_id
+  WHERE len(x.grams) > 0)
+SELECT id_inner, id_outer, containment FROM pairs WHERE containment >= 0.7
+"""
+
+
+@register("dedup_containment", _CONTAINMENT_ORACLE)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment join: find documents mostly CONTAINED in
+    another (quoted emails, digest compilations, article+comments rehosts)
+    — pairs Jaccard dedup structurally misses when the container is much
+    larger. Fixture plants containers: ids 40..59 are the concatenation of
+    two base docs (2k, 2k+1), so every base doc is fully contained in its
+    merged doc. The oracle computes ALL ordered pairs and thresholds, so a
+    hash match proves the prefix-filtered join's 100% recall
+    (operators/dedup.py::containment_prefix_join)."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        containment_prefix_join,
+    )
+
+    base = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id", "text"
+    )
+    b1 = base.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("k"), F.col("text").alias("t1")
+    )
+    b2 = base.select(F.col("doc_id").alias("k2"), F.col("text").alias("t2"))
+    merged = b1.join(b2, F.col("k2") == F.col("k") + 1).select(
+        (F.lit(40) + F.expr("k div 2")).alias("doc_id"),
+        F.concat_ws(" ", "t1", "t2").alias("text"),
+    )
+    planted = base.unionByName(merged)
+    return containment_prefix_join(
+        planted, "text", "doc_id", shingle_size=3, threshold=0.7
+    )

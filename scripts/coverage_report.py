@@ -117,7 +117,7 @@ EXTENSIONS: dict[str, list[str]] = {
         "media_infer_broadcast", "read_npy_tensor",
     ],
     "North star: curation III (domain matching, metadata probes)": [
-        "dsir_importance", "media_header_dims",
+        "dsir_importance", "media_header_dims", "dedup_containment",
     ],
 }
 

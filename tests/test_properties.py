@@ -376,3 +376,59 @@ def test_jaccard_prefix_join_matches_bruteforce(spark, seed):
     }
     assert got == want
     assert want, "fixture must plant at least one qualifying pair"
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_containment_join_matches_bruteforce(spark, seed):
+    """The asymmetric containment join returns exactly the all-ordered-pairs
+    truth — including container docs much larger than the contained one
+    (the regime where Jaccard would score near zero)."""
+    import random
+
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        containment_prefix_join,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for doc_id in range(24):
+        words = [rng.choice(vocab) for _ in range(rng.randint(8, 16))]
+        docs.append((doc_id, " ".join(words)))
+    # plant containers: doc 24+k wraps doc k's text in a long random shell
+    for k in range(6):
+        shell = [rng.choice(vocab) for _ in range(30)]
+        docs.append((24 + k, " ".join(shell[:15]) + " " + docs[k][1] + " " + " ".join(shell[15:])))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    got = {
+        (r.id_inner, r.id_outer): r.containment
+        for r in containment_prefix_join(df, "text", "doc_id", 2, 0.7).collect()
+    }
+
+    from experimentsplan_datapipeline_spark.functions.text import ngrams
+
+    sh = df.select(
+        "doc_id", F.array_distinct(ngrams("text", 2)).alias("sh")
+    )
+    x, y = sh.alias("x"), sh.alias("y")
+    brute = (
+        x.crossJoin(y)
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .filter(F.size("x.sh") > 0)
+        .select(
+            F.col("x.doc_id").alias("id_inner"),
+            F.col("y.doc_id").alias("id_outer"),
+            F.round(
+                F.size(F.array_intersect("x.sh", "y.sh")).cast("double")
+                / F.size("x.sh"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.7)
+    )
+    want = {(r.id_inner, r.id_outer): r.containment for r in brute.collect()}
+    assert got == want
+    # every planted (k, 24+k) inclusion must be found at containment ~1.0
+    for k in range(6):
+        assert (k, 24 + k) in got and got[(k, 24 + k)] >= 0.9
