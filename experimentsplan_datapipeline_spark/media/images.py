@@ -231,6 +231,69 @@ def batch_inference_stub(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def generative_denoise(
+    df: DataFrame,
+    image_col: str = "image",
+    steps: int = 4,
+    emit_trajectory: bool = False,
+) -> DataFrame:
+    """P10: generative-inference loop with a REAL iterative computation —
+    K deterministic denoise steps of the heat-equation smoother
+    x_{k+1} = clamped-3x3-neighborhood-mean(x_k) over the decoded image
+    (float in [0,1]); the diffusion-style stand-in for a sampler loop
+    whose framework weights don't exist in this container
+    (cf. the reference's per-step denoise loop shape). All plumbing is
+    the production shape: Arrow batches in, per-row numpy loop, and with
+    ``emit_trajectory=True`` the UDTF fan-out — one output row per
+    (input row, step) — that a real sampler's intermediate-latent
+    debugging uses.
+
+    Numeric contract: accumulation runs in a FIXED (dy, dx) order with
+    sequential float64 adds, so a SQL twin chaining the same 9 terms per
+    step reproduces results bit-for-bit before rounding.
+
+    Output: input columns plus step (int) and x (array<double>, flattened
+    h*w*c); final step only unless ``emit_trajectory``.
+    """
+    from pyspark.sql.types import LongType
+
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != image_col]
+        + [StructField("step", LongType()), StructField("x", ArrayType(DoubleType()))]
+    )
+    other = [f.name for f in df.schema.fields if f.name != image_col]
+
+    def denoise_step(x: "np.ndarray") -> "np.ndarray":
+        h, w, _ = x.shape
+        p = np.pad(x, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        acc = np.zeros_like(x)
+        for dy in (-1, 0, 1):  # fixed order — see numeric contract
+            for dx in (-1, 0, 1):
+                acc = acc + p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+        return acc / 9.0
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                img = pdf[image_col].iloc[i]
+                h, w, c = img["height"], img["width"], img["channels"]
+                x = (
+                    np.asarray(img["pixels"], dtype=np.float64).reshape(h, w, c)
+                    / 255.0
+                )
+                for k in range(1, steps + 1):
+                    x = denoise_step(x)
+                    if emit_trajectory or k == steps:
+                        rec = {name: pdf[name].iloc[i] for name in other}
+                        rec["step"] = k
+                        rec["x"] = x.reshape(-1).tolist()
+                        rows.append(rec)
+            yield pd.DataFrame(rows, columns=other + ["step", "x"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def batch_inference_broadcast(
     df: DataFrame,
     weights: "np.ndarray",

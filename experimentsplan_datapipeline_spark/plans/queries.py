@@ -5161,3 +5161,64 @@ def dedup_containment(spark, sf_dir):
     return containment_prefix_join(
         planted, "text", "doc_id", shingle_size=3, threshold=0.7
     )
+
+
+def _blur_step_sql(src: str) -> str:
+    """One clamped-3x3-mean step over a flat 8x8x3 pixel list (layout
+    i = (y*8 + x)*3 + c), term order matching generative_denoise's fixed
+    (dy, dx) accumulation so the float adds chain identically."""
+    terms = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            yy = f"least(greatest((i//3)//8 + {dy}, 0), 7)"
+            xx = f"least(greatest((i//3)%8 + {dx}, 0), 7)"
+            terms.append(f"{src}[({yy}*8 + {xx})*3 + i%3 + 1]")
+    return f"list_transform(range(0, 192), i -> ({' + '.join(terms)}) / 9.0)"
+
+
+_DENOISE_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 192),
+           i -> ('0x' || substr(sha256(text || (i // 32)::VARCHAR),
+                                (i % 32) * 2 + 1, 2))::BIGINT / 255.0) AS x0
+  FROM documents WHERE doc_id < 100),
+b1 AS (SELECT doc_id, {_blur_step_sql('x0')} AS x FROM px),
+b2 AS (SELECT doc_id, {_blur_step_sql('x')} AS x FROM b1),
+b3 AS (SELECT doc_id, {_blur_step_sql('x')} AS x FROM b2),
+b4 AS (SELECT doc_id, {_blur_step_sql('x')} AS x FROM b3)
+SELECT doc_id, 4 AS step,
+       round(list_sum(x) / 192.0, 6) AS mean_val,
+       round(x[1], 6) AS p1,
+       round(x[96], 6) AS p96
+FROM b4
+"""
+
+
+@register("media_generate_denoise", _DENOISE_ORACLE)
+def media_generate_denoise(spark, sf_dir):
+    """P10 full loop: decode -> K-step iterative denoise (heat-equation
+    3x3 smoother, the deterministic diffusion-sampler stand-in) ->
+    per-image summary. The stub decode's sha256 pixels and the fixed-order
+    float accumulation make the ENTIRE 4-step loop replayable in SQL —
+    the oracle runs the same four blur steps as unrolled CTEs and matches
+    mean + two probe pixels at 6dp (operators at
+    media/images.py::generative_denoise)."""
+    from experimentsplan_datapipeline_spark.media.images import (
+        decode_images,
+        generative_denoise,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    bin_df = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    out = generative_denoise(decode_images(bin_df), steps=4)
+    mean_val = F.aggregate(
+        "x", F.lit(0.0), lambda acc, v: acc + v
+    ) / F.lit(192.0)
+    return out.select(
+        "doc_id",
+        "step",
+        F.round(mean_val, 6).alias("mean_val"),
+        F.round(F.element_at("x", 1), 6).alias("p1"),
+        F.round(F.element_at("x", 96), 6).alias("p96"),
+    )

@@ -118,6 +118,7 @@ EXTENSIONS: dict[str, list[str]] = {
     ],
     "North star: curation III (domain matching, metadata probes)": [
         "dsir_importance", "media_header_dims", "dedup_containment",
+        "media_generate_denoise",
     ],
 }
 

@@ -33,6 +33,7 @@ HEAVY = [
     "bm25_topk",
     "dedup_minhash",
     "jaccard_prefix_join",
+    "containment_prefix_join",
     "ann_ivfpq",
     "join_topk_per_key",
 ]
@@ -131,16 +132,32 @@ def _jaccard_full_corpus(spark, sf_dir):
     )
 
 
+def _containment_full_corpus(spark, sf_dir):
+    """Like _jaccard_full_corpus: the registered dedup_containment query is
+    oracle-capped at 60 docs, so the probe runs the raw operator over the
+    whole documents table — the container side indexes its FULL token
+    list, the shape whose growth needs measuring."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        containment_prefix_join,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+
+    return containment_prefix_join(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        shingle_size=3, threshold=0.8,
+    )
+
+
 def time_queries(sf_dir: str, spark) -> dict[str, float]:
     from experimentsplan_datapipeline_spark.plans.queries import QUERIES
 
+    overrides = {
+        "jaccard_prefix_join": _jaccard_full_corpus,
+        "containment_prefix_join": _containment_full_corpus,
+    }
     out = {}
     for name in HEAVY:
-        fn = (
-            _jaccard_full_corpus
-            if name == "jaccard_prefix_join"
-            else QUERIES[name]
-        )
+        fn = overrides.get(name, QUERIES.get(name))
         fn(spark, sf_dir).count()  # warm (plan + code paths)
         t0 = time.monotonic()
         fn(spark, sf_dir).count()
