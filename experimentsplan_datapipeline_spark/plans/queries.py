@@ -5222,3 +5222,73 @@ def media_generate_denoise(spark, sf_dir):
         F.round(F.element_at("x", 1), 6).alias("p1"),
         F.round(F.element_at("x", 96), 6).alias("p96"),
     )
+
+
+_PAGERANK_ORACLE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cop AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT pa AS src, pb AS dst FROM cop
+          UNION ALL SELECT pb, pa FROM cop),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+pr0 AS (SELECT node, 1.0 / nn.n AS val FROM nodes, nn),
+pr1 AS (SELECT e.dst AS node,
+               0.15 / (SELECT n FROM nn) + 0.85 * sum(p.val / d.d) AS val
+        FROM edges e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst),
+pr2 AS (SELECT e.dst AS node,
+               0.15 / (SELECT n FROM nn) + 0.85 * sum(p.val / d.d) AS val
+        FROM edges e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst),
+pr3 AS (SELECT e.dst AS node,
+               0.15 / (SELECT n FROM nn) + 0.85 * sum(p.val / d.d) AS val
+        FROM edges e JOIN pr2 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst)
+SELECT node AS part, round(val, 6) AS pagerank
+FROM pr3 ORDER BY pagerank DESC, part LIMIT 50
+"""
+
+
+@register("graph_pagerank", _PAGERANK_ORACLE)
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the part co-purchase graph (parts sharing >= 2 orders,
+    undirected as both edge directions): which parts are central to the
+    basket structure. Three unrolled power-iteration rounds, damping 0.85
+    — the oracle replays them as unrolled SQL CTEs, proving the iterative
+    join+agg ladder value-for-value (operators/graph.py::pagerank). Top-50
+    by rounded score with part-id tiebreak."""
+    from experimentsplan_datapipeline_spark.operators.graph import pagerank
+
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    cop = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    edges = cop.selectExpr("pa AS src", "pb AS dst").unionByName(
+        cop.selectExpr("pb AS src", "pa AS dst")
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        pr.select(F.col("node").alias("part"), F.round("pagerank", 6).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "part")
+        .limit(50)
+    )

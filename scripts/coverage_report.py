@@ -120,6 +120,9 @@ EXTENSIONS: dict[str, list[str]] = {
         "dsir_importance", "media_header_dims", "dedup_containment",
         "media_generate_denoise",
     ],
+    "Graph analytics": [
+        "graph_pagerank",
+    ],
 }
 
 

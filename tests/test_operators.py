@@ -472,3 +472,33 @@ def test_expectation_report_single_pass(spark):
         ).collect()
     }
     assert out == {"v_positive": (2, False), "id_nonnull": (0, True)}
+
+
+def test_pagerank_uniform_on_symmetric_graph(spark):
+    """On a vertex-transitive graph (triangle, both directions) PageRank is
+    exactly uniform at every iteration, and total mass stays 1."""
+    from experimentsplan_datapipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(3) for b in range(3) if a != b], ["src", "dst"]
+    )
+    out = {r.node: r.pagerank for r in pagerank(edges, iterations=4).collect()}
+    assert set(out) == {0, 1, 2}
+    for v in out.values():
+        assert abs(v - 1.0 / 3.0) < 1e-12
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_favors_hub(spark):
+    """A star (hub 0 connected to 1..4, undirected) concentrates rank on
+    the hub; leaves tie exactly; mass is conserved."""
+    from experimentsplan_datapipeline_spark.operators.graph import pagerank
+
+    pairs = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    out = {r.node: r.pagerank for r in pagerank(edges, iterations=3).collect()}
+    assert out[0] > max(out[i] for i in range(1, 5))
+    assert len({round(out[i], 12) for i in range(1, 5)}) == 1
+    assert abs(sum(out.values()) - 1.0) < 1e-9
