@@ -218,3 +218,37 @@ class TestRound4PlanShapes:
         assert plan.count("MapInPandas") >= 2
         assert "LocalTableScan" not in plan
         assert "Scan ExistingRDD" not in plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+class TestRound4PlanShapes:
+    def test_jaccard_candidate_join_sort_merge(self, spark):
+        # the two exploded corpus-sized prefix frames must SORT-MERGE —
+        # a misestimated broadcast here OOMs the driver at scale
+        plan = _plan(spark, "jaccard_prefix_join")
+        assert "SortMergeJoin" in plan
+
+    def test_containment_candidate_join_sort_merge(self, spark):
+        plan = _plan(spark, "dedup_containment")
+        assert "SortMergeJoin" in plan
+
+    def test_dsir_ratio_table_broadcasts(self, spark):
+        # the 64-row bucket-ratio table broadcasts onto the bigram stream;
+        # the corpus side must never be a broadcast build
+        plan = _plan(spark, "dsir_importance")
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_header_dims_peek_is_codegen(self, spark):
+        # encoding runs in ONE python stage (mapInPandas); the header peek
+        # itself is pure column expressions — no second python eval
+        plan = _plan(spark, "media_header_dims")
+        assert plan.count("MapInPandas") == 1
+        assert "BatchEvalPython" not in plan  # no row-at-a-time UDF anywhere
+
+    def test_pagerank_rounds_keep_partial_aggregation(self, spark):
+        # each unrolled round must combine map-side before its dst shuffle,
+        # and the only nested-loop joins are single-row N broadcasts
+        plan = _plan(spark, "graph_pagerank")
+        assert "HashAggregate" in plan
+        assert "CartesianProduct" not in plan
