@@ -479,7 +479,12 @@ def encode_images(
     out_schema = StructType(
         list(df.schema.fields) + [StructField("content", BinaryType())]
     )
-    encoders = {"png": encode_png, "bmp": encode_bmp, "jpeg": encode_jpeg}
+    encoders = {
+        "png": encode_png,
+        "bmp": encode_bmp,
+        "jpeg": encode_jpeg,
+        "jpg": encode_jpeg,
+    }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -487,8 +492,13 @@ def encode_images(
             for fmt, h, w, fill in zip(
                 pdf[fmt_col], pdf[height_col], pdf[width_col], pdf[fill_col]
             ):
+                enc = encoders.get(str(fmt).lower())
+                if enc is None:
+                    raise ValueError(
+                        f"unsupported fmt {fmt!r}; expected png/bmp/jpeg (or jpg)"
+                    )
                 arr = np.full((int(h), int(w), 3), int(fill) % 256, np.uint8)
-                blobs.append(encoders[fmt](arr))
+                blobs.append(enc(arr))
             out = pdf.copy()
             out["content"] = blobs
             yield out

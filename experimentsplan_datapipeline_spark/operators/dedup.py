@@ -661,11 +661,20 @@ def jaccard_prefix_join(
     """
     sets, sorted_sets = _ranked_gid_sets(df, text_col, id_col, shingle_size)
     n = F.size("sg")
-    t_lit = F.lit(threshold)
-    plen_std = n - F.ceil(t_lit * n).cast("int") + 1
-    plen_short = n - F.ceil(F.lit(2.0 * threshold / (1.0 + threshold)) * n).cast(
-        "int"
-    ) + 1
+    # Recall slack for every PRUNING bound: the verify accepts
+    # round(j, 6) >= t, i.e. true Jaccard down to t - 5e-7, and double
+    # products like 0.888...*63 can land 1 ulp ABOVE the exact rational,
+    # making ceil() one too high -> prefix one too short -> a true
+    # at-threshold pair pruned before verify (63-token sets sharing exactly
+    # 56 shingles at t=0.8 hit this). Deriving all prune bounds from
+    # te = t - 1e-6 keeps them strictly looser than the verify under both
+    # 6dp rounding and float noise (~1e-9 relative), so the candidate set
+    # is a superset of the accept set; the unchanged exact string verify
+    # removes the handful of extra candidates.
+    te = max(threshold - 1e-6, 1e-9)
+    te_lit = F.lit(te)
+    plen_std = n - F.ceil(te_lit * n).cast("int") + 1
+    plen_short = n - F.ceil(F.lit(2.0 * te / (1.0 + te)) * n).cast("int") + 1
 
     def prefix_frame(plen):
         return sorted_sets.select(
@@ -680,9 +689,7 @@ def jaccard_prefix_join(
     # that guesses broadcast here OOMs the driver at scale — pin sort-merge.
     a = prefix_frame(plen_short).hint("merge").alias("a")  # lex-smaller side
     b = prefix_frame(plen_std).hint("merge").alias("b")
-    alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n"))
-    )
+    alpha = F.ceil(F.lit(te / (1.0 + te)) * (F.col("a.n") + F.col("b.n")))
     lex_lt = (F.col("a.n") < F.col("b.n")) | (
         (F.col("a.n") == F.col("b.n"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -696,13 +703,13 @@ def jaccard_prefix_join(
     inter = F.size(F.array_intersect(F.col("a.ids"), F.col("b.ids")))
     id_jaccard_ok = (
         inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter)
-    ) >= t_lit
+    ) >= te_lit
     cand = (
         a.join(
             b,
             (F.col("a.gid") == F.col("b.gid"))
             & lex_lt
-            & (F.col("b.n") <= F.col("a.n") / t_lit)  # with lex order, b >= a
+            & (F.col("b.n") <= F.col("a.n") / te_lit)  # with lex order, b >= a
             & pos_ok
             & id_jaccard_ok,  # inline fused verify on the id arrays
         )
@@ -751,8 +758,12 @@ def containment_prefix_join(
     """
     sets, sorted_sets = _ranked_gid_sets(df, text_col, id_col, shingle_size)
     n = F.size("sg")
-    t_lit = F.lit(threshold)
-    plen_probe = n - F.ceil(t_lit * n).cast("int") + 1
+    # same recall-slack derivation as jaccard_prefix_join: the verify
+    # accepts round(c, 6) >= t, so every prune bound uses te = t - 1e-6 to
+    # stay strictly looser under 6dp rounding and float-ceil noise
+    te = max(threshold - 1e-6, 1e-9)
+    te_lit = F.lit(te)
+    plen_probe = n - F.ceil(te_lit * n).cast("int") + 1
 
     def frame(plen):
         return sorted_sets.select(
@@ -764,7 +775,7 @@ def containment_prefix_join(
 
     a = frame(plen_probe).hint("merge").alias("a")  # contained side: prefix
     b = frame(n).hint("merge").alias("b")  # container side: full index
-    need = F.ceil(t_lit * F.col("a.n"))
+    need = F.ceil(te_lit * F.col("a.n"))
     pos_ok = (
         1
         + F.least(

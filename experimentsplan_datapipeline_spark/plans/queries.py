@@ -1334,16 +1334,35 @@ def tfidf_top_terms_q(spark, sf_dir):
     )
 
 
-@register("approx_distinct")  # rows-only: HLL++ estimate is engine-specific
+@register("approx_distinct", """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS estimate_within_3rsd
+FROM orders GROUP BY o_orderpriority
+""")
 def approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) per group — the 100 TB
-    cardinality path where exact distinct would shuffle every key."""
+    cardinality path where exact distinct would shuffle every key.
+
+    The raw HLL++ estimate is engine-specific, so instead of a rows-only
+    check the query ASSERTS the published error contract and emits the
+    verdict: |estimate - exact| <= 3 * rsd * exact (rsd 0.05, so a 3-sigma
+    15% band) alongside the exact count — both value-hash-checkable against
+    the oracle's exact count(DISTINCT) + TRUE."""
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey").alias("approx_customers"),
-            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", 0.05).alias("approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("approx") - F.col("exact_customers"))
+                <= 0.15 * F.col("exact_customers")
+            ).alias("estimate_within_3rsd"),
         )
     )
 
@@ -5287,6 +5306,76 @@ def graph_pagerank(spark, sf_dir):
         cop.selectExpr("pb AS src", "pa AS dst")
     )
     pr = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        pr.select(F.col("node").alias("part"), F.round("pagerank", 6).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "part")
+        .limit(50)
+    )
+
+
+_PAGERANK_W_ORACLE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cop AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::DOUBLE AS w
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT pa AS src, pb AS dst, w FROM cop
+          UNION ALL SELECT pb, pa, w FROM cop),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+wsum AS (SELECT src, sum(w) AS d FROM edges GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+pr0 AS (SELECT node, 1.0 / nn.n AS val FROM nodes, nn),
+pr1 AS (SELECT e.dst AS node,
+               0.15 / (SELECT n FROM nn) + 0.85 * sum(p.val * e.w / d.d) AS val
+        FROM edges e JOIN pr0 p ON p.node = e.src JOIN wsum d ON d.src = e.src
+        GROUP BY e.dst),
+pr2 AS (SELECT e.dst AS node,
+               0.15 / (SELECT n FROM nn) + 0.85 * sum(p.val * e.w / d.d) AS val
+        FROM edges e JOIN pr1 p ON p.node = e.src JOIN wsum d ON d.src = e.src
+        GROUP BY e.dst),
+pr3 AS (SELECT e.dst AS node,
+               0.15 / (SELECT n FROM nn) + 0.85 * sum(p.val * e.w / d.d) AS val
+        FROM edges e JOIN pr2 p ON p.node = e.src JOIN wsum d ON d.src = e.src
+        GROUP BY e.dst)
+SELECT node AS part, round(val, 6) AS pagerank
+FROM pr3 ORDER BY pagerank DESC, part LIMIT 50
+"""
+
+
+@register("graph_pagerank_weighted", _PAGERANK_W_ORACLE)
+def graph_pagerank_weighted(spark, sf_dir):
+    """WEIGHTED PageRank over the part co-purchase graph: the support count
+    (number of shared orders) that graph_pagerank computes and discards
+    becomes the edge weight, so a pair bought together five times carries
+    5x the vote of a one-off basket. Same three unrolled rounds; each node
+    splits its rank proportionally to edge weight (operators/graph.py::
+    pagerank with weight_col). The symmetric graph has no dangling nodes,
+    so the oracle ladder needs no redistribution term."""
+    from experimentsplan_datapipeline_spark.operators.graph import pagerank
+
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    cop = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    edges = cop.selectExpr("pa AS src", "pb AS dst", "w").unionByName(
+        cop.selectExpr("pb AS src", "pa AS dst", "w")
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85, weight_col="w")
     return (
         pr.select(F.col("node").alias("part"), F.round("pagerank", 6).alias("pagerank"))
         .orderBy(F.col("pagerank").desc(), "part")

@@ -502,3 +502,58 @@ def test_pagerank_favors_hub(spark):
     assert out[0] > max(out[i] for i in range(1, 5))
     assert len({round(out[i], 12) for i in range(1, 5)}) == 1
     assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_directed_sink_conserves_mass(spark):
+    """Directed chain 0->1->2 where 2 is a SINK (no out-edges) and 0 has no
+    in-edges: the sink's mass must redistribute (not leak), node 0 must stay
+    in the output with its (1-d)/N + dangling share every round (the old
+    inner-join form dropped it after round 1), and total mass stays 1."""
+    from experimentsplan_datapipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    for iters in (1, 2, 3, 5):
+        out = {
+            r.node: r.pagerank
+            for r in pagerank(edges, iterations=iters).collect()
+        }
+        assert set(out) == {0, 1, 2}, f"node dropped at iterations={iters}"
+        assert abs(sum(out.values()) - 1.0) < 1e-9, f"mass leak at {iters}"
+    # hand-computed round 1 (d=0.85, N=3, pr0 = 1/3 each, dangling S=1/3):
+    # every node gets base = 0.15/3 + 0.85*(1/3)/3; nodes 1,2 add 0.85*(1/3)
+    base = 0.15 / 3 + 0.85 * (1.0 / 3.0) / 3
+    out1 = {
+        r.node: r.pagerank for r in pagerank(edges, iterations=1).collect()
+    }
+    assert abs(out1[0] - base) < 1e-12
+    assert abs(out1[1] - (base + 0.85 / 3.0)) < 1e-12
+    assert abs(out1[2] - (base + 0.85 / 3.0)) < 1e-12
+
+
+def test_pagerank_weighted_follows_heavy_edge(spark):
+    """Weighted variant: node 0 splits its vote 9:1 between 1 and 2; node 1
+    must outrank node 2, uniform weights must equal the unweighted result,
+    and mass is conserved."""
+    from experimentsplan_datapipeline_spark.operators.graph import pagerank
+
+    rows = [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)]
+    edges = spark.createDataFrame(rows, ["src", "dst", "w"])
+    out = {
+        r.node: r.pagerank
+        for r in pagerank(edges, iterations=3, weight_col="w").collect()
+    }
+    assert out[1] > out[2]
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    uni = spark.createDataFrame(
+        [(s, d, 1.0) for s, d, _ in rows], ["src", "dst", "w"]
+    )
+    got_w = {
+        r.node: r.pagerank
+        for r in pagerank(uni, iterations=3, weight_col="w").collect()
+    }
+    got_u = {
+        r.node: r.pagerank
+        for r in pagerank(uni.drop("w"), iterations=3).collect()
+    }
+    for k in got_u:
+        assert abs(got_w[k] - got_u[k]) < 1e-12

@@ -221,7 +221,7 @@ class TestRound4PlanShapes:
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
-class TestRound4PlanShapes:
+class TestRound4PlanShapesJoins:
     def test_jaccard_candidate_join_sort_merge(self, spark):
         # the two exploded corpus-sized prefix frames must SORT-MERGE —
         # a misestimated broadcast here OOMs the driver at scale

@@ -411,6 +411,53 @@ def test_jaccard_prefix_join_matches_bruteforce(spark):
     assert all(2 not in pair for pair in got)
 
 
+def test_jaccard_prefix_join_exact_threshold_boundary(spark):
+    """Float-ceil regression: 63-token sets sharing exactly 56 shingles have
+    Jaccard 56/70 = 0.8 exactly. In double precision 2t/(1+t)*63 evaluates
+    to 56.000000000000007, so a naive ceil() makes the probing prefix one
+    too short — and the 7 unique tokens (df=1) sort FIRST in rarity order,
+    so the too-short prefix holds no common token and the true pair was
+    silently dropped before verify. The te = t - 1e-6 slack bounds must
+    keep it."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    shared = [f"common{i:02d}" for i in range(56)]
+    doc_a = " ".join(shared + [f"onlya{i}" for i in range(7)])
+    doc_b = " ".join(shared + [f"onlyb{i}" for i in range(7)])
+    df = spark.createDataFrame([(0, doc_a), (1, doc_b)], ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_prefix_join(
+            df, "text", "doc_id", shingle_size=1, threshold=0.8
+        ).collect()
+    }
+    assert got == {(0, 1): 0.8}
+
+
+def test_containment_exact_threshold_boundary(spark):
+    """Containment twin of the float-ceil regression: |x| = 5 sharing 4
+    tokens with the container is containment 4/5 = 0.8 exactly, but
+    double(0.8)*5 = 4.0000000000000002 -> naive ceil gives need = 5 and the
+    true pair is dropped; the slack bound must keep it."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        containment_prefix_join,
+    )
+
+    inner = "aa bb cc dd ee"
+    outer = "aa bb cc dd " + " ".join(f"pad{i}" for i in range(20))
+    df = spark.createDataFrame([(0, inner), (1, outer)], ["doc_id", "text"])
+    got = {
+        (r.id_inner, r.id_outer): r.containment
+        for r in containment_prefix_join(
+            df, "text", "doc_id", shingle_size=1, threshold=0.8
+        ).collect()
+    }
+    assert got[(0, 1)] == 0.8
+    assert (1, 0) not in got  # directional: the container is not contained
+
+
 def test_pq_encode_and_adc_ranking(spark):
     from experimentsplan_datapipeline_spark.operators.similarity import (
         pq_codebooks_from_corpus,
