@@ -129,6 +129,23 @@ def ema_stream(
     )
 
 
+def _rename_latest(fs, h_tmp, h_latest) -> None:
+    """The final rename of the snapshot swap — module-level so the
+    crash-injection test can make it raise once, simulating a writer killed
+    between delete(latest) and rename(tmp, latest)."""
+    fs.rename(h_tmp, h_latest)
+
+
+def _swap_latest(fs, h_tmp, h_latest) -> None:
+    """Swap window of the atomic latest/ publish: delete the old snapshot,
+    rename the complete tmp into place. Separated from write_batch so tests
+    can inject a crash inside the window (the recovery is the _SUCCESS-probe
+    promotion at the top of write_batch)."""
+    if fs.exists(h_latest):
+        fs.delete(h_latest, True)
+    _rename_latest(fs, h_tmp, h_latest)
+
+
 def checkpointed_metrics_sink(
     windowed: DataFrame,
     out_root: str,
@@ -195,9 +212,7 @@ def checkpointed_metrics_sink(
         # the new one; a crash mid-tmp-write leaves latest/ untouched, and
         # a crash inside the swap window is healed by the promotion above.
         snapshot.write.mode("overwrite").parquet(tmp_path)
-        if fs.exists(h_latest):
-            fs.delete(h_latest, True)
-        fs.rename(h_tmp, h_latest)
+        _swap_latest(fs, h_tmp, h_latest)
 
     return (
         windowed.writeStream.foreachBatch(write_batch)

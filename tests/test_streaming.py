@@ -274,3 +274,89 @@ def test_stream_stream_interval_join_live(spark, tmp_path):
     )
     want = sorted((r.user_id, r.right_value) for r in batch.collect())
     assert got == want
+
+
+def _latest_keys(spark, out_root):
+    latest = spark.read.parquet(os.path.join(out_root, "latest"))
+    return {(r.event_type, r.window_start.minute) for r in latest.collect()}
+
+
+def test_snapshot_crash_between_delete_and_rename(
+    spark, stream_dir, tmp_path, monkeypatch
+):
+    """Crash-injection for the atomic latest/ swap: kill the writer AFTER
+    delete(latest) but BEFORE rename(tmp, latest) — the worst window, where
+    latest/ is gone and only the complete tmp (with _SUCCESS) holds the
+    accumulated state. On restart the _SUCCESS-probe promotion branch
+    (streaming/events.py::write_batch) must restore it, then merge the
+    replayed batch, so no previously published window is ever lost."""
+    from experimentsplan_datapipeline_spark.streaming import events
+
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    windowed = windowed_metrics(stream, window="5 minutes", watermark="10 minutes")
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(checkpointed_metrics_sink(windowed, out_root, ckpt))
+    assert {("loss", 0), ("loss", 5), ("lr", 5)} <= _latest_keys(spark, out_root)
+
+    # new data arrives; the writer dies inside the swap window
+    _write_chunk(spark, stream_dir, [(_ts(11), "loss", 5.0)])
+    real_rename = events._rename_latest
+    monkeypatch.setattr(
+        events,
+        "_rename_latest",
+        lambda fs, t, l: (_ for _ in ()).throw(RuntimeError("injected crash")),
+    )
+    stream2 = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    windowed2 = windowed_metrics(stream2, window="5 minutes", watermark="10 minutes")
+    with pytest.raises(Exception):
+        run_available_now(checkpointed_metrics_sink(windowed2, out_root, ckpt))
+    # the crash window state: latest/ deleted, complete tmp left behind
+    assert not os.path.exists(os.path.join(out_root, "latest"))
+    assert os.path.exists(os.path.join(out_root, "latest.tmp", "_SUCCESS"))
+
+    # restart: the replayed batch must first PROMOTE the tmp snapshot,
+    # then merge itself — every old window plus the new one survives
+    monkeypatch.setattr(events, "_rename_latest", real_rename)
+    stream3 = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    windowed3 = windowed_metrics(stream3, window="5 minutes", watermark="10 minutes")
+    run_available_now(checkpointed_metrics_sink(windowed3, out_root, ckpt))
+    got = _latest_keys(spark, out_root)
+    assert {("loss", 0), ("loss", 5), ("lr", 5), ("loss", 10)} <= got
+
+
+def test_snapshot_crash_before_delete_keeps_old_latest(
+    spark, stream_dir, tmp_path, monkeypatch
+):
+    """Crash-injection, first window: the writer dies after writing the new
+    tmp but BEFORE touching latest/ — latest must still be the old complete
+    snapshot at every instant, and the restart must converge to the merged
+    state without the promotion branch firing (latest still exists)."""
+    from experimentsplan_datapipeline_spark.streaming import events
+
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    windowed = windowed_metrics(stream, window="5 minutes", watermark="10 minutes")
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(checkpointed_metrics_sink(windowed, out_root, ckpt))
+    before = _latest_keys(spark, out_root)
+
+    _write_chunk(spark, stream_dir, [(_ts(11), "loss", 5.0)])
+    real_swap = events._swap_latest
+    monkeypatch.setattr(
+        events,
+        "_swap_latest",
+        lambda fs, t, l: (_ for _ in ()).throw(RuntimeError("injected crash")),
+    )
+    stream2 = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    windowed2 = windowed_metrics(stream2, window="5 minutes", watermark="10 minutes")
+    with pytest.raises(Exception):
+        run_available_now(checkpointed_metrics_sink(windowed2, out_root, ckpt))
+    # old latest untouched and still readable mid-crash
+    assert _latest_keys(spark, out_root) == before
+
+    monkeypatch.setattr(events, "_swap_latest", real_swap)
+    stream3 = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    windowed3 = windowed_metrics(stream3, window="5 minutes", watermark="10 minutes")
+    run_available_now(checkpointed_metrics_sink(windowed3, out_root, ckpt))
+    assert before | {("loss", 10)} <= _latest_keys(spark, out_root)
