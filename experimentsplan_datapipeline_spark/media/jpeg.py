@@ -5,13 +5,19 @@ extension the reference's scan filter accepts (train/common/dataset.py:130:
 png/jpg/jpeg/bmp) has a REAL decode path in this container; the sha256 stub
 in media/images.py remains only for payloads that are not images at all.
 
-Decoder: baseline DCT (SOF0/SOF1), Huffman entropy coding, 8-bit samples,
-grayscale or YCbCr with any h/v sampling factors up to 2 (4:4:4, 4:2:2,
-4:2:0), restart markers, byte stuffing. Progressive (SOF2) and arithmetic
-coding are rejected with a clear error. Encoder: quality-scaled Annex K
-quantization tables, the T.81 Annex K typical Huffman tables, 4:4:4 or
-4:2:0, used by tests and the image sink — the decoder itself reads the
-tables from the stream, so it handles foreign JPEGs too.
+Decoder: baseline DCT (SOF0/SOF1) AND progressive DCT (SOF2: spectral
+selection + successive approximation, DC/AC first and refinement scans,
+EOB runs — T.81 Annex G), Huffman entropy coding, 8-bit samples, grayscale
+or YCbCr with any h/v sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0),
+restart markers, byte stuffing. Real-world crawl JPEGs are heavily
+progressive, so SOF2 is first-class, not a rejected tier. Lossless /
+hierarchical / arithmetic frames are rejected with a clear error.
+Encoder: quality-scaled Annex K quantization tables, the T.81 Annex K
+typical Huffman tables, 4:4:4 or 4:2:0, baseline (encode_jpeg) or a
+4-scan progressive script (encode_jpeg_progressive), used by tests and
+the image sink — the decoder itself reads the tables from the stream, so
+it handles foreign JPEGs too (see the hand-built foreign-table fixture in
+tests/test_media.py).
 
 IDCT/FDCT use the orthonormal 8x8 DCT-II basis matrix M (numpy matmul per
 block): FDCT S = M @ s @ M.T, IDCT s = M.T @ S @ M — exactly the T.81
@@ -239,13 +245,18 @@ class _BitReader:
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 array of shape (h, w, 3) RGB."""
+    """Baseline or progressive JPEG bytes -> uint8 array of shape (h, w, 3)
+    RGB. Baseline scans decode straight to spatial planes; progressive
+    scans accumulate DCT coefficients across the scan script (spectral
+    bands x successive-approximation bit planes) and IDCT once at EOI."""
     if not is_jpeg(content):
         raise ValueError("not a JPEG: bad SOI signature")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None  # (precision, h, w, comps) comps: [(cid, hs, vs, tq)]
+    progressive = False
+    coef: dict[int, np.ndarray] | None = None  # cid -> (by, bx, 64) zigzag
     planes: dict[int, np.ndarray] = {}
     pos = 2
     n = len(content)
@@ -287,7 +298,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 values = list(seg[off : off + count])
                 off += count
                 huff[(tc, th)] = _decode_table(bits, values)
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext sequential / progressive
             precision, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -296,10 +307,21 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cid, hv, tq_id = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
             frame = (precision, height, width, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-width // (8 * hmax))
+                mcus_y = -(-height // (8 * vmax))
+                coef = {
+                    cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+                    for cid, hs, vs, _ in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG frame type SOF{marker - 0xC0} "
-                "(this codec decodes baseline/extended-sequential Huffman only)"
+                "(this codec decodes baseline/extended-sequential/progressive "
+                "Huffman only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -307,17 +329,28 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
+            scan_comps = []  # scan order matters for interleaved MCUs
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+                scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             pos_scan = pos + seg_len
-            planes, pos = _decode_scan(
-                content, pos_scan, frame, scan_tables, qt, huff, restart_interval
-            )
+            if progressive:
+                pos = _decode_progressive_scan(
+                    content, pos_scan, frame, scan_comps, huff,
+                    restart_interval, ss, se, ahal >> 4, ahal & 0x0F, coef,
+                )
+            else:
+                scan_tables = {cs: (td, ta) for cs, td, ta in scan_comps}
+                planes, pos = _decode_scan(
+                    content, pos_scan, frame, scan_tables, qt, huff,
+                    restart_interval,
+                )
             continue  # pos already advanced past the scan
         # APPn / COM / others: skip
         pos += seg_len
+    if progressive and coef is not None:
+        planes = _idct_planes(frame, coef, qt)
     if frame is None or not planes:
         raise ValueError("JPEG had no decodable scan")
     return _assemble_rgb(frame, planes)
@@ -387,6 +420,200 @@ def _decode_block(reader, dc_table, ac_table, quant, pred):
         k += 1
     block = _M.T @ coefs.reshape(8, 8) @ _M + 128.0
     return block, pred
+
+
+# --- progressive (SOF2) scan decoding, T.81 Annex G ---------------------------
+
+
+def _skip_to_marker(data, pos):
+    """Advance past entropy-coded bytes to the next non-RST marker."""
+    n = len(data)
+    while pos + 1 < n and not (
+        data[pos] == 0xFF
+        and data[pos + 1] != 0x00
+        and not (0xD0 <= data[pos + 1] <= 0xD7)
+    ):
+        pos += 1
+    return pos
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan_comps, huff, restart_interval, ss, se, ah, al, coef
+):
+    """One progressive scan: DC band (ss=0, possibly interleaved) or a
+    single-component AC band, each as a FIRST scan (ah=0, new bits shifted
+    by the point transform al) or a REFINEMENT scan (ah>0, one
+    successive-approximation bit per coefficient). Returns the byte offset
+    past the scan's entropy-coded data."""
+    _, height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    geom = {cid: (hs, vs) for cid, hs, vs, _ in comps}
+    reader = _BitReader(data, pos)
+    eobrun = 0
+    pred = {cs: 0 for cs, _, _ in scan_comps}
+    try:
+        if len(scan_comps) > 1:
+            # interleaved scan — the spec allows these only for the DC band
+            if ss != 0:
+                raise ValueError("progressive JPEG: interleaved AC scan")
+            mcu_index = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if (
+                        restart_interval
+                        and mcu_index
+                        and mcu_index % restart_interval == 0
+                    ):
+                        reader.expect_rst()
+                        pred = {cs: 0 for cs in pred}
+                    for cs, td, _ in scan_comps:
+                        hs, vs = geom[cs]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blk = coef[cs][my * vs + by, mx * hs + bx]
+                                _dc_progressive(
+                                    reader, blk, huff.get((0, td)), ah, al,
+                                    pred, cs,
+                                )
+                    mcu_index += 1
+        else:
+            cs, td, ta = scan_comps[0]
+            hs, vs = geom[cs]
+            # non-interleaved geometry: the component's OWN block grid
+            # (ceil(ceil(w*hs/hmax)/8) == ceil(w*hs/(8*hmax)) for ints),
+            # NOT the padded interleaved MCU grid
+            cw = -(-(width * hs) // (8 * hmax))
+            ch = -(-(height * vs) // (8 * vmax))
+            idx = 0
+            for by in range(ch):
+                for bx in range(cw):
+                    if (
+                        restart_interval
+                        and idx
+                        and idx % restart_interval == 0
+                    ):
+                        reader.expect_rst()
+                        pred = {cs: 0}
+                        eobrun = 0
+                    blk = coef[cs][by, bx]
+                    if ss == 0:
+                        _dc_progressive(
+                            reader, blk, huff.get((0, td)), ah, al, pred, cs
+                        )
+                    elif ah == 0:
+                        eobrun = _ac_first(
+                            reader, blk, huff[(1, ta)], ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _ac_refine(
+                            reader, blk, huff[(1, ta)], ss, se, al, eobrun
+                        )
+                    idx += 1
+    except _MarkerFound:
+        pass  # truncated scan: keep what decoded
+    return _skip_to_marker(data, reader.pos)
+
+
+def _dc_progressive(reader, blk, dc_table, ah, al, pred, cs):
+    if ah == 0:  # first DC scan: diff-coded, point-transformed by al
+        s = reader.decode_symbol(dc_table)
+        pred[cs] += reader.receive_extend(s)
+        blk[0] = pred[cs] << al
+    else:  # refinement: one magnitude bit; |= is the two's-complement add
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first(reader, blk, table, ss, se, al, eobrun):
+    """First AC scan for a band: run-length coded new coefficients at bit
+    plane ``al``, with EOB runs spanning blocks. Returns the new eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(table)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run != 15:  # EOBn: run of (1 << run) - 1 + extension blocks
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += reader.read_bits(run)
+                return eobrun
+            k += 16  # ZRL
+        else:
+            k += run
+            if k > se:
+                raise ValueError("JPEG AC run overflows spectral band")
+            blk[k] = reader.receive_extend(size) << al
+            k += 1
+    return 0
+
+
+def _ac_refine(reader, blk, table, ss, se, al, eobrun):
+    """AC refinement scan: append one successive-approximation bit to every
+    already-nonzero coefficient in the band and place newly-nonzero ±1<<al
+    coefficients; EOB runs still refine the remainder of each block. The
+    correction-bit interleaving follows T.81 G.1.2.3 (same control flow as
+    every public decoder). Returns the new eobrun."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(table)
+            run, size = rs >> 4, rs & 0x0F
+            val = 0
+            if size == 0:
+                if run != 15:  # EOBn: this block's tail + (eobrun-1) blocks
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += reader.read_bits(run)
+                    break
+                # ZRL: pass 16 zero-history positions, refining on the way
+            else:
+                if size != 1:
+                    raise ValueError("JPEG AC refinement size must be 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:  # history coefficient: read correction bit
+                    if reader.read_bit() and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB region: correction bits only
+            if blk[k] != 0:
+                if reader.read_bit() and (int(blk[k]) & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _idct_planes(frame, coef, qt):
+    """Dequantize + IDCT every accumulated progressive block, vectorized:
+    one einsum per component instead of a per-block matmul loop."""
+    _, _, _, comps = frame
+    planes = {}
+    for cid, _, _, tq_id in comps:
+        zz = coef[cid].astype(np.float64)  # (by, bx, 64) zigzag order
+        by, bx = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz
+        nat *= qt[tq_id][None, None, :].astype(np.float64)
+        blocks = nat.reshape(by, bx, 8, 8)
+        spatial = np.einsum("ij,abjk,kl->abil", _M.T, blocks, _M) + 128.0
+        planes[cid] = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return planes
 
 
 def _assemble_rgb(frame, planes):
@@ -492,44 +719,17 @@ def encode_jpeg(
     ``restart_interval`` emits a DRI segment plus RSTn markers every N MCUs
     (the error-resilience layout real camera JPEGs use).
     """
-    a = np.asarray(arr, dtype=np.float64)
-    gray = a.ndim == 2
-    if not gray and (a.ndim != 3 or a.shape[2] != 3):
-        raise ValueError(f"encode_jpeg wants (h, w) or (h, w, 3), got {a.shape}")
-    h, w = a.shape[:2]
+    gray, h, w, comps, padded = _plane_setup(arr, subsample, "encode_jpeg")
     ql = _quality_table(QUANT_LUMA, quality)
     qc = _quality_table(QUANT_CHROMA, quality)
     dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
-
-    if gray:
-        y_plane, cb, cr = a, None, None
-        comps = [(1, 1, 1, 0)]
-    else:
-        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
-        y_plane = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
-            cb = _subsample2(cb)
-            cr = _subsample2(cr)
-            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-        else:
-            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    padded = {
-        1: _pad_to(y_plane, mcus_y * vmax * 8, mcus_x * hmax * 8),
-    }
-    if cb is not None:
-        for cid, plane in ((2, cb), (3, cr)):
-            hs, vs = comps[cid - 1][1], comps[cid - 1][2]
-            padded[cid] = _pad_to(plane, mcus_y * vs * 8, mcus_x * hs * 8)
 
     writer = _BitWriter()
     pred = {cid: 0 for cid, *_ in comps}
@@ -587,6 +787,305 @@ def encode_jpeg(
     out += writer.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# --- progressive encoder ------------------------------------------------------
+
+# Canonical table for progressive AC scans: EOBn (r<<4, r=0..14), ZRL, and
+# every (run, size<=10) composite, all at code length 8 (176 symbols < 256
+# keeps the Kraft sum valid). Not compression-optimal — the point is a
+# spec-valid table carried IN the stream, so decoding also proves the
+# decoder's foreign-table path (these codes appear in no Annex K table).
+_AC_PROG_VALS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_PROG_BITS = [0] * 16
+_AC_PROG_BITS[7] = len(_AC_PROG_VALS)
+
+
+class _EobState:
+    """Cross-block EOB-run accumulator for progressive AC scans: the run
+    count plus the correction bits buffered inside the run (refinement
+    scans), emitted together when the run flushes."""
+
+    __slots__ = ("eobrun", "bits")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+
+def _flush_eobrun(writer, ac_codes, state) -> None:
+    if state.eobrun > 0:
+        r = state.eobrun.bit_length() - 1
+        code, length = ac_codes[r << 4]
+        writer.write(code, length)
+        if r:
+            writer.write(state.eobrun - (1 << r), r)
+        state.eobrun = 0
+    for bit in state.bits:
+        writer.write(bit, 1)
+    state.bits = []
+
+
+def _encode_ac_first(writer, band, ac_codes, al, state) -> None:
+    """First AC scan of one block's band: point-transformed values at bit
+    plane ``al``, run-length + EOB-run coded (T.81 G.1.2.2)."""
+    t = [(1 if v >= 0 else -1) * (abs(int(v)) >> al) for v in band]
+    last_nz = max((i for i, v in enumerate(t) if v), default=-1)
+    if last_nz < 0:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            _flush_eobrun(writer, ac_codes, state)
+        return
+    _flush_eobrun(writer, ac_codes, state)
+    run = 0
+    for k in range(last_nz + 1):
+        v = t[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_codes[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < len(band) - 1:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            _flush_eobrun(writer, ac_codes, state)
+
+
+def _encode_ac_refine(writer, band, ac_codes, al, state) -> None:
+    """Refinement AC scan of one block's band: ±1 symbols for newly
+    significant coefficients, correction bits interleaved exactly where the
+    decoder reads them (T.81 G.1.2.3 — the libjpeg control flow)."""
+    absvals = [abs(int(v)) >> al for v in band]
+    eob = 0  # position AFTER the last newly-significant coefficient
+    for k, t in enumerate(absvals):
+        if t == 1:
+            eob = k + 1
+    run = 0
+    br: list[int] = []  # correction bits buffered within this block
+    for k, t in enumerate(absvals):
+        if t == 0:
+            run += 1
+            continue
+        if t > 1:  # significant before this scan: one correction bit
+            br.append(t & 1)
+            continue
+        # newly significant (t == 1)
+        while run > 15 and k < eob:
+            _flush_eobrun(writer, ac_codes, state)
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            run -= 16
+            for bit in br:
+                writer.write(bit, 1)
+            br = []
+        _flush_eobrun(writer, ac_codes, state)
+        code, length = ac_codes[(run << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if band[k] >= 0 else 0, 1)
+        for bit in br:
+            writer.write(bit, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        state.eobrun += 1
+        state.bits.extend(br)
+        if state.eobrun == 0x7FFF:
+            _flush_eobrun(writer, ac_codes, state)
+
+
+def _quantized_zigzag(padded, comps, ql, qc):
+    """FDCT + quantize every padded 8x8 block, vectorized per component.
+    Returns cid -> (by, bx, 64) int64 coefficients in ZIGZAG order."""
+    out = {}
+    for cid, _, _, tq_id in comps:
+        plane = padded[cid]
+        by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coefs = np.einsum("ij,abjk,kl->abil", _M, blocks - 128.0, _M.T)
+        quant = (ql if tq_id == 0 else qc).astype(np.float64).reshape(8, 8)
+        q = np.round(coefs / quant).astype(np.int64).reshape(by, bx, 64)
+        out[cid] = q[:, :, ZIGZAG]
+    return out
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB -> PROGRESSIVE (SOF2) JFIF
+    JPEG bytes, exercising every progressive decode path: an interleaved
+    first DC scan at Al=1, a DC refinement scan, then per-component AC
+    first scans (Ss=1..63, Al=1, cross-block EOB runs) and AC refinement
+    scans (Ah=1, Al=0, correction bits). The successive-approximation
+    script transmits every quantized coefficient exactly, so the decoded
+    pixels are IDENTICAL to the baseline encoding at the same quality /
+    subsampling — the round-trip test pins that equality."""
+    gray, h, w, comps, padded = _plane_setup(
+        arr, subsample, "encode_jpeg_progressive"
+    )
+    ql = _quality_table(QUANT_LUMA, quality)
+    qc = _quality_table(QUANT_CHROMA, quality)
+    zz = _quantized_zigzag(padded, comps, ql, qc)
+    dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_prog = _canonical_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    ncomp = len(comps)
+
+    def mcu_blocks():
+        """(cid, by, bx) in interleaved MCU order, grouped per MCU."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                group = []
+                for cid, hs, vs, _ in comps:
+                    for by in range(vs):
+                        for bx in range(hs):
+                            group.append((cid, my * vs + by, mx * hs + bx))
+                yield group
+
+    def rst(writer, index):
+        writer.flush()
+        writer.out += bytes([0xFF, 0xD0 + (index % 8)])
+
+    def dc_first_scan():
+        writer = _BitWriter()
+        pred = {cid: 0 for cid, *_ in comps}
+        for i, group in enumerate(mcu_blocks()):
+            if restart_interval and i and i % restart_interval == 0:
+                rst(writer, i // restart_interval - 1)
+                pred = {cid: 0 for cid in pred}
+            for cid, by, bx in group:
+                v = int(zz[cid][by, bx, 0]) >> 1  # Al=1 point transform
+                diff = v - pred[cid]
+                pred[cid] = v
+                s = _category(diff)
+                code, length = (dc_l if cid == 1 else dc_c)[s]
+                writer.write(code, length)
+                if s:
+                    writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        writer.flush()
+        return writer.out
+
+    def dc_refine_scan():
+        writer = _BitWriter()
+        for i, group in enumerate(mcu_blocks()):
+            if restart_interval and i and i % restart_interval == 0:
+                rst(writer, i // restart_interval - 1)
+            for cid, by, bx in group:
+                writer.write(int(zz[cid][by, bx, 0]) & 1, 1)
+        writer.flush()
+        return writer.out
+
+    def ac_scan(cid, hs, vs, refine):
+        writer = _BitWriter()
+        state = _EobState()
+        cw = -(-(w * hs) // (8 * hmax))
+        ch = -(-(h * vs) // (8 * vmax))
+        idx = 0
+        for by in range(ch):
+            for bx in range(cw):
+                if restart_interval and idx and idx % restart_interval == 0:
+                    _flush_eobrun(writer, ac_prog, state)
+                    rst(writer, idx // restart_interval - 1)
+                band = zz[cid][by, bx, 1:64]
+                if refine:
+                    _encode_ac_refine(writer, band, ac_prog, 0, state)
+                else:
+                    _encode_ac_first(writer, band, ac_prog, 1, state)
+                idx += 1
+        _flush_eobrun(writer, ac_prog, state)
+        writer.flush()
+        return writer.out
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    for tq_id, table in ((0, ql),) + (((1, qc),) if not gray else ()):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq_id) + table[ZIGZAG].astype(
+            np.uint8
+        ).tobytes()
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid, hs, vs, tq_id in comps:
+        out += struct.pack(">BBB", cid, (hs << 4) | vs, tq_id)
+    dhts = [(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)]
+    if not gray:
+        dhts.append((0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    dhts.append((1, 0, _AC_PROG_BITS, _AC_PROG_VALS))
+    for tc, th, bits, vals in dhts:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)
+
+    def sos(scan_comps, ss, se, ah, al, payload):
+        nonlocal out
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scan_comps), len(scan_comps))
+        for cid, td, ta in scan_comps:
+            out += struct.pack(">BB", cid, (td << 4) | ta)
+        out += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        out += payload
+
+    dc_comps = [(cid, 0 if cid == 1 else 1, 0) for cid, *_ in comps]
+    sos(dc_comps, 0, 0, 0, 1, dc_first_scan())
+    sos(dc_comps, 0, 0, 1, 0, dc_refine_scan())
+    for cid, hs, vs, _ in comps:
+        sos([(cid, 0, 0)], 1, 63, 0, 1, ac_scan(cid, hs, vs, refine=False))
+    for cid, hs, vs, _ in comps:
+        sos([(cid, 0, 0)], 1, 63, 1, 0, ac_scan(cid, hs, vs, refine=True))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _plane_setup(arr, subsample: bool, who: str):
+    """Shared encoder front end: RGB->YCbCr (or grayscale), optional 4:2:0
+    subsampling, edge-replication padding to MCU-aligned dims. Returns
+    (gray, h, w, comps, padded) with comps = [(cid, hs, vs, tq)]."""
+    a = np.asarray(arr, dtype=np.float64)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"{who} wants (h, w) or (h, w, 3), got {a.shape}")
+    h, w = a.shape[:2]
+    if gray:
+        y_plane, cb, cr = a, None, None
+        comps = [(1, 1, 1, 0)]
+    else:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y_plane = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            cb = _subsample2(cb)
+            cr = _subsample2(cr)
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        else:
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = {1: _pad_to(y_plane, mcus_y * vmax * 8, mcus_x * hmax * 8)}
+    if cb is not None:
+        for cid, plane in ((2, cb), (3, cr)):
+            hs, vs = comps[cid - 1][1], comps[cid - 1][2]
+            padded[cid] = _pad_to(plane, mcus_y * vs * 8, mcus_x * hs * 8)
+    return gray, h, w, comps, padded
 
 
 def _subsample2(plane: np.ndarray) -> np.ndarray:

@@ -458,8 +458,9 @@ def test_jpeg_restart_markers_transparent():
 
 
 def test_jpeg_rejects_unsupported():
-    """Clear errors for progressive frames, bad magic, and truncation —
-    decode_images then falls back to the deterministic stub for these."""
+    """Clear errors for lossless frames, bad magic, and truncation —
+    decode_images then falls back to the deterministic stub for these.
+    (Progressive SOF2 is SUPPORTED — see the progressive tests below.)"""
     import numpy as np
     import pytest
 
@@ -467,13 +468,113 @@ def test_jpeg_rejects_unsupported():
 
     blob = bytearray(encode_jpeg(np.full((8, 8), 10, np.uint8), quality=90))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # rewrite baseline SOF0 -> progressive SOF2
-    with pytest.raises(ValueError, match="SOF2"):
+    blob[sof + 1] = 0xC3  # rewrite baseline SOF0 -> lossless SOF3
+    with pytest.raises(ValueError, match="SOF3"):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="signature"):
         decode_jpeg(b"\x89PNG not a jpeg")
     with pytest.raises((ValueError, IndexError)):
         decode_jpeg(bytes(encode_jpeg(np.full((8, 8), 10, np.uint8))[:20]))
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) decode: the 4-scan successive-approximation
+    script (DC first Al=1, DC refine, AC first with cross-block EOB runs,
+    AC refine with correction bits) transmits every quantized coefficient
+    exactly, so decoded pixels must be BIT-IDENTICAL to the baseline
+    encoding at the same quality — across 4:4:4, 4:2:0, grayscale,
+    non-multiple-of-8 dims, and restart intervals."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        is_jpeg,
+    )
+
+    rng = np.random.default_rng(13)
+    yy, xx = np.mgrid[0:21, 0:30]
+    img = np.stack(
+        [(yy * 5) % 256, (xx * 3) % 256, ((yy + xx) * 4) % 256], axis=2
+    ).astype(np.uint8)
+    img = np.clip(
+        img.astype(int) + rng.integers(-5, 6, img.shape), 0, 255
+    ).astype(np.uint8)
+    for subsample in (False, True):
+        for interval in (0, 3):
+            blob = encode_jpeg_progressive(
+                img, quality=80, subsample=subsample, restart_interval=interval
+            )
+            assert is_jpeg(blob)
+            assert b"\xff\xc2" in blob  # really SOF2
+            base = decode_jpeg(encode_jpeg(img, quality=80, subsample=subsample))
+            assert (decode_jpeg(blob) == base).all()
+    # flat + gradient stress the EOBRUN > 1 and all-zero-band paths
+    flat = np.full((64, 48, 3), 123, np.uint8)
+    grad = np.repeat(
+        np.linspace(0, 255, 64 * 48).reshape(64, 48)[:, :, None], 3, axis=2
+    ).astype(np.uint8)
+    for im in (flat, grad):
+        assert (
+            decode_jpeg(encode_jpeg_progressive(im, quality=85))
+            == decode_jpeg(encode_jpeg(im, quality=85))
+        ).all()
+    gray = ((yy * 7 + xx * 2) % 256).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(gray, quality=90))
+        == decode_jpeg(encode_jpeg(gray, quality=90))
+    ).all()
+
+
+def test_jpeg_foreign_encoder_fixture():
+    """Round-trip-INDEPENDENT decode check: an 8x8 grayscale baseline JPEG
+    hand-assembled byte-by-byte with tables that exist in no Annex K set
+    (flat-16 quant, two-entry custom Huffman tables), and the expected
+    pixels computed here from the T.81 IDCT definition directly — nothing
+    from media/jpeg.py except decode_jpeg touches the fixture, so a decoder
+    that only understood its own encoder's table layout would fail."""
+    import struct
+
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.jpeg import decode_jpeg
+
+    # entropy data: DC category 3 (custom code 00) + bits 100 (diff = +4),
+    # AC symbol run0/size2 (code 00) + bits 00 (extend -> -3), EOB (code 01),
+    # padded with 1s: 00100 00 00 01 11111 -> 0x20 0x3F
+    fixture = (
+        b"\xff\xd8"  # SOI
+        + b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([16] * 64)  # DQT
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)  # SOF0 8x8 gray
+        + struct.pack(">BBB", 1, 0x11, 0)
+        + b"\xff\xc4" + struct.pack(">HB", 21, 0x00)  # DHT DC: vals 3,0 at len 2
+        + bytes([0, 2] + [0] * 14) + bytes([3, 0])
+        + b"\xff\xc4" + struct.pack(">HB", 21, 0x10)  # DHT AC: vals 0x02,0x00
+        + bytes([0, 2] + [0] * 14) + bytes([0x02, 0x00])
+        + b"\xff\xda" + struct.pack(">HB", 8, 1)  # SOS
+        + struct.pack(">BB", 1, 0x00)
+        + struct.pack(">BBB", 0, 63, 0)
+        + b"\x20\x3f"
+        + b"\xff\xd9"  # EOI
+    )
+    out = decode_jpeg(fixture)
+    assert out.shape == (8, 8, 3)
+    # expected, straight from the spec: S[0,0] = 4*16, S[0,1] = -3*16 (the
+    # zigzag-1 position), pixel(y,x) = 128 + sum C(u)C(v)/4 S cos cos
+    def c(u):
+        return 1.0 / np.sqrt(2.0) if u == 0 else 1.0
+
+    y, x = np.mgrid[0:8, 0:8]
+    s00, s01 = 4 * 16, -3 * 16
+    expected = (
+        128.0
+        + (c(0) * c(0) / 4.0) * s00
+        + (c(0) * c(1) / 4.0) * s01 * np.cos((2 * x + 1) * np.pi / 16.0)
+    )
+    expected = np.clip(np.round(expected), 0, 255).astype(np.uint8)
+    assert (out == expected[:, :, None]).all()
+    assert len(set(out[0, :, 0].tolist())) > 1  # the AC term really varies
 
 
 def test_generative_denoise_trajectory(spark):
