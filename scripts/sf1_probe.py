@@ -36,6 +36,11 @@ HEAVY = [
     "containment_prefix_join",
     "ann_ivfpq",
     "join_topk_per_key",
+    # the co-purchase edge build (items self-join per order) is the only
+    # O(n^2 / order-key) construction in the registry; lineitem copies keep
+    # per-order basket sizes constant, so edges scale ~10x and the probe
+    # measures the build + 3 unrolled rounds end-to-end
+    "graph_pagerank",
 ]
 
 

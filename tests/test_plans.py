@@ -252,3 +252,25 @@ class TestRound4PlanShapesJoins:
         plan = _plan(spark, "graph_pagerank")
         assert "HashAggregate" in plan
         assert "CartesianProduct" not in plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+class TestRound5PlanShapes:
+    def test_pagerank_edge_frame_pinned(self, spark):
+        """contrib_base (edges ⋈ out-degree) and the node frame are
+        localCheckpoint-pinned, so every unrolled round reads ONE
+        materialized layout: the final plan scans the checkpointed RDDs
+        and the lineitem/co-purchase build appears NOWHERE in it — it runs
+        exactly once, in the checkpoint's own job, instead of re-deriving
+        the self-join + shuffle per round."""
+        for name in ("graph_pagerank", "graph_pagerank_weighted"):
+            plan = _plan(spark, name)
+            assert "Scan ExistingRDD" in plan
+            assert "lineitem" not in plan
+            assert "CartesianProduct" not in plan
+
+    def test_approx_distinct_single_aggregation_pass(self, spark):
+        # exact + HLL++ estimate in one grouped aggregation over one scan —
+        # the bound-check must not add a second pass over orders
+        plan = _plan(spark, "approx_distinct")
+        assert plan.count("Scan parquet") == 1
