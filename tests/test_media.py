@@ -318,11 +318,16 @@ def test_decode_images_real_path_for_png_bmp_jpeg(spark):
 
     arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
     solid = np.full((8, 8, 3), 77, np.uint8)  # lossless through JPEG q95
+    from experimentsplan_datapipeline_spark.media.jpeg import (
+        encode_jpeg_progressive,
+    )
+
     df = spark.createDataFrame(
         [
             ("real.png", bytearray(encode_png(arr))),
             ("real.bmp", bytearray(encode_bmp(arr))),
             ("real.jpg", bytearray(encode_jpeg(solid, quality=95))),
+            ("prog.jpg", bytearray(encode_jpeg_progressive(solid, quality=95))),
             ("fake.bin", bytearray(b"junk")),
         ],
         ["path", "content"],
@@ -332,9 +337,10 @@ def test_decode_images_real_path_for_png_bmp_jpeg(spark):
         real = out[name]
         assert (real.height, real.width, real.channels) == (4, 4, 3)
         assert real.pixels == list(range(48))  # REAL pixels, not a hash
-    jpg = out["real.jpg"]
-    assert (jpg.height, jpg.width, jpg.channels) == (8, 8, 3)
-    assert jpg.pixels == [77] * (8 * 8 * 3)  # solid color survives exactly
+    for name in ("real.jpg", "prog.jpg"):  # baseline AND progressive SOF2
+        jpg = out[name]
+        assert (jpg.height, jpg.width, jpg.channels) == (8, 8, 3)
+        assert jpg.pixels == [77] * (8 * 8 * 3)  # solid color survives exactly
     stub = out["fake.bin"]
     assert (stub.height, stub.width, stub.channels) == (8, 8, 3)  # stub shape
 
