@@ -6,13 +6,74 @@ module holds the general-purpose ones. Same design rules: iterative
 algorithms UNROLL a fixed, deterministic number of rounds into one lazy
 plan (no driver-side loop state, no RDD checkpoint dance), every round is
 a join + map-side-combinable aggregation keyed on the destination node, and
-nothing corpus-sized ever crosses a broadcast.
+nothing corpus-sized ever crosses a broadcast. The convergence-mode variant
+(``pagerank_until``) is the one deliberate exception: iterate-until-delta
+is inherently a driver loop, so it drives the SAME round body with periodic
+pinning instead of an unroll.
+
+Pinning goes through ``operators/util.py::pin`` — ``local`` mode
+(localCheckpoint, the local[*] default) or ``table`` mode (bucketed parquet
+stage table, the cluster-durable option SCALE.md prescribes for the
+heaviest frame in the job).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from experimentsplan_datapipeline_spark.operators.util import pin
+
+
+def _prepare(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None,
+):
+    """Shared PageRank setup: normalized edge frame, pinned node universe
+    (src ∪ dst), N as a single-row frame, the pinned ``edges ⋈ out-weight``
+    contribution base every round re-reads, the pinned out-src set (for the
+    dangling left-anti), and the per-edge share expression."""
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("w"))
+    e = edges.select(*cols)
+    nodes = pin(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if weight_col is None:
+        out_w = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+        share = F.col("val") / F.col("d")
+    else:
+        out_w = e.groupBy("src").agg(F.sum("w").alias("d"))
+        share = F.col("val") * F.col("w") / F.col("d")
+    n_frame = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # one materialization of edges ⋈ out-weight feeds every round; this is
+    # the heaviest frame in the job — the one to pin mode='table' on a real
+    # cluster (executor loss otherwise recomputes the full edge build)
+    contrib_base = pin(e.join(out_w, "src"))
+    out_srcs = pin(out_w.select("src"))
+    return nodes, n_frame, contrib_base, out_srcs, share
+
+
+def _mass_and_dangling(pr, contrib_base, out_srcs, share):
+    """One power-iteration round's two aggregates: rank mass arriving at
+    each dst (one shuffle join + map-side-combinable groupBy), and the
+    single-row dangling sum (rank parked on nodes with no out-edges)."""
+    mass = (
+        contrib_base.join(pr, contrib_base["src"] == pr["node"])
+        .groupBy("dst")
+        .agg(F.sum(share).alias("mass"))
+    )
+    dangling = pr.join(
+        out_srcs, pr["node"] == out_srcs["src"], "left_anti"
+    ).agg(F.coalesce(F.sum("val"), F.lit(0.0)).alias("s"))
+    return mass, dangling
 
 
 def pagerank(
@@ -47,47 +108,30 @@ def pagerank(
     the k-th rank frame on src, one groupBy(dst) aggregation with map-side
     combine, one O(|V|) left join back onto the node universe, and one
     single-row broadcast (the dangling sum). Degrees/out-weights and N are
-    computed once: ``contrib_base = edges ⋈ out-weight`` is
-    localCheckpoint(eager=False)-pinned (the `_ranked_gid_sets` pattern,
-    operators/dedup.py) so all unrolled rounds reuse ONE materialized
-    layout instead of re-deriving the edges⋈deg shuffle per round; the
-    node frame is pinned for the same reason. Rank frames are O(|V|);
-    edges are never duplicated and never a broadcast build side.
+    computed once via ``pin`` (``contrib_base = edges ⋈ out-weight``), so
+    all unrolled rounds reuse ONE materialized layout instead of
+    re-deriving the edges⋈deg shuffle per round. The rank frame itself is
+    also pinned BETWEEN rounds: each round references pr_k twice (the mass
+    join and the dangling aggregate), so an unpinned unroll holds
+    2^iterations copies of the pr subtree — fine at the default 3 (exchange
+    reuse dedupes them) but exponential analysis time for a caller passing
+    iterations=20. The final round stays unpinned so the returned frame
+    exposes the real round-body plan. Rank frames are O(|V|); edges are
+    never duplicated and never a broadcast build side.
     """
-    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
-    if weight_col is not None:
-        cols.append(F.col(weight_col).cast("double").alias("w"))
-    e = edges.select(*cols)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+    nodes, n_frame, contrib_base, out_srcs, share = _prepare(
+        edges, src_col, dst_col, weight_col
     )
-    if weight_col is None:
-        out_w = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
-        share = F.col("val") / F.col("d")
-    else:
-        out_w = e.groupBy("src").agg(F.sum("w").alias("d"))
-        share = F.col("val") * F.col("w") / F.col("d")
-    n_frame = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    # one materialization of edges ⋈ out-weight feeds every unrolled round
-    contrib_base = e.join(out_w, "src").localCheckpoint(eager=False)
-    out_srcs = out_w.select("src").localCheckpoint(eager=False)
     pr = nodes.crossJoin(F.broadcast(n_frame)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("val")
     )
-    for _ in range(iterations):
-        mass = (
-            contrib_base.join(pr, contrib_base["src"] == pr["node"])
-            .groupBy("dst")
-            .agg(F.sum(share).alias("mass"))
-        )
-        # rank parked on dangling nodes (no out-edges) this round; a single
-        # row, broadcast back — never zero rows thanks to the coalesce
-        dangling = pr.join(
-            out_srcs, pr["node"] == out_srcs["src"], "left_anti"
-        ).agg(F.coalesce(F.sum("val"), F.lit(0.0)).alias("s"))
+    for k in range(iterations):
+        # pin BETWEEN rounds (not after the last): round k+1 references
+        # pr_k twice, so this caps plan depth at one round body while the
+        # returned frame still exposes the real final-round plan shape
+        if k > 0:
+            pr = pin(pr)
+        mass, dangling = _mass_and_dangling(pr, contrib_base, out_srcs, share)
         pr = (
             nodes.join(mass, nodes["node"] == mass["dst"], "left")
             .crossJoin(F.broadcast(n_frame))
@@ -105,3 +149,216 @@ def pagerank(
             )
         )
     return pr.select("node", F.col("val").alias("pagerank"))
+
+
+def pagerank_until(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    tol: float = 1e-6,
+    max_iter: int = 50,
+    check_every: int = 1,
+    damping: float = 0.85,
+    weight_col: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """PageRank iterated UNTIL the L∞ rank delta drops below ``tol`` (or
+    ``max_iter`` rounds) — the convergence-mode companion to ``pagerank``.
+
+    Same round body, driven by a driver loop: every round's rank frame is
+    pinned (truncating lineage so the plan stays one-round deep no matter
+    how many rounds run), and every ``check_every``-th round pays one extra
+    O(|V|) self-join + max-aggregate to measure ``max |pr_k - pr_{k-1}|``.
+    The delta action is what materializes the round, so convergence
+    checking costs no additional pass over the edges. Unbounded iteration
+    has no finite CTE unroll, so this variant is deliberately NOT in the
+    SQL-oracle registry — determinism is pinned by pytest instead (fixed
+    graph → identical ranks and iteration count across runs).
+
+    Returns ``(ranks, info)`` where ranks is (node, pagerank) and info is
+    ``{"iterations": rounds_run, "delta": last_measured_linf_delta}``.
+    """
+    nodes, n_frame, contrib_base, out_srcs, share = _prepare(
+        edges, src_col, dst_col, weight_col
+    )
+    pr = pin(
+        nodes.crossJoin(F.broadcast(n_frame)).select(
+            "node", (F.lit(1.0) / F.col("n")).alias("val")
+        )
+    )
+    delta = float("inf")
+    rounds = 0
+    for k in range(max_iter):
+        mass, dangling = _mass_and_dangling(pr, contrib_base, out_srcs, share)
+        new_pr = pin(
+            nodes.join(mass, nodes["node"] == mass["dst"], "left")
+            .crossJoin(F.broadcast(n_frame))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("mass"), F.lit(0.0))
+                        + F.col("s") / F.col("n")
+                    )
+                ).alias("val"),
+            )
+        )
+        rounds = k + 1
+        if rounds % check_every == 0 or rounds == max_iter:
+            prev = pr.select(F.col("node"), F.col("val").alias("prev"))
+            delta = (
+                new_pr.join(prev, "node")
+                .agg(F.max(F.abs(F.col("val") - F.col("prev"))).alias("d"))
+                .first()["d"]
+            )
+            pr = new_pr
+            if delta < tol:
+                break
+        else:
+            pr = new_pr
+    return (
+        pr.select("node", F.col("val").alias("pagerank")),
+        {"iterations": rounds, "delta": delta},
+    )
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    restart_pred: Callable[[Column], Column],
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: teleport lands on a QUERY
+    node set instead of uniformly (Haveliwala 2002). ``restart_pred`` maps
+    the node column to a boolean — nodes where it holds form the restart
+    set S, and the restart vector is r(v) = 1/|S| for v ∈ S else 0.
+    Update: pr_{k+1}(v) = (1-d)·r(v) + d·(Σ in-mass + S_k·r(v)) — dangling
+    mass also teleports BY the restart vector, so total rank stays 1.0 and
+    never leaks onto non-restart nodes except through real edges.
+
+    Expressing the restart set as a column predicate (not a collected id
+    list) keeps the whole thing one lazy plan with no driver collect: |S|
+    is a single-row broadcast aggregate, exactly like N in ``pagerank``.
+    The predicate must select at least one node of the graph (an empty
+    restart set has no defined teleport distribution — ranks come back
+    null). Same fixed unroll + per-round pinning as ``pagerank``; the SQL
+    oracle replays the ladder with the identical CASE/NULLIF arithmetic.
+    """
+    nodes, n_frame, contrib_base, out_srcs, share = _prepare(
+        edges, src_col, dst_col, weight_col
+    )
+    nr_frame = nodes.agg(
+        F.sum(restart_pred(F.col("node")).cast("double")).alias("nr")
+    )
+    r = (
+        F.when(restart_pred(F.col("node")), F.lit(1.0) / F.col("nr"))
+        .otherwise(F.lit(0.0))
+    )
+    pr = nodes.crossJoin(F.broadcast(nr_frame)).select("node", r.alias("val"))
+    for k in range(iterations):
+        if k > 0:
+            pr = pin(pr)
+        mass, dangling = _mass_and_dangling(pr, contrib_base, out_srcs, share)
+        pr = (
+            nodes.join(mass, nodes["node"] == mass["dst"], "left")
+            .crossJoin(F.broadcast(nr_frame))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * r
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("mass"), F.lit(0.0)) + F.col("s") * r)
+                ).alias("val"),
+            )
+        )
+    return pr.select("node", F.col("val").alias("pagerank"))
+
+
+def copurchase_pairs(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    n_blocks: int = 1,
+) -> DataFrame:
+    """Exact within-group item-pair generation (the co-occurrence /
+    co-purchase edge build): for each group g, every unordered pair
+    (a, b) with a < b of distinct items in g, one output row per
+    OCCURRENCE (downstream groupBy(pa, pb) counts support).
+
+    The naive form — ``items ⅹ items ON same group AND a < b`` — shuffles
+    on the group key alone, so ONE mega-group with k items lands its whole
+    k² pair expansion on one task (AQE skew-join can split a skewed
+    partition's input rows, but every pair of this group still forms in
+    tasks reading the same key's data — a 5 000-item basket is 12.5M pairs
+    in one place). ``n_blocks=m`` spreads exactly that with the triangle
+    (block-cell) scheme: each item gets a deterministic block id
+    b = hash(item) mod m, and is fanned to the m cells
+    ``(min(b, t), max(b, t)) for t in 0..m-1`` on BOTH join sides; the join
+    key becomes (group, cell). A pair with blocks (bx, by) co-occurs in
+    exactly the cells whose {i, j} ⊆ {bx, by} — the canonical-cell filter
+    ``(least(bx,by), greatest(bx,by)) == (i, j)`` keeps it exactly once.
+    Every cell is an independent shuffle key, so the mega-group's k² work
+    spreads over m(m+1)/2 tasks at the cost of mⅹ replication of the input
+    rows — EXACT, no sampling, no cap.
+
+    ``n_blocks=1`` degenerates to the plain self-join (one cell). Pick m
+    so that (max basket size ⅹ 2/m)² pairs fit a task — m=8 turns a
+    5 000-item basket into 36 cells of ~1.5M candidates each.
+    """
+    it = items.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    if n_blocks <= 1:
+        a, b = it.alias("a"), it.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.item") < F.col("b.item")),
+            )
+            .select(
+                F.col("a.g").alias("g"),
+                F.col("a.item").alias("pa"),
+                F.col("b.item").alias("pb"),
+            )
+        )
+    m = n_blocks
+    fan = (
+        it.withColumn("blk", F.pmod(F.xxhash64("item"), F.lit(m)))
+        .withColumn("t", F.explode(F.sequence(F.lit(0), F.lit(m - 1))))
+        .select(
+            "g",
+            "item",
+            "blk",
+            F.least("blk", "t").alias("i"),
+            F.greatest("blk", "t").alias("j"),
+        )
+    )
+    a = fan.select(
+        "g", F.col("item").alias("pa"), F.col("blk").alias("ba"), "i", "j"
+    )
+    b = fan.select(
+        F.col("g").alias("g2"),
+        F.col("item").alias("pb"),
+        F.col("blk").alias("bb"),
+        F.col("i").alias("i2"),
+        F.col("j").alias("j2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("g") == F.col("g2"))
+        & (F.col("i") == F.col("i2"))
+        & (F.col("j") == F.col("j2"))
+        & (F.col("pa") < F.col("pb"))
+        # a same-block pair co-occurs in every cell touching its block —
+        # the canonical-cell filter keeps each unordered pair exactly once
+        & (F.least(F.col("ba"), F.col("bb")) == F.col("i"))
+        & (F.greatest(F.col("ba"), F.col("bb")) == F.col("j")),
+    )
+    return pairs.select("g", "pa", "pb")

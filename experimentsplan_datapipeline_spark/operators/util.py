@@ -2,8 +2,71 @@
 
 from __future__ import annotations
 
+import itertools
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Session-conf keys controlling how ``pin`` materializes (see its docstring).
+PIN_MODE_KEY = "spark.experimentsplan.pin.mode"
+PIN_DIR_KEY = "spark.experimentsplan.pin.dir"
+
+_pin_ids = itertools.count()
+
+
+def pin(
+    df: DataFrame,
+    eager: bool = False,
+    mode: str | None = None,
+    bucket_cols: list[str] | None = None,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Pin (materialize-once) a DataFrame that multiple downstream branches
+    or unrolled iteration rounds will re-read.
+
+    Two modes, chosen by ``mode`` or the session conf
+    ``spark.experimentsplan.pin.mode`` (default ``local``):
+
+    - ``local`` — ``localCheckpoint``: blocks live on executor local disk /
+      memory. Fastest, and exactly right in local[*]; on a REAL cluster the
+      blocks die with a lost executor and the frame silently recomputes from
+      scratch (there is no lineage left to replay partially). Fine for
+      cheap-to-rebuild frames, a hazard for the heaviest one in the job.
+    - ``table`` — write a parquet stage table under
+      ``spark.experimentsplan.pin.dir`` (default ``<cwd>/spark-warehouse/
+      _pins``) and read it back: cluster-durable (survives executor loss,
+      re-readable by any task), at the cost of one full write+read of the
+      frame. With ``bucket_cols`` the stage table is BUCKETED on those keys,
+      so downstream joins/aggregations keyed on them need no exchange —
+      the "replace localCheckpoint with a bucketed parquet stage table"
+      recipe from SCALE.md, now an executable code path.
+
+    ``eager`` only applies to ``local`` (table mode is inherently eager).
+    """
+    spark = df.sparkSession
+    mode = mode or spark.conf.get(PIN_MODE_KEY, "local")
+    if mode == "local":
+        return df.localCheckpoint(eager=eager)
+    if mode != "table":
+        raise ValueError(f"unknown pin mode {mode!r}: expected 'local' or 'table'")
+    pid = f"pin_{os.getpid()}_{next(_pin_ids)}"
+    if bucket_cols:
+        name = f"_pins_{pid}"
+        (
+            df.write.format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        return spark.table(name)
+    base = spark.conf.get(
+        PIN_DIR_KEY, os.path.join(os.getcwd(), "spark-warehouse", "_pins")
+    )
+    path = os.path.join(base, pid)
+    df.write.format("parquet").mode("overwrite").save(path)
+    return spark.read.parquet(path)
 
 
 def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:

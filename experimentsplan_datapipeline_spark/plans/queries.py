@@ -5281,23 +5281,18 @@ def graph_pagerank(spark, sf_dir):
     — the oracle replays them as unrolled SQL CTEs, proving the iterative
     join+agg ladder value-for-value (operators/graph.py::pagerank). Top-50
     by rounded score with part-id tiebreak."""
-    from experimentsplan_datapipeline_spark.operators.graph import pagerank
-
-    items = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        copurchase_pairs,
+        pagerank,
     )
-    a, b = items.alias("a"), items.alias("b")
+
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # n_blocks=1: TPC-H baskets are <= 7 items, so the plain per-order
+    # self-join is the right plan; a mega-basket corpus raises n_blocks
+    # (exact triangle-blocked spreading — scripts/basket_skew_probe.py)
     cop = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        copurchase_pairs(items, "l_orderkey", "l_partkey", n_blocks=1)
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
@@ -5352,23 +5347,15 @@ def graph_pagerank_weighted(spark, sf_dir):
     splits its rank proportionally to edge weight (operators/graph.py::
     pagerank with weight_col). The symmetric graph has no dangling nodes,
     so the oracle ladder needs no redistribution term."""
-    from experimentsplan_datapipeline_spark.operators.graph import pagerank
-
-    items = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        copurchase_pairs,
+        pagerank,
     )
-    a, b = items.alias("a"), items.alias("b")
+
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     cop = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        copurchase_pairs(items, "l_orderkey", "l_partkey", n_blocks=1)
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .filter(F.col("w") >= 2)
     )
@@ -5376,6 +5363,84 @@ def graph_pagerank_weighted(spark, sf_dir):
         cop.selectExpr("pb AS src", "pa AS dst", "w")
     )
     pr = pagerank(edges, iterations=3, damping=0.85, weight_col="w")
+    return (
+        pr.select(F.col("node").alias("part"), F.round("pagerank", 6).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "part")
+        .limit(50)
+    )
+
+
+_PAGERANK_P_ORACLE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cop AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT pa AS src, pb AS dst FROM cop
+          UNION ALL SELECT pb, pa FROM cop),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nr AS (SELECT count(*)::DOUBLE AS nr FROM nodes WHERE node % 10 = 0),
+pr0 AS (SELECT node,
+               CASE WHEN node % 10 = 0 THEN 1.0 / (SELECT nr FROM nr)
+                    ELSE 0.0 END AS val
+        FROM nodes),
+pr1 AS (SELECT e.dst AS node,
+               0.15 * CASE WHEN e.dst % 10 = 0
+                           THEN 1.0 / (SELECT nr FROM nr) ELSE 0.0 END
+               + 0.85 * sum(p.val / d.d) AS val
+        FROM edges e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst),
+pr2 AS (SELECT e.dst AS node,
+               0.15 * CASE WHEN e.dst % 10 = 0
+                           THEN 1.0 / (SELECT nr FROM nr) ELSE 0.0 END
+               + 0.85 * sum(p.val / d.d) AS val
+        FROM edges e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst),
+pr3 AS (SELECT e.dst AS node,
+               0.15 * CASE WHEN e.dst % 10 = 0
+                           THEN 1.0 / (SELECT nr FROM nr) ELSE 0.0 END
+               + 0.85 * sum(p.val / d.d) AS val
+        FROM edges e JOIN pr2 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst)
+SELECT node AS part, round(val, 6) AS pagerank
+FROM pr3 ORDER BY pagerank DESC, part LIMIT 50
+"""
+
+
+@register("graph_pagerank_personalized", _PAGERANK_P_ORACLE)
+def graph_pagerank_personalized(spark, sf_dir):
+    """PERSONALIZED PageRank (Haveliwala 2002) over the part co-purchase
+    graph: teleport lands only on the query set {part: part % 10 = 0}, so
+    ranks measure proximity to those parts instead of global centrality.
+    Dangling mass would also teleport by the restart vector, but the
+    symmetric co-purchase graph has none, so the oracle ladder replays the
+    same three rounds with only the restart-weighted base term changed
+    (operators/graph.py::pagerank_personalized). The restart set is a
+    column predicate — no collected id list, |S| is a one-row broadcast."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        copurchase_pairs,
+        pagerank_personalized,
+    )
+
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cop = (
+        copurchase_pairs(items, "l_orderkey", "l_partkey", n_blocks=1)
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    edges = cop.selectExpr("pa AS src", "pb AS dst").unionByName(
+        cop.selectExpr("pb AS src", "pa AS dst")
+    )
+    pr = pagerank_personalized(
+        edges,
+        lambda node: F.pmod(node, F.lit(10)) == 0,
+        iterations=3,
+        damping=0.85,
+    )
     return (
         pr.select(F.col("node").alias("part"), F.round("pagerank", 6).alias("pagerank"))
         .orderBy(F.col("pagerank").desc(), "part")

@@ -557,3 +557,194 @@ def test_pagerank_weighted_follows_heavy_edge(spark):
     }
     for k in got_u:
         assert abs(got_w[k] - got_u[k]) < 1e-12
+
+
+def test_pagerank_until_converges_and_matches_unrolled(spark):
+    """Convergence mode: on the undirected star it must (a) report a delta
+    below tol, (b) agree value-for-value with the fixed unroll at the same
+    round count, and (c) be deterministic across runs (same iteration count
+    AND bit-identical ranks — the rows-only contract for the variant with
+    no finite CTE oracle)."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        pagerank,
+        pagerank_until,
+    )
+
+    pairs = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    # damping 0.5: the star's L-inf delta decays like damping^k, so 0.85
+    # would need ~115 rounds for 1e-8 — 0.5 converges in ~27
+    ranks, info = pagerank_until(edges, tol=1e-8, max_iter=60, damping=0.5)
+    got = {r.node: r.pagerank for r in ranks.collect()}
+    assert info["delta"] < 1e-8
+    assert 1 < info["iterations"] < 60
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    unrolled = {
+        r.node: r.pagerank
+        for r in pagerank(
+            edges, iterations=info["iterations"], damping=0.5
+        ).collect()
+    }
+    for k, v in unrolled.items():
+        assert abs(got[k] - v) < 1e-12
+    ranks2, info2 = pagerank_until(edges, tol=1e-8, max_iter=60, damping=0.5)
+    got2 = {r.node: r.pagerank for r in ranks2.collect()}
+    assert info2["iterations"] == info["iterations"]
+    assert got2 == got
+    # check_every > 1 trades delta checks for rounds but lands on the same
+    # fixed point (a few extra rounds past convergence are a no-op drift)
+    ranks3, info3 = pagerank_until(
+        edges, tol=1e-8, max_iter=60, check_every=5, damping=0.5
+    )
+    got3 = {r.node: r.pagerank for r in ranks3.collect()}
+    assert info3["iterations"] % 5 == 0
+    for k, v in got.items():
+        assert abs(got3[k] - v) < 1e-7
+
+
+def test_pagerank_personalized_hand_computed_with_dangling(spark):
+    """Personalized PR on the chain 0->1->2 (2 is a sink), restart set {0}:
+    hand-computed 3-round ladder, including the round where the sink's
+    dangling mass teleports back to the restart node (NOT uniformly)."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        pagerank_personalized,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    pred = lambda node: node == F.lit(0)  # noqa: E731
+    # pr0 = (1,0,0); r = (1,0,0); d = 0.85
+    # round1: mass=(.,1,0), S=pr0[2]=0  -> (0.15, 0.85, 0)
+    # round2: mass=(.,0.15,0.85), S=0  -> (0.15, 0.1275, 0.7225)
+    # round3: S=0.7225 teleports to 0  -> (0.764125, 0.1275, 0.108375)
+    expected = {
+        1: {0: 0.15, 1: 0.85, 2: 0.0},
+        2: {0: 0.15, 1: 0.1275, 2: 0.7225},
+        3: {0: 0.764125, 1: 0.1275, 2: 0.108375},
+    }
+    for iters, exp in expected.items():
+        out = {
+            r.node: r.pagerank
+            for r in pagerank_personalized(
+                edges, pred, iterations=iters
+            ).collect()
+        }
+        assert abs(sum(out.values()) - 1.0) < 1e-9, f"mass leak at {iters}"
+        for k, v in exp.items():
+            assert abs(out[k] - v) < 1e-12, f"round {iters} node {k}"
+
+
+def test_pagerank_personalized_concentrates_on_restart_set(spark):
+    """On the 3-node complete graph (symmetric, no dangling), restarting at
+    node 0 must rank it first; a restart set of ALL nodes must reproduce
+    plain pagerank exactly (uniform teleport is the degenerate case)."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        pagerank,
+        pagerank_personalized,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(3) for b in range(3) if a != b], ["src", "dst"]
+    )
+    out = {
+        r.node: r.pagerank
+        for r in pagerank_personalized(
+            edges, lambda n: n == F.lit(0), iterations=3
+        ).collect()
+    }
+    assert out[0] > out[1] and out[0] > out[2]
+    assert abs(out[1] - out[2]) < 1e-12
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    uni = {
+        r.node: r.pagerank
+        for r in pagerank_personalized(
+            edges, lambda n: F.lit(True), iterations=3
+        ).collect()
+    }
+    plain = {
+        r.node: r.pagerank for r in pagerank(edges, iterations=3).collect()
+    }
+    for k, v in plain.items():
+        assert abs(uni[k] - v) < 1e-12
+
+
+def test_copurchase_pairs_blocked_matches_plain(spark):
+    """The triangle-blocked pair generation is EXACT: for any n_blocks it
+    must emit the identical pair multiset as the plain self-join, including
+    a group larger than the block count, same-block pairs, duplicate input
+    rows (distinct semantics), and single-item groups (no pairs)."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        copurchase_pairs,
+    )
+
+    rows = (
+        [(1, i) for i in range(11)]          # large group
+        + [(2, 5), (2, 7), (2, 7)]           # dup input row
+        + [(3, 42)]                          # singleton -> no pairs
+        + [(4, i * 3) for i in range(5)]
+    )
+    items = spark.createDataFrame(rows, ["o", "p"])
+    plain = sorted(
+        (r.g, r.pa, r.pb)
+        for r in copurchase_pairs(items, "o", "p", n_blocks=1).collect()
+    )
+    assert len(plain) == 55 + 1 + 0 + 10
+    assert (3, 42, 42) not in plain
+    for m in (2, 3, 4, 16):
+        blocked = sorted(
+            (r.g, r.pa, r.pb)
+            for r in copurchase_pairs(items, "o", "p", n_blocks=m).collect()
+        )
+        assert blocked == plain, f"n_blocks={m} diverged"
+
+
+def test_pin_table_mode_roundtrips_and_buckets(spark):
+    """pin(mode='table') must return the same rows re-read from a durable
+    parquet stage (plan shows a parquet/table scan, not ExistingRDD), and
+    the bucketed variant must register a bucketed table the downstream
+    join can use without an exchange on the bucket key."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.operators.util import pin
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.conf.set("spark.experimentsplan.pin.dir", tmp)
+        try:
+            pinned = pin(df, mode="table")
+            assert sorted(r.id for r in pinned.collect()) == list(range(100))
+            plan = pinned._jdf.queryExecution().executedPlan().toString()
+            assert "ExistingRDD" not in plan
+        finally:
+            spark.conf.unset("spark.experimentsplan.pin.dir")
+    bucketed = pin(df, mode="table", bucket_cols=["k"], n_buckets=4)
+    assert bucketed.groupBy("k").count().count() == 7
+    # grouping on the bucket key needs no shuffle: bucket layout already
+    # satisfies the aggregation's required distribution
+    agg_plan = (
+        bucketed.groupBy("k")
+        .agg(F.sum("id").alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in agg_plan
+    # default mode stays localCheckpoint (lazy) — unchanged behavior
+    local = pin(df)
+    assert sorted(r.id for r in local.collect()) == list(range(100))
+
+
+def test_pin_rejects_unknown_mode(spark):
+    import pytest as _pytest
+
+    from experimentsplan_datapipeline_spark.operators.util import pin
+
+    with _pytest.raises(ValueError, match="unknown pin mode"):
+        pin(spark.range(3), mode="cloud")
