@@ -340,6 +340,18 @@ def copurchase_pairs(
             F.greatest("blk", "t").alias("j"),
         )
     )
+    # EXPLICIT partitioning on the cell key, with a user-specified count:
+    # the fan frame is tiny in BYTES (the k² blow-up happens inside the
+    # join), so AQE's size-based coalescing would fold all cells back into
+    # one task and silently undo the whole point of blocking. A
+    # user-numbered repartition is exempt from AQE coalescing, and because
+    # it hash-partitions on exactly the join's equi-keys, the sort-merge
+    # join reuses it instead of adding its own exchange.
+    n_part = max(
+        items.sparkSession.sparkContext.defaultParallelism,
+        m * (m + 1) // 2,
+    )
+    fan = fan.repartition(n_part, "g", "i", "j")
     a = fan.select(
         "g", F.col("item").alias("pa"), F.col("blk").alias("ba"), "i", "j"
     )
