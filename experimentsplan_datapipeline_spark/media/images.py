@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     StringType,
@@ -47,6 +48,14 @@ DECODED_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("channels", IntegerType()),
         StructField("pixels", ArrayType(IntegerType())),
+        # True iff a REAL codec produced the pixels. False means the
+        # deterministic sha256 stub filled them in — either a synthetic
+        # non-image fixture, or a corrupt payload (valid magic, broken
+        # body) whose codec raised. Downstream pipelines FILTER on this
+        # (drop-with-log, the reference's collate_fn_ignore_none
+        # semantics, train/train_CATVTON/dataloader.py:121-128) instead
+        # of silently training on pseudo-pixels.
+        StructField("decode_ok", BooleanType()),
     ]
 )
 
@@ -98,10 +107,16 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
     """P1: binary -> decoded struct(height,width,channels,pixels) via
     mapInPandas (Arrow batches; per-batch vectorized loop).
 
-    Per-row dispatch: PNG, BMP, and baseline-JPEG payloads (and anything
-    PIL recognizes, when PIL is present) take the REAL decode; other
-    payloads fall back to the deterministic sha256 stub so synthetic
-    non-image fixtures stay oracle-replayable."""
+    Per-row dispatch: PNG, BMP, and baseline/progressive-JPEG payloads
+    (and anything PIL recognizes, when PIL is present) take the REAL
+    decode; other payloads fall back to the deterministic sha256 stub so
+    synthetic non-image fixtures stay oracle-replayable. The struct's
+    ``decode_ok`` flag records which path ran: a corrupt payload (valid
+    magic, broken body) gets stub pixels with ``decode_ok=false`` and the
+    ROW SURVIVES — dropping is a downstream ``filter('image.decode_ok')``,
+    mirroring the reference's drop-with-log collate
+    (train/train_CATVTON/dataloader.py:121-128), so failure COUNTS stay
+    observable instead of rows vanishing inside the decode operator."""
     from experimentsplan_datapipeline_spark.media.bmp import is_bmp
     from experimentsplan_datapipeline_spark.media.jpeg import is_jpeg
     from experimentsplan_datapipeline_spark.media.png import is_png
@@ -112,7 +127,7 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
     other_cols = [f.name for f in df.schema.fields if f.name != content_col]
 
-    def decode(content: bytes) -> tuple[int, int, int, list[int]]:
+    def decode(content: bytes) -> tuple[bool, int, int, int, list[int]]:
         if content and (
             is_png(bytes(content))
             or is_bmp(bytes(content))
@@ -120,18 +135,24 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
             or HAS_PIL
         ):
             try:
-                return _real_decode(bytes(content))
+                return (True, *_real_decode(bytes(content)))
             except Exception:
-                pass  # unrecognized/corrupt image -> deterministic stub
-        return _fake_decode(content)
+                pass  # corrupt image -> deterministic stub, flagged below
+        return (False, *_fake_decode(content))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             images = [decode(c) for c in pdf[content_col]]
             out = pdf[other_cols].copy()
             out["image"] = [
-                {"height": h, "width": w, "channels": c, "pixels": px}
-                for h, w, c, px in images
+                {
+                    "height": h,
+                    "width": w,
+                    "channels": c,
+                    "pixels": px,
+                    "decode_ok": ok,
+                }
+                for ok, h, w, c, px in images
             ]
             yield out
 
@@ -394,6 +415,7 @@ def resize_images(
                         "width": out_w,
                         "channels": c,
                         "pixels": res.reshape(-1).tolist(),
+                        "decode_ok": bool(img.get("decode_ok", True)),
                     }
                 )
             out = pdf.copy()
@@ -448,6 +470,7 @@ def crop_images(
                         "width": res.shape[1],
                         "channels": c,
                         "pixels": res.reshape(-1).tolist(),
+                        "decode_ok": bool(img.get("decode_ok", True)),
                     }
                 )
             out = pdf.copy()

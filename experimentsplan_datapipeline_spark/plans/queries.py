@@ -1480,6 +1480,7 @@ WITH px AS (
                                 (i % 32) * 2 + 1, 2))::BIGINT) AS pixels
   FROM documents WHERE doc_id < 200)
 SELECT doc_id, 8 AS height, 8 AS width,
+       FALSE AS decode_ok,
        (('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 8))::BIGINT
         % 1000000) / 1000000.0 < 0.5 AS flipped,
        round(list_avg(list_transform(pixels, p -> ((p / 255.0) - 0.5) / 0.5)),
@@ -1496,7 +1497,9 @@ def media_decode_score(spark, sf_dir):
     stub's pixels are sha256-hex-derived and the flip hash is portable, so
     the DuckDB oracle replays the ENTIRE mapInPandas pipeline — decode
     bytes, normalization math, flip decisions, and the Arrow-batched
-    mean-score — value-for-value."""
+    mean-score — value-for-value. The text payloads are NOT images, so
+    every row must carry decode_ok=false (the oracle pins it): the stub
+    path is visible to downstream filters, never silent."""
     from experimentsplan_datapipeline_spark.media.images import (
         batch_inference_stub,
         decode_images,
@@ -1520,6 +1523,7 @@ def media_decode_score(spark, sf_dir):
         "doc_id",
         F.col("image.height").alias("height"),
         F.col("image.width").alias("width"),
+        F.col("image.decode_ok").alias("decode_ok"),
         "flipped",
         F.round("score", 6).alias("score"),
     )

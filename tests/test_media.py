@@ -616,3 +616,75 @@ def test_generative_denoise_trajectory(spark):
     assert sorted((r.doc_id, r.step, tuple(r.x)) for r in again) == sorted(
         (r.doc_id, r.step, tuple(r.x)) for r in out
     )
+
+
+def test_decode_ok_flags_real_stub_and_corrupt(spark):
+    """decode_ok contract: True only when a real codec decoded; corrupt
+    payloads (valid magic, broken body) get stub pixels WITH decode_ok=
+    false and the row SURVIVES — the drop stays a downstream filter
+    (drop-with-log, matching the reference's collate_fn_ignore_none,
+    train/train_CATVTON/dataloader.py:121-128), so failure counts remain
+    observable."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from experimentsplan_datapipeline_spark.media.png import encode_png
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    png = bytes(encode_png(arr))
+    prog = bytes(encode_jpeg_progressive(np.full((8, 8, 3), 9, np.uint8)))
+    rows = [
+        ("good.png", bytearray(png)),
+        # truncated progressive JPEG: magic intact, entropy data cut mid-scan
+        ("trunc.jpg", bytearray(prog[: len(prog) // 2])),
+        # bit-flipped PNG: IHDR length field corrupted -> parse error
+        ("flip.png", bytearray(png[:9] + bytes([png[9] ^ 0xFF]) + png[10:])),
+        # not an image at all: synthetic fixture path, also not-ok
+        ("fake.bin", bytearray(b"payload")),
+    ]
+    df = spark.createDataFrame(rows, ["path", "content"])
+    decoded = decode_images(df)
+    out = {r.path: r.image for r in decoded.collect()}
+    assert len(out) == 4, "corrupt rows must survive decode"
+    assert out["good.png"].decode_ok is True
+    assert out["good.png"].pixels == list(range(48))
+    for bad in ("trunc.jpg", "flip.png", "fake.bin"):
+        assert out[bad].decode_ok is False, bad
+        assert len(out[bad].pixels) == 192  # deterministic stub shape
+    # the reference's drop semantics = one filter on the flag
+    kept = decoded.filter("image.decode_ok").collect()
+    assert [r.path for r in kept] == ["good.png"]
+    n_failed = decoded.filter("NOT image.decode_ok").count()
+    assert n_failed == 3
+
+
+def test_decode_ok_propagates_through_resize_and_crop(spark):
+    """resize/crop keep the provenance flag, so a pipeline can defer the
+    drop until after its geometry stages without losing it."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.images import (
+        crop_images,
+        resize_images,
+    )
+    from experimentsplan_datapipeline_spark.media.png import encode_png
+
+    arr = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    df = spark.createDataFrame(
+        [("ok", bytearray(bytes(encode_png(arr)))), ("bad", bytearray(b"x"))],
+        ["path", "content"],
+    )
+    resized = {
+        r.path: r.resized
+        for r in resize_images(decode_images(df), out_h=4, out_w=4).collect()
+    }
+    assert resized["ok"].decode_ok is True
+    assert resized["bad"].decode_ok is False
+    cropped = {
+        r.path: r.cropped
+        for r in crop_images(decode_images(df), out_h=4, out_w=4).collect()
+    }
+    assert cropped["ok"].decode_ok is True
+    assert cropped["bad"].decode_ok is False
