@@ -451,6 +451,21 @@ def _decode_progressive_scan(
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
     geom = {cid: (hs, vs) for cid, hs, vs, _ in comps}
+    # validate referenced Huffman tables UP FRONT (the codec's ValueError
+    # contract): a malformed stream otherwise surfaces as AttributeError
+    # (huff.get -> None into decode_symbol) or a bare KeyError mid-scan.
+    # DC refinement scans (ss=0, ah>0) read raw bits and need no table.
+    for cs_chk, td_chk, ta_chk in scan_comps:
+        if ss == 0 and ah == 0 and (0, td_chk) not in huff:
+            raise ValueError(
+                f"progressive JPEG scan references missing DC Huffman "
+                f"table {td_chk} (component {cs_chk})"
+            )
+        if ss != 0 and (1, ta_chk) not in huff:
+            raise ValueError(
+                f"progressive JPEG scan references missing AC Huffman "
+                f"table {ta_chk} (component {cs_chk})"
+            )
     reader = _BitReader(data, pos)
     eobrun = 0
     pred = {cs: 0 for cs, _, _ in scan_comps}

@@ -688,3 +688,143 @@ def test_decode_ok_propagates_through_resize_and_crop(spark):
     }
     assert cropped["ok"].decode_ok is True
     assert cropped["bad"].decode_ok is False
+
+
+def test_jpeg_rejects_arithmetic_frames():
+    """T.81 arithmetic-coded frames (SOF9 sequential, SOF10 progressive)
+    are a deliberate REJECTION, not a gap: patent-era rarity, and the
+    error must name the frame type so a crawl pipeline can count them.
+    This pins the policy the way the progressive tests pinned SOF2
+    support — fixture-tested, not just documented."""
+    import numpy as np
+    import pytest
+
+    from experimentsplan_datapipeline_spark.media.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    base = bytearray(encode_jpeg(np.full((8, 8), 10, np.uint8), quality=90))
+    sof = base.find(b"\xff\xc0")
+    for marker, name in ((0xC9, "SOF9"), (0xCA, "SOF10")):
+        blob = bytearray(base)
+        blob[sof + 1] = marker
+        with pytest.raises(ValueError, match=name):
+            decode_jpeg(bytes(blob))
+
+
+def test_jpeg_progressive_missing_huffman_table_is_valueerror():
+    """A progressive scan referencing an undeclared Huffman table must
+    surface as the codec's ValueError contract (named table), not an
+    AttributeError/KeyError from deep inside the scan loop."""
+    import numpy as np
+    import pytest
+
+    from experimentsplan_datapipeline_spark.media.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    blob = bytearray(
+        encode_jpeg_progressive(np.full((8, 8), 50, np.uint8), quality=90)
+    )
+    # strip every DHT segment: scans now reference tables that don't exist
+    out = bytearray()
+    i = 0
+    while i < len(blob):
+        if blob[i] == 0xFF and i + 3 < len(blob) and blob[i + 1] == 0xC4:
+            seg_len = (blob[i + 2] << 8) | blob[i + 3]
+            i += 2 + seg_len
+            continue
+        out.append(blob[i])
+        i += 1
+    with pytest.raises(ValueError, match="missing .* Huffman table"):
+        decode_jpeg(bytes(out))
+
+
+def test_jpeg_foreign_progressive_fixture():
+    """Decoder-independent SOF2 check (the progressive twin of
+    test_jpeg_foreign_encoder_fixture): an 8x16 grayscale progressive JPEG
+    hand-assembled byte-by-byte — four scans (DC first Al=1, DC refine,
+    AC first Al=1, AC refine) with custom two/three-entry Huffman tables,
+    where the AC REFINEMENT scan carries a new magnitude-1 coefficient, a
+    correction bit refining -2 -> -3, and an EOB RUN spanning into the
+    second block with that block's correction bit (0) read inside the run.
+    Every bit below is derived from T.81 Annex G / the libjpeg bit
+    conventions, and the expected pixels from the spec IDCT definition —
+    a decoder sharing a complementary sign/correction-bit inversion with
+    this repo's progressive ENCODER cannot pass by round-trip luck.
+
+    Final quantized coefficients (flat Q=16):
+      block A: DC=5, zigzag1 (0,1) = -3, zigzag2 (1,0) = +1
+      block B: DC=2, zigzag1 (0,1) = +2
+    Scan history: DC first sends 5>>1=2 and 2>>1=1 (diff -1); DC refine
+    bits 1,0. AC first (Al=1, truncate-toward-zero) sends -3/2=-1 and
+    2/2=+1; +1/2=0 stays invisible until the refinement inserts it.
+    """
+    import struct
+
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.jpeg import decode_jpeg
+
+    def sos(ss, se, ahal):
+        return (
+            b"\xff\xda"
+            + struct.pack(">HB", 8, 1)
+            + struct.pack(">BB", 1, 0x00)
+            + struct.pack(">BBB", ss, se, ahal)
+        )
+
+    fixture = (
+        b"\xff\xd8"  # SOI
+        + b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([16] * 64)
+        # SOF2: 8 rows x 16 cols, 1 component, 1x1 sampling, quant 0
+        + b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 16, 1)
+        + struct.pack(">BBB", 1, 0x11, 0)
+        # DHT DC class0 id0: two len-2 codes: 00 -> category 2, 01 -> 1
+        + b"\xff\xc4" + struct.pack(">HB", 21, 0x00)
+        + bytes([0, 2] + [0] * 14) + bytes([2, 1])
+        # DHT AC class1 id0: three len-2 codes: 00 -> 0x01 (run0,size1),
+        # 01 -> 0x00 (EOB), 10 -> 0x10 (EOBrun, r=1)
+        + b"\xff\xc4" + struct.pack(">HB", 22, 0x10)
+        + bytes([0, 3] + [0] * 14) + bytes([0x01, 0x00, 0x10])
+        # scan 1 — DC first, Al=1: A: cat2 "00"+bits"10" (+2);
+        # B: cat1 "01"+bit"0" (-1); pad 1 -> 0010 0101
+        + sos(0, 0, 0x01) + b"\x25"
+        # scan 2 — DC refine: raw bits 1 (A: 4->5), 0 (B: 2 stays); pad
+        + sos(0, 0, 0x10) + b"\xbf"
+        # scan 3 — AC first, Al=1: A: "00"+bit"0" (-1 at z1), EOB "01";
+        # B: "00"+bit"1" (+1 at z1), EOB "01" -> 00001 0010 1 + pad
+        + sos(1, 63, 0x01) + b"\x09\x7f"
+        # scan 4 — AC refine, Al=0: A: sym "00" (r=0,s=1 new coef),
+        # sign "1" (+1 lands at z2), correction "1" while passing z1
+        # (-2 -> -3); EOBrun sym "10" + extra bit "0" (run=2), then B's
+        # correction bit "0" for its z1 (+2 stays) -> 0011 1000 exactly
+        + sos(1, 63, 0x10) + b"\x38"
+        + b"\xff\xd9"  # EOI
+    )
+    out = decode_jpeg(fixture)
+    assert out.shape == (8, 16, 3)
+
+    def c(u):
+        return 1.0 / np.sqrt(2.0) if u == 0 else 1.0
+
+    y, x = np.mgrid[0:8, 0:8]
+    cosx = np.cos((2 * x + 1) * np.pi / 16.0)
+    cosy = np.cos((2 * y + 1) * np.pi / 16.0)
+    block_a = 128.0 + 0.25 * (
+        c(0) * c(0) * (5 * 16)
+        + c(0) * c(1) * (-3 * 16) * cosx
+        + c(1) * c(0) * (1 * 16) * cosy
+    )
+    block_b = 128.0 + 0.25 * (
+        c(0) * c(0) * (2 * 16) + c(0) * c(1) * (2 * 16) * cosx
+    )
+    expected = np.clip(
+        np.round(np.concatenate([block_a, block_b], axis=1)), 0, 255
+    ).astype(np.uint8)
+    assert (out == expected[:, :, None]).all()
+    # the refinement-only coefficient must really be present: block A
+    # varies along Y (the (1,0) basis), which no earlier scan transmits
+    assert len(set(out[:, 0, 0].tolist())) > 1
