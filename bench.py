@@ -1,9 +1,19 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+JSON line: {"metric", "value", "unit", "queries", "sf", "conditions"}.
 
 Each query materializes fully through the noop sink (no driver collect
 bottleneck — measures the distributed plan, not result transfer).
+
+CONTENTION GUARD (round 6): the box this runs on has up-to-3x neighbor
+noise (BASELINE.md), and round 5's 25.7 s reading — the first outside the
+19-25 s band — was attributed to contention by inference only. The suite
+now runs up to SPARK_GRAFT_BENCH_PASSES (default 3) full passes and stops
+as soon as two consecutive pass totals agree within 10%; the reported
+value is the MIN pass total (the plan's cost, not the neighbors'), and
+"conditions" records every pass total, the 1-min load average before and
+after, and whether agreement was reached — so a high reading is
+distinguishable from a noisy one by looking at the artifact alone.
 """
 
 from __future__ import annotations
@@ -66,22 +76,52 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # best-of-N per query: the box this runs on has ±50% contention noise;
-    # min-of-reps measures the plan, not the neighbors
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+    def loadavg() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except OSError:
+            return -1.0
 
-    total = round(sum(timings.values()), 3)
+    def run_pass() -> dict[str, float]:
+        # best-of-N per query: min-of-reps measures the plan, not the
+        # neighbors
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        return timings
+
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    max_passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    load_pre = loadavg()
+    passes: list[dict[str, float]] = []
+    totals: list[float] = []
+    agreed = False
+    for _ in range(max_passes):
+        p = run_pass()
+        passes.append(p)
+        totals.append(round(sum(p.values()), 3))
+        if len(totals) >= 2:
+            a, b = totals[-2], totals[-1]
+            if abs(a - b) / max(min(a, b), 1e-9) <= 0.10:
+                agreed = True
+                break
+    load_post = loadavg()
+
+    # per-query minimum across passes; the reported total is the min PASS
+    # total (a real suite someone observed), not the sum of per-query mins
+    timings = {
+        name: min(p[name] for p in passes) for name in passes[0]
+    }
+    total = min(totals)
     print(
         json.dumps(
             {
@@ -90,6 +130,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "conditions": {
+                    "pass_totals": totals,
+                    "agreed_within_10pct": agreed,
+                    "loadavg_1m_pre": load_pre,
+                    "loadavg_1m_post": load_post,
+                    "reps_per_query": reps,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+                },
             }
         )
     )
