@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 
 from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint, ngrams
 from experimentsplan_datapipeline_spark.operators.curation import portable_hash
-from experimentsplan_datapipeline_spark.operators.util import spread_small_input
+from experimentsplan_datapipeline_spark.operators.util import (
+    pin,
+    spread_small_input,
+)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -556,8 +559,11 @@ def _ranked_gid_sets(
     df: DataFrame, text_col: str, id_col: str, shingle_size: int
 ) -> tuple[DataFrame, DataFrame]:
     """Shared front end of the exact set-join family (jaccard/containment):
-    distinct shingle sets (localCheckpointed — they feed candidate
-    generation AND the final verify), xxhash64 shingle ids, a global
+    distinct shingle sets (pinned via operators/util.py::pin — they feed
+    candidate generation AND the final verify; conf
+    spark.experimentsplan.pin.mode=table swaps the executor-local
+    checkpoint for a durable parquet stage, the cluster-grade option for
+    the heaviest frame in the join), xxhash64 shingle ids, a global
     rarity order (ascending document frequency, gid tiebreak), and the
     per-document arrays sorted by that order.
 
@@ -567,13 +573,11 @@ def _ranked_gid_sets(
     pruning is only sound for documents whose shingles hash injectively
     (see jaccard_prefix_join's collision-locality argument), so a document
     with |id set| < |gram set| raises instead of risking under-recall."""
-    sets = (
-        spread_small_input(df)
-        .select(
+    sets = pin(
+        spread_small_input(df).select(
             F.col(id_col),
             F.array_distinct(ngrams(text_col, shingle_size)).alias("grams"),
         )
-        .localCheckpoint(eager=False)
     )
     tok = sets.select(
         F.col(id_col),

@@ -748,3 +748,58 @@ def test_pin_rejects_unknown_mode(spark):
 
     with _pytest.raises(ValueError, match="unknown pin mode"):
         pin(spark.range(3), mode="cloud")
+
+
+def test_pin_table_mode_end_to_end_operators(spark):
+    """The cluster-grade pinning path is exercised through REAL operators,
+    not just the helper: with spark.experimentsplan.pin.mode=table, the
+    full PageRank ladder (contrib_base, node frame, inter-round rank
+    frames) and the exact-Jaccard front end (_ranked_gid_sets) run their
+    pins through durable parquet stage tables and must produce results
+    identical to local-checkpoint mode."""
+    import tempfile
+
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+    from experimentsplan_datapipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0)], ["src", "dst"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "a b c d e f h"),
+            (3, "x y z w v u t"),
+            (4, "a b c d e f g"),
+        ],
+        ["doc_id", "text"],
+    )
+    local_pr = sorted(
+        (r.node, round(r.pagerank, 12))
+        for r in pagerank(edges, iterations=3).collect()
+    )
+    local_jc = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in jaccard_prefix_join(docs, "text", "doc_id", 2, 0.5).collect()
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.conf.set("spark.experimentsplan.pin.mode", "table")
+        spark.conf.set("spark.experimentsplan.pin.dir", tmp)
+        try:
+            table_pr = sorted(
+                (r.node, round(r.pagerank, 12))
+                for r in pagerank(edges, iterations=3).collect()
+            )
+            table_jc = sorted(
+                (r.id_a, r.id_b, round(r.jaccard, 6))
+                for r in jaccard_prefix_join(
+                    docs, "text", "doc_id", 2, 0.5
+                ).collect()
+            )
+        finally:
+            spark.conf.unset("spark.experimentsplan.pin.mode")
+            spark.conf.unset("spark.experimentsplan.pin.dir")
+    assert table_pr == local_pr
+    assert table_jc == local_jc
