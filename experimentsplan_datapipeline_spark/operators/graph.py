@@ -374,3 +374,77 @@ def copurchase_pairs(
         & (F.greatest(F.col("ba"), F.col("bb")) == F.col("j")),
     )
     return pairs.select("g", "pa", "pb")
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts via DEGREE-ORDERED ORIENTATION
+    (Suri & Vassilvitskii, WWW'11; the GraphX/compact-forward formulation).
+
+    Input edges are treated as UNDIRECTED (direction and duplicates are
+    normalized away; self-loops dropped). Each undirected edge is oriented
+    from its lower-(degree, id) endpoint to the higher one — after which
+    every node's OUT-degree is O(sqrt(m)), so the wedge self-join below
+    emits at most O(m^1.5) candidate wedges regardless of how skewed the
+    raw degree distribution is. A star node with a million neighbors
+    produces ZERO wedges from its own center (all its edges point INTO
+    it), which is exactly the "curse of the last reducer" this
+    orientation exists to kill — the naive neighbors-of-neighbors join
+    would put that node's 10^12 wedges on one task.
+
+    Shape: one distinct + degree aggregation, one orientation join
+    (edges ⋈ degrees, twice, map-side-combinable), one wedge self-join of
+    the oriented edges on their source (each wedge keyed by an ordered
+    (hi1, hi2) pair), and one hash semi-join of wedges against the
+    oriented edge set — every triangle matches exactly once, as the
+    (lowest, middle, highest)-rank traversal. Nothing is broadcast,
+    nothing collects; per-node counts come from one final explode-free
+    union + groupBy. Returns (node, n_triangles) for nodes in >= 1
+    triangle.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    ranked = und.join(da, "a").join(db, "b")
+    ra = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    rb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    oriented = ranked.select(
+        F.when(ra < rb, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(ra < rb, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(ra < rb, rb).otherwise(ra).alias("rhi"),
+    )
+    w1 = oriented.select(
+        F.col("lo"), F.col("hi").alias("v"), F.col("rhi").alias("rv")
+    )
+    w2 = oriented.select(
+        F.col("lo"), F.col("hi").alias("w"), F.col("rhi").alias("rw")
+    )
+    wedges = w1.join(w2, "lo").filter(F.col("rv") < F.col("rw"))
+    closing = oriented.select(
+        F.col("lo").alias("v"), F.col("hi").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select("lo", "v", "w")
+    members = (
+        tri.select(F.col("lo").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

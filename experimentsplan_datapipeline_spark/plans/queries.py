@@ -5450,3 +5450,61 @@ def graph_pagerank_personalized(spark, sf_dir):
         .orderBy(F.col("pagerank").desc(), "part")
         .limit(50)
     )
+
+
+_TRIANGLES_ORACLE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cop AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+deg AS (SELECT node, count(*) AS d FROM (
+          SELECT pa AS node FROM cop UNION ALL SELECT pb FROM cop)
+        GROUP BY node),
+o AS (SELECT CASE WHEN (da.d, pa) < (db.d, pb) THEN pa ELSE pb END AS lo,
+             CASE WHEN (da.d, pa) < (db.d, pb) THEN pb ELSE pa END AS hi,
+             CASE WHEN (da.d, pa) < (db.d, pb) THEN db.d ELSE da.d END AS dhi
+      FROM cop JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb),
+tri AS (
+  SELECT w1.lo AS u, w1.hi AS v, w2.hi AS w
+  FROM o w1 JOIN o w2 ON w1.lo = w2.lo AND (w1.dhi, w1.hi) < (w2.dhi, w2.hi)
+  JOIN o e3 ON e3.lo = w1.hi AND e3.hi = w2.hi),
+members AS (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri)
+SELECT node AS part, count(*) AS n_triangles
+FROM members GROUP BY node
+ORDER BY n_triangles DESC, part LIMIT 50
+"""
+
+
+@register("graph_triangles", _TRIANGLES_ORACLE)
+def graph_triangles(spark, sf_dir):
+    """Exact per-part triangle counts over the co-purchase graph (parts
+    sharing >= 2 orders): how clique-ish each part's basket neighborhood
+    is — the standard cohesion signal next to PageRank's centrality.
+    Degree-ordered orientation (Suri & Vassilvitskii WWW'11) bounds every
+    node's oriented out-degree by O(sqrt(m)) so the wedge join is
+    output-optimal even under hub skew (operators/graph.py::
+    triangle_count). The oracle replays orientation, ordered wedges, and
+    the closing-edge join with row-value comparisons. Top-50 by count,
+    part tiebreak."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        copurchase_pairs,
+        triangle_count,
+    )
+
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cop = (
+        copurchase_pairs(items, "l_orderkey", "l_partkey", n_blocks=1)
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    tc = triangle_count(cop, "pa", "pb")
+    return (
+        tc.select(F.col("node").alias("part"), "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), "part")
+        .limit(50)
+    )

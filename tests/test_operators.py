@@ -803,3 +803,35 @@ def test_pin_table_mode_end_to_end_operators(spark):
             spark.conf.unset("spark.experimentsplan.pin.dir")
     assert table_pr == local_pr
     assert table_jc == local_jc
+
+
+def test_triangle_count_hand_checked(spark):
+    """K4 (mixed directions + duplicate edges) has 4 triangles, every node
+    in 3; a star has none; a triangle with a pendant counts only the
+    triangle's members; self-loops are ignored."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # both dirs
+    out = {
+        r.node: r.n_triangles
+        for r in triangle_count(spark.createDataFrame(k4, ["src", "dst"]))
+        .collect()
+    }
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    star = [(0, i) for i in range(1, 6)] + [(3, 3)]  # + self-loop
+    assert (
+        triangle_count(spark.createDataFrame(star, ["src", "dst"])).count()
+        == 0
+    )
+
+    pendant = [(0, 1), (1, 2), (2, 0), (0, 3), (1, 0)]  # dup reverse edge
+    out_p = {
+        r.node: r.n_triangles
+        for r in triangle_count(
+            spark.createDataFrame(pendant, ["src", "dst"])
+        ).collect()
+    }
+    assert out_p == {0: 1, 1: 1, 2: 1}
