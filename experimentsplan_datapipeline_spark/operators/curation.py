@@ -236,3 +236,55 @@ def profile_columns(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_text_col: str | None = None,
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag training documents that share at
+    least ``min_hits`` distinct word n-grams with an evaluation set — the
+    GPT-3 appendix-C / PaLM 13-gram overlap rule (n is a parameter; the
+    synthetic corpus uses shorter shingles). Returns every train row plus
+    ``n_overlap`` (distinct shared n-grams) and ``contaminated``; dropping
+    is a downstream ``filter(~contaminated)``, keeping removal counts
+    observable — same reporting-before-dropping contract as
+    dq_expectations and decode_ok.
+
+    Scale shape: the eval side reduces to DISTINCT n-gram strings — for a
+    real benchmark suite that is a few million short strings, which the
+    planner broadcasts (or hash-joins if it ever isn't small); the train
+    side explodes to distinct (doc, gram) pairs and semi-joins — one
+    shuffle keyed on the gram, one map-side-combinable per-doc count, one
+    O(|train|) left join. The train corpus itself never broadcasts and
+    never self-joins, so the op is linear in corpus n-grams at any scale.
+    """
+    from experimentsplan_datapipeline_spark.functions.text import ngrams
+
+    eg = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(ngrams(eval_text_col or text_col, n))
+            ).alias("g")
+        )
+        .distinct()
+    )
+    tg = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams(text_col, n))).alias("g"),
+    )
+    hits = tg.join(eg, "g").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return train.join(hits, id_col, "left").select(
+        *[F.col(c) for c in train.columns],
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_hits).alias(
+            "contaminated"
+        ),
+    )

@@ -448,3 +448,60 @@ def triangle_count(
     return members.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. 2007)
+    with a FIXED round count, unrolled like ``pagerank``.
+
+    Every node starts labeled with its own id; each round, every node
+    adopts the most frequent label among its IN-neighbors, ties broken by
+    the smallest label — the deterministic variant of LPA's random
+    tie-break, so repeated runs (and the SQL oracle's unrolled CTE ladder)
+    agree exactly. Nodes with no in-edges keep their current label via the
+    left join (same node-universe rule as pagerank).
+
+    Per round: one shuffle join of the pinned edge frame with the O(|V|)
+    label frame, one map-side-combinable groupBy(dst, label) count, one
+    ``max_by(label, (count, -label))`` per-dst aggregation (a single
+    combine-capable pass — no window sort), and one O(|V|) left join back
+    onto the node universe. Labels are node ids, so frame width never
+    grows. Returns (node, label); nodes sharing a label after k rounds are
+    within distance k of a common attractor — the cheap community signal
+    next to exact connected components (resolve_duplicate_clusters).
+    """
+    e = pin(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    nodes = pin(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for k in range(iterations):
+        if k > 0:
+            labels = pin(labels)
+        counts = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = counts.groupBy("dst").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("new_label")
+        )
+        labels = (
+            labels.join(top, labels["node"] == top["dst"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+    return labels

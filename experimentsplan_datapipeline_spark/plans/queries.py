@@ -5508,3 +5508,111 @@ def graph_triangles(spark, sf_dir):
         .orderBy(F.col("n_triangles").desc(), "part")
         .limit(50)
     )
+
+
+_LPA_ORACLE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cop AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT pa AS src, pb AS dst FROM cop
+          UNION ALL SELECT pb, pa FROM cop),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes),
+c1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+       FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+t1 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY c DESC, label) AS rn
+         FROM c1) WHERE rn = 1),
+l1 AS (SELECT n.node, coalesce(t1.label, n.node) AS label
+       FROM nodes n LEFT JOIN t1 USING (node)),
+c2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+       FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+t2 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY c DESC, label) AS rn
+         FROM c2) WHERE rn = 1),
+l2 AS (SELECT n.node, coalesce(t2.label, n.node) AS label
+       FROM nodes n LEFT JOIN t2 USING (node))
+SELECT label AS community, count(*) AS size
+FROM l2 GROUP BY label ORDER BY size DESC, community LIMIT 50
+"""
+
+
+@register("graph_communities", _LPA_ORACLE)
+def graph_communities(spark, sf_dir):
+    """Community sizes from two rounds of deterministic synchronous label
+    propagation over the co-purchase graph (most-frequent neighbor label,
+    smallest-label tie-break — operators/graph.py::label_propagation).
+    The oracle replays both rounds as CTEs with a row_number top-1 where
+    Spark uses a single-pass max_by aggregation. Top-50 communities by
+    size, label tiebreak."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        copurchase_pairs,
+        label_propagation,
+    )
+
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cop = (
+        copurchase_pairs(items, "l_orderkey", "l_partkey", n_blocks=1)
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    edges = cop.selectExpr("pa AS src", "pb AS dst").unionByName(
+        cop.selectExpr("pb AS src", "pa AS dst")
+    )
+    lp = label_propagation(edges, iterations=2)
+    return (
+        lp.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(50)
+    )
+
+
+_DECONTAM_SHINGLE5 = (
+    "list_transform(range(1, greatest(len(t) - 4, 0) + 1), "
+    "i -> array_to_string(t[i:i+4], ' '))"
+)
+
+_DECONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents),
+grams AS (SELECT doc_id, list_distinct({_DECONTAM_SHINGLE5}) AS gr FROM toks),
+eg AS (SELECT DISTINCT unnest(gr) AS g FROM grams WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, unnest(gr) AS g FROM grams WHERE doc_id % 97 <> 0),
+hits AS (SELECT doc_id, count(*) AS n_overlap
+         FROM tr JOIN eg USING (g) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_overlap, 0) AS n_overlap,
+       coalesce(h.n_overlap, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+@register("curate_decontaminate", _DECONTAM_ORACLE)
+def curate_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/PaLM n-gram overlap rule):
+    documents with doc_id % 97 = 0 play the held-out benchmark; every
+    other document is flagged with its count of distinct 5-gram overlaps
+    against that set (operators/curation.py::decontaminate). Reporting
+    before dropping: all train rows come back with n_overlap and the
+    contaminated flag; removal is a downstream filter."""
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        decontaminate,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = decontaminate(train, eval_df, "text", "doc_id", n=5)
+    return out.select("doc_id", "n_overlap", "contaminated")

@@ -835,3 +835,68 @@ def test_triangle_count_hand_checked(spark):
         ).collect()
     }
     assert out_p == {0: 1, 1: 1, 2: 1}
+
+
+def test_label_propagation_hand_checked(spark):
+    """Two triangles bridged by one edge, deterministic min-label
+    tie-breaks traced by hand for both rounds; plus: a node with no
+    in-edges keeps its own label, and a rerun is bit-identical."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    # round 1 (all neighbor counts 1 -> min label): {0:1, 1:0, 2:0, 3:2,
+    # 4:3, 5:3}; round 2: 0 sees {0,0}->0; 1 sees {1,0}->0; 2 sees
+    # {1,0,2}->0; 3 sees {0,3,3}->3; 4 sees {2,3}->2; 5 sees {2,3}->2
+    want = {0: 0, 1: 0, 2: 0, 3: 3, 4: 2, 5: 2}
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, iterations=2).collect()
+    }
+    assert got == want
+    again = {
+        r.node: r.label
+        for r in label_propagation(edges, iterations=2).collect()
+    }
+    assert again == got
+
+    chain = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    out = {
+        r.node: r.label
+        for r in label_propagation(chain, iterations=3).collect()
+    }
+    assert out == {0: 0, 1: 0}  # source keeps its label; sink adopts it
+
+
+def test_decontaminate_flags_overlap(spark):
+    """The 5-gram overlap rule: a train doc sharing a 5-gram with the
+    eval set is flagged with the distinct-overlap count; disjoint docs
+    come back with n_overlap=0 (reporting before dropping — every train
+    row survives)."""
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        decontaminate,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(100, "a b c d e f")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x b c d e f g"),  # shares exactly "b c d e f"
+            (2, "q r s t u v w"),  # disjoint
+            (3, "a b c d e f"),    # identical: shares both eval 5-grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in decontaminate(train, eval_df, "text", "doc_id", n=5).collect()
+    }
+    assert out[1] == (1, True)   # "b c d e f" only
+    assert out[2] == (0, False)
+    assert out[3] == (2, True)   # "a b c d e" and "b c d e f"
+    assert len(out) == 3
