@@ -41,6 +41,12 @@ HEAVY = [
     # per-order basket sizes constant, so edges scale ~10x and the probe
     # measures the build + 3 unrolled rounds end-to-end
     "graph_pagerank",
+    # round 6: triangle counting's wedge join is the registry's only
+    # O(m^1.5) bound — the probe checks the orientation really keeps it
+    # near-linear when the edge set grows 10x; LPA rides the same edge
+    # build with two join+top1 rounds
+    "graph_triangles",
+    "graph_communities",
 ]
 
 

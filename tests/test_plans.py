@@ -274,3 +274,42 @@ class TestRound5PlanShapes:
         # the bound-check must not add a second pass over orders
         plan = _plan(spark, "approx_distinct")
         assert plan.count("Scan parquet") == 1
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+class TestRound6PlanShapes:
+    def test_triangle_count_no_cartesian_no_window(self, spark):
+        """The wedge join and closing join are equi-joins keyed by the
+        oriented cell — no cartesian anywhere, and the per-node count is
+        a plain aggregation (no window sort)."""
+        plan = _plan(spark, "graph_triangles")
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
+
+    def test_communities_single_pass_top1_no_window(self, spark):
+        """label_propagation's per-node top-1 is a max_by AGGREGATION
+        (map-side combinable) — the plan must contain no Window operator,
+        where the naive row_number-over-partition formulation (what the
+        oracle uses) would sort every (node, label) group."""
+        plan = _plan(spark, "graph_communities")
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "max_by" in plan or "HashAggregate" in plan
+
+    def test_personalized_pagerank_pinned_like_plain(self, spark):
+        """Personalized PR reuses the pinned ladder: the co-purchase build
+        runs once in the checkpoint's own job — no lineitem scan in the
+        final plan — and the only nested-loop joins are single-row
+        broadcasts (|S|, dangling)."""
+        plan = _plan(spark, "graph_pagerank_personalized")
+        assert "Scan ExistingRDD" in plan
+        assert "lineitem" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_decontaminate_no_corpus_broadcast(self, spark):
+        """The train corpus must never be a broadcast build side; the only
+        join on the gram key is an equi-join, and the final attach is a
+        left join keyed on doc_id."""
+        plan = _plan(spark, "curate_decontaminate")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
