@@ -208,11 +208,13 @@ def pagerank_until(
         rounds = k + 1
         if rounds % check_every == 0 or rounds == max_iter:
             prev = pr.select(F.col("node"), F.col("val").alias("prev"))
-            delta = (
+            row = (
                 new_pr.join(prev, "node")
                 .agg(F.max(F.abs(F.col("val") - F.col("prev"))).alias("d"))
-                .first()["d"]
+                .first()
             )
+            # empty graph -> empty rank frame -> null max: converged trivially
+            delta = row["d"] if row["d"] is not None else 0.0
             pr = new_pr
             if delta < tol:
                 break

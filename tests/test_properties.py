@@ -432,3 +432,71 @@ def test_containment_join_matches_bruteforce(spark, seed):
     # every planted (k, 24+k) inclusion must be found at containment ~1.0
     for k in range(6):
         assert (k, 24 + k) in got and got[(k, 24 + k)] >= 0.9
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@SLOW
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """triangle_count (degree-ordered orientation) equals the O(n^3)
+    brute-force per-node triangle count on random directed multigraphs —
+    duplicates, reversed edges, and self-loops included."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if v not in adj[u]:
+                continue
+            for w in nodes:
+                if w > v and w in adj[u] and w in adj[v]:
+                    for m in (u, v, w):
+                        want[m] = want.get(m, 0) + 1
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_count(
+            spark.createDataFrame(edges, ["src", "dst"])
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    ),
+    m=st.sampled_from([2, 3, 5, 8]),
+)
+@SLOW
+def test_copurchase_pairs_blocked_property(spark, rows, m):
+    """For ANY group/item multiset and block count, the triangle-blocked
+    pair generation emits exactly the plain self-join's pair set."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        copurchase_pairs,
+    )
+
+    items = spark.createDataFrame(rows, ["g", "i"])
+    plain = sorted(
+        (r.g, r.pa, r.pb)
+        for r in copurchase_pairs(items, "g", "i", n_blocks=1).collect()
+    )
+    blocked = sorted(
+        (r.g, r.pa, r.pb)
+        for r in copurchase_pairs(items, "g", "i", n_blocks=m).collect()
+    )
+    assert blocked == plain
