@@ -5616,3 +5616,46 @@ def curate_decontaminate(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 97 != 0)
     out = decontaminate(train, eval_df, "text", "doc_id", n=5)
     return out.select("doc_id", "n_overlap", "contaminated")
+
+
+@register("compact_zorder_box", """
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+WHERE (user_id % 256) BETWEEN 32 AND 95
+  AND (event_id % 256) BETWEEN 100 AND 199
+GROUP BY event_type
+""")
+def compact_zorder_box(spark, sf_dir):
+    """Layout-maintenance round trip: events rewritten once through the
+    compact_zorder sink (Morton-clustered on user/event buckets — the
+    Delta/Iceberg OPTIMIZE ZORDER pass as a plain write,
+    sources/sinks.py::compact_zorder), then a 2-D box predicate + group
+    aggregate runs against the compacted files. The oracle computes the
+    same box on the original table: values matching proves the rewrite is
+    content-preserving; the envelope-tightness property (what makes the
+    box scan prune row groups at 100 TB) is pinned by
+    tests/test_sources_and_pipeline.py::test_compact_zorder."""
+    from experimentsplan_datapipeline_spark.sources.sinks import (
+        compact_zorder,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    out = os.path.join(os.getcwd(), "spark-warehouse", f"_compact_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = (
+            t(spark, sf_dir, "events")
+            .withColumn("u", F.pmod("user_id", F.lit(256)))
+            .withColumn("e", F.pmod("event_id", F.lit(256)))
+        )
+        compact_zorder(ev, out, "u", "e", n_files=8)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("u").between(32, 95) & F.col("e").between(100, 199))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

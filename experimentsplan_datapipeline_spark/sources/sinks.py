@@ -225,3 +225,40 @@ def write_binary_files(
                 f.write(bytes(r[content_col]))
 
     df.select(name_col, content_col).foreachPartition(write_partition)
+
+
+def compact_zorder(
+    df: DataFrame,
+    out_path: str,
+    x_col,
+    y_col,
+    n_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Compaction + multi-dimensional clustering sink: rewrite a dataset
+    into ``n_files`` parquet files ordered by the Morton (Z-order) key of
+    two integer dimensions (``operators/util.py::zorder_key``).
+
+    Why it matters at 100 TB: a small-file-ridden or insert-ordered table
+    answers a 2-D box predicate (user range x time range) by scanning
+    almost every row group, because each file's min/max stats straddle the
+    whole domain of at least one column. Range-partitioning + sorting by
+    the interleaved key gives EVERY file a tight min/max envelope in BOTH
+    columns at once — the parquet reader then prunes row groups on either
+    predicate. This is the Delta/Iceberg `OPTIMIZE ZORDER BY` maintenance
+    pass as a plain DataFrame write: one range shuffle (sampled
+    boundaries, balanced output files) + an in-partition sort, no driver
+    collect. ``x_col``/``y_col`` must already be reduced to ``bits`` bits
+    (mask or bucketize first — zorder_key's contract); the temporary key
+    column never reaches the files.
+    """
+    from experimentsplan_datapipeline_spark.operators.util import zorder_key
+
+    keyed = df.withColumn("__z", zorder_key(x_col, y_col, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

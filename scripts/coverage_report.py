@@ -127,8 +127,9 @@ EXTENSIONS: dict[str, list[str]] = {
         "graph_triangles",
         "graph_communities",
     ],
-    "Corpus hygiene (round 6)": [
+    "Corpus hygiene & layout maintenance (round 6)": [
         "curate_decontaminate",
+        "compact_zorder_box",
     ],
 }
 

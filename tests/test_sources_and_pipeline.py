@@ -240,3 +240,48 @@ def test_write_binary_files_uri_destination(spark, tmp_path):
     out = tmp_path / "imgs_uri"
     write_binary_files(df, f"file://{out}")
     assert (out / "x.bin").read_bytes() == b"xyz"
+
+
+def test_compact_zorder_tight_envelopes_and_content(spark, tmp_path):
+    """compact_zorder: (a) content survives the rewrite bit-for-bit,
+    (b) every output file gets a tight min/max envelope in BOTH clustered
+    dimensions — the sum of per-file 2-D envelope areas must be a small
+    fraction of what insert-ordered files cover (that envelope is exactly
+    what parquet row-group pruning uses for box predicates)."""
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.sources.sinks import (
+        compact_zorder,
+    )
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("u", F.pmod("user_id", F.lit(256)))
+        .withColumn("e", F.pmod("event_id", F.lit(256)))
+    )
+    zpath = str(tmp_path / "zorder")
+    bpath = str(tmp_path / "baseline")
+    compact_zorder(df, zpath, "u", "e", n_files=8)
+    df.repartition(8).write.mode("overwrite").parquet(bpath)
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == df.count()
+    hash_of = lambda d: d.agg(  # noqa: E731
+        F.sum(F.crc32(F.concat_ws("|", "event_id", "user_id", "event_type")))
+    ).first()[0]
+    assert hash_of(back) == hash_of(df)
+
+    def envelope_area_sum(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("u") - F.min("u") + 1).alias("du"),
+                (F.max("e") - F.min("e") + 1).alias("de"),
+            )
+        )
+        return per_file.agg(F.sum(F.col("du") * F.col("de"))).first()[0]
+
+    z_area = envelope_area_sum(zpath)
+    b_area = envelope_area_sum(bpath)
+    assert z_area < b_area / 4, (z_area, b_area)
