@@ -285,3 +285,56 @@ def test_compact_zorder_tight_envelopes_and_content(spark, tmp_path):
     z_area = envelope_area_sum(zpath)
     b_area = envelope_area_sum(bpath)
     assert z_area < b_area / 4, (z_area, b_area)
+
+
+def test_quantile_bucket_equal_frequency_on_skew(spark):
+    """quantile_bucket: a heavily skewed (exponential-ish) column spreads
+    ~uniformly over 2^bits buckets (equal frequency, not equal width),
+    bucket ids are monotone in the value, nulls land in bucket 0, and the
+    full pipeline quantile_bucket -> zorder_key -> compact_zorder keeps
+    envelopes tight on data where raw masking could not."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.operators.util import (
+        quantile_bucket,
+        zorder_key,
+    )
+    from experimentsplan_datapipeline_spark.sources.sinks import (
+        compact_zorder,
+    )
+
+    # skewed: value ~ i^3 concentrates mass near 0 in equal-width terms
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") ** 3).cast("double").alias("v")
+    )
+    b = quantile_bucket(df, "v", bits=4)
+    bucketed = df.withColumn("b", b)
+    counts = {r.b: r.c for r in bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert set(counts) == set(range(16))
+    assert max(counts.values()) < 2 * min(counts.values())  # ~equal freq
+    # monotone: bucket of a larger value never decreases
+    two = bucketed.orderBy("v").select("b").collect()
+    bs = [r.b for r in two]
+    assert bs == sorted(bs)
+    # nulls -> bucket 0
+    with_null = spark.createDataFrame(
+        [(None,), (1.0,)], "v double"
+    ).withColumn("b", quantile_bucket(df, "v", bits=4))
+    assert {r.b for r in with_null.collect() if r.v is None} == {0}
+    # end-to-end: bucketized dims feed zorder compaction
+    dims = df.withColumn("x", quantile_bucket(df, "v", bits=4)).withColumn(
+        "y", F.pmod(F.col("id"), F.lit(16))
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        compact_zorder(dims, tmp + "/z", "x", "y", n_files=4, bits=4)
+        back = spark.read.parquet(tmp + "/z")
+        assert back.count() == 4000
+        per_file = back.groupBy(F.input_file_name()).agg(
+            (F.max("x") - F.min("x") + 1).alias("dx"),
+            (F.max("y") - F.min("y") + 1).alias("dy"),
+        )
+        area = per_file.agg(F.sum(F.col("dx") * F.col("dy"))).first()[0]
+        assert area < 4 * 16 * 16 / 2  # files cover < half the domain each
