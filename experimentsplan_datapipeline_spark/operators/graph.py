@@ -249,7 +249,7 @@ def pagerank_personalized(
     The predicate must select at least one node of the graph (an empty
     restart set has no defined teleport distribution — ranks come back
     null). Same fixed unroll + per-round pinning as ``pagerank``; the SQL
-    oracle replays the ladder with the identical CASE/NULLIF arithmetic.
+    oracle replays the ladder with the identical CASE arithmetic.
     """
     nodes, n_frame, contrib_base, out_srcs, share = _prepare(
         edges, src_col, dst_col, weight_col
@@ -293,7 +293,7 @@ def copurchase_pairs(
     (a, b) with a < b of distinct items in g, one output row per
     OCCURRENCE (downstream groupBy(pa, pb) counts support).
 
-    The naive form — ``items ⅹ items ON same group AND a < b`` — shuffles
+    The naive form — ``items x items ON same group AND a < b`` — shuffles
     on the group key alone, so ONE mega-group with k items lands its whole
     k² pair expansion on one task (AQE skew-join can split a skewed
     partition's input rows, but every pair of this group still forms in
@@ -306,11 +306,11 @@ def copurchase_pairs(
     exactly the cells whose {i, j} ⊆ {bx, by} — the canonical-cell filter
     ``(least(bx,by), greatest(bx,by)) == (i, j)`` keeps it exactly once.
     Every cell is an independent shuffle key, so the mega-group's k² work
-    spreads over m(m+1)/2 tasks at the cost of mⅹ replication of the input
+    spreads over m(m+1)/2 tasks at the cost of m-fold replication of the input
     rows — EXACT, no sampling, no cap.
 
     ``n_blocks=1`` degenerates to the plain self-join (one cell). Pick m
-    so that (max basket size ⅹ 2/m)² pairs fit a task — m=8 turns a
+    so that (max basket size * 2/m)^2 pairs fit a task — m=8 turns a
     5 000-item basket into 36 cells of ~1.5M candidates each.
     """
     it = items.select(
