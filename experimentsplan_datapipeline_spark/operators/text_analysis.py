@@ -335,6 +335,104 @@ def token_entropy_profile(
     )
 
 
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_pred: F.Column,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020): train a
+    bigram stupid-backoff model (Brants et al. 2007) on the rows where
+    ``train_pred`` holds, then score EVERY document's mean per-transition
+    negative log-likelihood. High-perplexity docs are the ones the training
+    distribution finds surprising — the standard cheap LM filter a corpus
+    runs after the rule-based (Gopher) tier and before anything neural.
+
+    Scoring convention (mirrored exactly by the SQL oracle):
+      p(w2 | w1) = cb(w1,w2) / cu(w1)        if the bigram was seen in train
+                 = alpha * cu(w2) / T        else if w2 was seen in train
+                 = alpha / T                 else (OOV floor)
+    where cb/cu are train bigram/unigram counts and T total train tokens.
+    Stupid backoff is a SCORE, not a normalized distribution — that is the
+    point: no discounting pass, so training is two counting aggregations
+    that map-side combine, which is what survives a 100 TB corpus (Brants
+    et al. trained on 2T tokens this way).
+
+    Scale shape: per-doc transition counts groupBy(doc, w1, w2) shuffle the
+    corpus once; train bigram counts REUSE that aggregate (filter + regroup
+    of the already-collapsed frame, never a second corpus scan). The seen-
+    bigram probability is folded into a single model table (w1, w2, pb) at
+    vocab scale, so scoring is two shuffle joins of the collapsed doc-
+    transition frame (model on (w1,w2), unigrams on w2) — both vocab-keyed,
+    neither broadcast (a 100 TB corpus's bigram vocab outgrows any
+    broadcast); stopword-pair hot keys are probe-side skew against
+    single-row build keys, which AQE skew-join splits. T rides in-plan as a
+    single-row broadcast. Returns (id, n_trans, avg_nll, ppl) for docs with
+    >= 1 transition; ppl = exp(avg_nll).
+    """
+    toks = spread_small_input(df).select(
+        F.col(id_col),
+        train_pred.alias("__train"),
+        F.filter(_tokens(text_col), lambda t: t != "").alias("__toks"),
+    )
+    n = F.size("__toks")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at("__toks", i).alias("w1"),
+                F.element_at("__toks", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_trans = (
+        toks.select(F.col(id_col), "__train", F.explode(bigrams).alias("b"))
+        .select(F.col(id_col), "__train", F.col("b.w1"), F.col("b.w2"))
+        .groupBy(id_col, "__train", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = (
+        toks.filter(F.col("__train"))
+        .select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").cast("double").alias("__t"))
+    big = (
+        doc_trans.filter(F.col("__train"))
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").alias("cb"))
+    )
+    # seen-bigram probability precomputed at vocab scale: one scoring join
+    # on (w1, w2) instead of separate cb and cu(w1) joins
+    model = big.join(
+        uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1"
+    ).select("w1", "w2", (F.col("cb") / F.col("cu1")).alias("pb"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
+    p = (
+        F.when(F.col("pb").isNotNull(), F.col("pb"))
+        .when(
+            F.col("cu2").isNotNull(),
+            F.lit(alpha) * F.col("cu2") / F.col("__t"),
+        )
+        .otherwise(F.lit(alpha) / F.col("__t"))
+    )
+    scored = (
+        doc_trans.join(model, ["w1", "w2"], "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), "c", (F.col("c") * -F.log(p)).alias("__nll"))
+    )
+    nll = F.sum("__nll") / F.sum("c")
+    return scored.groupBy(id_col).agg(
+        F.sum("c").alias("n_trans"),
+        F.round(nll, 6).alias("avg_nll"),
+        F.round(F.exp(nll), 6).alias("ppl"),
+    )
+
+
 def repetition_signals(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -5659,3 +5659,59 @@ def compact_zorder_box(spark, sf_dir):
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+@register("text_lm_perplexity", """
+WITH toks AS (
+  SELECT doc_id,
+         substr(md5(doc_id::VARCHAR), 1, 1) <= '7' AS train,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+trans AS (
+  SELECT doc_id, train, u.b.w1 AS w1, u.b.w2 AS w2, count(*) AS c
+  FROM toks t,
+       UNNEST(list_transform(generate_series(1, len(t.w) - 1),
+                             i -> {'w1': t.w[i], 'w2': t.w[i+1]})) AS u(b)
+  GROUP BY ALL
+),
+uni AS (
+  SELECT u.w AS w, count(*) AS cu
+  FROM toks t, UNNEST(t.w) AS u(w) WHERE t.train GROUP BY u.w
+),
+tot AS (SELECT sum(cu)::DOUBLE AS t FROM uni),
+big AS (SELECT w1, w2, sum(c) AS cb FROM trans WHERE train GROUP BY w1, w2),
+scored AS (
+  SELECT tr.doc_id, tr.c,
+         CASE WHEN b.cb IS NOT NULL THEN b.cb / u1.cu
+              WHEN u2.cu IS NOT NULL THEN 0.4 * u2.cu / tot.t
+              ELSE 0.4 / tot.t END AS p
+  FROM trans tr
+  LEFT JOIN big b ON tr.w1 = b.w1 AND tr.w2 = b.w2
+  LEFT JOIN uni u1 ON tr.w1 = u1.w
+  LEFT JOIN uni u2 ON tr.w2 = u2.w
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       sum(c)::BIGINT AS n_trans,
+       round(sum(c * -ln(p)) / sum(c), 6) AS avg_nll,
+       round(exp(sum(c * -ln(p)) / sum(c)), 6) AS ppl
+FROM scored GROUP BY doc_id
+""")
+def text_lm_perplexity(spark, sf_dir):
+    """CCNet-shaped LM quality filter: a bigram stupid-backoff model
+    trained on the md5-half of the corpus (deterministic, engine-portable
+    split) scores every document's mean transition NLL + perplexity
+    (operators/text_analysis.py::lm_perplexity). The backoff/OOV branches
+    are the live code path for any doc whose bigrams never occur in the
+    train half."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        lm_perplexity,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    train = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "7"
+    )
+    return lm_perplexity(docs, "doc_id", "text", train_pred=train)

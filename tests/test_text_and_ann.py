@@ -668,3 +668,35 @@ def test_ivf_trained_deterministic_across_partitionings(spark):
                           "embedding", k=5, centroids=c2).collect()
     )
     assert r1 == r2 and r1
+
+
+def test_lm_perplexity_hand_computed(spark):
+    import math
+
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        lm_perplexity,
+    )
+
+    # train half: "a b a" -> unigrams a:2 b:1 (T=3); bigrams (a,b):1 (b,a):1
+    df = spark.createDataFrame(
+        [(1, "a b a", True), (2, "a b c", False), (3, "c a", False),
+         (4, "z", False)],
+        ["id", "txt", "is_train"],
+    )
+    rows = {
+        r.id: r
+        for r in lm_perplexity(df, "id", "txt", F.col("is_train")).collect()
+    }
+    # doc 2: (a,b) seen -> 1/2; (b,c) OOV -> 0.4/3
+    want2 = (-math.log(0.5) - math.log(0.4 / 3)) / 2
+    assert rows[2].avg_nll == round(want2, 6)
+    assert rows[2].ppl == round(math.exp(want2), 6)
+    assert rows[2].n_trans == 2
+    # doc 3: (c,a) unseen bigram, a in train -> backoff 0.4*2/3
+    want3 = -math.log(0.4 * 2 / 3)
+    assert rows[3].avg_nll == round(want3, 6)
+    # doc 1 scores itself: (a,b) -> 1/2, (b,a) -> 1/1
+    want1 = (-math.log(0.5) - math.log(1.0)) / 2
+    assert rows[1].avg_nll == round(want1, 6)
+    # doc 4 has no transitions -> absent
+    assert 4 not in rows
