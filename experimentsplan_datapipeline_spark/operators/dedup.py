@@ -816,3 +816,157 @@ def containment_prefix_join(
         "id_outer",
         F.round(containment, 6).alias("containment"),
     ).filter(F.col("containment") >= threshold)
+
+
+def editdist_prefix_join(
+    df: DataFrame, str_col: str, id_col: str,
+    q: int = 2, max_dist: int = 2,
+) -> DataFrame:
+    """EXACT edit-distance similarity self-join (Ed-Join family, Xiao et
+    al., VLDB'08): all unordered pairs with levenshtein <= ``max_dist``,
+    100% recall, never an all-pairs product. The record-linkage /
+    fuzzy-key-dedup primitive (near-identical product names, OCR'd titles,
+    typo'd join keys) that a corpus pipeline runs where exact-key joins
+    stop matching.
+
+    Candidate generation is q-gram prefix filtering, sound by a set-based
+    count bound: one edit operation rewrites at most ``q`` sliding windows,
+    so it removes at most q DISTINCT gram values from a string's gram set;
+    d edits remove at most q*d, hence ed(a,b) <= d implies
+    |set(Ga) n set(Gb)| >= max(|Ga|,|Gb|) - q*d. Three consequences drive
+    the plan (each loses no true pair):
+
+    - prefix filter: with grams globally ordered rarest-first (ascending
+      document frequency, gram tiebreak), a qualifying pair shares a gram
+      within the first min(|G|, q*d+1) grams of both sides — so the
+      candidate join is an equi-join on prefix grams, bucket sizes kept
+      small by rarity ordering exactly where frequency-blind bucketing
+      explodes;
+    - length filter: abs(len_a - len_b) <= d rides in the join condition;
+    - fused count filter: every prefix row carries its full sorted gram
+      array (strings are short relative to documents, so this is cheaper
+      than the re-join it avoids — same fusion argument as
+      jaccard_prefix_join), and the join verifies
+      |intersect| >= greatest(|Ga|,|Gb|) - q*d inline, killing almost all
+      false candidates before they reach a shuffle. Grams join as raw
+      q-char strings — no hashing, so no collision guard is needed.
+
+    Strings too short for the bound to bite (fewer than q*d+1 grams, i.e.
+    len <= q*d+q-1, including len < q which has no grams at all) pair
+    through a LENGTH-BAND route instead: each such string emits its
+    candidate partner lengths len..len+d, and the equi-join on
+    (band = partner len) meets every other short string within distance d
+    in either direction. Within one length bucket this is all-pairs —
+    inherent for gram-free strings, and bounded: the bucket holds only
+    DISTINCT strings shorter than q*d+q characters, a vocab-bounded set
+    (alphabet^(q*d+q-1) worst case, tiny in practice) independent of corpus
+    row count. Mixed short/long pairs stay with the gram route: the longer
+    side has |G| > q*d, so the pair must share >= |G_long| - q*d >= 1
+    grams, the short side indexes its FULL gram set, and the prefix lemma
+    applies with the long side's standard q*d+1 prefix.
+
+    Both routes' candidates are unioned, deduped, and verified with the
+    JVM codegen ``levenshtein`` — the only place edit distance is actually
+    computed; everything before it is filters on lengths and gram arrays.
+    Output: (id_a, id_b, dist) with id_a < id_b, one row per within-
+    threshold pair.
+    """
+    d = max_dist
+    base = spread_small_input(df).select(
+        F.col(id_col),
+        F.col(str_col).alias("__s"),
+        F.length(str_col).alias("len"),
+    )
+    ng = F.greatest(F.col("len") - q + 1, F.lit(0))
+    grams = base.select(
+        id_col, "len",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), ng),
+                lambda i: F.substring(F.col("__s"), i, F.lit(q)),
+            )
+        ).alias("gs"),
+    )
+    # rarity order: ascending doc frequency, gram tiebreak — a global
+    # |gram-vocab|-row table, map-side combinable
+    dfreq = grams.select(id_col, F.explode("gs").alias("g")).groupBy(
+        "g"
+    ).agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        grams.select(id_col, "len", F.explode("gs").alias("g"))
+        .join(dfreq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.first("len").alias("n_len"),
+            F.array_sort(F.collect_list(F.struct("df", "g"))).alias("sg"),
+        )
+        .select(
+            id_col,
+            "n_len",
+            F.transform("sg", lambda s: s["g"]).alias("gs"),
+        )
+    )
+    nset = F.size("gs")
+    plen = F.least(nset, F.lit(q * d + 1))
+    pref = ranked.select(
+        F.col(id_col),
+        F.col("n_len"),
+        F.col("gs"),
+        F.explode(F.slice("gs", F.lit(1), plen)).alias("g"),
+    )
+    # prefix frames are corpus-sized after the explode and carry gram
+    # arrays — size estimates lie, a guessed broadcast OOMs at scale
+    a = pref.hint("merge").alias("a")
+    b = pref.hint("merge").alias("b")
+    count_need = F.greatest(
+        F.size(F.col("a.gs")), F.size(F.col("b.gs"))
+    ) - F.lit(q * d)
+    inter = F.size(F.array_intersect(F.col("a.gs"), F.col("b.gs")))
+    cand_gram = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (
+            F.abs(F.col("a.n_len") - F.col("b.n_len")) <= d
+        )
+        & (inter >= count_need),  # fused count filter (vacuous when <= 0)
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    shorts = base.filter(F.col("len") <= q * d + q - 1)
+    sa = shorts.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("len"), F.col("len") + d)
+        ).alias("band"),
+    ).alias("sa")
+    sb = shorts.select(F.col(id_col), F.col("len")).alias("sb")
+    # bands only cover partner lengths >= own length, so the pair
+    # orientation must come AFTER the join (least/greatest), not inside it
+    # — an in-join id order would lose pairs where the shorter string has
+    # the larger id. distinct() below absorbs the double hit at equal
+    # lengths.
+    cand_short = sa.join(
+        sb,
+        (F.col("sa.band") == F.col("sb.len"))
+        & (F.col(f"sa.{id_col}") != F.col(f"sb.{id_col}")),
+    ).select(
+        F.least(F.col(f"sa.{id_col}"), F.col(f"sb.{id_col}")).alias("id_a"),
+        F.greatest(
+            F.col(f"sa.{id_col}"), F.col(f"sb.{id_col}")
+        ).alias("id_b"),
+    )
+    cand = cand_gram.unionByName(cand_short).distinct()
+    x = base.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
+    y = base.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__sa", "__sb").alias("dist"),
+        )
+        .filter(F.col("dist") <= d)
+    )

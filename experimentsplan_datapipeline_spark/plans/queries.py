@@ -5715,3 +5715,32 @@ def text_lm_perplexity(spark, sf_dir):
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "7"
     )
     return lm_perplexity(docs, "doc_id", "text", train_pred=train)
+
+
+@register("fuzzy_join_editdist", """
+WITH u AS (
+  SELECT p_name, min(p_partkey) AS pid FROM part GROUP BY p_name
+)
+SELECT a.pid AS id_a, b.pid AS id_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM u a JOIN u b ON a.pid < b.pid
+WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+""")
+def fuzzy_join_editdist(spark, sf_dir):
+    """Record-linkage fuzzy key join: all distinct part-name pairs within
+    edit distance 2, via the exact Ed-Join q-gram prefix filter
+    (operators/dedup.py::editdist_prefix_join) — candidate equi-join on
+    rarity-ordered gram prefixes + fused count/length filters, levenshtein
+    computed only on survivors. The oracle is the all-pairs definition the
+    operator must exactly reproduce."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        editdist_prefix_join,
+    )
+
+    u = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("pid"))
+    )
+    return editdist_prefix_join(u, "p_name", "pid", q=2, max_dist=2)

@@ -700,3 +700,87 @@ def test_lm_perplexity_hand_computed(spark):
     assert rows[1].avg_nll == round(want1, 6)
     # doc 4 has no transitions -> absent
     assert 4 not in rows
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def test_editdist_join_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        editdist_prefix_join,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcde"
+    strs = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+            for _ in range(40)]
+    for s in list(strs)[:20]:
+        t = list(s)
+        for _ in range(rng.randint(1, 2)):
+            op, pos = rng.choice("ids"), rng.randint(0, max(len(t) - 1, 0))
+            if op == "i":
+                t.insert(pos, rng.choice(alpha))
+            elif t and op == "d":
+                del t[pos]
+            elif t:
+                t[pos] = rng.choice(alpha)
+        strs.append("".join(t))
+    rows = [(i, s) for i, s in enumerate(sorted(set(strs)))]
+    want = sorted(
+        (i, j, _lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if _lev(a, b) <= 2
+    )
+    df = spark.createDataFrame(rows, ["sid", "s"])
+    got = sorted(
+        tuple(r)
+        for r in editdist_prefix_join(df, "s", "sid", q=2, max_dist=2)
+        .collect()
+    )
+    assert got == want and want  # non-vacuous: mutations guarantee pairs
+
+
+def test_editdist_join_short_string_routes(spark):
+    """Covers the gram-free paths: empty/1-char strings (no q-grams at
+    q=2), both-short pairs that only the length-band route can find, and
+    the regression where the band join's in-join id order lost pairs whose
+    SHORTER string carries the LARGER id (bands only look upward in
+    length, so orientation must happen after the join)."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        editdist_prefix_join,
+    )
+
+    rows = [
+        (1, ""),        # no grams
+        (2, "a"),       # no grams; lev("","a")=1
+        (3, "ab"),      # 1 gram
+        (4, "abcdef"),  # long side of a mixed pair
+        (5, "abdef"),   # lev vs 4 = 1 (delete c)
+        (7, "b"),       # larger id, SHORTER than id 3: band must look down
+    ]
+    df = spark.createDataFrame(rows, ["sid", "s"])
+    got = sorted(
+        tuple(r)
+        for r in editdist_prefix_join(df, "s", "sid", q=2, max_dist=2)
+        .collect()
+    )
+    want = sorted(
+        (i, j, _lev(a, b))
+        for (i, a) in rows for (j, b) in rows
+        if i < j and _lev(a, b) <= 2
+    )
+    assert got == want
+    assert (3, 7, 1) in got  # the orientation regression pair
+    assert (4, 5, 1) in got  # mixed short/long via the gram route
