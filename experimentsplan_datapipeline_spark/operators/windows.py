@@ -286,3 +286,85 @@ def grouped_prefix_sum(
         .withColumn(out_col, F.col("__lcum") + F.col("__off"))
         .drop("__pid", "__lcum", "__off")
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXACT 2-D pareto frontier (skyline): rows not dominated under
+    (minimize ``x_col``, maximize ``y_col``). Row r is dominated iff some
+    s has s.x <= r.x and s.y >= r.y with at least one strict — the
+    classic "cheapest for its quality" cut (price/size, latency/recall,
+    cost/coverage). Other orientations: negate the column(s) first.
+
+    The naive definition is an all-pairs NOT EXISTS; the classic
+    single-node algorithm is sort-by-x + running-max-of-y. Neither shape
+    survives 100 TB directly (a global ORDER BY window funnels everything
+    through one task), so this runs the running max in the same two-phase
+    form as grouped_prefix_sum:
+
+    1. collapse to one row per distinct x (only the max-y row per x can
+       be on the frontier — same x, higher y dominates). One map-side
+       combinable groupBy; everything after runs at |distinct x| scale.
+    2. range-partition by x, per-partition EXCLUSIVE running max of y,
+       plus a <= #partitions-row offsets table (max of earlier
+       partitions) that broadcasts: x survives iff its y is strictly
+       above the combined exclusive max (greatest() skips nulls, so the
+       global minimum x — null exclusive max — always survives).
+    3. join the frontier (x, y) pairs — output-sized, broadcast — back to
+       the input so duplicate rows sharing a frontier point all survive
+       (neither strictly beats the other; matches the NOT EXISTS
+       definition).
+
+    Rows with null x or y are excluded up front: SQL three-valued NOT
+    EXISTS would vacuously keep them, which is never the analytic intent.
+
+    The ranged frame is localCheckpoint-pinned for the same reason as
+    grouped_prefix_sum: RangePartitioner sampling and spark_partition_id
+    are nondeterministic, and the frame feeds both the local window and
+    the totals — an inconsistent retry would corrupt the offsets.
+    """
+    if partitions is None:
+        partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    clean = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    per_x = clean.groupBy(x_col).agg(F.max(y_col).alias("__ymax"))
+    ranged = (
+        per_x.repartitionByRange(partitions, F.col(x_col))
+        .sortWithinPartitions(x_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(x_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("__lmax", F.max("__ymax").over(w_local))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # <= #partitions rows: the single-task window is a constant-size frame
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.max("__ymax").alias("__pmax"))
+        .withColumn("__off", F.max("__pmax").over(w_off))
+        .select("__pid", "__off")
+    )
+    frontier = (
+        local.join(F.broadcast(offsets), "__pid")
+        .filter(
+            F.greatest("__lmax", "__off").isNull()
+            | (F.col("__ymax") > F.greatest("__lmax", "__off"))
+        )
+        # fresh aliases: frontier shares lineage with clean, and a join
+        # condition naming the original columns would be ambiguous
+        .select(F.col(x_col).alias("__fx"), F.col("__ymax").alias("__fy"))
+    )
+    return clean.join(
+        F.broadcast(frontier),
+        (F.col(x_col) == F.col("__fx")) & (F.col(y_col) == F.col("__fy")),
+    ).select(*clean.columns)

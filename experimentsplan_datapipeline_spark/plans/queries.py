@@ -5744,3 +5744,28 @@ def fuzzy_join_editdist(spark, sf_dir):
         .agg(F.min("p_partkey").alias("pid"))
     )
     return editdist_prefix_join(u, "p_name", "pid", q=2, max_dist=2)
+
+
+@register("pareto_frontier", """
+SELECT r.p_partkey, r.p_retailprice, r.p_size
+FROM part r
+WHERE NOT EXISTS (
+  SELECT 1 FROM part s
+  WHERE s.p_retailprice <= r.p_retailprice AND s.p_size >= r.p_size
+    AND (s.p_retailprice < r.p_retailprice OR s.p_size > r.p_size)
+)
+""")
+def pareto_frontier(spark, sf_dir):
+    """Skyline query: parts that are pareto-optimal on (cheapest price,
+    largest size) via operators/windows.py::pareto_frontier_2d — the
+    two-phase distributed running-max form of the sort-based skyline; the
+    oracle is the quadratic NOT EXISTS dominance definition it must
+    exactly reproduce."""
+    from experimentsplan_datapipeline_spark.operators.windows import (
+        pareto_frontier_2d,
+    )
+
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return pareto_frontier_2d(part, "p_retailprice", "p_size")

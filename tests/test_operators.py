@@ -900,3 +900,54 @@ def test_decontaminate_flags_overlap(spark):
     assert out[2] == (0, False)
     assert out[3] == (2, True)   # "a b c d e" and "b c d e f"
     assert len(out) == 3
+
+
+def _dominated(r, rows):
+    return any(
+        s[1] <= r[1] and s[2] >= r[2] and (s[1] < r[1] or s[2] > r[2])
+        for s in rows
+    )
+
+
+def test_pareto_frontier_hand_case(spark):
+    rows = [
+        (1, 1.0, 5),   # frontier: global min x
+        (2, 1.0, 3),   # same x as 1, lower y -> dominated
+        (3, 2.0, 7),   # frontier
+        (4, 2.5, 7),   # same y as 3 at higher x -> dominated
+        (5, 3.0, 9),   # frontier
+        (6, 3.0, 9),   # duplicate frontier point: BOTH kept
+        (7, 4.0, 9),   # dominated by 5/6
+        (8, 5.0, None),  # null y excluded
+        (9, None, 99),   # null x excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, x double, y int"
+    )
+    got = sorted(
+        r.id for r in win.pareto_frontier_2d(df, "x", "y").collect()
+    )
+    assert got == [1, 3, 5, 6]
+
+
+def test_pareto_frontier_matches_brute_force_across_partitionings(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, float(rng.randint(0, 40)), rng.randint(0, 40))
+        for i in range(300)
+    ]
+    want = sorted(r[0] for r in rows if not _dominated(r, rows))
+    df = spark.createDataFrame(rows, "id bigint, x double, y int")
+    # 64 range partitions on 300 rows forces frontier points to straddle
+    # partition boundaries, driving the offsets path, and proves the
+    # result is partitioning-invariant
+    for p in (1, 7, 64):
+        got = sorted(
+            r.id
+            for r in win.pareto_frontier_2d(
+                df, "x", "y", partitions=p
+            ).collect()
+        )
+        assert got == want
