@@ -5769,3 +5769,62 @@ def pareto_frontier(spark, sf_dir):
         "p_partkey", "p_retailprice", "p_size"
     )
     return pareto_frontier_2d(part, "p_retailprice", "p_size")
+
+
+@register("approx_percentile_contract", """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+       TRUE AS p50_within_eps, TRUE AS p95_within_eps
+FROM lineitem GROUP BY l_returnflag
+""")
+def approx_percentile_contract(spark, sf_dir):
+    """approx_percentile (mergeable quantile sketch) per group — the
+    100 TB quantile path: exact percentile needs a per-group sort of the
+    full column, the sketch is one map-side-combinable pass. The raw
+    sketch value is engine-specific, so like approx_distinct this query
+    ASSERTS the published contract and emits the verdict: with accuracy
+    A = 100, the returned value's RANK must sit within eps = 1/A of the
+    target percentile. The rank check is exact, not a value band: a
+    second pass counts rows strictly below / at-or-below the sketch's
+    value, giving its true rank interval [cnt_lt+1, cnt_le], which must
+    intersect [(p-eps)*n, (p+eps)*n+1] — the sketch guarantee verbatim,
+    no interpolation slack. Exact interpolated percentiles ride along for
+    the value hash."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    apx = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 100)"
+        ).alias("ap"),
+    )
+    joined = li.join(
+        F.broadcast(apx.select(
+            F.col("l_returnflag").alias("__f"),
+            F.element_at("ap", 1).alias("ap50"),
+            F.element_at("ap", 2).alias("ap95"),
+        )),
+        F.col("l_returnflag") == F.col("__f"),
+    )
+    eps = 0.01
+
+    def within(p, ap_col):
+        lt = F.sum((F.col("l_extendedprice") < F.col(ap_col)).cast("long"))
+        le = F.sum((F.col("l_extendedprice") <= F.col(ap_col)).cast("long"))
+        n = F.count(F.lit(1))
+        lo, hi = (p - eps) * n, (p + eps) * n + 1
+        return (lt + 1 <= hi) & (le >= lo)
+
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "exact_p50"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias(
+            "exact_p95"
+        ),
+        within(0.5, "ap50").alias("p50_within_eps"),
+        within(0.95, "ap95").alias("p95_within_eps"),
+    )
