@@ -131,6 +131,12 @@ EXTENSIONS: dict[str, list[str]] = {
         "curate_decontaminate",
         "compact_zorder_box",
     ],
+    "Fuzzy matching, skyline & sketch contracts (round 6)": [
+        "text_lm_perplexity",
+        "fuzzy_join_editdist",
+        "pareto_frontier",
+        "approx_percentile_contract",
+    ],
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)
