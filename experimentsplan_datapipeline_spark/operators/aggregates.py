@@ -188,3 +188,85 @@ def covariance_pack(
     if keys:
         return df.groupBy(*keys).agg(*aggs)
     return df.agg(*aggs)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 200,
+    out_key: str = "item",
+    out_count: str = "cnt",
+) -> DataFrame:
+    """EXACT heavy hitters via a Misra-Gries sketch pass + k-bounded
+    verify: all values of ``key_col`` whose exact count exceeds
+    n/(k+1), with exact counts — without ever shuffling the full key
+    space. The 100 TB frequent-items path: a plain
+    groupBy(key).count() shuffles |distinct keys| rows (tokens of a
+    corpus: billions); this shuffles at most k candidate keys plus the
+    P*k-row summary merge.
+
+    Pass 1 (one scan, no shuffle): each partition folds its Arrow
+    batches into a Misra-Gries summary of k counters — per batch a
+    vectorized value_counts merges into the running dict, then the
+    summary is pruned back to k entries by subtracting the (k+1)-th
+    largest count from all (the batch-level form of the MG decrement;
+    Misra & Gries 1982). Summaries are MERGEABLE (Agarwal et al.,
+    PODS'12): summing two summaries and re-pruning to k keeps the
+    deviation bound |mg(x) - count(x)| <= n/(k+1) for the combined
+    stream. The merge itself runs on a <= num_partitions * k row frame
+    — broadcast-tiny — with the re-prune done as a rank + subtract.
+
+    Pass 2 (k-bounded): the MG guarantee says every x with
+    count(x) > n/(k+1) SURVIVES the sketch, so the candidate set is a
+    superset of the heavy set; exact counts are computed only for
+    candidates (broadcast hash semi-filter before the groupBy, so the
+    agg's shuffle carries <= k distinct keys) and filtered against the
+    exact threshold. Output is therefore deterministic and exact even
+    though intermediate MG counters are partition-order dependent —
+    order only moves WHICH extra sub-threshold candidates appear, and
+    those die on the exact filter.
+
+    Returns (out_key, out_count, n_total) rows, one per heavy value.
+    """
+    import pandas as pd
+
+    src = df.select(F.col(key_col).cast("string").alias("__k"))
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["__k"].value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    v: c - cut for v, c in counters.items() if c > cut
+                }
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "__k": list(counters),
+                    "__c": list(counters.values()),
+                }
+            )
+
+    summaries = src.mapInPandas(mg_partition, schema="__k string, __c long")
+    # candidates = the UNION of summary keys, NOT a re-pruned merge: each
+    # partition prune already costs up to n_p/(k+1) deviation, and a
+    # global (k+1)-th-largest cut would add up to n/(k+1) more — together
+    # 2n/(k+1), enough to lose a just-above-threshold heavy item. The
+    # unpruned union keeps the superset guarantee airtight at <= P*k keys
+    # (1000 executors * k=200 -> 200k rows: broadcast-trivial).
+    merged = summaries.select("__k").distinct()
+    tot = src.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        src.join(F.broadcast(merged), "__k")
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias(out_count))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col(out_count) * (k + 1) > F.col("n_total"))
+    )
+    return exact.select(
+        F.col("__k").alias(out_key), out_count, "n_total"
+    )

@@ -5828,3 +5828,41 @@ def approx_percentile_contract(spark, sf_dir):
         within(0.5, "ap50").alias("p50_within_eps"),
         within(0.95, "ap95").alias("p95_within_eps"),
     )
+
+
+@register("heavy_hitters_sketch", """
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           t -> t <> '')) AS w
+  FROM documents
+),
+n AS (SELECT count(*) AS n_total FROM toks)
+SELECT w AS item, count(*) AS cnt, (SELECT n_total FROM n) AS n_total
+FROM toks GROUP BY w
+HAVING count(*) * 41 > (SELECT n_total FROM n)
+""")
+def heavy_hitters_sketch(spark, sf_dir):
+    """Frequent corpus tokens via the Misra-Gries sketch + k-bounded
+    exact verify (operators/aggregates.py::heavy_hitters, k=40): one
+    scan builds mergeable per-partition summaries, exact counting
+    touches only the candidate superset, so no shuffle ever carries the
+    full token vocabulary. Output is exact (the oracle recomputes the
+    heavy set from full counts), which IS the contract check: a lost
+    heavy item would hash-mismatch."""
+    from experimentsplan_datapipeline_spark.operators.aggregates import (
+        heavy_hitters,
+    )
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        _tokens,
+    )
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(_tokens("text"), lambda x: x != "")
+            ).alias("w")
+        )
+    )
+    return heavy_hitters(toks, "w", k=40)

@@ -951,3 +951,37 @@ def test_pareto_frontier_matches_brute_force_across_partitionings(spark):
             ).collect()
         )
         assert got == want
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    # 1000 rows: 'a' 400, 'b' 250, 'c' 150, 200 singletons.
+    # k=4 -> threshold n/5 = 200: heavy = {a, b} (c misses at 150).
+    rows = (
+        [("a",)] * 400 + [("b",)] * 250 + [("c",)] * 150
+        + [(f"z{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, ["v"])
+    for parts in (1, 5, 32):
+        got = {
+            (r.item, r.cnt, r.n_total)
+            for r in agg.heavy_hitters(
+                df.repartition(parts), "v", k=4
+            ).collect()
+        }
+        assert got == {("a", 400, 1000), ("b", 250, 1000)}
+
+
+def test_heavy_hitters_superset_guarantee_adversarial(spark):
+    # k=1, one majority item among heavy noise: MG with a single counter
+    # is the Boyer-Moore majority vote — the majority element must
+    # survive every partitioning of an adversarial interleaving.
+    rows = [("maj",) if i % 2 == 0 else (f"n{i}",) for i in range(999)]
+    df = spark.createDataFrame(rows, ["v"])
+    for parts in (1, 7, 32):
+        got = [
+            (r.item, r.cnt)
+            for r in agg.heavy_hitters(
+                df.repartition(parts), "v", k=1
+            ).collect()
+        ]
+        assert got == [("maj", 500)]
