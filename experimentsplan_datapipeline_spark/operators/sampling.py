@@ -379,3 +379,48 @@ def ordered_rank(
         .withColumn(rank_col, (F.col("__off") + F.col("__lrk")).cast("long"))
         .drop("__pid", "__lrk", "__off")
     )
+
+
+def sample_weighted_priority(
+    df: DataFrame,
+    weight_col: str,
+    id_cols: Sequence[str],
+    k: int,
+    seed: int = 7,
+    key_out: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    priority keys (IPL 2006): each row gets key = u^(1/w) with u a
+    per-row uniform, and the k largest keys are exactly a weighted
+    sample without replacement. One pass, no per-draw sequencing — the
+    sequential "draw, remove, re-normalize" definition becomes a
+    stateless top-k, which is the only shape that works on 100 TB.
+
+    u derives from curation.portable_hash over ``id_cols`` + seed (md5,
+    engine-portable, replayable) shifted off zero: (h + 0.5) / 2^32, so
+    ln(u) is finite and the draw is auditable anywhere, unlike rand().
+    The top-k itself is sort(desc).limit(k), which Spark compiles to
+    TakeOrderedAndProject — per-partition partial top-k then a k-row
+    merge on the driver side of the exchange; no global sort
+    materializes. Weights must be strictly positive; null/<=0 weights
+    raise rather than silently biasing the sample.
+    """
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        portable_hash,
+    )
+
+    u = (portable_hash(list(id_cols), seed) + F.lit(0.5)) / F.lit(
+        float(2**32)
+    )
+    w = F.col(weight_col)
+    guarded = F.when(
+        w.isNull() | (w <= 0),
+        F.raise_error(
+            "sample_weighted_priority: weights must be > 0 and non-null"
+        ),
+    ).otherwise(F.pow(u, F.lit(1.0) / w))
+    out = df.withColumn(key_out or "__prio", guarded)
+    ordered = out.orderBy(
+        F.desc(key_out or "__prio"), *[F.col(c) for c in id_cols]
+    ).limit(k)
+    return ordered if key_out else ordered.drop("__prio")

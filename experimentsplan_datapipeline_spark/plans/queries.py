@@ -5866,3 +5866,57 @@ def heavy_hitters_sketch(spark, sf_dir):
         )
     )
     return heavy_hitters(toks, "w", k=40)
+
+
+@register("sample_weighted_priority", """
+WITH keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         pow(((('0x' || substr(md5(o_orderkey::VARCHAR || '|7'), 1, 8))::BIGINT
+               + 0.5) / 4294967296.0),
+             1.0 / o_totalprice) AS prio
+  FROM orders
+)
+SELECT o_orderkey, round(o_totalprice, 2) AS weight
+FROM keyed ORDER BY prio DESC, o_orderkey LIMIT 100
+""")
+def sample_weighted_priority(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample-without-replacement of 100
+    orders, weight = o_totalprice
+    (operators/sampling.py::sample_weighted_priority). The priority keys
+    come from the md5 portable hash, so the oracle replays the exact
+    same draw; the top-k compiles to TakeOrderedAndProject (partial
+    per-partition top-k, no global sort)."""
+    from experimentsplan_datapipeline_spark.operators.sampling import (
+        sample_weighted_priority as swp,
+    )
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return swp(orders, "o_totalprice", ["o_orderkey"], k=100).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("weight")
+    )
+
+
+@register("agg_linreg", """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_linreg(spark, sf_dir):
+    """Per-group closed-form OLS (price ~ quantity): regr_slope /
+    regr_intercept / regr_r2 are single-pass sum-of-products aggregates —
+    map-side combinable, no iteration — the scale shape for groupwise
+    trend fitting."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "slope"
+        ),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("icept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )

@@ -985,3 +985,34 @@ def test_heavy_hitters_superset_guarantee_adversarial(spark):
             ).collect()
         ]
         assert got == [("maj", 500)]
+
+
+def test_sample_weighted_priority_replayable_and_partition_invariant(spark):
+    import hashlib
+
+    rows = [(i, float(1 + (i * 37) % 100)) for i in range(500)]
+
+    def prio(i, w):
+        h = int(hashlib.md5(f"{i}|7".encode()).hexdigest()[:8], 16)
+        return ((h + 0.5) / 2**32) ** (1.0 / w)
+
+    want = [
+        i for i, w in sorted(rows, key=lambda r: (-prio(*r), r[0]))[:50]
+    ]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    for parts in (1, 32):
+        got = [
+            r.id
+            for r in smp.sample_weighted_priority(
+                df.repartition(parts), "w", ["id"], k=50
+            ).collect()
+        ]
+        assert got == want  # exact replay of the python-side draw
+
+
+def test_sample_weighted_priority_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 0.0)], ["id", "w"])
+    with _pytest.raises(Exception, match="weights must be > 0"):
+        smp.sample_weighted_priority(df, "w", ["id"], k=1).collect()
