@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint, ngrams
 from experimentsplan_datapipeline_spark.operators.curation import portable_hash
@@ -970,3 +971,90 @@ def editdist_prefix_join(
         )
         .filter(F.col("dist") <= d)
     )
+
+
+def duplicate_substring_spans(
+    df: DataFrame, text_col: str, id_col: str, window: int = 8
+) -> DataFrame:
+    """EXACT substring-level duplication detection (the corpus pass of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every MAXIMAL token span of length >= ``window`` whose
+    every ``window``-gram occurs more than once in the corpus (across
+    docs or repeated within one). Chunk- and doc-level dedup miss these
+    — a boilerplate paragraph pasted mid-document duplicates a SPAN, not
+    a chunk boundary; this operator returns the spans so the caller can
+    cut them (the paper's remove-one-copy policy) instead of dropping
+    whole documents.
+
+    Plan shape, all corpus-scale stages map-side combinable:
+
+    1. rolling window-grams with their 1-based token position;
+    2. occurrence counts grouped on xxhash64(gram) — an 8-byte shuffle
+       key instead of the ~50-byte gram string. Exactness is preserved
+       by the same contract as jaccard_prefix_join: the count agg also
+       carries min(gram)/max(gram), and a bucket where they differ (two
+       distinct grams colliding — the only way a count can lie) RAISES
+       rather than silently marking a false duplicate
+       (P < |windows|^2 / 2^64);
+    3. duplicated positions = grams joined to the >1-count buckets;
+    4. maximal spans via gaps-and-islands PER DOCUMENT (pos - row_number
+       island key): the window partitions by doc_id, so parallelism is
+       per-doc and no global sort exists.
+
+    Output: (doc_id, span_start, span_end, span_len) in 1-based token
+    positions, one row per maximal duplicated span.
+    """
+    toks = spread_small_input(df).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda x: x != "",
+        ).alias("__w"),
+    )
+    n = F.size("__w")
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", F.slice("__w", i, window)
+                ),
+            )
+        ).alias("__p0", "__g"),
+    ).select(
+        id_col,
+        (F.col("__p0") + 1).alias("pos"),
+        F.xxhash64("__g").alias("__gid"),
+        F.col("__g"),
+    )
+    counts = grams.groupBy("__gid").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min("__g").alias("__glo"),
+        F.max("__g").alias("__ghi"),
+    )
+    dup = counts.select(
+        F.when(
+            F.col("__glo") != F.col("__ghi"),
+            F.raise_error(
+                "duplicate_substring_spans: xxhash64 collision between "
+                "two distinct window-grams — counts would mark a false "
+                "duplicate; rerun with a different window or report this "
+                "astronomically unlikely corpus"
+            ),
+        ).otherwise(F.col("__gid")).alias("__gid"),
+        "__cnt",
+    ).filter(F.col("__cnt") > 1)
+    marked = grams.join(dup, "__gid").select(id_col, "pos")
+    isl = marked.withColumn(
+        "__grp",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy(id_col).orderBy("pos")
+        ),
+    )
+    return isl.groupBy(id_col, "__grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + window - 1).alias("span_end"),
+        (F.max("pos") - F.min("pos") + window).alias("span_len"),
+    ).drop("__grp")

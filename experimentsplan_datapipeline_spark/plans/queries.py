@@ -5920,3 +5920,41 @@ def agg_linreg(spark, sf_dir):
         ).alias("icept"),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
     )
+
+
+@register("dedup_substring_spans", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+gr AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS u(i)
+),
+c AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 1),
+marked AS (SELECT gr.doc_id, gr.pos FROM gr JOIN c USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + 7 AS span_end,
+       max(pos) - min(pos) + 8 AS span_len
+FROM isl GROUP BY doc_id, grp
+""")
+def dedup_substring_spans(spark, sf_dir):
+    """Substring-level duplication: maximal token spans whose every
+    8-gram repeats in the corpus (operators/dedup.py::
+    duplicate_substring_spans — rolling grams, hash-grouped counts with
+    a collision-raise guard, per-doc gaps-and-islands merge). The cut
+    list for remove-one-copy dedup a la Lee et al. 2022."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return duplicate_substring_spans(docs, "text", "doc_id", window=8)

@@ -784,3 +784,56 @@ def test_editdist_join_short_string_routes(spark):
     assert got == want
     assert (3, 7, 1) in got  # the orientation regression pair
     assert (4, 5, 1) in got  # mixed short/long via the gram route
+
+
+def test_duplicate_substring_spans_hand_case(spark):
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    # shared passage "p q r s" sits mid-doc in 1 and 2; doc 3 repeats
+    # its own passage internally; doc 4 shares nothing
+    rows = [
+        (1, "a b p q r s c d"),
+        (2, "x p q r s y z w"),
+        (3, "m n o k m n o k m n o k"),
+        (4, "u v t e f g h i"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in duplicate_substring_spans(
+            df, "text", "doc_id", window=4
+        ).collect()
+    )
+    # doc1: windows at pos 3 ("p q r s") duplicated (also in doc 2)
+    # doc2: window at pos 2 duplicated
+    # doc3: "m n o k" appears 3x internally -> windows 1..9 all
+    # duplicated (every 4-gram of the periodic string repeats) -> one
+    # maximal span covering tokens 1..12
+    assert got == [
+        (1, 3, 6, 4),
+        (2, 2, 5, 4),
+        (3, 1, 12, 12),
+    ]
+
+
+def test_duplicate_substring_spans_merges_adjacent_windows(spark):
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    # two docs share a 6-token passage -> with window=4 the three
+    # overlapping duplicated windows must merge into ONE maximal span
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "z a b c d e f q"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_substring_spans(
+            df, "text", "doc_id", window=4
+        ).collect()
+    )
+    assert got == [(1, 1, 6), (2, 2, 7)]
