@@ -137,6 +137,12 @@ EXTENSIONS: dict[str, list[str]] = {
         "pareto_frontier",
         "approx_percentile_contract",
     ],
+    "Sketches, sampling & regression (round 6)": [
+        "heavy_hitters_sketch",
+        "sample_weighted_priority",
+        "agg_linreg",
+        "dedup_substring_spans",
+    ],
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)
