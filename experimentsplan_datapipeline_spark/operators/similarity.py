@@ -791,3 +791,56 @@ def _query_probe_lut_frame(
             )
 
     return queries.select(query_id, vec_col).mapInPandas(run, schema=schema)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str,
+    id_col: str,
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    topk: int = 15,
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query rankings from N retrievers.
+
+    The hybrid-retrieval combiner (Cormack et al., SIGIR'09): each input
+    frame carries (query, item, rank) from one retriever — e.g. a BM25/
+    lexical list and an embedding-cosine list — and the fused score is
+    sum over lists of 1/(k_rrf + rank). Items missing from a list simply
+    contribute nothing (the standard truncated-list convention), so the
+    union-all + one groupBy is the whole computation: no per-list joins,
+    no dense score normalization. Inputs are already k-bounded per query
+    (each retriever's top-N), so the shuffle is |queries|*N*n_lists rows
+    — tiny at any corpus scale; the corpus-scale work stays inside the
+    retrievers. Fused ranking uses the ROUNDED score + id tiebreak
+    (engine-reproducible, same contract as brute_force_topk).
+
+    Returns (query_col, id_col, rrf, n_lists, fused_rank <= topk).
+    """
+    from experimentsplan_datapipeline_spark.operators.windows import (
+        top_k_per_key_two_phase,
+    )
+
+    parts = [
+        r.select(
+            F.col(query_col), F.col(id_col), F.col(rank_col).alias("__r")
+        )
+        for r in rankings
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy(query_col, id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(k_rrf) + F.col("__r"))), 6
+        ).alias("rrf"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    out = top_k_per_key_two_phase(
+        fused,
+        key_cols=[query_col],
+        order_by=[F.col("rrf").desc(), F.col(id_col).asc()],
+        k=topk,
+        bucket_cols=[id_col],
+    )
+    return out.withColumnRenamed("rank", "fused_rank")
