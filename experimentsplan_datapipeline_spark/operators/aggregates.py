@@ -226,11 +226,26 @@ def heavy_hitters(
     order only moves WHICH extra sub-threshold candidates appear, and
     those die on the exact filter.
 
+    NULL convention: null keys are ONE key, counted like any other and
+    reported (as a null ``out_key``) when they clear the threshold.
+    Internally nulls ride as a NUL-byte sentinel so they survive pandas
+    ``value_counts`` (which silently drops NaN — dropping them while
+    still counting their rows in ``n_total`` would both omit a heavy
+    NULL and tighten the threshold for everything else) and match in
+    the exact-count equi-join (null == null never matches). A genuine
+    key equal to the sentinel would merge with nulls; real keys do not
+    contain NUL bytes.
+
     Returns (out_key, out_count, n_total) rows, one per heavy value.
     """
     import pandas as pd
 
-    src = df.select(F.col(key_col).cast("string").alias("__k"))
+    sentinel = "\x00<null>"
+    src = df.select(
+        F.coalesce(F.col(key_col).cast("string"), F.lit(sentinel)).alias(
+            "__k"
+        )
+    )
 
     def mg_partition(batches):
         counters: dict[str, int] = {}
@@ -268,5 +283,9 @@ def heavy_hitters(
         .filter(F.col(out_count) * (k + 1) > F.col("n_total"))
     )
     return exact.select(
-        F.col("__k").alias(out_key), out_count, "n_total"
+        F.when(F.col("__k") == sentinel, F.lit(None))
+        .otherwise(F.col("__k"))
+        .alias(out_key),
+        out_count,
+        "n_total",
     )

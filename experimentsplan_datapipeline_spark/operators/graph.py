@@ -470,10 +470,11 @@ def label_propagation(
 
     Per round: one shuffle join of the pinned edge frame with the O(|V|)
     label frame, one map-side-combinable groupBy(dst, label) count, one
-    ``max_by(label, (count, -label))`` per-dst aggregation (a single
-    combine-capable pass — no window sort), and one O(|V|) left join back
-    onto the node universe. Labels are node ids, so frame width never
-    grows. Returns (node, label); nodes sharing a label after k rounds are
+    ``min_by(label, (-count, label))`` per-dst aggregation (a single
+    combine-capable pass — no window sort; the negation sits on the
+    always-numeric count so string node ids work under ANSI mode), and one
+    O(|V|) left join back onto the node universe. Labels are node ids, so
+    frame width never grows. Returns (node, label); nodes sharing a label after k rounds are
     within distance k of a common attractor — the cheap community signal
     next to exact connected components (resolve_duplicate_clusters).
     """
@@ -494,9 +495,14 @@ def label_propagation(
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # min_by over (-count, label): largest count, then SMALLEST label.
+        # The negation must hit the always-numeric count, never the label —
+        # labels are node ids, and on string node ids a unary minus fails
+        # analysis under Spark 4's default ANSI mode (and yields null with
+        # ANSI off, making the tie-break nondeterministic).
         top = counts.groupBy("dst").agg(
-            F.max_by(
-                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            F.min_by(
+                "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
             ).alias("new_label")
         )
         labels = (

@@ -872,6 +872,40 @@ def test_label_propagation_hand_checked(spark):
     assert out == {0: 0, 1: 0}  # source keeps its label; sink adopts it
 
 
+def test_label_propagation_string_node_ids_ansi(spark):
+    """LPA over STRING node ids (URLs/domains — the module's stated dedup
+    use case) under the session's default ANSI mode: the tie-break must
+    negate the count, never the label, so string labels analyze fine and
+    ties resolve deterministically to the smallest label. Same two-triangle
+    topology as the integer test, mapped to url-ish ids."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    name = {0: "a.com", 1: "b.com", 2: "c.com", 3: "d.com", 4: "e.com", 5: "f.com"}
+    und = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    edges = spark.createDataFrame(
+        [(name[a], name[b]) for a, b in und]
+        + [(name[b], name[a]) for a, b in und],
+        ["src", "dst"],
+    )
+    # identical trace to the integer test: lexicographic order of the
+    # url ids matches the numeric order of 0..5
+    want = {
+        name[n]: name[l] for n, l in {0: 0, 1: 0, 2: 0, 3: 3, 4: 2, 5: 2}.items()
+    }
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, iterations=2).collect()
+    }
+    assert got == want
+    again = {
+        r.node: r.label
+        for r in label_propagation(edges, iterations=2).collect()
+    }
+    assert again == got
+
+
 def test_decontaminate_flags_overlap(spark):
     """The 5-gram overlap rule: a train doc sharing a 5-gram with the
     eval set is flagged with the distinct-overlap count; disjoint docs
@@ -985,6 +1019,37 @@ def test_heavy_hitters_superset_guarantee_adversarial(spark):
             ).collect()
         ]
         assert got == [("maj", 500)]
+
+
+def test_heavy_hitters_null_key_is_a_real_key(spark):
+    """NULL is the single true heavy hitter: it must be REPORTED (item is
+    null), counted exactly, and included in n_total — pandas value_counts
+    silently drops NaN, so a naive pass would both omit the heavy NULL
+    and keep its rows inflating the threshold for everyone else."""
+    rows = [(None,)] * 400 + [(f"z{i}",) for i in range(600)]
+    df = spark.createDataFrame(rows, "v string")
+    for parts in (1, 7, 32):
+        got = {
+            (r.item, r.cnt, r.n_total)
+            for r in agg.heavy_hitters(
+                df.repartition(parts), "v", k=2
+            ).collect()
+        }
+        # threshold n/(k+1) = 1000/3: only NULL (400) clears it
+        assert got == {(None, 400, 1000)}
+
+
+def test_heavy_hitters_null_below_threshold_not_reported(spark):
+    """Nulls that do NOT clear the threshold stay out of the result but
+    still count toward n_total (the documented one-key convention)."""
+    rows = [(None,)] * 50 + [("a",)] * 500 + [(f"z{i}",) for i in range(450)]
+    df = spark.createDataFrame(rows, "v string")
+    got = {
+        (r.item, r.cnt, r.n_total)
+        for r in agg.heavy_hitters(df.repartition(8), "v", k=3).collect()
+    }
+    # threshold 1000/4 = 250: only 'a'; n_total still counts null rows
+    assert got == {("a", 500, 1000)}
 
 
 def test_sample_weighted_priority_replayable_and_partition_invariant(spark):
