@@ -819,6 +819,37 @@ def containment_prefix_join(
     ).filter(F.col("containment") >= threshold)
 
 
+def _short_band_value_pairs(shorts: DataFrame, d: int) -> DataFrame:
+    """Length-band candidate generation for ``editdist_prefix_join``'s
+    gram-free short strings, at VALUE granularity: input is any frame with
+    (__s, len) columns (duplicate rows fine — the first step is distinct),
+    output is every unordered DISTINCT-value pair (v1 <= v2, self pairs
+    included) within ``d`` of each other by length band AND verified
+    levenshtein <= d. Work is quadratic only in distinct short values —
+    never in corpus rows — which is what keeps a corpus with millions of
+    copies of 'ok' from generating millions-squared dead candidates.
+
+    Bands only cover partner lengths >= own length, so pair orientation
+    comes AFTER the join (least/greatest on the value); distinct absorbs
+    the double hit at equal lengths.
+    """
+    svals = shorts.select("__s", "len").distinct()
+    va = svals.select(
+        F.col("__s").alias("va"),
+        F.explode(F.sequence(F.col("len"), F.col("len") + d)).alias("band"),
+    )
+    vb = svals.select(F.col("__s").alias("vb"), F.col("len").alias("blen"))
+    return (
+        va.join(vb, F.col("band") == F.col("blen"))
+        .select(
+            F.least("va", "vb").alias("v1"),
+            F.greatest("va", "vb").alias("v2"),
+        )
+        .distinct()
+        .filter(F.levenshtein("v1", "v2") <= d)
+    )
+
+
 def editdist_prefix_join(
     df: DataFrame, str_col: str, id_col: str,
     q: int = 2, max_dist: int = 2,
@@ -854,17 +885,24 @@ def editdist_prefix_join(
 
     Strings too short for the bound to bite (fewer than q*d+1 grams, i.e.
     len <= q*d+q-1, including len < q which has no grams at all) pair
-    through a LENGTH-BAND route instead: each such string emits its
-    candidate partner lengths len..len+d, and the equi-join on
-    (band = partner len) meets every other short string within distance d
-    in either direction. Within one length bucket this is all-pairs —
-    inherent for gram-free strings, and bounded: the bucket holds only
-    DISTINCT strings shorter than q*d+q characters, a vocab-bounded set
-    (alphabet^(q*d+q-1) worst case, tiny in practice) independent of corpus
-    row count. Mixed short/long pairs stay with the gram route: the longer
-    side has |G| > q*d, so the pair must share >= |G_long| - q*d >= 1
-    grams, the short side indexes its FULL gram set, and the prefix lemma
-    applies with the long side's standard q*d+1 prefix.
+    through a LENGTH-BAND route instead, run between DISTINCT string
+    VALUES: each distinct short value emits its candidate partner lengths
+    len..len+d, the equi-join on (band = partner len) meets every other
+    distinct short value within distance d in either direction, and
+    levenshtein verifies at the VALUE level before the surviving value
+    pairs re-expand to row ids through an id map. Within one length
+    bucket the value join is all-pairs — inherent for gram-free strings,
+    and bounded: the bucket holds only DISTINCT values shorter than
+    q*d+q characters, a vocab-bounded set (alphabet^(q*d+q-1) worst
+    case, tiny in practice) independent of corpus row count; duplicated
+    rows cost only the final id-map expansion, which is proportional to
+    TRUE OUTPUT pairs, never to failed candidates (n copies of value x
+    against m copies of a non-matching value y is ONE dead candidate,
+    not n*m). Mixed short/long pairs stay with the gram route: the
+    longer side has |G| > q*d, so the pair must share
+    >= |G_long| - q*d >= 1 grams, the short side indexes its FULL gram
+    set, and the prefix lemma applies with the long side's standard
+    q*d+1 prefix.
 
     Both routes' candidates are unioned, deduped, and verified with the
     JVM codegen ``levenshtein`` — the only place edit distance is actually
@@ -936,27 +974,20 @@ def editdist_prefix_join(
         F.col(f"b.{id_col}").alias("id_b"),
     )
     shorts = base.filter(F.col("len") <= q * d + q - 1)
-    sa = shorts.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("len"), F.col("len") + d)
-        ).alias("band"),
-    ).alias("sa")
-    sb = shorts.select(F.col(id_col), F.col("len")).alias("sb")
-    # bands only cover partner lengths >= own length, so the pair
-    # orientation must come AFTER the join (least/greatest), not inside it
-    # — an in-join id order would lose pairs where the shorter string has
-    # the larger id. distinct() below absorbs the double hit at equal
-    # lengths.
-    cand_short = sa.join(
-        sb,
-        (F.col("sa.band") == F.col("sb.len"))
-        & (F.col(f"sa.{id_col}") != F.col(f"sb.{id_col}")),
-    ).select(
-        F.least(F.col(f"sa.{id_col}"), F.col(f"sb.{id_col}")).alias("id_a"),
-        F.greatest(
-            F.col(f"sa.{id_col}"), F.col(f"sb.{id_col}")
-        ).alias("id_b"),
+    vpairs = _short_band_value_pairs(shorts, d)
+    m1 = shorts.select(F.col(id_col).alias("__i1"), F.col("__s").alias("v1"))
+    m2 = shorts.select(F.col(id_col).alias("__i2"), F.col("__s").alias("v2"))
+    # re-expand surviving VALUE pairs to row-id pairs; self value pairs
+    # (v1 == v2, i.e. duplicated rows, dist 0) expand with the id-order
+    # filter so each unordered row pair appears once
+    cand_short = (
+        vpairs.join(m1, "v1")
+        .join(m2, "v2")
+        .filter(F.col("__i1") != F.col("__i2"))
+        .select(
+            F.least("__i1", "__i2").alias("id_a"),
+            F.greatest("__i1", "__i2").alias("id_b"),
+        )
     )
     cand = cand_gram.unionByName(cand_short).distinct()
     x = base.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))

@@ -390,11 +390,18 @@ def sample_weighted_priority(
     key_out: str | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
-    priority keys (IPL 2006): each row gets key = u^(1/w) with u a
+    priority keys (IPL 2006): each row gets key = ln(u)/w with u a
     per-row uniform, and the k largest keys are exactly a weighted
     sample without replacement. One pass, no per-draw sequencing — the
     sequential "draw, remove, re-normalize" definition becomes a
     stateless top-k, which is the only shape that works on 100 TB.
+
+    The key is the LOG-DOMAIN form of the paper's u^(1/w): ln is
+    monotone, so ln(u^(1/w)) = ln(u)/w ranks identically — but the pow
+    form saturates in double precision at extreme weights (w >= ~1e12
+    pushes u^(1/w) to exactly 1.0 for every u, collapsing the draw into
+    an id-order tie-break), while ln(u)/w keeps full relative precision
+    at any weight scale.
 
     u derives from curation.portable_hash over ``id_cols`` + seed (md5,
     engine-portable, replayable) shifted off zero: (h + 0.5) / 2^32, so
@@ -418,7 +425,7 @@ def sample_weighted_priority(
         F.raise_error(
             "sample_weighted_priority: weights must be > 0 and non-null"
         ),
-    ).otherwise(F.pow(u, F.lit(1.0) / w))
+    ).otherwise(F.log(u) / w)
     out = df.withColumn(key_out or "__prio", guarded)
     ordered = out.orderBy(
         F.desc(key_out or "__prio"), *[F.col(c) for c in id_cols]

@@ -5871,9 +5871,9 @@ def heavy_hitters_sketch(spark, sf_dir):
 @register("sample_weighted_priority", """
 WITH keyed AS (
   SELECT o_orderkey, o_totalprice,
-         pow(((('0x' || substr(md5(o_orderkey::VARCHAR || '|7'), 1, 8))::BIGINT
-               + 0.5) / 4294967296.0),
-             1.0 / o_totalprice) AS prio
+         ln((('0x' || substr(md5(o_orderkey::VARCHAR || '|7'), 1, 8))::BIGINT
+              + 0.5) / 4294967296.0)
+           / o_totalprice AS prio
   FROM orders
 )
 SELECT o_orderkey, round(o_totalprice, 2) AS weight
@@ -5882,10 +5882,12 @@ FROM keyed ORDER BY prio DESC, o_orderkey LIMIT 100
 def sample_weighted_priority(spark, sf_dir):
     """Efraimidis-Spirakis weighted sample-without-replacement of 100
     orders, weight = o_totalprice
-    (operators/sampling.py::sample_weighted_priority). The priority keys
-    come from the md5 portable hash, so the oracle replays the exact
-    same draw; the top-k compiles to TakeOrderedAndProject (partial
-    per-partition top-k, no global sort)."""
+    (operators/sampling.py::sample_weighted_priority). The priority key
+    is the log-domain ln(u)/w — monotone-equivalent to the paper's
+    u^(1/w) but saturation-free at extreme weights. Keys come from the
+    md5 portable hash, so the oracle replays the exact same draw; the
+    top-k compiles to TakeOrderedAndProject (partial per-partition
+    top-k, no global sort)."""
     from experimentsplan_datapipeline_spark.operators.sampling import (
         sample_weighted_priority as swp,
     )

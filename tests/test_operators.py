@@ -1055,11 +1055,13 @@ def test_heavy_hitters_null_below_threshold_not_reported(spark):
 def test_sample_weighted_priority_replayable_and_partition_invariant(spark):
     import hashlib
 
+    import math
+
     rows = [(i, float(1 + (i * 37) % 100)) for i in range(500)]
 
     def prio(i, w):
         h = int(hashlib.md5(f"{i}|7".encode()).hexdigest()[:8], 16)
-        return ((h + 0.5) / 2**32) ** (1.0 / w)
+        return math.log((h + 0.5) / 2**32) / w
 
     want = [
         i for i, w in sorted(rows, key=lambda r: (-prio(*r), r[0]))[:50]
@@ -1073,6 +1075,38 @@ def test_sample_weighted_priority_replayable_and_partition_invariant(spark):
             ).collect()
         ]
         assert got == want  # exact replay of the python-side draw
+
+
+def test_sample_weighted_priority_extreme_weights_no_saturation(spark):
+    """The log-domain key ln(u)/w must keep ranking by u at BOTH weight
+    extremes. The paper's literal u^(1/w) saturates to exactly 1.0 in
+    double precision once w >= ~1e12 (every row ties, the 'sample'
+    degenerates to an id-order head), and underflows to 0.0 at w ~ 1e-6
+    for small u. With all weights equal the correct draw at any scale is
+    the top-k by u — i.e. identical id sets across w in {1e-6, 1.0, 1e12}."""
+    import hashlib as _h
+    import math
+
+    ids = list(range(300))
+
+    def u(i):
+        return (
+            int(_h.md5(f"{i}|7".encode()).hexdigest()[:8], 16) + 0.5
+        ) / 2**32
+
+    want = sorted(sorted(ids, key=lambda i: (-u(i), i))[:40])
+    picked = {}
+    for w in (1e-6, 1.0, 1e12):
+        df = spark.createDataFrame([(i, w) for i in ids], ["id", "w"])
+        picked[w] = sorted(
+            r.id
+            for r in smp.sample_weighted_priority(
+                df, "w", ["id"], k=40
+            ).collect()
+        )
+        assert picked[w] == want, f"w={w} draw diverged from the u-order"
+    # sanity: the saturating pow form would have returned ids 0..39 at 1e12
+    assert picked[1e12] != sorted(ids)[:40] or want == sorted(ids)[:40]
 
 
 def test_sample_weighted_priority_rejects_bad_weights(spark):

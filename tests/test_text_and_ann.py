@@ -786,6 +786,52 @@ def test_editdist_join_short_string_routes(spark):
     assert (4, 5, 1) in got  # mixed short/long via the gram route
 
 
+def test_editdist_short_band_bounded_by_distinct_values(spark):
+    """Adversarial duplicate-heavy corpus: the short-string band must
+    generate candidates between DISTINCT VALUES, so 100 copies each of a
+    few short strings yield exactly the same candidate value-pair count
+    as one copy each — the old per-row band made n copies x m copies of
+    two NON-matching values n*m dead candidates. End-to-end output must
+    still contain every duplicate-row pair (dist 0) and cross-value
+    matches."""
+    import itertools
+
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        _short_band_value_pairs,
+        editdist_prefix_join,
+    )
+    from pyspark.sql import functions as F
+
+    vals = ["ab", "ac", "xy", "q", ""]
+    dup_rows = [
+        (i, vals[i % len(vals)]) for i in range(500)
+    ]  # 100 copies each
+    uniq_rows = list(enumerate(vals))
+
+    def shorts_frame(rows):
+        df = spark.createDataFrame(rows, ["sid", "s"])
+        return df.select(
+            "sid", F.col("s").alias("__s"), F.length("s").alias("len")
+        )
+
+    n_dup = _short_band_value_pairs(shorts_frame(dup_rows), 2).count()
+    n_uniq = _short_band_value_pairs(shorts_frame(uniq_rows), 2).count()
+    assert n_dup == n_uniq  # candidate generation blind to duplication
+
+    df = spark.createDataFrame(dup_rows, ["sid", "s"])
+    got = sorted(
+        tuple(r)
+        for r in editdist_prefix_join(df, "s", "sid", q=2, max_dist=2)
+        .collect()
+    )
+    want = sorted(
+        (i, j, _lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(dup_rows, 2)
+        if _lev(a, b) <= 2
+    )
+    assert got == want and want
+
+
 def test_duplicate_substring_spans_hand_case(spark):
     from experimentsplan_datapipeline_spark.operators.dedup import (
         duplicate_substring_spans,
