@@ -315,6 +315,37 @@ def generative_denoise(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def load_weights_npz(path: str, key: str | None = None) -> "np.ndarray":
+    """Load real checkpoint weights from an ``.npy``/``.npz`` file for
+    ``batch_inference_broadcast`` — the driver-side half of the P7/P8
+    model-metric path (reference train/common/metrics.py:41-170 loads
+    LPIPS/DeepLabV3 checkpoints per worker; here the tensor loads ONCE on
+    the driver and ships via broadcast). A cluster user swaps a converted
+    LPIPS/segmentation weight file in through this loader without
+    touching the plan; in-sandbox tests exercise the same code path with
+    a small real npz.
+
+    ``key`` selects an array inside an .npz archive; omitted, the archive
+    must hold exactly one array (ambiguity raises with the member list
+    rather than guessing).
+    """
+    if path.endswith(".npy"):
+        return np.load(path)
+    with np.load(path) as z:
+        names = list(z.files)
+        if key is None:
+            if len(names) != 1:
+                raise ValueError(
+                    f"load_weights_npz: {path!r} holds {names}; pass key="
+                )
+            key = names[0]
+        if key not in names:
+            raise KeyError(
+                f"load_weights_npz: {key!r} not in {path!r} ({names})"
+            )
+        return z[key]
+
+
 def batch_inference_broadcast(
     df: DataFrame,
     weights: "np.ndarray",

@@ -14,6 +14,14 @@ PIN_DIR_KEY = "spark.experimentsplan.pin.dir"
 
 _pin_ids = itertools.count()
 
+# Durable state created by pin(mode='table'), tracked for purge_pins():
+# stage TABLES (bucketed pins) and parquet DIRS (non-bucketed pins).
+# Without a purge, a convergence loop like pagerank_until in table mode
+# leaks one stage table per round into the warehouse — permanent state
+# surviving the job.
+_pin_tables: list[str] = []
+_pin_paths: list[str] = []
+
 
 def pin(
     df: DataFrame,
@@ -43,6 +51,8 @@ def pin(
       recipe from SCALE.md, now an executable code path.
 
     ``eager`` only applies to ``local`` (table mode is inherently eager).
+    Table-mode state is durable by design; it is tracked per-process and
+    reclaimed by ``purge_pins`` at job end.
     """
     spark = df.sparkSession
     mode = mode or spark.conf.get(PIN_MODE_KEY, "local")
@@ -60,13 +70,50 @@ def pin(
             .mode("overwrite")
             .saveAsTable(name)
         )
+        _pin_tables.append(name)
         return spark.table(name)
     base = spark.conf.get(
         PIN_DIR_KEY, os.path.join(os.getcwd(), "spark-warehouse", "_pins")
     )
     path = os.path.join(base, pid)
     df.write.format("parquet").mode("overwrite").save(path)
+    _pin_paths.append(path)
     return spark.read.parquet(path)
+
+
+def purge_pins(spark) -> dict:
+    """Drop every stage table and delete every parquet dir that
+    ``pin(mode='table')`` created in this process — the job-end lifecycle
+    hook for pins' durable state.
+
+    A table-mode pin is deliberately durable MID-JOB (that is its whole
+    point: survive executor loss, be re-readable by any task), but it has
+    no value past the job; a driver loop like ``pagerank_until`` with
+    max_iter=50 would otherwise leave 50 permanent ``_pins_*`` tables in
+    the warehouse. Call this in a finally block around any table-mode
+    run. Only state created by THIS process is touched (tracked at create
+    time — no warehouse-wide glob, so concurrent jobs sharing a metastore
+    never purge each other). Frames still referencing a purged pin must
+    not be re-collected afterwards; purge is a job-END hook, not a cache
+    eviction. Dirs are removed through the Hadoop FileSystem of their
+    path, so hdfs:/s3a: pin dirs purge the same as local ones.
+
+    Returns {"tables": n_dropped, "paths": n_deleted}.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    n_t = n_p = 0
+    while _pin_tables:
+        name = _pin_tables.pop()
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        n_t += 1
+    while _pin_paths:
+        p = jvm.org.apache.hadoop.fs.Path(_pin_paths.pop())
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
+        n_p += 1
+    return {"tables": n_t, "paths": n_p}
 
 
 def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:

@@ -6,6 +6,13 @@ an order-insensitive value hash. Usage:
 
     python scripts/check_oracle.py [sf_dir] [query ...]
     python scripts/check_oracle.py [sf_dir] --rotate ROUND [SIZE]
+    python scripts/check_oracle.py [sf_dir] --out CORRECTNESS_LOCAL_rN.json
+
+``--out FILE`` additionally writes the per-query results as JSON (status,
+rows, seconds, problem strings, plus a summary/rotation block) — the
+committed full-registry correctness artifact VERDICT r7 item 3 asked for,
+closing the gap where the driver's fixed 50-query sample left most of the
+registry with no committed correctness record.
 
 ``--rotate ROUND`` emulates a rotating driver sample: it selects a
 deterministic SIZE-query window (default 50) into the registry, offset by
@@ -26,6 +33,7 @@ import sys
 import time
 
 import duckdb
+import json
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -74,6 +82,11 @@ def main() -> int:
     argv = list(sys.argv[1:])
     rotate_round = None
     rotate_size = 50
+    out_file = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_file = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     if "--rotate" in argv:
         i = argv.index("--rotate")
         rotate_round = int(argv[i + 1])
@@ -109,6 +122,7 @@ def main() -> int:
             f"{-(-len(qs) // rotate_size)} rounds)"
         )
     n_pass = n_fail = n_rowsonly = 0
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -119,10 +133,14 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            results[name] = {"status": "fail",
+                             "err": f"spark: {type(e).__name__}: {str(e)[:300]}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS  {name}: rows={len(srows)} cols={sorted(scols)} ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows_only", "rows": len(srows),
+                             "secs": round(time.time() - t0, 1)}
             n_rowsonly += 1
             continue
         try:
@@ -131,6 +149,7 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            results[name] = {"status": "fail", "err": f"duckdb: {str(e)[:300]}"}
             n_fail += 1
             continue
         problems = []
@@ -158,11 +177,31 @@ def main() -> int:
                     print(f"        duck-only:  {x}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
+            results[name] = {"status": "fail", "problems": problems}
             n_fail += 1
         else:
             print(f"PASS  {name} rows={len(srows)} ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "pass", "rows": len(srows),
+                             "secs": round(time.time() - t0, 1)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    if out_file:
+        payload = {
+            "sf_dir": sf_dir,
+            "registry_size": len(qs),
+            "checked": len(results),
+            "rotation": (
+                {"round": rotate_round, "size": rotate_size,
+                 "window": sorted(only)}
+                if rotate_round is not None else None
+            ),
+            "summary": {"pass": n_pass, "rows_only": n_rowsonly,
+                        "fail": n_fail},
+            "queries": results,
+        }
+        with open(out_file, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {out_file}")
     spark.stop()
     return 1 if n_fail else 0
 

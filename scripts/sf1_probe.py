@@ -47,6 +47,15 @@ HEAVY = [
     # build with two join+top1 rounds
     "graph_triangles",
     "graph_communities",
+    # round 8: the two newest shuffle-heavy ops (VERDICT r7 item 5). The
+    # standard corpus is their friendly case (shuffled copies kill
+    # cross-copy 8-grams; token distribution stays fixed); the ADVERSARIAL
+    # regimes each get a dedicated probe below — substring spans over a
+    # highly-DUPLICATED corpus (every gram repeats, every position marked)
+    # and heavy hitters over near-uniform high-cardinality keys (the MG
+    # summaries churn constantly and the candidate superset is pure noise)
+    "dedup_substring_spans",
+    "heavy_hitters_sketch",
 ]
 
 
@@ -159,6 +168,72 @@ def _containment_full_corpus(spark, sf_dir):
     )
 
 
+def build_dup_corpus(out_dir: str, copies: int) -> None:
+    """UNSHUFFLED id-shifted copies of the sf0.1 documents — the
+    adversarial regime for substring-span dedup: every 8-gram occurs
+    ``copies`` times, so EVERY position of EVERY doc is marked and the
+    islands pass merges maximal all-doc spans. A 2-copy small vs 20-copy
+    big pair holds the duplication STRUCTURE constant (all grams
+    duplicated in both) while scaling rows 10x, so the ratio isolates
+    scaling, not a friendliness change."""
+    os.makedirs(out_dir, exist_ok=True)
+    dst = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(dst):
+        return
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT max(doc_id) + 1 FROM '{SRC}/documents.parquet'"
+    ).fetchone()[0]
+    selects = " UNION ALL ".join(
+        f"SELECT * REPLACE (doc_id + {c * n} AS doc_id) "
+        f"FROM '{SRC}/documents.parquet'"
+        for c in range(copies)
+    )
+    con.execute(f"COPY ({selects}) TO '{dst}' (FORMAT PARQUET)")
+
+
+def _spans_op(spark, sf_dir):
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+
+    return duplicate_substring_spans(
+        t(spark, sf_dir, "documents"), "text", "doc_id", window=8
+    )
+
+
+def _heavy_hitters_uniform(spark, sf_dir):
+    """Misra-Gries over o_orderkey: every key near-unique, so summaries
+    evict constantly, the candidate union is P*k pure noise, and the
+    exact pass must stay candidate-bounded — nothing is heavy, the
+    result is empty, and the cost must scale with the SCAN, not the key
+    cardinality."""
+    from experimentsplan_datapipeline_spark.operators.aggregates import (
+        heavy_hitters,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+
+    return heavy_hitters(
+        t(spark, sf_dir, "orders").select("o_orderkey"), "o_orderkey", k=40
+    )
+
+
+def _time_pair(fn, spark, small_dir: str, big_dir: str) -> dict:
+    times = {}
+    for tag, d in (("sf0.1_sec", small_dir), ("sf1_sec", big_dir)):
+        fn(spark, d).count()  # warm
+        t0 = time.monotonic()
+        fn(spark, d).count()
+        times[tag] = round(time.monotonic() - t0, 3)
+    times["ratio"] = (
+        round(times["sf1_sec"] / times["sf0.1_sec"], 2)
+        if times["sf0.1_sec"]
+        else None
+    )
+    return times
+
+
 def time_queries(sf_dir: str, spark) -> dict[str, float]:
     from experimentsplan_datapipeline_spark.plans.queries import QUERIES
 
@@ -195,6 +270,19 @@ def main() -> None:
         }
         for name in HEAVY
     }
+    # adversarial regimes (VERDICT r7 item 5): structure held constant,
+    # rows scaled 10x
+    dup_small = os.path.join(out_dir, "adv_dup2")
+    dup_big = os.path.join(out_dir, "adv_dup20")
+    print("building duplicated corpora ...", file=sys.stderr)
+    build_dup_corpus(dup_small, copies=2)
+    build_dup_corpus(dup_big, copies=20)
+    result["dedup_substring_spans@dup_corpus"] = _time_pair(
+        _spans_op, spark, dup_small, dup_big
+    )
+    result["heavy_hitters@uniform_keys"] = _time_pair(
+        _heavy_hitters_uniform, spark, SRC, out_dir
+    )
     print(json.dumps(result, indent=2))
 
 

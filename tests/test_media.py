@@ -366,6 +366,51 @@ def test_batch_inference_broadcast_weights(spark):
     assert out == out2
 
 
+def test_batch_inference_external_npz_weights(spark, tmp_path):
+    """The P7/P8 swap-in path end-to-end with a REAL weights file: save an
+    npz/npy checkpoint with numpy, load it through load_weights_npz,
+    broadcast, infer — scores must equal the in-memory-weights run. Plus
+    the loader's contract errors (ambiguous archive, missing key)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from experimentsplan_datapipeline_spark.media.images import (
+        batch_inference_broadcast,
+        load_weights_npz,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0, 5.0]), (2, [0.5, -0.5])],
+        ["id", "pixels_norm"],
+    )
+    w = np.array([1.0, 0.0, -1.0])
+    want = {r.id: r.score for r in batch_inference_broadcast(df, w).collect()}
+
+    npz = str(tmp_path / "lpips_like.npz")
+    np.savez(npz, linear_head=w)
+    loaded = load_weights_npz(npz)  # single-array archive: key inferred
+    assert np.array_equal(loaded, w)
+    got = {
+        r.id: r.score
+        for r in batch_inference_broadcast(
+            df, loaded, model_version="npz-v1"
+        ).collect()
+    }
+    assert got == want
+
+    npy = str(tmp_path / "head.npy")
+    np.save(npy, w)
+    assert np.array_equal(load_weights_npz(npy), w)
+
+    multi = str(tmp_path / "multi.npz")
+    np.savez(multi, a=w, b=w * 2)
+    with _pytest.raises(ValueError, match="pass key="):
+        load_weights_npz(multi)
+    assert np.array_equal(load_weights_npz(multi, key="b"), w * 2)
+    with _pytest.raises(KeyError, match="not in"):
+        load_weights_npz(multi, key="missing")
+
+
 def test_read_npy_source(spark, tmp_path):
     """S7: npy files written by numpy round-trip through the binaryFile +
     mapInPandas source with dtype, shape, and values intact."""

@@ -805,6 +805,51 @@ def test_pin_table_mode_end_to_end_operators(spark):
     assert table_jc == local_jc
 
 
+def test_purge_pins_reclaims_table_mode_state(spark):
+    """pin(mode='table') is durable by design, but the state must not
+    outlive the job: after a pagerank_until table-mode run (one stage
+    table or parquet dir per round), purge_pins must leave NO _pins_*
+    tables in the catalog and no pin dirs on disk — and purge only what
+    THIS process created."""
+    import os as _os
+    import tempfile
+
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        pagerank_until,
+    )
+    from experimentsplan_datapipeline_spark.operators.util import (
+        pin,
+        purge_pins,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0)], ["src", "dst"]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.conf.set("spark.experimentsplan.pin.mode", "table")
+        spark.conf.set("spark.experimentsplan.pin.dir", tmp)
+        try:
+            ranks, info = pagerank_until(
+                edges, tol=1e-6, max_iter=20, damping=0.5
+            )
+            assert ranks.count() == 4 and info["iterations"] >= 2
+            # the bucketed path too, so both kinds of state are present
+            pin(spark.range(10), mode="table", bucket_cols=["id"])
+            assert _os.listdir(tmp)  # parquet pin dirs exist pre-purge
+            assert spark.sql(
+                "SHOW TABLES LIKE '_pins_*'"
+            ).count()  # stage tables exist pre-purge
+            stats = purge_pins(spark)
+        finally:
+            spark.conf.unset("spark.experimentsplan.pin.mode")
+            spark.conf.unset("spark.experimentsplan.pin.dir")
+        assert stats["paths"] >= info["iterations"] and stats["tables"] >= 1
+        assert spark.sql("SHOW TABLES LIKE '_pins_*'").count() == 0
+        assert _os.listdir(tmp) == []  # every pin dir deleted
+        # idempotent and scoped: nothing tracked -> nothing purged
+        assert purge_pins(spark) == {"tables": 0, "paths": 0}
+
+
 def test_triangle_count_hand_checked(spark):
     """K4 (mixed directions + duplicate edges) has 4 triangles, every node
     in 3; a star has none; a triangle with a pendant counts only the

@@ -20,6 +20,22 @@ def _plan(spark, name: str) -> str:
     return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
 
 
+def test_readme_query_count_matches_registry():
+    """The README's 'N queries, ALL N value-checked' claim is derived from
+    the registry, not hand-maintained — adding a query without updating
+    the README fails here instead of drifting (VERDICT r7 item 10)."""
+    import re
+
+    from experimentsplan_datapipeline_spark.plans.queries import ORACLE
+
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme) as f:
+        m = re.search(r"(\d+) queries, ALL (\d+) value-checked", f.read())
+    assert m, "README query-count sentence missing"
+    assert int(m.group(1)) == len(QUERIES), (m.group(1), len(QUERIES))
+    assert int(m.group(2)) == len(ORACLE), (m.group(2), len(ORACLE))
+
+
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
 class TestPlanShapes:
     def test_scan_pushdown_no_shuffle(self, spark):
