@@ -24,6 +24,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 #: modulus for hash fractions — 1/10000 granularity is finer than any
@@ -163,6 +164,162 @@ def length_buckets(
             F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
         )
     )
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    ctx: int,
+    n_shards: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents into per-shard
+    token streams and split the stream into fixed ``ctx``-token context
+    windows (bins), documents spanning bin boundaries — the packing used
+    for dense LLM pretraining batches (concatenate-and-chunk; no padding,
+    no doc-boundary alignment). Output is the segment map a loader needs:
+    one row per (document, bin) overlap with
+    (shard, bin_id, id, doc_off, bin_off, seg_len) —
+    "seg_len tokens of doc starting at doc_off land in bin bin_id at
+    offset bin_off".
+
+    Distribution: documents hash into ``n_shards`` independent streams
+    via the portable md5 hash (deterministic + oracle-replayable; at
+    cluster scale set n_shards to a few x total cores), each shard packs
+    independently under a single window cumsum ordered by ``id_col``
+    (deterministic), and a doc's bin span explodes via sequence() — all
+    JVM-side expressions, one hash shuffle + per-shard sort, nothing
+    driver-side. Zero-length docs occupy no tokens and drop out;
+    null/negative lengths raise rather than silently corrupting offsets.
+    Every bin except each shard's last is exactly full — the packing
+    -efficiency contract pinned by the pytest property test.
+    """
+    shard = F.pmod(portable_hash([id_col], seed), F.lit(n_shards))
+    ln = F.col(len_col).cast("long")
+    guarded = F.when(
+        ln.isNull() | (ln < 0),
+        F.raise_error("pack_chunks: lengths must be >= 0 and non-null"),
+    ).otherwise(ln)
+    base = df.select(
+        F.col(id_col),
+        guarded.alias("__len"),
+        shard.alias("shard"),
+    ).filter(F.col("__len") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.select(
+        id_col,
+        "shard",
+        "__len",
+        F.sum("__len").over(w).alias("__cum"),
+    ).withColumn("__st", F.col("__cum") - F.col("__len"))
+    seg = cum.select(
+        id_col,
+        "shard",
+        "__st",
+        "__cum",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__st") / ctx),
+                F.floor((F.col("__cum") - 1) / ctx),
+            )
+        ).alias("bin_id"),
+    )
+    seg_start = F.greatest(F.col("__st"), F.col("bin_id") * ctx)
+    seg_end = F.least(F.col("__cum"), (F.col("bin_id") + 1) * ctx)
+    return seg.select(
+        "shard",
+        "bin_id",
+        F.col(id_col),
+        (seg_start - F.col("__st")).alias("doc_off"),
+        (seg_start - F.col("bin_id") * ctx).alias("bin_off"),
+        (seg_end - seg_start).alias("seg_len"),
+    )
+
+
+def pack_next_fit(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    ctx: int,
+    n_shards: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """No-split sequence packing (next-fit bin packing): documents fill a
+    ``ctx``-token bin in ``id_col`` order until the next one would
+    overflow, which seals the bin and opens a new one — the packing used
+    where documents must stay intact (SFT examples, contrastive pairs),
+    next to ``pack_chunks``'s concatenate-and-chunk for dense
+    pretraining. Returns (shard, bin_id, id, n_tok, bin_off).
+
+    Bin state (current fill) is inherently SEQUENTIAL — no window/cumsum
+    closed form exists because each bin break resets the accumulator at a
+    data-dependent position. The Spark shape is therefore
+    ``applyInPandas`` over independent hash shards: the portable-hash
+    shard is the unit of parallelism (set n_shards to a few x total
+    cores; each shard's fold is a tight numpy loop over one Arrow
+    batch), and the SQL oracle replays the fold as a per-shard recursive
+    CTE. Zero-length docs drop; null/negative lengths and docs longer
+    than ``ctx`` raise (truncate or route oversize docs first — silently
+    splitting them would contradict the operator's contract).
+    """
+    import numpy as np
+    import pandas as pd
+
+    shard = F.pmod(portable_hash([id_col], seed), F.lit(n_shards))
+    ln = F.col(len_col).cast("long")
+    guarded = F.when(
+        ln.isNull() | (ln < 0) | (ln > ctx),
+        F.raise_error(
+            f"pack_next_fit: lengths must be in [0, ctx={ctx}] and non-null"
+        ),
+    ).otherwise(ln)
+    base = df.select(
+        F.col(id_col),
+        guarded.alias("__len"),
+        shard.alias("shard"),
+    ).filter(F.col("__len") > 0)
+
+    id_field = base.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("bin_id", LongType()),
+            id_field,
+            StructField("n_tok", LongType()),
+            StructField("bin_off", LongType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        lens = pdf["__len"].to_numpy(dtype=np.int64)
+        bins = np.empty(len(lens), dtype=np.int64)
+        offs = np.empty(len(lens), dtype=np.int64)
+        b = 0
+        fill = 0
+        for i, n in enumerate(lens):
+            if fill + n > ctx:
+                b += 1
+                fill = 0
+            bins[i] = b
+            offs[i] = fill
+            fill += n
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].to_numpy(),
+                "bin_id": bins,
+                id_col: pdf[id_col].to_numpy(),
+                "n_tok": lens,
+                "bin_off": offs,
+            }
+        )
+
+    return base.groupBy("shard").applyInPandas(fold, schema=out_schema)
 
 
 def heavy_keys(

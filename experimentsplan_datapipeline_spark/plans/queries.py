@@ -6030,3 +6030,101 @@ def graph_pagerank_converged(spark, sf_dir):
         .orderBy(F.col("pagerank").desc(), "node")
         .limit(100)
     )
+
+
+@register("curate_pack_chunks", """
+WITH lens AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '')) AS n_tok,
+         ('0x' || substr(md5(doc_id::VARCHAR || '|7'), 1, 8))::BIGINT % 8
+           AS shard
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM lens WHERE n_tok > 0),
+seg AS (
+  SELECT doc_id, shard, cum - n_tok AS st, cum,
+         unnest(generate_series(((cum - n_tok) // 256)::BIGINT,
+                                ((cum - 1) // 256)::BIGINT))
+           AS bin_id
+  FROM c)
+SELECT shard, bin_id, doc_id,
+       greatest(st, bin_id * 256) - st AS doc_off,
+       greatest(st, bin_id * 256) - bin_id * 256 AS bin_off,
+       least(cum, (bin_id + 1) * 256) - greatest(st, bin_id * 256)
+         AS seg_len
+FROM seg
+""")
+def curate_pack_chunks(spark, sf_dir):
+    """Sequence packing for LLM pretraining batches: concatenate the
+    corpus into 8 independent hash-sharded token streams and chunk each
+    into 256-token context windows, docs spanning bins
+    (operators/curation.py::pack_chunks — window cumsum + sequence
+    explode, one hash shuffle, all codegen). The segment map (which doc
+    slice fills which bin at which offset) is what a dense-batch loader
+    consumes; the oracle replays shards, the running sum, and the bin
+    arithmetic verbatim."""
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        pack_chunks,
+    )
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        _tokens,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(_tokens("text"), lambda x: x != "")).alias("n_tok"),
+    )
+    return pack_chunks(docs, "doc_id", "n_tok", ctx=256, n_shards=8)
+
+
+@register("curate_pack_next_fit", """
+WITH RECURSIVE lens AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '')) AS n_tok,
+         ('0x' || substr(md5(doc_id::VARCHAR || '|7'), 1, 8))::BIGINT % 8
+           AS shard
+  FROM documents),
+numbered AS (
+  SELECT doc_id, shard, n_tok,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM lens WHERE n_tok > 0),
+pack AS (
+  SELECT shard, rn, doc_id, n_tok,
+         0::BIGINT AS bin_id, 0::BIGINT AS bin_off, n_tok AS fill
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.shard, n.rn, n.doc_id, n.n_tok,
+         CASE WHEN p.fill + n.n_tok <= 256
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + n.n_tok <= 256
+              THEN p.fill ELSE 0::BIGINT END,
+         CASE WHEN p.fill + n.n_tok <= 256
+              THEN p.fill + n.n_tok ELSE n.n_tok END
+  FROM pack p JOIN numbered n ON n.shard = p.shard AND n.rn = p.rn + 1)
+SELECT shard, bin_id, doc_id, n_tok, bin_off FROM pack
+""")
+def curate_pack_next_fit(spark, sf_dir):
+    """No-split packing of whole documents into 256-token bins, next-fit
+    in doc_id order over 8 hash shards (operators/curation.py::
+    pack_next_fit — applyInPandas fold per shard; the bin-fill state is
+    inherently sequential, shards are the parallelism). The oracle
+    replays the fold as a per-shard recursive CTE advancing one document
+    per step — a genuine sequential-semantics twin, not a window
+    approximation."""
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        pack_next_fit,
+    )
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        _tokens,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(_tokens("text"), lambda x: x != "")).alias("n_tok"),
+    )
+    return pack_next_fit(docs, "doc_id", "n_tok", ctx=256, n_shards=8)

@@ -167,3 +167,130 @@ def test_ordered_rank_is_sorted_permutation(spark):
     assert sorted(r.rk for r in out) == list(range(1, 151))
     by_rank = sorted(out, key=lambda r: r.rk)
     assert [(r.v, r.id) for r in by_rank] == sorted((v, i) for i, v in rows)
+
+
+def test_pack_chunks_hand_checked_single_shard(spark):
+    """One shard, ctx=8, hand-traced stream: docs concatenate in id order
+    and split at every 8-token boundary, spanning docs carrying the right
+    (doc_off, bin_off, seg_len) on both sides of the cut."""
+    rows = [(1, 5), (2, 3), (3, 4), (4, 9), (5, 2)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    got = sorted(
+        tuple(r)[1:]  # drop shard (single shard)
+        for r in cur.pack_chunks(
+            df, "doc_id", "n_tok", ctx=8, n_shards=1
+        ).collect()
+    )
+    # stream offsets: d1 [0,5) d2 [5,8) d3 [8,12) d4 [12,21) d5 [21,23)
+    want = sorted([
+        (0, 1, 0, 0, 5),
+        (0, 2, 0, 5, 3),
+        (1, 3, 0, 0, 4),
+        (1, 4, 0, 4, 4),   # d4 head fills bin 1
+        (2, 4, 4, 0, 5),   # d4 tail opens bin 2
+        (2, 5, 0, 5, 2),
+    ])
+    assert got == want
+
+
+def test_pack_chunks_properties(spark):
+    """Packing invariants over hash shards: token conservation per doc,
+    every non-final bin of every shard exactly full with contiguous
+    offsets, partition invariance, zero-length docs dropped, negative
+    lengths raise."""
+    import collections
+
+    import pytest as _pytest
+
+    rows = [(i, (i * 13) % 50) for i in range(200)]  # some zeros
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    ctx, shards = 64, 4
+    segs = [
+        tuple(r)
+        for r in cur.pack_chunks(
+            df, "doc_id", "n_tok", ctx=ctx, n_shards=shards
+        ).collect()
+    ]
+    # conservation: per-doc seg_len sums to its length; zero-len absent
+    per_doc = collections.Counter()
+    for shard, bin_id, doc_id, doc_off, bin_off, seg_len in segs:
+        per_doc[doc_id] += seg_len
+        assert 0 < seg_len <= ctx and 0 <= bin_off < ctx
+    assert per_doc == {i: n for i, n in rows if n > 0}
+    # bins: contiguous fill, all but each shard's last exactly full
+    fill = collections.Counter()
+    for shard, bin_id, _, _, _, seg_len in segs:
+        fill[(shard, bin_id)] += seg_len
+    for (shard, bin_id), tot in fill.items():
+        last = max(b for s, b in fill if s == shard)
+        assert tot == ctx or (bin_id == last and tot <= ctx)
+    # partition invariance
+    again = sorted(
+        tuple(r)
+        for r in cur.pack_chunks(
+            df.repartition(32), "doc_id", "n_tok", ctx=ctx, n_shards=shards
+        ).collect()
+    )
+    assert again == sorted(segs)
+    bad = spark.createDataFrame([(1, -2)], ["doc_id", "n_tok"])
+    with _pytest.raises(Exception, match="lengths must be >= 0"):
+        cur.pack_chunks(bad, "doc_id", "n_tok", ctx=8).collect()
+
+
+def test_pack_next_fit_hand_checked_single_shard(spark):
+    """Next-fit trace at ctx=8: 5+3 seals bin 0 exactly; 4 opens bin 1;
+    6 overflows (4+6>8) so bin 2; 2 fits after it."""
+    rows = [(1, 5), (2, 3), (3, 4), (4, 6), (5, 2)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    got = sorted(
+        (r.doc_id, r.bin_id, r.bin_off)
+        for r in cur.pack_next_fit(
+            df, "doc_id", "n_tok", ctx=8, n_shards=1
+        ).collect()
+    )
+    assert got == [(1, 0, 0), (2, 0, 5), (3, 1, 0), (4, 2, 0), (5, 2, 6)]
+
+
+def test_pack_next_fit_properties(spark):
+    """Whole-doc packing invariants: every doc appears exactly once and
+    intact, per-bin fill <= ctx, a bin break happens ONLY when the next
+    doc would overflow (greedy next-fit), partition invariance, and
+    oversize/negative lengths raise."""
+    import collections
+
+    import pytest as _pytest
+
+    rows = [(i, 1 + (i * 13) % 60) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    ctx, shards = 64, 4
+    out = sorted(
+        tuple(r)
+        for r in cur.pack_next_fit(
+            df, "doc_id", "n_tok", ctx=ctx, n_shards=shards
+        ).collect()
+    )
+    assert sorted((d, n) for _, _, d, n, _ in out) == sorted(rows)
+    fill = collections.Counter()
+    by_shard = collections.defaultdict(list)
+    for shard, bin_id, doc_id, n_tok, bin_off in out:
+        fill[(shard, bin_id)] += n_tok
+        by_shard[shard].append((doc_id, bin_id, n_tok, bin_off))
+    assert all(v <= ctx for v in fill.values())
+    for shard, docs in by_shard.items():
+        docs.sort()  # id order == fold order
+        b = off = 0
+        for doc_id, bin_id, n_tok, bin_off in docs:
+            if off + n_tok > ctx:
+                b, off = b + 1, 0
+            assert (bin_id, bin_off) == (b, off), (shard, doc_id)
+            off += n_tok
+    again = sorted(
+        tuple(r)
+        for r in cur.pack_next_fit(
+            df.repartition(32), "doc_id", "n_tok", ctx=ctx, n_shards=shards
+        ).collect()
+    )
+    assert again == out
+    bad = spark.createDataFrame([(1, 100)], ["doc_id", "n_tok"])
+    with _pytest.raises(Exception, match="lengths must be in"):
+        cur.pack_next_fit(bad, "doc_id", "n_tok", ctx=64).collect()

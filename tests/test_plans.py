@@ -322,6 +322,17 @@ class TestRound6PlanShapes:
         assert "lineitem" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_pack_chunks_single_shuffle(self, spark):
+        """Sequence packing is ONE hash shuffle (the shard partitioning
+        feeding the per-shard window cumsum) — the explode and bin
+        arithmetic are pure codegen; no join, no second exchange, no
+        cartesian."""
+        plan = _plan(spark, "curate_pack_chunks")
+        assert plan.count("Exchange") == 1
+        assert plan.count("Window") == 1  # per-shard cumsum only
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan
+
     def test_decontaminate_no_corpus_broadcast(self, spark):
         """The train corpus must never be a broadcast build side; the only
         join on the gram key is an equi-join, and the final attach is a
