@@ -1089,3 +1089,66 @@ def duplicate_substring_spans(
         (F.max("pos") + window - 1).alias("span_end"),
         (F.max("pos") - F.min("pos") + window).alias("span_len"),
     ).drop("__grp")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    order_cols: "list[str]",
+    id_col: str,
+    w: int,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD'95): all
+    unordered record pairs within rank distance <= ``w`` of each other in
+    the global ``order_cols`` sort — the classic record-linkage
+    candidate generator where a domain sort key (name, address, title)
+    puts likely duplicates near each other and the verifier only runs on
+    the O(n*w) neighborhood instead of O(n^2) pairs. Complements the
+    EXACT joins (jaccard/editdist prefix): SNM is a recall-by-sort-key
+    heuristic, which is sometimes precisely what a curation pipeline
+    wants (cheap, bounded candidates at any similarity).
+
+    Scale shape: the global sort rank comes from ``ordered_rank`` (range
+    partition + broadcast offsets — no single-task window), and the
+    neighborhood join is an EQUI-join on block cells of width ``w``: the
+    lower-rank side of any qualifying pair emits its own and the next
+    block cell, the higher-rank side its own only, so each pair meets in
+    exactly one cell (no post-dedup) and no row multiplies more than 2x.
+    Returns (id_a, id_b, rank_dist) with id_a < id_b.
+
+    Pass a unique tiebreak (``id_col`` is appended automatically) so
+    ranks are deterministic; the oracle replays
+    ``row_number() OVER (ORDER BY order_cols, id)`` exactly.
+    """
+    from experimentsplan_datapipeline_spark.operators.sampling import (
+        ordered_rank,
+    )
+
+    ranked = ordered_rank(
+        df.select(id_col, *order_cols),
+        list(order_cols) + [id_col],
+        rank_col="__rk",
+    ).select(id_col, "__rk", F.floor((F.col("__rk") - 1) / w).alias("__blk"))
+    lo = ranked.select(
+        F.col(id_col).alias("__ida"),
+        F.col("__rk").alias("__rka"),
+        F.explode(
+            F.array(F.col("__blk"), F.col("__blk") + 1)
+        ).alias("__cell"),
+    )
+    hi = ranked.select(
+        F.col(id_col).alias("__idb"),
+        F.col("__rk").alias("__rkb"),
+        F.col("__blk").alias("__cell"),
+    )
+    return (
+        lo.join(hi, "__cell")
+        .filter(
+            (F.col("__rkb") > F.col("__rka"))
+            & (F.col("__rkb") - F.col("__rka") <= w)
+        )
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            (F.col("__rkb") - F.col("__rka")).alias("rank_dist"),
+        )
+    )

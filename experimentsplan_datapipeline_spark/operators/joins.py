@@ -358,3 +358,58 @@ def range_join_banded(
         )
     )
     return joined.drop("__bucket")
+
+
+def merge_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """MERGE/SCD-1 changelog application: fold a stream of keyed
+    upsert/delete events into a snapshot — the table-maintenance
+    primitive (Delta/Iceberg MERGE INTO semantics) a training-data
+    pipeline runs to keep its corpus snapshot current without rewriting
+    history. Returns the new snapshot with the snapshot's schema.
+
+    Per key, the LATEST change wins: one map-side-combinable
+    ``max_by(payload, (ts, payload))`` aggregation picks it in a single
+    pass (the payload struct rides as the final tiebreak, so equal-ts
+    duplicates resolve deterministically instead of by partition order).
+    The fold then full-outer-joins the one-row-per-key change set onto
+    the snapshot: absent key -> row unchanged; latest op = ``delete_op``
+    -> row dropped (a delete for an absent key is a no-op); anything
+    else -> upsert (update or brand-new insert).
+
+    Scale shape: one aggregation shuffle over the CHANGES (normally a
+    small fraction of the snapshot) and one equi-join on the key —
+    broadcastable when the deduped change set is small, AQE-planned
+    otherwise. ``changes`` must carry every non-key snapshot column plus
+    ``op_col``; extra change-side columns (like ``ts_col``) are dropped
+    from the output.
+    """
+    keys = list(key_cols)
+    value_cols = [c for c in snapshot.columns if c not in keys]
+    missing = [c for c in value_cols + [op_col, ts_col]
+               if c not in changes.columns]
+    if missing:
+        raise ValueError(f"merge_changelog: changes lack columns {missing}")
+    payload = F.struct(
+        *[F.col(c) for c in changes.columns if c not in keys]
+    )
+    latest = changes.groupBy(*keys).agg(
+        F.max_by(payload, F.struct(F.col(ts_col), payload)).alias("__ch")
+    )
+    merged = snapshot.alias("s").join(latest, keys, "full_outer")
+    alive = F.col("__ch").isNull() | (F.col("__ch")[op_col] != F.lit(delete_op))
+    return merged.filter(alive).select(
+        *keys,
+        *[
+            F.when(F.col("__ch").isNotNull(), F.col("__ch")[c])
+            .otherwise(F.col(f"s.{c}"))
+            .alias(c)
+            for c in value_cols
+        ],
+    )

@@ -6128,3 +6128,109 @@ def curate_pack_next_fit(spark, sf_dir):
         F.size(F.filter(_tokens("text"), lambda x: x != "")).alias("n_tok"),
     )
     return pack_next_fit(docs, "doc_id", "n_tok", ctx=256, n_shards=8)
+
+
+@register("merge_changelog_orders", """
+WITH snap AS (SELECT o_orderkey, o_totalprice FROM orders),
+ch AS (
+  SELECT o_orderkey, o_totalprice + 500 AS o_totalprice,
+         'upsert' AS op, 1 AS ts
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 1000,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'delete' ELSE 'upsert' END, 2
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice * 2, 'upsert', 1
+  FROM orders WHERE o_orderkey % 7 = 0),
+latest AS (
+  SELECT o_orderkey, o_totalprice, op FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY ts DESC) AS rn
+    FROM ch) WHERE rn = 1)
+SELECT o_orderkey,
+       round(CASE WHEN l_found THEN ch_price ELSE s_price END, 2)
+         AS o_totalprice
+FROM (
+  SELECT coalesce(l.o_orderkey, s.o_orderkey) AS o_orderkey,
+         l.o_orderkey IS NOT NULL AS l_found,
+         l.o_totalprice AS ch_price, s.o_totalprice AS s_price, l.op
+  FROM snap s FULL OUTER JOIN latest l ON s.o_orderkey = l.o_orderkey)
+WHERE op IS NULL OR op <> 'delete'
+""")
+def merge_changelog_orders(spark, sf_dir):
+    """MERGE INTO semantics over the orders snapshot
+    (operators/joins.py::merge_changelog): a synthetic changelog sends
+    every %5 key two events (ts=1 upsert +500, then ts=2 delete-if-%3
+    else upsert +1000 — latest must win), plus brand-new inserts for %7
+    keys. One max_by aggregation picks the latest change per key; a full
+    outer join applies keep/update/insert/delete. The oracle replays the
+    changelog construction and the row_number-latest fold."""
+    from experimentsplan_datapipeline_spark.operators.joins import (
+        merge_changelog,
+    )
+
+    snap = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k, p = F.col("o_orderkey"), F.col("o_totalprice")
+    ch1 = snap.filter(k % 5 == 0).select(
+        k, (p + 500).alias("o_totalprice"),
+        F.lit("upsert").alias("op"), F.lit(1).alias("ts"),
+    )
+    ch2 = snap.filter(k % 5 == 0).select(
+        k, (p + 1000).alias("o_totalprice"),
+        F.when(k % 3 == 0, "delete").otherwise("upsert").alias("op"),
+        F.lit(2).alias("ts"),
+    )
+    ins = snap.filter(k % 7 == 0).select(
+        (k + 100000000).alias("o_orderkey"),
+        (p * 2).alias("o_totalprice"),
+        F.lit("upsert").alias("op"), F.lit(1).alias("ts"),
+    )
+    changes = ch1.unionByName(ch2).unionByName(ins)
+    merged = merge_changelog(snap, changes, ["o_orderkey"], "ts")
+    return merged.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@register("dedup_sorted_neighborhood", """
+WITH u AS (SELECT p_name, min(p_partkey) AS pid FROM part GROUP BY p_name),
+r AS (SELECT pid, p_name,
+             row_number() OVER (ORDER BY p_name, pid) AS rk
+      FROM u)
+SELECT least(a.pid, b.pid) AS id_a, greatest(a.pid, b.pid) AS id_b,
+       b.rk - a.rk AS rank_dist,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 3
+WHERE levenshtein(a.p_name, b.p_name) <= 5
+""")
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood record linkage over part names: candidates are
+    the rank-window-3 neighborhood of the global name sort
+    (operators/dedup.py::sorted_neighborhood_pairs — distributed rank via
+    ordered_rank, equi-join on width-w block cells), verified with
+    levenshtein <= 5 (TPC-H 5-color-word names: sorted neighbors share
+    long prefixes, nearest distances start at 3). The oracle replays the row_number neighborhood
+    join; matching proves the block-cell join covers EXACTLY the rank
+    window."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    u = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("pid"))
+    )
+    pairs = sorted_neighborhood_pairs(u, ["p_name"], "pid", w=3)
+    na = u.select(F.col("pid").alias("id_a"), F.col("p_name").alias("__na"))
+    nb = u.select(F.col("pid").alias("id_b"), F.col("p_name").alias("__nb"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b", "rank_dist",
+            F.levenshtein("__na", "__nb").alias("dist"),
+        )
+        .filter(F.col("dist") <= 5)
+    )

@@ -1160,3 +1160,91 @@ def test_sample_weighted_priority_rejects_bad_weights(spark):
     df = spark.createDataFrame([(1, 0.0)], ["id", "w"])
     with _pytest.raises(Exception, match="weights must be > 0"):
         smp.sample_weighted_priority(df, "w", ["id"], k=1).collect()
+
+
+def test_merge_changelog_hand_checked(spark):
+    """MERGE semantics traced by hand: keep, update (latest ts wins over
+    an earlier change), delete, insert, and delete-of-absent-key no-op."""
+    from experimentsplan_datapipeline_spark.operators.joins import (
+        merge_changelog,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b1", "upsert", 1),
+            (2, None, "delete", 2),   # latest for key 2: delete
+            (3, "c1", "upsert", 1),
+            (3, "c2", "upsert", 2),   # latest for key 3: c2
+            (4, "d", "upsert", 1),    # insert
+            (5, None, "delete", 1),   # delete of absent key: no-op
+        ],
+        ["k", "v", "op", "ts"],
+    )
+    got = sorted(
+        (r.k, r.v)
+        for r in merge_changelog(snap, changes, ["k"], "ts").collect()
+    )
+    assert got == [(1, "a"), (3, "c2"), (4, "d")]
+
+
+def test_merge_changelog_equal_ts_deterministic_and_validates(spark):
+    """Equal-ts duplicate events resolve by the payload-struct tiebreak —
+    identical output under any partitioning — and a changes frame missing
+    a snapshot column raises up front."""
+    import pytest as _pytest
+
+    from experimentsplan_datapipeline_spark.operators.joins import (
+        merge_changelog,
+    )
+
+    snap = spark.createDataFrame([(1, 10.0)], ["k", "v"])
+    dup = spark.createDataFrame(
+        [(1, 20.0, "upsert", 5), (1, 30.0, "upsert", 5)],
+        ["k", "v", "op", "ts"],
+    )
+    outs = {
+        tuple(sorted(
+            tuple(r)
+            for r in merge_changelog(
+                snap, dup.repartition(p), ["k"], "ts"
+            ).collect()
+        ))
+        for p in (1, 7, 32)
+    }
+    assert outs == {((1, 30.0),)}  # max payload struct wins every time
+    bad = spark.createDataFrame([(1, "upsert", 1)], ["k", "op", "ts"])
+    with _pytest.raises(ValueError, match="changes lack columns"):
+        merge_changelog(snap, bad, ["k"], "ts")
+
+
+def test_sorted_neighborhood_matches_window_definition(spark):
+    """The block-cell equi-join must produce EXACTLY the rank-window
+    pairs — including across block boundaries — for random data at
+    several window widths; each pair exactly once."""
+    import random
+
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, f"{rng.randint(0, 999):03d}x{i}") for i in range(120)]
+    df = spark.createDataFrame(rows, ["rid", "name"])
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    for w in (1, 3, 5):
+        want = sorted(
+            (min(order[i][0], order[j][0]),
+             max(order[i][0], order[j][0]), j - i)
+            for i in range(len(order))
+            for j in range(i + 1, min(i + w + 1, len(order)))
+        )
+        got = sorted(
+            tuple(r)
+            for r in sorted_neighborhood_pairs(
+                df, ["name"], "rid", w=w
+            ).collect()
+        )
+        assert got == want, f"w={w}"
