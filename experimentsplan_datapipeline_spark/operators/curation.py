@@ -322,6 +322,54 @@ def pack_next_fit(
     return base.groupBy("shard").applyInPandas(fold, schema=out_schema)
 
 
+def mixture_token_budget(
+    df: DataFrame,
+    source_col: str,
+    len_col: str,
+    id_cols: Sequence[str],
+    budget: int,
+    overrides: "dict[str, int] | None" = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Token-budget mixture sampling: per source, keep documents in a
+    seeded pseudo-random order until the source's TOKEN budget is
+    exhausted (every kept row has running total <= budget) — how
+    pretraining mixtures are actually specified ("B tokens of web, B' of
+    code"), where ``mixture_repeat``'s epoch weights specify document
+    multiplicity instead. Deterministic: the order is the portable md5
+    hash over ``id_cols`` (replayable by the SQL oracle, invariant to
+    physical partitioning), so the kept set is a stable function of
+    (data, seed, budgets).
+
+    ``budget`` applies to every source; ``overrides`` remaps individual
+    sources. A source whose first document alone exceeds its budget
+    contributes nothing (the contract is a hard cap, not best-effort).
+
+    Scale shape: one range shuffle + broadcast-offset prefix sums via
+    ``grouped_running_total`` — NO per-source single-task window, so a
+    3-source 100 TB corpus still uses every executor. Returns the input
+    columns plus the running total ``cum``.
+    """
+    from experimentsplan_datapipeline_spark.operators.sampling import (
+        grouped_running_total,
+    )
+
+    order = portable_hash(list(id_cols), seed)
+    with_order = df.withColumn("__ord", order)
+    cum = grouped_running_total(
+        with_order,
+        [source_col],
+        ["__ord", *id_cols],
+        len_col,
+        out_col="cum",
+    )
+    b = F.lit(budget)
+    for src, val in (overrides or {}).items():
+        b = F.when(F.col(source_col) == src, F.lit(val)).otherwise(b)
+    # restore the caller's column order (the offset join moved keys first)
+    return cum.filter(F.col("cum") <= b).select(*df.columns, "cum")
+
+
 def heavy_keys(
     df: DataFrame, key_col: str, top_k: int = 20
 ) -> DataFrame:

@@ -381,6 +381,66 @@ def ordered_rank(
     )
 
 
+def grouped_running_total(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    val_col: str,
+    out_col: str = "cum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group running total in ``order_cols`` order WITHOUT a
+    one-task-per-group window — ``ordered_rank``'s scheme generalized
+    from ranks to prefix sums over a grouping.
+
+    ``Window.partitionBy(group)`` funnels each group through ONE task; a
+    100 TB mixture with a handful of sources would serialize almost the
+    whole corpus. Instead: range-partition on (group, order) so each
+    group occupies a RUN of partitions, local cumsum per (partition,
+    group), then per-(partition, group) totals prefix-summed into
+    broadcast offsets — cum = offset + local. The offsets frame is
+    |partitions| x |groups touching a boundary| rows; the offset window
+    runs over per-partition totals (tiny), never over rows. Ties across
+    a partition boundary get arbitrary relative order — append a unique
+    tiebreak to ``order_cols`` as with ``ordered_rank``.
+    """
+    if partitions is None:
+        partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(partitions, *gcols, *ocols)
+        .sortWithinPartitions(*group_cols, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(
+        "__lc", F.sum(F.col(val_col)).over(w_local)
+    )
+    totals = local.groupBy("__pid", *group_cols).agg(
+        F.sum(val_col).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__pid", *group_cols, "__off")
+    return (
+        local.join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(out_col, F.col("__off") + F.col("__lc"))
+        .drop("__pid", "__lc", "__off")
+    )
+
+
 def sample_weighted_priority(
     df: DataFrame,
     weight_col: str,

@@ -6234,3 +6234,44 @@ def dedup_sorted_neighborhood(spark, sf_dir):
         )
         .filter(F.col("dist") <= 5)
     )
+
+
+@register("curate_mixture_token_budget", """
+WITH lens AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '')) AS n_tok,
+         ('0x' || substr(md5(doc_id::VARCHAR || '|7'), 1, 8))::BIGINT AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM lens)
+SELECT doc_id, source, n_tok, cum FROM c
+WHERE cum <= CASE WHEN source = 'src0' THEN 200 ELSE 800 END
+""")
+def curate_mixture_token_budget(spark, sf_dir):
+    """Token-budget mixture: keep documents per source in seeded
+    hash-random order until 800 tokens (200 for src0 — a per-source
+    override), the way pretraining mixtures are specified in tokens
+    (operators/curation.py::mixture_token_budget). The running total
+    comes from grouped_running_total — range shuffle + broadcast-offset
+    prefix sums, no per-source single-task window; the oracle replays
+    the hash order and the windowed cumsum verbatim."""
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        mixture_token_budget,
+    )
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        _tokens,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.filter(_tokens("text"), lambda x: x != "")).alias("n_tok"),
+    )
+    return mixture_token_budget(
+        docs, "source", "n_tok", ["doc_id"], budget=800,
+        overrides={"src0": 200},
+    )

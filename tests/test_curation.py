@@ -294,3 +294,76 @@ def test_pack_next_fit_properties(spark):
     bad = spark.createDataFrame([(1, 100)], ["doc_id", "n_tok"])
     with _pytest.raises(Exception, match="lengths must be in"):
         cur.pack_next_fit(bad, "doc_id", "n_tok", ctx=64).collect()
+
+
+def test_grouped_running_total_matches_window_definition(spark):
+    """The range-partition + broadcast-offset prefix sum must equal the
+    naive per-group window cumsum for every group — including groups
+    spanning many range partitions (few groups, many partitions forces
+    boundary crossings)."""
+    import collections
+
+    from experimentsplan_datapipeline_spark.operators.sampling import (
+        grouped_running_total,
+    )
+
+    rows = [(i, f"g{i % 3}", 1 + (i * 7) % 10) for i in range(300)]
+    df = spark.createDataFrame(rows, ["rid", "g", "v"])
+    want = {}
+    acc = collections.Counter()
+    for rid, g, v in sorted(rows, key=lambda r: (r[1], r[0])):
+        acc[g] += v
+        want[rid] = acc[g]
+    for parts in (2, 8, 32):
+        got = {
+            r.rid: r.cum
+            for r in grouped_running_total(
+                df.repartition(5), ["g"], ["rid"], "v", partitions=parts
+            ).collect()
+        }
+        assert got == want, f"partitions={parts}"
+
+
+def test_mixture_token_budget_hard_cap_and_overrides(spark):
+    """Per-source kept token sums never exceed the budget, the FIRST
+    excluded doc in hash order would have pushed past it (no
+    under-filling), the src-level override applies, and the kept set is
+    partition-invariant."""
+    import hashlib
+
+    rows = [
+        (i, f"s{i % 3}", 10 + (i * 11) % 40) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    budget, over = 300, {"s0": 100}
+    kept = [
+        tuple(r)
+        for r in cur.mixture_token_budget(
+            df, "source", "n_tok", ["doc_id"], budget, overrides=over
+        ).collect()
+    ]
+
+    def h(i):
+        return int(hashlib.md5(f"{i}|7".encode()).hexdigest()[:8], 16)
+
+    by_src = {}
+    for doc_id, src, n in rows:
+        by_src.setdefault(src, []).append((h(doc_id), doc_id, n))
+    want = []
+    for src, docs in by_src.items():
+        cap = over.get(src, budget)
+        cum = 0
+        for _, doc_id, n in sorted(docs):
+            if cum + n > cap:
+                break  # hash order: everything after is excluded too
+            cum += n
+            want.append((doc_id, src, n, cum))
+    assert sorted(kept) == sorted(want)
+    again = [
+        tuple(r)
+        for r in cur.mixture_token_budget(
+            df.repartition(17), "source", "n_tok", ["doc_id"],
+            budget, overrides=over,
+        ).collect()
+    ]
+    assert sorted(again) == sorted(kept)
