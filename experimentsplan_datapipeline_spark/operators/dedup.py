@@ -215,6 +215,61 @@ def minhash_lsh_dedup(
     return ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_size, threshold)
 
 
+def minhash_estimate_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
+    portable_seed: int | None = None, error_band: float = 0.3,
+) -> DataFrame:
+    """MinHash sketch CONTRACT: estimate vs exact Jaccard per candidate pair.
+
+    For every LSH-candidate pair, emits the sketch's Jaccard estimate (the
+    fraction of the K minhash components that agree — the unbiased Broder
+    estimator), the exact shingle-set Jaccard, the absolute error, and an
+    ``ok`` flag for |est - exact| <= ``error_band`` (0.3 ~ 3.4 sigma at
+    K=32, sigma = sqrt(J(1-J)/K) <= 0.089). Same contract family as the
+    HLL (`approx_distinct`) and percentile (`approx_percentile_contract`)
+    checks: the sketch answers, a second exact pass bounds its error.
+
+    Scale shape: identical to ``minhash_lsh_dedup`` (signatures
+    materialized once, banded candidates, never all-pairs) plus one extra
+    broadcast-or-shuffle join of the K-wide signature rows onto the
+    candidate list — the estimate costs K integer equality checks per
+    candidate, no re-hash of the corpus. ``est_jaccard`` is a dyadic
+    rational (agree/K) so the double is exact on every engine.
+    """
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_size, portable_seed=portable_seed
+    ).localCheckpoint(eager=False)
+    cand = minhash_lsh_candidates(
+        sig, id_col, num_hashes, bands, portable_seed=portable_seed
+    )
+    exact = ngram_jaccard_pairs(
+        df, cand, text_col, id_col, shingle_size, threshold=0.0
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    agree = None
+    for i in range(num_hashes):
+        term = F.when(
+            F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), F.lit(1)
+        ).otherwise(F.lit(0))
+        agree = term if agree is None else agree + term
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    err = F.round(F.abs(est - F.col("jaccard")), 6)
+    return (
+        exact.join(a, exact["id_a"] == F.col(f"a.{id_col}"))
+        .join(b, exact["id_b"] == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.col("jaccard").alias("exact_jaccard"),
+            err.alias("abs_err"),
+            (err <= F.lit(error_band)).alias("ok"),
+        )
+    )
+
+
 def simhash(
     text_col: Column | str, bits: int = 64, portable_seed: int | None = None
 ) -> Column:

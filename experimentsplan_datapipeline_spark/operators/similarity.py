@@ -844,3 +844,62 @@ def rrf_fuse(
         bucket_cols=[id_col],
     )
     return out.withColumnRenamed("rank", "fused_rank")
+
+
+def projection_signs(
+    in_dim: int, out_dim: int, seed: int = 0xA11CE
+) -> "list[list[int]]":
+    """Deterministic +/-1 sign matrix for ``random_projection``, drawn
+    from splitmix64 (public constants, Steele et al. 2014) — the
+    Achlioptas (2001) database-friendly JL variant where every entry is
+    a Rademacher sign, no Gaussians needed. Both the Spark expression
+    and the DuckDB oracle inline THIS function's output, so the two
+    sides can never drift. Returns out_dim rows of in_dim signs."""
+    mask = (1 << 64) - 1
+    state = seed
+
+    def smix() -> int:
+        nonlocal state
+        state = (state + 0x9E3779B97F4A7C15) & mask
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        return z ^ (z >> 31)
+
+    return [
+        [1 if (smix() & 1) else -1 for _ in range(in_dim)]
+        for _ in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 0xA11CE,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce an embedding
+    column to ``out_dim`` dimensions with y_j = (1/sqrt(out_dim)) *
+    sum_i sign_{j,i} * x_i — the standard front end that shrinks vectors
+    before IVF/PQ/brute-force when the raw dimension is the cost driver
+    (pairwise distances preserved within (1 +/- eps) w.h.p., eps ~
+    sqrt(ln n / out_dim)).
+
+    The sign matrix is a broadcast-free LITERAL baked into the plan
+    (out_dim x in_dim +/-1 from ``projection_signs``), each output
+    coordinate a fixed left-to-right chain of multiply-adds inside
+    whole-stage codegen — no UDF, no shuffle, and bit-identical
+    arithmetic to the oracle's inlined expression. Appends ``out_col``
+    as an array<double>."""
+    signs = projection_signs(in_dim, out_dim, seed)
+    inv = 1.0 / (out_dim ** 0.5)
+    comps = []
+    for j in range(out_dim):
+        acc = None
+        for i, s in enumerate(signs[j]):
+            term = F.element_at(F.col(vec_col), i + 1) * F.lit(float(s))
+            acc = term if acc is None else acc + term
+        comps.append(acc * F.lit(inv))
+    return df.withColumn(out_col, F.array(*comps))

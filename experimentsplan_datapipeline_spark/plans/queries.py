@@ -6275,3 +6275,221 @@ def curate_mixture_token_budget(spark, sf_dir):
         docs, "source", "n_tok", ["doc_id"], budget=800,
         overrides={"src0": 200},
     )
+
+
+def _rp_chains(in_dim: int, out_dim: int, col: str = "embedding") -> "list[str]":
+    """Raw SQL multiply-add chains for the JL sign-matrix projection — the
+    SAME matrix the Spark plan bakes in (similarity.projection_signs),
+    inlined in identical left-to-right order so the double arithmetic is
+    bit-identical between engines. One chain per output coordinate."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        projection_signs,
+    )
+
+    signs = projection_signs(in_dim, out_dim)
+    inv = 1.0 / (out_dim ** 0.5)
+    return [
+        "("
+        + " + ".join(
+            f"{col}[{i + 1}]::DOUBLE * {float(s)}" for i, s in enumerate(row)
+        )
+        + f") * {inv!r}"
+        for row in signs
+    ]
+
+
+def _random_projection_oracle(in_dim: int, out_dim: int) -> str:
+    """Oracle for ``ann_random_projection``: the literal sign-matrix chains
+    from `_rp_chains`, each rounded to 6 — bit-identical arithmetic means
+    round(6) can't straddle a boundary. ``+ 0`` folds any -0.0 from
+    rounding into 0.0 on both sides."""
+    comps = [f"round({c}, 6) + 0" for c in _rp_chains(in_dim, out_dim)]
+    return (
+        "SELECT vec_id, [" + ",\n  ".join(comps) + "] AS proj\n"
+        "FROM embeddings"
+    )
+
+
+def _minhash_contract_oracle_sql(
+    num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
+    seed: int = 42, error_band: float = 0.3,
+) -> str:
+    """DuckDB twin of minhash_estimate_pairs(portable_seed=seed): replays
+    shingling, the affine minhash family, and LSH banding exactly like
+    `_minhash_oracle_sql`, then joins the signatures back onto the
+    candidates to compute the agree-fraction estimate next to the exact
+    Jaccard. est = agree/K is a dyadic rational, so the double (and its
+    round(6)) is engine-identical; the exact-Jaccard rounding parity is
+    the one `dedup_minhash` already proves."""
+    p = dd._MINHASH_PRIME
+    n = shingle_size
+    base = _DUCK_PHASH.format(x="g", seed=seed)
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(dd.minhash_coeffs(num_hashes))
+    )
+    rows_per_band = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        concat = " || '|' || ".join(f"{c}::VARCHAR" for c in cols)
+        key = _DUCK_PHASH.format(x=f"({concat})", seed=seed)
+        band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    bands_sql = "\n    UNION ALL ".join(band_selects)
+    shingle = (
+        f"list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' '))"
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest({shingle}) AS g FROM toks),
+h AS (
+  SELECT doc_id, {base} % {p} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM h GROUP BY doc_id),
+bandkeys AS (
+    {bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+grams AS (
+  SELECT doc_id, list_distinct({shingle}) AS gr FROM toks),
+contract AS (
+  SELECT cand.id_a, cand.id_b,
+         ({agree})::DOUBLE / {float(num_hashes)!r} AS est,
+         round(CASE WHEN len(list_distinct(ga.gr || gb.gr)) > 0
+                    THEN len(list_intersect(ga.gr, gb.gr))::DOUBLE
+                         / len(list_distinct(ga.gr || gb.gr))
+                    ELSE 0.0 END, 6) AS jac
+  FROM cand
+  JOIN sig sa ON cand.id_a = sa.doc_id
+  JOIN sig sb ON cand.id_b = sb.doc_id
+  JOIN grams ga ON cand.id_a = ga.doc_id
+  JOIN grams gb ON cand.id_b = gb.doc_id)
+SELECT id_a, id_b,
+       round(est, 6) AS est_jaccard,
+       jac AS exact_jaccard,
+       round(abs(est - jac), 6) AS abs_err,
+       round(abs(est - jac), 6) <= {error_band!r} AS ok
+FROM contract
+"""
+
+
+@register("minhash_jaccard_contract", _minhash_contract_oracle_sql())
+def minhash_jaccard_contract(spark, sf_dir):
+    """MinHash sketch contract (operators/dedup.py::minhash_estimate_pairs):
+    per LSH-candidate pair, the Broder agree-fraction Jaccard estimate next
+    to the exact shingle Jaccard, with |est - exact| flagged against a
+    3.4-sigma band (0.3 at K=32). Completes the sketch-contract family
+    (approx_distinct HLL, approx_percentile_contract): every sketch the
+    engine ships carries an exact second pass that bounds its error."""
+    docs = t(spark, sf_dir, "documents")
+    return dd.minhash_estimate_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8, shingle_size=3,
+        portable_seed=42,
+    )
+
+
+@register("ann_random_projection", _random_projection_oracle(64, 16))
+def ann_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss reduction of the 64-d embeddings to 16-d
+    via a literal Rademacher sign matrix (operators/similarity.py::
+    random_projection) — the dimensionality front end for IVF/PQ/brute
+    force; pure whole-stage-codegen multiply-adds, no UDF, no shuffle.
+    Coordinates rounded to 6; the oracle inlines the identical sign
+    matrix in the identical association order."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = random_projection(emb, "embedding", in_dim=64, out_dim=16)
+    return out.select(
+        "vec_id",
+        F.transform(
+            F.col("proj"), lambda x: F.round(x, 6) + F.lit(0.0)
+        ).alias("proj"),
+    )
+
+
+def _rp_recall_oracle(in_dim: int, out_dim: int, n_q: int, k: int) -> str:
+    """Oracle for ``ann_rp_recall``: top-k by exact 64-d cosine vs top-k by
+    cosine in the 16-d JL-projected space (projection = the identical
+    literal sign-matrix chains from `_rp_chains`), recall@k per query.
+    Both rankings use the round(6)-then-id tiebreak recipe every ann_*
+    query relies on, so rank order is engine-reproducible."""
+    pv = "[" + ", ".join(_rp_chains(in_dim, out_dim)) + "]"
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {pv} AS pv FROM embeddings),
+q AS (
+  SELECT vec_id AS qid, v AS qv, pv AS qpv FROM c WHERE vec_id < {n_q}),
+ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, c.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                      c.vec_id) AS rk
+    FROM c CROSS JOIN q) WHERE rk <= {k}),
+pr AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, c.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(c.pv, q.qpv), 6) DESC,
+                      c.vec_id) AS rk
+    FROM c CROSS JOIN q) WHERE rk <= {k})
+SELECT ex.qid AS vec_id_q,
+       count(pr.vec_id) AS hits,
+       round(count(pr.vec_id) / {float(k)!r}, 6) AS recall_at_k
+FROM ex LEFT JOIN pr ON ex.qid = pr.qid AND ex.vec_id = pr.vec_id
+GROUP BY ex.qid
+"""
+
+
+@register("ann_rp_recall", _rp_recall_oracle(64, 16, 8, 10))
+def ann_rp_recall(spark, sf_dir):
+    """Recall@10 of JL-projected ANN against exact search: the 16-d
+    random-projection front end (H16) wired into the ANN stack as a
+    measured quality gate — per query, how many of the exact 64-d cosine
+    top-10 survive when ranking happens in the projected space. Both
+    rankings are two-phase broadcast top-k (operators/similarity.py::
+    brute_force_topk); the projection is the zero-shuffle literal-matrix
+    plan (random_projection). At 100 TB the projected ranking is the cheap
+    path (4x fewer multiply-adds per pair, 4x smaller shuffle rows) and
+    this query is the contract that bounds what that discount costs."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        brute_force_topk,
+        random_projection,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qs = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, qs, "vec_id", "vec_id", "embedding", k=10).select(
+        "vec_id_q", "vec_id"
+    )
+    pc = random_projection(emb, "embedding", in_dim=64, out_dim=16)
+    pq = pc.filter(F.col("vec_id") < 8)
+    prj = brute_force_topk(pc, pq, "vec_id", "vec_id", "proj", k=10).select(
+        F.col("vec_id_q").alias("p_qid"), F.col("vec_id").alias("p_id")
+    )
+    hits = exact.join(
+        prj,
+        (exact["vec_id_q"] == prj["p_qid"]) & (exact["vec_id"] == prj["p_id"]),
+        "left",
+    )
+    return hits.groupBy("vec_id_q").agg(
+        F.count("p_id").alias("hits"),
+        F.round(F.count("p_id") / F.lit(10.0), 6).alias("recall_at_k"),
+    )

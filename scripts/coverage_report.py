@@ -145,6 +145,29 @@ EXTENSIONS: dict[str, list[str]] = {
     ],
 }
 
+# Round-8 additions, annotated: the status cell carries a one-line "what
+# makes this one scale-safe / oracle-able" note next to the oracle mark.
+ROUND8_ANNOTATED: dict[str, str] = {
+    "graph_pagerank_converged":
+        "tol-driven loop; 16-round unroll pinned at gate scale, proven ≤ 21",
+    "curate_pack_chunks":
+        "GPT-style sequence packing: sharded concat-and-chunk segment map",
+    "curate_pack_next_fit":
+        "no-split next-fit packing; recursive-CTE sequential twin",
+    "merge_changelog_orders":
+        "MERGE/SCD-1 changelog fold: latest-wins, upsert/delete/insert",
+    "dedup_sorted_neighborhood":
+        "SNM rank-window blocking via distributed rank + block cells",
+    "curate_mixture_token_budget":
+        "per-source token-budget cut via distributed prefix sums",
+    "ann_random_projection":
+        "JL Rademacher projection, literal sign matrix, zero-shuffle",
+    "ann_rp_recall":
+        "recall@10 of projected-space ANN vs exact 64-d cosine top-k",
+    "minhash_jaccard_contract":
+        "Broder agree-fraction estimate vs exact Jaccard, 3.4-sigma band",
+}
+
 ROTATION_NOTE = """## Driver-sample rotation (round 6)
 
 The driver's CORRECTNESS gate samples a fixed ~50 queries per round, so
@@ -185,6 +208,17 @@ def main() -> None:
                 status = "**MISSING**"
             lines.append(f"| `{n}` | {status} |")
         lines.append("")
+    lines += [
+        "## Convergence-loop coverage (round 8)",
+        "",
+        "| query | status |",
+        "|---|---|",
+    ]
+    for n, note in ROUND8_ANNOTATED.items():
+        listed.add(n)
+        status = f"oracle ({note})" if n in ORACLE else "**MISSING**"
+        lines.append(f"| `{n}` | {status} |")
+    lines.append("")
     extra = sorted(set(QUERIES) - listed)
     if extra:
         lines += ["## Registered but unlisted", ""]

@@ -333,6 +333,15 @@ class TestRound6PlanShapes:
         assert "CartesianProduct" not in plan
         assert "Join" not in plan
 
+    def test_random_projection_zero_shuffle(self, spark):
+        """JL projection is a pure per-row expression over the scan — the
+        literal sign matrix lives in the plan, so there must be NO
+        exchange, no UDF eval node, and no join."""
+        plan = _plan(spark, "ann_random_projection")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     def test_decontaminate_no_corpus_broadcast(self, spark):
         """The train corpus must never be a broadcast build side; the only
         join on the gram key is an equi-join, and the final attach is a

@@ -612,6 +612,41 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_minhash_estimate_contract(spark):
+    """Sketch contract: an exact duplicate pair must carry est = exact = 1.0
+    (every minhash component agrees when shingle sets are identical) with
+    abs_err 0 and ok=True; near-dup pairs must estimate within the stated
+    error band; est is always a multiple of 1/K."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        minhash_estimate_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact duplicate of 1
+            (3, base + " with a small extra tail"),
+            (4, "completely different words about spark query planning at scale"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in minhash_estimate_pairs(
+            docs, "text", "doc_id", num_hashes=32, bands=8
+        ).collect()
+    }
+    dup = rows[(1, 2)]
+    assert dup.est_jaccard == 1.0
+    assert dup.exact_jaccard == 1.0
+    assert dup.abs_err == 0.0 and dup.ok
+    for r in rows.values():
+        assert abs(r.est_jaccard * 32 - round(r.est_jaccard * 32)) < 1e-9
+        assert r.ok == (r.abs_err <= 0.3)
+        assert abs(abs(r.est_jaccard - r.exact_jaccard) - r.abs_err) < 1e-6
+
+
 def test_semantic_dedup_pairs_cell_bounded(spark):
     """SemDeDup: near-identical vectors pair; cross-cell pairs never appear
     even when cosine clears the threshold."""
@@ -883,3 +918,55 @@ def test_duplicate_substring_spans_merges_adjacent_windows(spark):
         ).collect()
     )
     assert got == [(1, 1, 6), (2, 2, 7)]
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property check on deterministic data: projecting 64-d to 16-d
+    keeps pairwise squared distances within a loose distortion band and
+    centered near 1 on average — plus exact determinism across reruns
+    and partitioning."""
+    import math
+    import random
+
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        random_projection,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(64)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["vid", "vec"])
+    proj = {
+        r.vid: r.proj
+        for r in random_projection(
+            df, "vec", in_dim=64, out_dim=16
+        ).collect()
+    }
+    orig = dict(rows)
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ratios = []
+    for i in range(30):
+        for j in range(i + 1, 30):
+            ratios.append(
+                d2(proj[i], proj[j]) / d2(orig[i], orig[j])
+            )
+    assert all(0.2 < r < 4.0 for r in ratios), (min(ratios), max(ratios))
+    mean = sum(ratios) / len(ratios)
+    assert 0.75 < mean < 1.25, mean  # E[ratio] = 1 for Rademacher JL
+    again = {
+        r.vid: r.proj
+        for r in random_projection(
+            df.repartition(7), "vec", in_dim=64, out_dim=16
+        ).collect()
+    }
+    assert again == proj
+    # scaling sanity: projection is linear
+    assert all(
+        abs(v) < 1e3 and not math.isnan(v)
+        for p in proj.values()
+        for v in p
+    )
