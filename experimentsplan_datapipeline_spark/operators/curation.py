@@ -370,6 +370,96 @@ def mixture_token_budget(
     return cum.filter(F.col("cum") <= b).select(*df.columns, "cum")
 
 
+def mixture_temperature(
+    df: DataFrame,
+    source_col: str,
+    mass_col: str,
+    id_cols: Sequence[str],
+    total: int,
+    alpha: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (the mT5/XLM-R alpha trick,
+    Xue et al. 2021 §3.1): per-source quotas proportional to
+    (sum of ``mass_col``)^alpha, so alpha=1 reproduces natural
+    proportions, alpha=0 samples sources uniformly, and 0<alpha<1
+    upsamples the tail — then an exact without-replacement draw of each
+    quota in seeded hash order.
+
+    Deterministic and engine-replayable: quotas come from
+    floor(round(total * w_s / sum w, 6)) — the round(6) absorbs the
+    summation-order ulp so two engines folding sum(w) in different
+    orders cannot floor across an integer boundary — capped at the
+    source's row count; the per-source draw is ``hash_rank``'s portable
+    md5 order.
+
+    Scale shape: the mass/count aggregation is one partial-agg groupBy
+    (S rows); quotas broadcast back; the draw is hash_rank's range
+    shuffle + broadcast offsets — NO per-source single-task window.
+    Returns the input columns plus ``rk`` (the draw rank) and ``quota``.
+    """
+    from experimentsplan_datapipeline_spark.operators.sampling import hash_rank
+
+    stats = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(mass_col).cast("double")).alias("__mass"),
+    )
+    w = F.pow(F.col("__mass"), F.lit(float(alpha)))
+    tot = stats.agg(F.sum(F.pow(F.col("__mass"), F.lit(float(alpha)))).alias("__tw"))
+    quotas = stats.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.col("__n"),
+            F.floor(F.round(F.lit(int(total)) * w / F.col("__tw"), 6)),
+        ).cast("int").alias("quota"),
+    )
+    ranked = hash_rank(
+        df, list(id_cols), partition_cols=[source_col], seed=seed, rank_col="rk"
+    )
+    return (
+        ranked.join(F.broadcast(quotas), source_col)
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(*df.columns, "rk", "quota")
+    )
+
+
+def scaler_fit_transform(
+    df: DataFrame,
+    train_pred: Column,
+    feature_cols: Sequence[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Leakage-free standardization: mean/stddev_pop are fitted on the
+    TRAIN rows only (``train_pred``) and applied to EVERY row — the
+    fit-on-train/transform-everything contract a serving pipeline needs
+    (fitting on all rows leaks test statistics into the features; the
+    same-rows variant lives in ``normalize_by_group``). Zero-variance
+    features standardize to 0.
+
+    Scale shape: one partially-aggregated pass produces a single stats
+    row (2 doubles per feature) that broadcasts into a literal-like
+    cross join; the transform itself is pure codegen arithmetic. Stats
+    are rounded to ``round_to`` BEFORE the z-score so engines that fold
+    the train sum in different orders still standardize identically.
+    Appends ``z_<col>`` per feature.
+    """
+    aggs = []
+    for c in feature_cols:
+        x = F.col(c).cast("double")
+        aggs.append(F.round(F.avg(x), round_to).alias(f"__mu_{c}"))
+        aggs.append(F.round(F.stddev_pop(x), round_to).alias(f"__sd_{c}"))
+    stats = df.filter(train_pred).agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    zcols = []
+    for c in feature_cols:
+        mu, sd = F.col(f"__mu_{c}"), F.col(f"__sd_{c}")
+        z = F.when(sd == 0.0, F.lit(0.0)).otherwise(
+            (F.col(c).cast("double") - mu) / sd
+        )
+        zcols.append(F.round(z, round_to).alias(f"z_{c}"))
+    return out.select(*df.columns, *zcols)
+
+
 def heavy_keys(
     df: DataFrame, key_col: str, top_k: int = 20
 ) -> DataFrame:

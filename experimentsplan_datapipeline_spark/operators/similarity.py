@@ -846,6 +846,34 @@ def rrf_fuse(
     return out.withColumnRenamed("rank", "fused_rank")
 
 
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str, vec_col: str, out_col: str = "qvec"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q_i = round(127 * x_i /
+    max|x|), scale = max|x| / 127 — the standard embedding export for
+    int8 ANN serving (4x smaller index, dequantize as q * scale). A zero
+    vector quantizes to zeros with scale 0.
+
+    Scale shape: every row is quantized from its OWN max-abs — pure
+    higher-order expressions (transform + array_max), zero shuffle, zero
+    UDF; the 100 TB cost is exactly one scan and a 4x-smaller write.
+    Returns (id, scale, qvec array<int>).
+    """
+    v = F.col(vec_col)
+    m = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        v,
+        lambda x: F.when(m == 0.0, F.lit(0))
+        .otherwise(F.round(F.lit(127.0) * x.cast("double") / m, 0))
+        .cast("int"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(m / F.lit(127.0), 6).alias("scale"),
+        q.alias(out_col),
+    )
+
+
 def projection_signs(
     in_dim: int, out_dim: int, seed: int = 0xA11CE
 ) -> "list[list[int]]":

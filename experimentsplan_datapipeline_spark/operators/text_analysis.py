@@ -335,6 +335,98 @@ def token_entropy_profile(
     )
 
 
+def vocab_coverage(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 10
+) -> DataFrame:
+    """Vocabulary-coverage quality filter: the fraction of each document's
+    tokens that fall inside the corpus-wide top-``vocab_size`` vocabulary —
+    the CCNet/fastText-era "does this page speak the corpus's language"
+    signal (gibberish, code, and boilerplate score low; fluent in-domain
+    text scores high).
+
+    Scale shape: pass 1 builds the vocabulary — explode -> word count
+    (map-side combined) -> global top-V via sort+limit (Spark's
+    TakeOrdered: per-partition top-V, driver merges V*P rows — V is tiny
+    by definition); pass 2 re-explodes and probes the BROADCAST vocab
+    with a left join, then one groupBy(doc) folds covered/total counts.
+    The corpus never self-joins and the vocabulary never shuffles.
+    Ties at the V boundary break by word, so the vocab is deterministic.
+    Docs with no tokens are absent (nothing to cover).
+    """
+    toks = (
+        spread_small_input(df)
+        .select(F.col(id_col), F.explode(_tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("__in"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.coalesce(F.col("__in"), F.lit(0))).alias("n_in_vocab"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tok",
+            "n_in_vocab",
+            F.round(
+                F.col("n_in_vocab") / F.col("n_tok").cast("double"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+def c4_line_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2): keep only lines
+    that end in terminal punctuation AND have >= ``min_words`` words; drop
+    the whole page when fewer than ``min_lines`` lines survive, when it
+    contains "lorem ipsum" (placeholder text), or when it contains a curly
+    brace (code). Emits the per-rule signals plus the cleaned text so the
+    decision is auditable, not just a boolean.
+
+    Scale shape: every rule is a higher-order expression over the row's
+    own line array — the whole operator is map-side whole-stage codegen,
+    zero shuffles, zero UDFs (same tier as the Gopher rules).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    good = F.filter(
+        lines,
+        lambda ln: (
+            F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != ""))
+            >= F.lit(min_words)
+        )
+        & ln.rlike(r'[.!?"]\s*$'),
+    )
+    n_kept = F.size(good)
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (n_kept >= F.lit(min_lines)) & ~has_lorem & ~has_brace
+        ).alias("keep"),
+        F.array_join(good, "\n").alias("clean_text"),
+    )
+
+
 def lm_perplexity(
     df: DataFrame,
     id_col: str,

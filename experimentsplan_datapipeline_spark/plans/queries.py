@@ -954,6 +954,43 @@ def sink_json(spark, sf_dir):
     )
 
 
+@register("sink_csv_roundtrip", """
+SELECT o_orderkey, o_orderstatus,
+       round(o_totalprice, 2) AS price,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       'p, "' || o_orderpriority || '"' AS tricky
+FROM orders
+""")
+def sink_csv_roundtrip(spark, sf_dir):
+    """CSV sink + schema-pinned read-back (sources/sinks.py::write_csv /
+    read_back_csv): the orders slice goes out with header + RFC-4180
+    quoting and comes back under an EXPLICIT schema (no inferSchema pass).
+    The ``tricky`` column embeds the delimiter AND quote characters, so a
+    hash match proves the quoting/escaping round-trips losslessly; the
+    oracle is the pre-sink SELECT."""
+    from experimentsplan_datapipeline_spark.sources.sinks import (
+        read_back_csv,
+        write_csv,
+    )
+
+    sel = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        F.concat(
+            F.lit('p, "'), F.col("o_orderpriority"), F.lit('"')
+        ).alias("tricky"),
+    )
+    path = _scratch(sf_dir, "sink_csv")
+    write_csv(sel, path)
+    return read_back_csv(
+        spark, path,
+        "o_orderkey long, o_orderstatus string, price double, "
+        "odate string, tricky string",
+    )
+
+
 @register("read_json_glob", """
 SELECT l_linestatus AS benchmark, l_returnflag AS model,
        round(avg(l_extendedprice), 4) AS price_mean, count(*) AS n
@@ -5661,7 +5698,9 @@ def compact_zorder_box(spark, sf_dir):
     )
 
 
-@register("text_lm_perplexity", """
+# bigram stupid-backoff LM oracle body — shared by text_lm_perplexity and
+# (wrapped in a CTE) curate_perplexity_buckets
+_LM_PPL_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
          substr(md5(doc_id::VARCHAR), 1, 1) <= '7' AS train,
@@ -5698,7 +5737,10 @@ SELECT doc_id,
        round(sum(c * -ln(p)) / sum(c), 6) AS avg_nll,
        round(exp(sum(c * -ln(p)) / sum(c)), 6) AS ppl
 FROM scored GROUP BY doc_id
-""")
+"""
+
+
+@register("text_lm_perplexity", _LM_PPL_ORACLE)
 def text_lm_perplexity(spark, sf_dir):
     """CCNet-shaped LM quality filter: a bigram stupid-backoff model
     trained on the md5-half of the corpus (deterministic, engine-portable
@@ -6277,6 +6319,391 @@ def curate_mixture_token_budget(spark, sf_dir):
     )
 
 
+@register("dedup_snm_multipass", """
+WITH u AS (SELECT p_name, min(p_partkey) AS pid FROM part GROUP BY p_name),
+r1 AS (SELECT pid, p_name,
+              row_number() OVER (ORDER BY p_name, pid) AS rk FROM u),
+c1 AS (SELECT least(a.pid, b.pid) AS id_a, greatest(a.pid, b.pid) AS id_b
+       FROM r1 a JOIN r1 b ON b.rk > a.rk AND b.rk - a.rk <= 3),
+r2 AS (SELECT pid, p_name,
+              row_number() OVER (ORDER BY reverse(p_name), pid) AS rk FROM u),
+c2 AS (SELECT least(a.pid, b.pid) AS id_a, greatest(a.pid, b.pid) AS id_b
+       FROM r2 a JOIN r2 b ON b.rk > a.rk AND b.rk - a.rk <= 3),
+cand AS (SELECT id_a, id_b FROM c1 UNION SELECT id_a, id_b FROM c2)
+SELECT cand.id_a, cand.id_b,
+       levenshtein(na.p_name, nb.p_name) AS dist
+FROM cand JOIN u na ON cand.id_a = na.pid JOIN u nb ON cand.id_b = nb.pid
+WHERE levenshtein(na.p_name, nb.p_name) <= 5
+""")
+def dedup_snm_multipass(spark, sf_dir):
+    """Multi-pass sorted-neighborhood linkage (Hernandez & Stolfo's
+    standard recall fix: one sort key misses duplicates that differ in
+    their prefix, so run SNM under SEVERAL keys and union the
+    neighborhoods): pass 1 sorts by name, pass 2 by reversed name
+    (suffix-block duplicates), candidates unioned distinct, levenshtein
+    verify on survivors only. Each pass is the O(n*w) rank-window join of
+    dedup_sorted_neighborhood; the union doubles candidates, never
+    squares them."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    u = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("pid"))
+    )
+    p1 = sorted_neighborhood_pairs(u, ["p_name"], "pid", w=3)
+    rev = u.withColumn("rname", F.reverse(F.col("p_name")))
+    p2 = sorted_neighborhood_pairs(rev, ["rname"], "pid", w=3)
+    cand = (
+        p1.select("id_a", "id_b")
+        .unionByName(p2.select("id_a", "id_b"))
+        .distinct()
+    )
+    na = u.select(F.col("pid").alias("id_a"), F.col("p_name").alias("__na"))
+    nb = u.select(F.col("pid").alias("id_b"), F.col("p_name").alias("__nb"))
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", F.levenshtein("__na", "__nb").alias("dist"))
+        .filter(F.col("dist") <= 5)
+    )
+
+
+@register("curate_mixture_temperature", """
+WITH stats AS (
+  SELECT source, count(*) AS n, sum(n_chars::DOUBLE) AS mass
+  FROM documents GROUP BY source),
+tw AS (SELECT sum(pow(mass, 0.5)) AS t FROM stats),
+q AS (
+  SELECT source, least(n, floor(round(200 * pow(mass, 0.5) / t, 6)))::INT
+           AS quota
+  FROM stats, tw),
+r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR || '|7'), doc_id) AS rk
+  FROM documents)
+SELECT r.doc_id, r.source, r.n_chars, r.rk, q.quota
+FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+""")
+def curate_mixture_temperature(spark, sf_dir):
+    """Temperature-flattened mixture draw (operators/curation.py::
+    mixture_temperature): per-source quotas proportional to
+    (char mass)^0.5 — the mT5/XLM-R alpha-sampling that upsamples tail
+    sources — then an exact seeded-hash-order draw of each quota.
+    Quotas use floor(round(.,6)) so summation-order ulp can't straddle
+    an integer; the draw is hash_rank's portable md5 order, which the
+    oracle replays verbatim."""
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        mixture_temperature,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return mixture_temperature(
+        docs, "source", "n_chars", ["doc_id"], total=200, alpha=0.5, seed=7
+    )
+
+
+@register("corpus_source_overlap", """
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.source_a, i.source_b, i.n_common,
+       round(i.n_common / (na.n + nb.n - i.n_common)::DOUBLE, 6) AS jaccard
+FROM inter i
+JOIN sizes na ON i.source_a = na.source
+JOIN sizes nb ON i.source_b = nb.source
+""")
+def corpus_source_overlap(spark, sf_dir):
+    """Pairwise source-overlap matrix: 3-gram shingle Jaccard between
+    every pair of sources — the mixture-design analytic that says which
+    corpus components duplicate each other before weights are chosen.
+    Scale shape: per-source DISTINCT shingles (map-side combined), one
+    equi-join on the shingle key (a shingle shared by k sources emits
+    <= k(k-1)/2 pair rows — bounded by the SOURCE count squared, never by
+    corpus size), per-pair counts + broadcast per-source sizes. The
+    corpus never self-joins at document granularity."""
+    from experimentsplan_datapipeline_spark.functions.text import ngrams
+
+    sh = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source", F.explode(F.array_distinct(ngrams("text", 3))).alias("g")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("__na"))
+    nb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("__nb"))
+    return (
+        inter.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("__na") + F.col("__nb") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register("text_vocab_coverage", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t <> '')) AS w
+  FROM documents),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+    FROM toks GROUP BY w) WHERE rk <= 10)
+SELECT doc_id,
+       count(*) AS n_tok,
+       sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END)
+         AS n_in_vocab,
+       round(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS coverage
+FROM toks GROUP BY doc_id
+""")
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary-coverage quality score (operators/text_analysis.py::
+    vocab_coverage): fraction of each document's tokens inside the
+    corpus top-10 vocabulary — the CCNet-era in-domain fluency signal.
+    Pass 1 is a word count + TakeOrdered top-V; pass 2 probes the
+    broadcast vocab and folds per-doc covered/total counts. The oracle
+    replays the same top-V (count-then-word tiebreak) and the coverage
+    fold."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        vocab_coverage,
+    )
+
+    return vocab_coverage(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_C4_LOREM = "lorem ipsum dolor sit amet."
+_C4_BRACE = "see foo() { code }."
+
+
+@register("text_c4_rules", f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+chunks AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, (len(ws) + 7) // 8 + 1),
+                i -> array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ')
+                     || CASE WHEN (doc_id + i) % 3 <> 0
+                             THEN '.' ELSE '' END)
+         END AS lines
+  FROM w),
+injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 19 = 0
+              THEN list_append(lines, '{_C4_LOREM}') ELSE lines END AS l1
+  FROM chunks),
+injected2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 23 = 0
+              THEN list_append(l1, '{_C4_BRACE}') ELSE l1 END AS l2
+  FROM injected),
+txt AS (
+  SELECT doc_id, array_to_string(l2, chr(10)) AS text FROM injected2),
+r AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM txt),
+g AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, ln ->
+           len(list_filter(regexp_split_to_array(trim(ln), '\\s+'),
+                           x -> x <> '')) >= 5
+           AND regexp_matches(ln, '[.!?"]\\s*$')) AS good
+  FROM r)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(good) AS n_kept,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(text, '{{') AS has_brace,
+       (len(good) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+                       AND NOT contains(text, '{{')) AS keep,
+       coalesce(array_to_string(good, chr(10)), '') AS clean_text
+FROM g
+""")
+def text_c4_rules(spark, sf_dir):
+    """C4 page cleaning (operators/text_analysis.py::c4_line_rules) over a
+    deterministically line-structured corpus: the word stream re-chunks
+    into 8-word lines, (doc_id+i)%3 decides which lines get terminal
+    punctuation, and %19/%23 docs get a "lorem ipsum" / curly-brace line
+    injected (the same synthesize-structure-from-doc_id trick as
+    url_canonical_dedup). Rules: keep lines with >=5 words ending in
+    terminal punctuation; drop pages with <3 survivors, placeholder text,
+    or braces. All higher-order expressions — zero shuffle, zero UDF."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        c4_line_rules,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    n_chunks = ((F.size(w) + F.lit(7)) / F.lit(8)).cast("int")
+    doc = F.col("doc_id")
+    mk = lambda i: F.concat(  # noqa: E731
+        F.concat_ws(" ", F.slice(w, (i - 1) * 8 + 1, 8)),
+        F.when((doc + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    lines = F.when(
+        F.size(w) == 0, F.array().cast("array<string>")
+    ).otherwise(F.transform(F.sequence(F.lit(1), n_chunks), mk))
+    lines = F.when(
+        doc % 19 == 0, F.concat(lines, F.array(F.lit(_C4_LOREM)))
+    ).otherwise(lines)
+    lines = F.when(
+        doc % 23 == 0, F.concat(lines, F.array(F.lit(_C4_BRACE)))
+    ).otherwise(lines)
+    structured = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return c4_line_rules(structured, "doc_id", "text")
+
+
+@register("curate_scaler_fit_transform", """
+WITH s AS (
+  SELECT round(avg(l_quantity::DOUBLE), 6) AS mu_q,
+         round(stddev_pop(l_quantity::DOUBLE), 6) AS sd_q,
+         round(avg(l_extendedprice::DOUBLE), 6) AS mu_p,
+         round(stddev_pop(l_extendedprice::DOUBLE), 6) AS sd_p
+  FROM lineitem
+  WHERE substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR),
+               1, 1) <= '7')
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN substr(md5(l_orderkey::VARCHAR || '|' ||
+                 l_linenumber::VARCHAR), 1, 1) <= '7'
+            THEN 'train' ELSE 'test' END AS split,
+       round(CASE WHEN sd_q = 0 THEN 0.0
+                  ELSE (l_quantity::DOUBLE - mu_q) / sd_q END, 6)
+         AS z_l_quantity,
+       round(CASE WHEN sd_p = 0 THEN 0.0
+                  ELSE (l_extendedprice::DOUBLE - mu_p) / sd_p END, 6)
+         AS z_l_extendedprice
+FROM lineitem, s
+""")
+def curate_scaler_fit_transform(spark, sf_dir):
+    """Leakage-free standardization (operators/curation.py::
+    scaler_fit_transform): mean/std fitted on the md5-half TRAIN split
+    only, z-scores applied to every row — the fit-on-train/
+    transform-everything contract. One stats row broadcasts; stats are
+    rounded before the z-score so engine summation order can't leak into
+    the feature values. The oracle replays the split, the fit, and the
+    transform."""
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        scaler_fit_transform,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    key = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    train = F.substring(key, 1, 1) <= "7"
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(train, "train").otherwise("test").alias("split"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    out = scaler_fit_transform(
+        base,
+        F.col("split") == "train",
+        ["l_quantity", "l_extendedprice"],
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "split",
+        "z_l_quantity", "z_l_extendedprice",
+    )
+
+
+@register("curate_perplexity_buckets", f"""
+WITH ppl AS ({_LM_PPL_ORACLE})
+SELECT p.doc_id, d.lang, p.ppl,
+       ntile(3) OVER (PARTITION BY d.lang ORDER BY p.ppl, p.doc_id)
+         AS bucket
+FROM ppl p JOIN documents d USING (doc_id)
+""")
+def curate_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail (Wenzek et al. 2020 §4): per-language
+    perplexity tertiles from the bigram stupid-backoff LM — the quality
+    tiers CCNet samples from when building training mixtures. The tertile
+    is NOT a per-lang single-task ntile window: rank comes from
+    grouped_running_total (range shuffle + broadcast offsets), per-lang
+    counts broadcast back, and bucket = floor((rk-1)*3/n)+1 — exactly
+    ntile(3)'s row assignment at any scale."""
+    from experimentsplan_datapipeline_spark.operators.sampling import (
+        grouped_running_total,
+    )
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        lm_perplexity,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "7"
+    ppl = lm_perplexity(docs, "doc_id", "text", train_pred=train).select(
+        "doc_id", "ppl"
+    )
+    base = ppl.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+        "__one", F.lit(1)
+    )
+    ranked = grouped_running_total(
+        base, ["lang"], ["ppl", "doc_id"], "__one", out_col="rk"
+    )
+    counts = base.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.join(F.broadcast(counts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "ppl",
+            (
+                F.floor((F.col("rk") - 1) * 3 / F.col("__n")) + 1
+            ).cast("int").alias("bucket"),
+        )
+    )
+
+
 def _rp_chains(in_dim: int, out_dim: int, col: str = "embedding") -> "list[str]":
     """Raw SQL multiply-add chains for the JL sign-matrix projection — the
     SAME matrix the Spark plan bakes in (similarity.projection_signs),
@@ -6453,6 +6880,32 @@ SELECT ex.qid AS vec_id_q,
 FROM ex LEFT JOIN pr ON ex.qid = pr.qid AND ex.vec_id = pr.vec_id
 GROUP BY ex.qid
 """
+
+
+@register("embedding_quantize_int8", """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma
+  FROM embeddings)
+SELECT vec_id,
+       round(ma / 127.0, 6) AS scale,
+       list_transform(embedding,
+         x -> CASE WHEN ma = 0 THEN 0
+                   ELSE round(127.0 * x::DOUBLE / ma)::INT END) AS qvec
+FROM m
+""")
+def embedding_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 embedding quantization (operators/
+    similarity.py::quantize_embeddings_int8) — the 4x-smaller ANN-serving
+    export (dequantize q*scale). All higher-order expressions over the
+    row's own values: zero shuffle, zero UDF; the oracle replays the
+    max-abs, the 127-scaling, and the round on identical doubles."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return quantize_embeddings_int8(emb, "vec_id", "embedding")
 
 
 @register("ann_rp_recall", _rp_recall_oracle(64, 16, 8, 10))

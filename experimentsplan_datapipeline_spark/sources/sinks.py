@@ -46,6 +46,30 @@ def read_back_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 
 
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV results sink: header on, quoting/escaping at Spark defaults
+    (quote='"', escape='\\') so embedded delimiters and quotes round-trip.
+    One file per partition — task-parallel like any columnar write; CSV is
+    an interchange surface here (reports, spreadsheet handoff), parquet
+    remains the data path.
+    """
+    df.write.mode(mode).option("header", "true").option("escape", '"').csv(path)
+
+
+def read_back_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Round-trip reader for CSV outputs with an EXPLICIT schema string —
+    never ``inferSchema`` at scale (inference is a full extra pass over
+    the files, and a sampled guess besides). ``escape='"'`` matches the
+    writer (RFC-4180 doubled-quote style).
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
 def write_versioned_with_latest(
     df: DataFrame, root: str, version: int | str, version_col: str = "step"
 ) -> None:

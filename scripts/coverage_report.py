@@ -166,6 +166,24 @@ ROUND8_ANNOTATED: dict[str, str] = {
         "recall@10 of projected-space ANN vs exact 64-d cosine top-k",
     "minhash_jaccard_contract":
         "Broder agree-fraction estimate vs exact Jaccard, 3.4-sigma band",
+    "curate_mixture_temperature":
+        "mT5-style alpha-sampling: mass^alpha quotas + seeded-hash draw",
+    "text_vocab_coverage":
+        "top-V vocabulary coverage fraction per doc (broadcast probe)",
+    "text_c4_rules":
+        "C4 line/page cleaning rules, zero-shuffle higher-order exprs",
+    "curate_perplexity_buckets":
+        "CCNet head/middle/tail tertiles via distributed ntile",
+    "sink_csv_roundtrip":
+        "CSV sink + explicit-schema read-back, RFC-4180 quoting proven",
+    "embedding_quantize_int8":
+        "per-vector symmetric int8 export with dequant scale",
+    "curate_scaler_fit_transform":
+        "fit-on-train/transform-all standardization, broadcast stats",
+    "dedup_snm_multipass":
+        "SNM under name + reversed-name keys, unioned neighborhoods",
+    "corpus_source_overlap":
+        "pairwise source shingle-Jaccard matrix via one shingle-key join",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)

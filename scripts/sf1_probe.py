@@ -56,6 +56,16 @@ HEAVY = [
     # summaries churn constantly and the candidate superset is pure noise)
     "dedup_substring_spans",
     "heavy_hitters_sketch",
+    # round 8 second batch: the changelog MERGE (full outer join on the
+    # 10x orders snapshot), the token-budget mixture (range-partition
+    # prefix sums over 10x documents), and the minhash sketch contract
+    # (dedup_minhash's shape plus one extra signature join onto the
+    # candidates). dedup_sorted_neighborhood's registered query scans
+    # `part` (held constant by the builder), so SNM gets the dedicated
+    # _snm_docs probe over the scaled documents table instead.
+    "merge_changelog_orders",
+    "curate_mixture_token_budget",
+    "minhash_jaccard_contract",
 ]
 
 
@@ -219,6 +229,25 @@ def _heavy_hitters_uniform(spark, sf_dir):
     )
 
 
+def _snm_docs(spark, sf_dir):
+    """Sorted-neighborhood blocking over the scaled documents table (the
+    registered query's `part` input is held constant by the builder):
+    global rank on the 48-char text prefix, rank-window w=3 candidates.
+    SNM is O(n*w) by construction — the probe checks the distributed rank
+    (range shuffle + broadcast offsets) and the block-cell equi-join stay
+    linear when rows grow 10x."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+    from pyspark.sql import functions as F
+
+    u = t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 48).alias("pfx")
+    )
+    return sorted_neighborhood_pairs(u, ["pfx"], "doc_id", w=3)
+
+
 def _time_pair(fn, spark, small_dir: str, big_dir: str) -> dict:
     times = {}
     for tag, d in (("sf0.1_sec", small_dir), ("sf1_sec", big_dir)):
@@ -282,6 +311,9 @@ def main() -> None:
     )
     result["heavy_hitters@uniform_keys"] = _time_pair(
         _heavy_hitters_uniform, spark, SRC, out_dir
+    )
+    result["sorted_neighborhood@documents"] = _time_pair(
+        _snm_docs, spark, SRC, out_dir
     )
     print(json.dumps(result, indent=2))
 

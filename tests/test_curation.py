@@ -367,3 +367,201 @@ def test_mixture_token_budget_hard_cap_and_overrides(spark):
         ).collect()
     ]
     assert sorted(again) == sorted(kept)
+
+
+def test_mixture_temperature_quotas_and_order(spark):
+    """alpha=1 reproduces natural mass proportions, alpha=0 splits the
+    total uniformly, quotas cap at the source row count, and the drawn
+    rows are exactly the per-source hash-order prefix (partition-
+    invariant)."""
+    import hashlib
+
+    # masses: s0 tiny (16 rows x 1), s1 heavy (16 x 99), s2 mid (4 x 25)
+    rows = (
+        [(i, "s0", 1) for i in range(16)]
+        + [(100 + i, "s1", 99) for i in range(16)]
+        + [(200 + i, "s2", 25) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source", "mass"])
+
+    def got(alpha, total, data=df):
+        return {
+            tuple(r)
+            for r in cur.mixture_temperature(
+                data, "source", "mass", ["doc_id"], total=total, alpha=alpha
+            ).collect()
+        }
+
+    # alpha=0: every weight is 1 -> uniform thirds, capped at n_s
+    uni = got(0.0, 30)
+    quotas = {}
+    for _, src, _m, _rk, q in uni:
+        quotas[src] = q
+    assert quotas == {"s0": 10, "s1": 10, "s2": 4}
+    # alpha=1: natural proportions of mass (16, 1584, 100 -> sum 1700)
+    nat = got(1.0, 170)
+    qn = {src: q for _, src, _m, _rk, q in nat}
+    assert qn == {"s0": 1, "s1": 16, "s2": 4}  # floor(170*m/1700), s2 capped at n=4
+    # the draw is the hash-order prefix per source
+    def order_key(i):
+        return (hashlib.md5(f"{i}|7".encode()).hexdigest(), i)
+
+    by_src = {}
+    for i, src, _ in rows:
+        by_src.setdefault(src, []).append(i)
+    for src, ids in by_src.items():
+        want = set(sorted(ids, key=order_key)[: quotas[src]])
+        assert {d for d, s, *_ in uni if s == src} == want
+    # partition-invariance
+    assert got(0.0, 30, df.repartition(13)) == uni
+
+
+def test_grouped_rank_ntile_formula_matches_window(spark):
+    """The scale-shaped tertile (grouped_running_total rank + broadcast
+    counts + floor((rk-1)*k/n)+1) assigns every row the same bucket as a
+    plain ntile(k) window, including uneven group sizes."""
+    from pyspark.sql import Window
+    from experimentsplan_datapipeline_spark.operators.sampling import (
+        grouped_running_total,
+    )
+
+    rows = []
+    for g, size in (("a", 7), ("b", 5), ("c", 3), ("d", 1)):
+        rows += [(g, i, ((i * 37) % 11) + (0.5 if g == "b" else 0.0))
+                 for i in range(size)]
+    df = spark.createDataFrame(rows, ["g", "rid", "v"])
+    base = df.withColumn("__one", F.lit(1))
+    ranked = grouped_running_total(
+        base, ["g"], ["v", "rid"], "__one", out_col="rk"
+    )
+    counts = base.groupBy("g").agg(F.count(F.lit(1)).alias("__n"))
+    mine = {
+        (r.g, r.rid): r.bucket
+        for r in ranked.join(F.broadcast(counts), "g")
+        .select(
+            "g", "rid",
+            (F.floor((F.col("rk") - 1) * 3 / F.col("__n")) + 1)
+            .cast("int").alias("bucket"),
+        )
+        .collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "rid")
+    want = {
+        (r.g, r.rid): r.bucket
+        for r in df.withColumn("bucket", F.ntile(3).over(w)).collect()
+    }
+    assert mine == want
+
+
+def test_c4_line_rules_hand_checked(spark):
+    """Each C4 rule fires exactly as specified: short lines and
+    unterminated lines drop; pages fail on <3 kept lines, lorem ipsum,
+    or braces; clean_text is the kept lines re-joined."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        c4_line_rules,
+    )
+
+    l1 = "this line has exactly six words."
+    l2 = "five words ending in question?"
+    l3 = 'a quoted sentence of five words"'
+    short = "too short."
+    unterm = "this one has no terminal punctuation at all"
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([l1, l2, l3, short, unterm])),   # 3 kept -> keep
+            (2, "\n".join([l1, l2, short])),               # 2 kept -> drop
+            (3, "\n".join([l1, l2, l3, "lorem IPSUM dolor sit amet."])),
+            (4, "\n".join([l1, l2, l3, "int f() { return 0; }."])),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in c4_line_rules(docs, "doc_id", "text").collect()}
+    assert (got[1].n_lines, got[1].n_kept, got[1].keep) == (5, 3, True)
+    assert got[1].clean_text == "\n".join([l1, l2, l3])
+    assert (got[2].n_kept, got[2].keep) == (2, False)
+    assert got[3].has_lorem and not got[3].keep and got[3].n_kept == 4
+    assert got[4].has_brace and not got[4].keep
+
+
+def test_scaler_fit_transform_is_leakage_free(spark):
+    """Stats come from the train rows ONLY: perturbing a test row's value
+    changes its own z-score but nobody else's; a zero-variance feature
+    standardizes to 0; train z-scores mean to ~0."""
+    rows = [(i, "train" if i < 8 else "test", float(i), 5.0) for i in range(12)]
+    df = spark.createDataFrame(rows, ["rid", "split", "x", "const"])
+    out = {
+        r.rid: (r.z_x, r.z_const)
+        for r in cur.scaler_fit_transform(
+            df, F.col("split") == "train", ["x", "const"]
+        ).collect()
+    }
+    assert all(z == 0.0 for _, z in out.values())  # zero-variance feature
+    # train mean of x = 3.5, sd_pop = sqrt(5.25); z for rid=0:
+    mu, sd = 3.5, 5.25 ** 0.5
+    assert abs(out[0][0] - round((0 - mu) / round(sd, 6), 6)) < 2e-6
+    # perturb a TEST row: every other row's z is unchanged
+    rows2 = [(i, s, (99.0 if i == 11 else x), c) for i, s, x, c in rows]
+    out2 = {
+        r.rid: (r.z_x, r.z_const)
+        for r in cur.scaler_fit_transform(
+            spark.createDataFrame(rows2, ["rid", "split", "x", "const"]),
+            F.col("split") == "train",
+            ["x", "const"],
+        ).collect()
+    }
+    assert all(out2[i] == out[i] for i in range(11))
+    assert out2[11] != out[11]
+
+
+def test_quantize_embeddings_int8_roundtrip(spark):
+    """q = round(127*x/max|x|), scale*q dequantizes within scale/2 per
+    coordinate; zero vectors quantize to zeros with scale 0."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "vec"])
+    got = {
+        r.vec_id: (r.scale, r.qvec)
+        for r in quantize_embeddings_int8(df, "vec_id", "vec").collect()
+    }
+    assert got[1][1] == [127, -64, 32, 0]  # round(127*-0.5)= -63.5 -> -64
+    assert got[2] == (0.0, [0, 0, 0, 0])
+    assert got[3][1] == [-127, 127, 64, -64]
+    for vid, vec in rows:
+        scale, q = got[vid]
+        for x, qi in zip(vec, q):
+            assert abs(qi * scale - x) <= scale / 2 + 1e-6
+
+
+def test_vocab_coverage_exact(spark):
+    """Top-V vocab is the count-then-word tiebreak top; coverage is the
+    exact in-vocab token fraction; empty docs are absent."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b c"),      # a:3 b:2 c:1
+            (2, "b b b c d d"),      # b:3 c:1 d:2
+            (3, "x y z"),            # all tail
+            (4, "   "),              # no tokens -> absent
+        ],
+        ["doc_id", "text"],
+    )
+    # corpus counts: a:3 b:5 c:2 d:2 x:1 y:1 z:1 -> top2 = {b, a}
+    got = {
+        r.doc_id: (r.n_tok, r.n_in_vocab, r.coverage)
+        for r in vocab_coverage(docs, "doc_id", "text", vocab_size=2).collect()
+    }
+    assert got == {
+        1: (6, 5, round(5 / 6, 6)),
+        2: (6, 3, 0.5),
+        3: (3, 0, 0.0),
+    }
