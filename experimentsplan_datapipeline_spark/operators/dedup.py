@@ -270,6 +270,67 @@ def minhash_estimate_pairs(
     )
 
 
+def dedup_lines_rewrite(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Corpus-wide line/paragraph dedup with text REWRITE (Dolma-style):
+    every distinct line survives only at its FIRST occurrence (smallest
+    (doc, position) lexicographically), all later copies are deleted, and
+    each document is rebuilt from its surviving lines in original order —
+    the boilerplate-stripping pass that removes repeated headers/footers
+    from a web corpus rather than merely flagging them
+    (``boilerplate_ngrams`` is the flag-only tier). Empty lines are
+    dropped everywhere (they would otherwise all dedup to one survivor).
+
+    Scale shape: explode to (line, doc, pos) rows, ONE combine-capable
+    groupBy(line) picks the min (doc, pos) struct, one equi-join on the
+    line keeps first occurrences, one groupBy(doc) re-assembles with an
+    in-row sort. No corpus self-join; the heavy key (the line text)
+    shuffles once. Returns (id, n_lines, n_kept, clean_text) for EVERY
+    input document (fully-deduped docs get n_kept=0, clean_text='').
+    """
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "ln"),
+        )
+        .filter(F.col("ln") != "")
+    )
+    firsts = lines.groupBy("ln").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "fst"
+        )
+    )
+    kept = lines.join(firsts, "ln").filter(
+        (F.col(id_col) == F.col("fst.d")) & (F.col("pos") == F.col("fst.p"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("ln")))
+                ),
+                lambda s: s["ln"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    n_lines = F.size(
+        F.filter(F.split(F.col(text_col), sep), lambda x: x != "")
+    )
+    return (
+        df.select(F.col(id_col), n_lines.alias("n_lines"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def simhash(
     text_col: Column | str, bits: int = 64, portable_seed: int | None = None
 ) -> Column:

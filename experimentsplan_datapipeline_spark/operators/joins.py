@@ -413,3 +413,56 @@ def merge_changelog(
             for c in value_cols
         ],
     )
+
+
+def scd2_history(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+    snapshot_ts: int = 0,
+) -> DataFrame:
+    """SCD Type-2 history build: turn a snapshot + keyed changelog into a
+    versioned dimension — one row per (key, version) with
+    ``valid_from``/``valid_to`` and ``is_current`` — the warehouse
+    complement of ``merge_changelog`` (which keeps only the latest state).
+    A delete event closes the previous version's interval without
+    emitting a row of its own; the open version has ``valid_to`` NULL.
+
+    Implementation: the snapshot enters the event stream as a
+    ``snapshot_ts`` upsert, then one ``lead(ts)`` window per key assigns
+    each version's end from the next event's start. The window partitions
+    by the KEY — key cardinality is the table's size, so the work spreads
+    over every executor (this is the good kind of window; the bad kind
+    partitions by a handful of values). Equal-ts duplicates order by the
+    payload struct, so versioning is deterministic, not partition-order
+    luck.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    value_cols = [c for c in snapshot.columns if c not in keys]
+    base = snapshot
+    for c in changes.columns:
+        if c not in base.columns:
+            base = base.withColumn(
+                c,
+                F.lit(snapshot_ts) if c == ts_col
+                else F.lit("upsert") if c == op_col
+                else F.lit(None),
+            )
+    ev = base.select(*changes.columns).unionByName(changes)
+    payload = F.struct(*[F.col(c) for c in value_cols])
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), payload)
+    h = ev.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "valid_to", F.lead(ts_col).over(w)
+    )
+    return h.filter(F.col(op_col) != delete_op).select(
+        *keys,
+        *value_cols,
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -3037,6 +3037,31 @@ def events_props_extract(spark, sf_dir):
     projection, only (type, k) reach the aggregation shuffle."""
     ev = t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register("events_props_variant", """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""")
+def events_props_variant(spark, sf_dir):
+    """The SAME extraction on Spark 4's VARIANT type: parse_json once
+    into an open semi-structured value, then variant_get typed paths —
+    the modern replacement for per-path get_json_object re-parses (one
+    binary-encoded parse serves every downstream path, and the encoded
+    variant shreds into parquet at write time). Same oracle as
+    events_props_extract; the two registry entries together pin the
+    string-path and variant-path semantics to each other."""
+    ev = t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -3642,6 +3667,17 @@ def stream_ema(spark, sf_dir):
     return spark.table(name).select(
         F.col("key").alias("event_type"), F.round("ema", 6).alias("ema")
     )
+
+
+# NOT registered: streaming/events.py::running_stats_tws_stream (the
+# Spark 4 transformWithStateInPandas successor to applyInPandasWithState)
+# is implemented and unit-tested, but the API's state-server protocol
+# requires protobuf, which this sandbox lacks — the test skips without it
+# (tests/test_streaming.py::test_running_stats_tws), same
+# environment-bound class as LPIPS/boto3. On a real cluster register it
+# with the batch-groupBy oracle:
+#   SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+#          min(value) AS mn, max(value) AS mx FROM events GROUP BY 1
 
 
 @register("gopher_quality", r"""
@@ -6235,6 +6271,67 @@ def merge_changelog_orders(spark, sf_dir):
     )
 
 
+@register("merge_scd2_history", """
+WITH snap AS (
+  SELECT o_orderkey, o_totalprice, 'upsert' AS op, 0 AS ts FROM orders),
+ch AS (
+  SELECT o_orderkey, o_totalprice + 500 AS o_totalprice,
+         'upsert' AS op, 1 AS ts
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 1000,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'delete' ELSE 'upsert' END, 2
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice * 2, 'upsert', 1
+  FROM orders WHERE o_orderkey % 7 = 0),
+ev AS (SELECT * FROM snap UNION ALL SELECT * FROM ch),
+h AS (
+  SELECT o_orderkey, o_totalprice, op, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY o_orderkey
+                        ORDER BY ts, o_totalprice) AS valid_to
+  FROM ev)
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       valid_from, valid_to, (valid_to IS NULL) AS is_current
+FROM h WHERE op <> 'delete'
+""")
+def merge_scd2_history(spark, sf_dir):
+    """SCD Type-2 versioned history (operators/joins.py::scd2_history)
+    from the SAME synthetic changelog merge_changelog_orders folds to
+    SCD-1: every key's versions carry valid_from/valid_to intervals, a
+    delete closes the prior interval without emitting a row, the open
+    version is flagged current. The lead() window partitions on the KEY
+    (cardinality = table size — every executor busy); the oracle replays
+    the event union and the interval assignment."""
+    from experimentsplan_datapipeline_spark.operators.joins import (
+        scd2_history,
+    )
+
+    snap = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k, p = F.col("o_orderkey"), F.col("o_totalprice")
+    ch1 = snap.filter(k % 5 == 0).select(
+        k, (p + 500).alias("o_totalprice"),
+        F.lit("upsert").alias("op"), F.lit(1).alias("ts"),
+    )
+    ch2 = snap.filter(k % 5 == 0).select(
+        k, (p + 1000).alias("o_totalprice"),
+        F.when(k % 3 == 0, "delete").otherwise("upsert").alias("op"),
+        F.lit(2).alias("ts"),
+    )
+    ins = snap.filter(k % 7 == 0).select(
+        (k + 100000000).alias("o_orderkey"),
+        (p * 2).alias("o_totalprice"),
+        F.lit("upsert").alias("op"), F.lit(1).alias("ts"),
+    )
+    changes = ch1.unionByName(ch2).unionByName(ins)
+    hist = scd2_history(snap, changes, ["o_orderkey"], "ts")
+    return hist.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "valid_from", "valid_to", "is_current",
+    )
+
+
 @register("dedup_sorted_neighborhood", """
 WITH u AS (SELECT p_name, min(p_partkey) AS pid FROM part GROUP BY p_name),
 r AS (SELECT pid, p_name,
@@ -6404,6 +6501,206 @@ def curate_mixture_temperature(spark, sf_dir):
     return mixture_temperature(
         docs, "source", "n_chars", ["doc_id"], total=200, alpha=0.5, seed=7
     )
+
+
+@register("curate_corpus_v2", r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents),
+b AS (
+  SELECT doc_id, ws, len(ws) AS n_words,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bg
+  FROM w),
+g AS (
+  SELECT doc_id, n_words,
+         (round(list_max(list_transform(list_distinct(ws),
+                d -> len(list_filter(ws, x -> x = d)))) / greatest(n_words, 1), 6) <= 0.2
+          AND CASE WHEN len(bg) > 0
+                   THEN round(1 - len(list_distinct(bg)) / len(bg), 6)
+                   ELSE 0.0 END <= 0.2
+          AND round(list_sum(list_transform(ws, x -> strlen(x))) / greatest(n_words, 1), 6)
+              BETWEEN 3.0 AND 10.0) AS keep
+  FROM b),
+f AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents),
+kept1 AS (
+  SELECT f.doc_id, f.source, f.fp, g.n_words
+  FROM f JOIN g USING (doc_id) WHERE g.keep),
+reps AS (SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY fp),
+kept2 AS (SELECT kept1.* FROM kept1 JOIN reps USING (doc_id)),
+c AS (
+  SELECT doc_id, source, n_words,
+         sum(n_words) OVER (PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '|7'), 1, 8))::BIGINT,
+                    doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM kept2)
+SELECT source, count(*) AS n_docs, sum(n_words) AS total_tokens
+FROM c WHERE cum <= 600 GROUP BY source
+""")
+def curate_corpus_v2(spark, sf_dir):
+    """The round-8 curation cascade end-to-end in ONE DataFrame DAG:
+    Gopher repetition gate (zero-shuffle tier) -> exact dedup (min-id
+    representative per fingerprint) -> 600-token per-source budget cut in
+    seeded hash order (grouped prefix sums) -> per-source acceptance
+    report. Each tier consumes the survivors of the previous; the oracle
+    replays the whole chain. Extends curate_corpus (quality-score tier)
+    with the round-6/8 operators a real pretraining pass runs."""
+    from experimentsplan_datapipeline_spark.functions.text import (
+        doc_fingerprint,
+    )
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        mixture_token_budget,
+    )
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    from experimentsplan_datapipeline_spark.operators.util import pin
+
+    docs = t(spark, sf_dir, "documents")
+    sig = repetition_signals(docs, "doc_id", "text").select(
+        "doc_id", "n_words", "keep"
+    )
+    base = docs.select(
+        "doc_id", "source", doc_fingerprint("text").alias("fp")
+    )
+    # The Gopher tier's per-row expressions are the cascade's dominant
+    # cost and feed THREE downstream consumers (the dedup agg, the
+    # survivor join, and the budget's range-partition sampling pass) —
+    # without a pin Spark recomputes the whole tier per consumer
+    # (measured 9.1x at the sf1 probe; pinned it drops to the shuffle
+    # cost of 4 small columns).
+    kept1 = pin(base.join(sig, "doc_id").filter("keep"))
+    reps = kept1.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    kept2 = kept1.join(reps, "doc_id").select("doc_id", "source", "n_words")
+    final = mixture_token_budget(
+        kept2, "source", "n_words", ["doc_id"], budget=600
+    )
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+    )
+
+
+@register("text_ngram_novelty", """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1])) AS b
+  FROM toks),
+dc AS (SELECT doc_id, b, count(*) AS c_doc FROM bg GROUP BY doc_id, b),
+cc AS (SELECT b, sum(c_doc) AS c_corpus FROM dc GROUP BY b)
+SELECT doc_id,
+       sum(c_doc) AS n_bigrams,
+       sum(CASE WHEN c_corpus = c_doc THEN c_doc ELSE 0 END) AS n_novel,
+       round(sum(CASE WHEN c_corpus = c_doc THEN c_doc ELSE 0 END)
+             / sum(c_doc)::DOUBLE, 6) AS novelty
+FROM dc JOIN cc USING (b)
+GROUP BY doc_id
+""")
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a doc's bigram
+    INSTANCES that occur in no other document (corpus count equals the
+    doc's own count) — the diversity/novelty weighting signal, the
+    inverse of boilerplate. Shuffle shape: explode -> groupBy(doc, gram)
+    (map-side combined) -> groupBy(gram) corpus counts -> one equi-join
+    back on the gram key -> per-doc fold. The corpus never self-joins at
+    document granularity; both aggregations shrink the data."""
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bigrams = F.when(
+        F.size(w) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        )
+    )
+    dc = (
+        docs.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+    )
+    cc = dc.groupBy("b").agg(F.sum("c_doc").alias("c_corpus"))
+    novel = F.when(
+        F.col("c_corpus") == F.col("c_doc"), F.col("c_doc")
+    ).otherwise(F.lit(0))
+    return (
+        dc.join(cc, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").alias("n_bigrams"),
+            F.sum(novel).alias("n_novel"),
+            F.round(
+                F.sum(novel) / F.sum("c_doc").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@register("dedup_lines_rewrite", """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+txt AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, (len(ws) + 1) // 2 + 1),
+                     i -> array_to_string(ws[(i-1)*2+1:(i-1)*2+2], ' '))
+         END AS arr
+  FROM w),
+l AS (
+  SELECT doc_id, u.s.p AS pos, u.s.ln AS ln
+  FROM txt, UNNEST(list_transform(range(1, len(arr) + 1),
+                   i -> {'p': i, 'ln': arr[i]})) AS u(s)
+  WHERE u.s.ln <> ''),
+f AS (SELECT ln, min({'d': doc_id, 'p': pos}) AS fst FROM l GROUP BY ln),
+k AS (
+  SELECT l.doc_id, l.pos, l.ln
+  FROM l JOIN f ON l.ln = f.ln AND l.doc_id = f.fst.d AND l.pos = f.fst.p),
+r AS (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(list(ln ORDER BY pos), chr(10)) AS clean_text
+  FROM k GROUP BY doc_id)
+SELECT t.doc_id, len(t.arr) AS n_lines,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.clean_text, '') AS clean_text
+FROM txt t LEFT JOIN r USING (doc_id)
+""")
+def dedup_lines_rewrite(spark, sf_dir):
+    """Dolma-style corpus-wide line dedup with text rewrite (operators/
+    dedup.py::dedup_lines_rewrite): documents re-chunk into 2-word lines
+    (a 40-word vocabulary makes cross-document duplicate lines common, so
+    the rewrite visibly shrinks the corpus), each distinct line survives
+    only at its first (doc, pos), and every document is rebuilt from its
+    survivors in order. One groupBy(line) min-struct + one equi-join +
+    one per-doc reassembly; the flag-only tier is boilerplate_ngrams."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        dedup_lines_rewrite as op,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    n_chunks = ((F.size(w) + F.lit(1)) / F.lit(2)).cast("int")
+    mk = lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * 2 + 1, 2))  # noqa: E731
+    lines = F.when(
+        F.size(w) == 0, F.array().cast("array<string>")
+    ).otherwise(F.transform(F.sequence(F.lit(1), n_chunks), mk))
+    structured = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return op(structured, "doc_id", "text")
 
 
 @register("corpus_source_overlap", """

@@ -129,6 +129,80 @@ def ema_stream(
     )
 
 
+def running_stats_tws_stream(
+    events: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """T7: per-key running stats on the Spark 4 arbitrary-state API
+    (``transformWithStateInPandas`` + ``StatefulProcessor`` /
+    ``ValueState``) — the successor to ``applyInPandasWithState`` that
+    ``ema_stream`` uses, demonstrated here so the engine exercises BOTH
+    stateful surfaces. State per key: (n, total, mn, mx) — O(keys)
+    regardless of stream length; each micro-batch folds its Arrow chunks
+    into the state and emits the updated row. Batch twin: a plain
+    groupBy aggregation (the oracle). n/min/max are exact; total is a
+    float fold, so consumers round it (the registered query rounds to 2).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("mn", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("mn", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mn, mx = (
+                self._state.get() if self._state.exists() else (0, 0.0, None, None)
+            )
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                v = pdf[value_col].astype(float)
+                n += int(len(v))
+                total += float(v.sum())
+                bmn, bmx = float(v.min()), float(v.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+            self._state.update((n, total, mn, mx))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n": [n], "total": [total],
+                 "mn": [mn], "mx": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def _rename_latest(fs, h_tmp, h_latest) -> None:
     """The final rename of the snapshot swap — module-level so the
     crash-injection test can make it raise once, simulating a writer killed

@@ -184,6 +184,16 @@ ROUND8_ANNOTATED: dict[str, str] = {
         "SNM under name + reversed-name keys, unioned neighborhoods",
     "corpus_source_overlap":
         "pairwise source shingle-Jaccard matrix via one shingle-key join",
+    "merge_scd2_history":
+        "SCD-2 versioned history: lead() intervals, deletes close rows",
+    "curate_corpus_v2":
+        "gopher gate -> exact dedup -> token budget -> source report",
+    "events_props_variant":
+        "Spark 4 VARIANT parse_json + variant_get, oracle-pinned to $-path",
+    "dedup_lines_rewrite":
+        "Dolma line dedup + rewrite: first (doc,pos) wins corpus-wide",
+    "text_ngram_novelty":
+        "per-doc fraction of bigram instances unique corpus-wide",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)

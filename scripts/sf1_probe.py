@@ -66,6 +66,15 @@ HEAVY = [
     "merge_changelog_orders",
     "curate_mixture_token_budget",
     "minhash_jaccard_contract",
+    # round 8 third batch: the source-overlap shingle self-join (pairs per
+    # gram bounded by S^2, so growth must track DISTINCT (source, gram)
+    # rows), the CCNet tertiles (LM scoring joins + grouped rank), the
+    # composed curation cascade, and the SCD-2 interval window (key-
+    # partitioned lead() — cardinality grows 10x with the snapshot).
+    "corpus_source_overlap",
+    "curate_perplexity_buckets",
+    "curate_corpus_v2",
+    "merge_scd2_history",
 ]
 
 

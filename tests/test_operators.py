@@ -1190,6 +1190,43 @@ def test_merge_changelog_hand_checked(spark):
     assert got == [(1, "a"), (3, "c2"), (4, "d")]
 
 
+def test_scd2_history_hand_checked(spark):
+    """SCD-2 intervals traced by hand over the merge_changelog fixture:
+    unchanged keys keep one open version; an update closes the snapshot
+    version; a delete closes the prior interval and emits nothing;
+    inserts open at their change ts; a delete of an absent key leaves no
+    row at all."""
+    from experimentsplan_datapipeline_spark.operators.joins import (
+        scd2_history,
+    )
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [
+            (2, "b1", "upsert", 1),
+            (2, None, "delete", 2),
+            (3, "c1", "upsert", 1),
+            (3, "c2", "upsert", 2),
+            (4, "d", "upsert", 1),
+            (5, None, "delete", 1),
+        ],
+        ["k", "v", "op", "ts"],
+    )
+    got = sorted(
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(snap, changes, ["k"], "ts").collect()
+    )
+    assert got == [
+        (1, "a", 0, None, True),
+        (2, "b", 0, 1, False),
+        (2, "b1", 1, 2, False),   # closed by the delete, no delete row
+        (3, "c", 0, 1, False),
+        (3, "c1", 1, 2, False),
+        (3, "c2", 2, None, True),
+        (4, "d", 1, None, True),
+    ]
+
+
 def test_merge_changelog_equal_ts_deterministic_and_validates(spark):
     """Equal-ts duplicate events resolve by the payload-struct tiebreak —
     identical output under any partitioning — and a changes frame missing

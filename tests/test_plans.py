@@ -342,6 +342,72 @@ class TestRound6PlanShapes:
         assert "Join" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_c4_rules_ride_the_scan(self, spark):
+        """C4 cleaning is zero-shuffle map-side codegen: line synthesis +
+        every rule are higher-order expressions, so no exchange, no join,
+        no Python eval node."""
+        plan = _plan(spark, "text_c4_rules")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_quantize_int8_rides_the_scan(self, spark):
+        """Per-vector int8 quantization reads only the row's own values —
+        zero exchange, zero join, zero UDF."""
+        plan = _plan(spark, "embedding_quantize_int8")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_vocab_coverage_probe_is_broadcast(self, spark):
+        """The top-V vocabulary must probe as a broadcast hash join (V is
+        tiny by definition); the corpus side never sort-merges against
+        its own vocabulary."""
+        plan = _plan(spark, "text_vocab_coverage")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_scaler_stats_broadcast_not_cartesian(self, spark):
+        """The 1-row fitted-stats frame joins as a broadcast nested loop
+        (a true cross join of cardinality 1), never a materialized
+        cartesian product or a shuffle."""
+        plan = _plan(spark, "curate_scaler_fit_transform")
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_mixture_temperature_quota_broadcast(self, spark):
+        """Per-source quotas broadcast back onto the ranked corpus; the
+        draw itself must not introduce a sort-merge join."""
+        plan = _plan(spark, "curate_mixture_temperature")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_lines_rewrite_no_cartesian_single_line_shuffle(self, spark):
+        """Line dedup's heavy key (the line text) shuffles through ONE
+        combine-capable aggregation + one equi-join; never a document-
+        granularity self-join."""
+        plan = _plan(spark, "dedup_lines_rewrite")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_ngram_novelty_shrinking_aggs(self, spark):
+        """Novelty is two shrinking aggregations + one gram-key equi-join —
+        no cartesian, no window, no Python eval."""
+        plan = _plan(spark, "text_ngram_novelty")
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_scd2_window_partitions_on_key(self, spark):
+        """The SCD-2 interval window must partition on o_orderkey (high
+        cardinality — scales with the snapshot), and the plan needs no
+        join at all."""
+        plan = _plan(spark, "merge_scd2_history")
+        assert "Window" in plan
+        assert "o_orderkey" in plan
+        assert "CartesianProduct" not in plan
+
     def test_decontaminate_no_corpus_broadcast(self, spark):
         """The train corpus must never be a broadcast build side; the only
         join on the gram key is an equi-join, and the final attach is a

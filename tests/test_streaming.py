@@ -360,3 +360,34 @@ def test_snapshot_crash_before_delete_keeps_old_latest(
     windowed3 = windowed_metrics(stream3, window="5 minutes", watermark="10 minutes")
     run_available_now(checkpointed_metrics_sink(windowed3, out_root, ckpt))
     assert before | {("loss", 10)} <= _latest_keys(spark, out_root)
+
+
+def test_running_stats_tws(spark, tmp_path):
+    """T7: the Spark 4 arbitrary-state API (transformWithStateInPandas).
+    Skips when protobuf (the API's state-server wire format) is absent —
+    the operator itself is environment-bound in this sandbox, like LPIPS.
+    When runnable: the drained update-mode result equals the batch
+    groupBy twin exactly on n/min/max and within fp noise on total."""
+    pytest.importorskip("google.protobuf")
+    from experimentsplan_datapipeline_spark.streaming.events import (
+        running_stats_tws_stream,
+    )
+
+    src = os.path.join(str(tmp_path), "ev")
+    rows = [(k, float(v)) for k in ("a", "b") for v in range(1, 6)]
+    spark.createDataFrame(rows, ["event_type", "value"]).write.parquet(src)
+    stream = spark.readStream.schema("event_type string, value double").parquet(src)
+    out = running_stats_tws_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {r.key: (r.n, r.total, r.mn, r.mx)
+           for r in spark.table("tws_test").collect()}
+    assert got == {"a": (5, 15.0, 1.0, 5.0), "b": (5, 15.0, 1.0, 5.0)}

@@ -612,6 +612,34 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_dedup_lines_rewrite_hand_checked(spark):
+    """First occurrence wins corpus-wide (smallest doc, then smallest
+    position); later copies vanish from the rebuilt text; in-doc
+    duplicates keep only their first; order of survivors is preserved;
+    a fully-duplicated doc rewrites to ''."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        dedup_lines_rewrite,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha\ngamma"),  # in-doc dup of alpha
+            (2, "beta\ndelta"),                 # beta already in doc 1
+            (3, "alpha\nbeta"),                 # fully duplicated
+            (4, ""),                            # no lines at all
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.clean_text)
+        for r in dedup_lines_rewrite(docs, "doc_id", "text").collect()
+    }
+    assert got[1] == (4, 3, "alpha\nbeta\ngamma")
+    assert got[2] == (2, 1, "delta")
+    assert got[3] == (2, 0, "")
+    assert got[4] == (0, 0, "")
+
+
 def test_minhash_estimate_contract(spark):
     """Sketch contract: an exact duplicate pair must carry est = exact = 1.0
     (every minhash component agrees when shingle sets are identical) with
