@@ -466,3 +466,60 @@ def scd2_history(
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+def interval_overlap_join(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    cell: int = 3600,
+) -> DataFrame:
+    """Exact interval-overlap SELF-join: all pairs of intervals (same
+    key, id_a < id_b) with [s_a, e_a] ∩ [s_b, e_b] nonempty (touching
+    endpoints count) — the span-reconciliation primitive (overlapping
+    sessions, double-booked resources, colliding time ranges) that a
+    naive theta join makes quadratic per key.
+
+    Scale shape: each interval explodes to its covered width-``cell``
+    grid cells (ceil(len/cell)+1 rows — pick ``cell`` near the typical
+    interval length so the blow-up is a small constant); candidates come
+    from an EQUI-join on (key, cell); the pair is kept only in the cell
+    containing greatest(s_a, s_b), so each overlapping pair is emitted
+    EXACTLY once with no post-dedup distinct. A single degenerate
+    mega-interval multiplies by its own span/cell only — it cannot make
+    any other row quadratic. Returns (key..., id_a, id_b, overlap_len).
+    """
+    keys = list(key_cols)
+    s, e = F.col(start_col), F.col(end_col)
+    cells = F.sequence(
+        F.floor(s / cell).cast("long"), F.floor(e / cell).cast("long")
+    )
+    g = df.select(
+        *keys,
+        F.col(id_col),
+        s.alias("__s"),
+        e.alias("__e"),
+        F.explode(cells).alias("__c"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    cond = (F.col("a.__c") == F.col("b.__c"))
+    for k in keys:
+        cond &= F.col(f"a.{k}") == F.col(f"b.{k}")
+    cond &= F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    cond &= F.col("a.__s") <= F.col("b.__e")
+    cond &= F.col("b.__s") <= F.col("a.__e")
+    # meet-once rule: only the cell holding the later start emits the pair
+    cond &= F.col("a.__c") == F.floor(
+        F.greatest(F.col("a.__s"), F.col("b.__s")) / cell
+    ).cast("long")
+    return a.join(b, cond).select(
+        *[F.col(f"a.{k}") for k in keys],
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        (
+            F.least(F.col("a.__e"), F.col("b.__e"))
+            - F.greatest(F.col("a.__s"), F.col("b.__s"))
+        ).alias("overlap_len"),
+    )

@@ -1404,7 +1404,9 @@ def approx_distinct(spark, sf_dir):
     )
 
 
-@register("dedup_resolve_clusters", """
+# recursive-CTE transitive closure of the verified near-dup graph —
+# shared by dedup_resolve_clusters and (wrapped) dedup_keep_best
+_CLUSTERS_ORACLE = """
 WITH RECURSIVE toks AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct(list_transform(
        range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0) + 1),
@@ -1430,7 +1432,10 @@ rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep_id
         FROM reach GROUP BY src)
 SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS rep_id
 FROM documents d LEFT JOIN rep r USING (doc_id)
-""")
+"""
+
+
+@register("dedup_resolve_clusters", _CLUSTERS_ORACLE)
 def dedup_resolve_clusters(spark, sf_dir):
     """Near-dup pairs -> cluster representatives via iterative min-label
     propagation (the 'keep one per duplicate cluster' step). Oracle computes
@@ -1443,6 +1448,56 @@ def dedup_resolve_clusters(spark, sf_dir):
         docs, "text", "doc_id", num_hashes=32, bands=8, shingle_size=3, threshold=0.4
     )
     return dd.resolve_duplicate_clusters(docs, pairs, "doc_id")
+
+
+@register("dedup_keep_best", f"""
+WITH clusters AS ({_CLUSTERS_ORACLE}),
+qual AS (
+  SELECT doc_id,
+         round(0.5 * least(length(text) / 500.0, 1.0)
+             + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      / greatest(length(text), 1))
+             + 0.2 * (length(regexp_replace(text, '[^ ]', '', 'g'))
+                      / greatest(length(text), 1)), 6) AS q
+  FROM documents)
+SELECT cluster_id, keeper, best_quality, n_docs FROM (
+  SELECT c.rep_id AS cluster_id, j.doc_id AS keeper, j.q AS best_quality,
+         row_number() OVER (PARTITION BY c.rep_id
+                            ORDER BY j.q DESC, j.doc_id) AS rk,
+         count(*) OVER (PARTITION BY c.rep_id) AS n_docs
+  FROM clusters c JOIN qual j ON c.doc_id = j.doc_id)
+WHERE rk = 1
+""")
+def dedup_keep_best(spark, sf_dir):
+    """Quality-based cluster keeper: within every near-dup cluster keep
+    the HIGHEST-quality document (min-id as the deterministic tie-break)
+    instead of dedup_resolve_clusters' min-id convention — what a real
+    curation pass wants when duplicates differ in truncation/boilerplate.
+    One max_by aggregation over the cluster map (map-side combinable, no
+    per-cluster window); the oracle replays the transitive closure, the
+    quality score, and the (quality desc, id) argmax."""
+    from experimentsplan_datapipeline_spark.functions.text import (
+        quality_score,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_dedup(
+        docs, "text", "doc_id", num_hashes=32, bands=8, shingle_size=3,
+        threshold=0.4,
+    )
+    clusters = dd.resolve_duplicate_clusters(docs, pairs, "doc_id")
+    q = docs.select("doc_id", quality_score("text").alias("q"))
+    return (
+        clusters.join(q, "doc_id")
+        .groupBy(F.col("rep_id").alias("cluster_id"))
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("q"), (-F.col("doc_id")))
+            ).alias("keeper"),
+            F.max("q").alias("best_quality"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
 
 
 @register("join_salted", """
@@ -6268,6 +6323,43 @@ def merge_changelog_orders(spark, sf_dir):
     merged = merge_changelog(snap, changes, ["o_orderkey"], "ts")
     return merged.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@register("join_interval_overlap", """
+WITH i AS (
+  SELECT user_id, event_id,
+         floor(epoch(ts))::BIGINT AS s,
+         floor(epoch(ts))::BIGINT + floor(value * 60)::BIGINT AS e
+  FROM events WHERE event_type = 'click')
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_len
+FROM i a JOIN i b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s <= b.e AND b.s <= a.e
+""")
+def join_interval_overlap(spark, sf_dir):
+    """Exact interval-overlap self-join (operators/joins.py::
+    interval_overlap_join): click events become [ts, ts + value*60s]
+    spans; all same-user overlapping span pairs, each emitted exactly
+    once by the cell-blocking meet-once rule (equi-join on width-1h grid
+    cells — never the per-user quadratic theta join the oracle uses as
+    the definition)."""
+    from experimentsplan_datapipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts") + (F.col("value") * 60).cast("long")
+        ).alias("e"),
+    )
+    return interval_overlap_join(
+        iv, ["user_id"], "event_id", "s", "e", cell=3600
     )
 
 

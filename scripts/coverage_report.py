@@ -194,6 +194,10 @@ ROUND8_ANNOTATED: dict[str, str] = {
         "Dolma line dedup + rewrite: first (doc,pos) wins corpus-wide",
     "text_ngram_novelty":
         "per-doc fraction of bigram instances unique corpus-wide",
+    "join_interval_overlap":
+        "exact interval-overlap self-join, grid cells + meet-once rule",
+    "dedup_keep_best":
+        "highest-quality doc kept per near-dup cluster (max_by, no window)",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)

@@ -1190,6 +1190,33 @@ def test_merge_changelog_hand_checked(spark):
     assert got == [(1, "a"), (3, "c2"), (4, "d")]
 
 
+def test_interval_overlap_join_hand_checked(spark):
+    """Overlap pairs traced by hand, each emitted EXACTLY once even when
+    the overlap spans many grid cells; touching endpoints count; disjoint
+    intervals and cross-key pairs never appear."""
+    from experimentsplan_datapipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        ("u", 1, 0, 250),     # overlaps 2 (multi-cell with cell=100)
+        ("u", 2, 100, 400),   # overlaps 1, 3(touching), 4
+        ("u", 3, 400, 500),   # touches 2 at 400
+        ("u", 4, 390, 395),   # inside 2
+        ("u", 5, 600, 700),   # disjoint
+        ("v", 6, 0, 1000),    # other key: no cross-key pairs
+    ]
+    df = spark.createDataFrame(rows, ["k", "iid", "s", "e"])
+    out = interval_overlap_join(df, ["k"], "iid", "s", "e", cell=100).collect()
+    got = sorted((r.k, r.id_a, r.id_b, r.overlap_len) for r in out)
+    assert got == [
+        ("u", 1, 2, 150),
+        ("u", 2, 3, 0),    # touching endpoint counts, zero-length overlap
+        ("u", 2, 4, 5),
+    ]
+    assert len(out) == len(set((r.k, r.id_a, r.id_b) for r in out))  # meet-once
+
+
 def test_scd2_history_hand_checked(spark):
     """SCD-2 intervals traced by hand over the merge_changelog fixture:
     unchanged keys keep one open version; an update closes the snapshot
