@@ -500,3 +500,97 @@ def test_copurchase_pairs_blocked_property(spark, rows, m):
         for r in copurchase_pairs(items, "g", "i", n_blocks=m).collect()
     )
     assert blocked == plain
+
+
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 300)),
+        min_size=2, max_size=25,
+    ),
+    cell=st.sampled_from([7, 50, 100]),
+)
+@SLOW
+def test_interval_overlap_matches_bruteforce(spark, spans, cell):
+    """Cell blocking + meet-once must reproduce the quadratic definition
+    exactly — every overlapping pair once, with the right overlap length,
+    at any cell width (including cells far smaller than the spans)."""
+    from experimentsplan_datapipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rows = [("k", i, s, s + d) for i, (s, d) in enumerate(spans)]
+    df = spark.createDataFrame(rows, ["k", "iid", "s", "e"])
+    got = sorted(
+        (r.id_a, r.id_b, r.overlap_len)
+        for r in interval_overlap_join(
+            df, ["k"], "iid", "s", "e", cell=cell
+        ).collect()
+    )
+    want = []
+    for _, a, sa, ea in rows:
+        for _, b, sb, eb in rows:
+            if a < b and sa <= eb and sb <= ea:
+                want.append((a, b, min(ea, eb) - max(sa, sb)))
+    assert got == sorted(want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=6),
+        min_size=2, max_size=8,
+    )
+)
+@SLOW
+def test_dedup_lines_rewrite_idempotent(spark, docs):
+    """Rewriting an already-rewritten corpus is the identity: after one
+    pass every surviving line occurs exactly once corpus-wide, so a
+    second pass keeps everything (n_kept == n_lines per doc)."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        dedup_lines_rewrite,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    once = dedup_lines_rewrite(df, "doc_id", "text").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = dedup_lines_rewrite(once, "doc_id", "text").collect()
+    assert all(r.n_kept == r.n_lines for r in twice)
+    # and the rewritten text survives a second pass byte-identically
+    again = {r.doc_id: r.clean_text for r in twice}
+    first = {r.doc_id: r.text for r in once.collect()}
+    assert again == first
+
+
+@given(
+    masses=st.lists(st.integers(1, 10_000), min_size=2, max_size=6),
+    alpha=st.sampled_from([0.0, 0.3, 0.5, 1.0]),
+    total=st.integers(10, 400),
+)
+@SLOW
+def test_mixture_temperature_quota_contract(spark, masses, alpha, total):
+    """Quotas never exceed source row counts, their sum never exceeds
+    ``total`` (floors only lose), and the drawn count per source equals
+    its quota exactly."""
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        mixture_temperature,
+    )
+
+    rows = []
+    for si, m in enumerate(masses):
+        # 3 rows per source, the per-row mass summing to the source mass
+        rows += [(si * 10 + j, f"s{si}", m) for j in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "mass"])
+    out = mixture_temperature(
+        df, "source", "mass", ["doc_id"], total=total, alpha=alpha
+    ).collect()
+    per_src = {}
+    quotas = {}
+    for r in out:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+        quotas[r.source] = r.quota
+    assert all(q <= 3 for q in quotas.values())
+    assert sum(quotas.values()) <= total
+    assert all(per_src[s] == quotas[s] for s in per_src)
