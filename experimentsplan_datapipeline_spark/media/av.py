@@ -120,6 +120,8 @@ def audio_chunk_energy(
         + [
             StructField("chunk_id", IntegerType()),
             StructField("rms", DoubleType()),
+            StructField("zcr", DoubleType()),
+            StructField("peak", IntegerType()),
         ]
     )
 
@@ -133,7 +135,19 @@ def audio_chunk_energy(
                     row = {c: r[c] for c in pass_names}
                     row["chunk_id"] = ci
                     row["rms"] = float(np.sqrt(np.mean(samples * samples)))
+                    # zero-crossing rate around the unsigned midpoint 128
+                    # (>= 128 is "positive"), and peak deviation — the
+                    # other two cheap silence/clipping detectors a real
+                    # waveform decoder would feed identically
+                    sign = samples >= 128.0
+                    row["zcr"] = float(
+                        np.mean(sign[1:] != sign[:-1])
+                    )
+                    row["peak"] = int(np.max(np.abs(samples - 128.0)))
                     rows.append(row)
-            yield pd.DataFrame(rows, columns=pass_names + ["chunk_id", "rms"])
+            yield pd.DataFrame(
+                rows,
+                columns=pass_names + ["chunk_id", "rms", "zcr", "peak"],
+            )
 
     return df.mapInPandas(run, schema=out_schema)

@@ -601,6 +601,85 @@ def image_ahash(
     )
 
 
+def dct_weights(n: int = 8) -> "list[list[float]]":
+    """Orthonormal DCT-II coefficient table c[u][x] (the public JPEG/pHash
+    basis): c[0][x] = sqrt(1/n), c[u][x] = sqrt(2/n)*cos((2x+1)u*pi/2n).
+    Both the Spark plan and the SQL oracle inline THIS table's floats, so
+    the two engines multiply the exact same literals."""
+    import math
+
+    return [
+        [
+            (math.sqrt(1.0 / n) if u == 0 else math.sqrt(2.0 / n))
+            * math.cos((2 * x + 1) * u * math.pi / (2 * n))
+            for x in range(n)
+        ]
+        for u in range(n)
+    ]
+
+
+def phash_terms(block: int = 4, n: int = 8) -> "list[list[float]]":
+    """Flattened 2-D DCT weights for the top-left ``block``x``block``
+    coefficient grid minus DC: one row per AC coefficient (u,v), one
+    weight per luminance position k = x*n + y (w = c[u][x]*c[v][y]).
+    block*block-1 rows of n*n weights, in fixed (u,v) and k order —
+    the literal-chain contract both engines share."""
+    c = dct_weights(n)
+    rows = []
+    for u in range(block):
+        for v in range(block):
+            if u == 0 and v == 0:
+                continue
+            rows.append(
+                [c[u][x] * c[v][y] for x in range(n) for y in range(n)]
+            )
+    return rows
+
+
+def image_phash(
+    decoded: DataFrame, image_col: str = "image", block: int = 4
+) -> DataFrame:
+    """Perceptual DCT hash (pHash): 8x8 luminance grid -> 2-D DCT-II ->
+    top-left ``block``x``block`` low-frequency coefficients minus DC ->
+    each bit is coeff > median(coeffs) -> packed long ``phash``. Catches
+    brightness/contrast shifts aHash misses (the DCT discards the DC
+    level; the median threshold discards gain).
+
+    Engine-reproducible by construction: every coefficient is a fixed
+    left-to-right multiply-add chain over literal ``phash_terms`` weights
+    rounded to 6 (bit-identical to the SQL oracle's inlined chains), the
+    AC count is odd so the median is an exact order statistic, and the
+    pack is an integer sum. Zero shuffle, zero UDF beyond the decode.
+    """
+    px = F.col(f"{image_col}.pixels")
+    lum = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.element_at(px, i * 3 + 1)
+        + F.element_at(px, i * 3 + 2)
+        + F.element_at(px, i * 3 + 3),
+    )
+    d = decoded.withColumn("__lum", lum)
+    coeffs = []
+    for row in phash_terms(block):
+        acc = None
+        for k, w in enumerate(row):
+            term = F.element_at("__lum", k + 1) * F.lit(float(w))
+            acc = term if acc is None else acc + term
+        coeffs.append(F.round(acc, 6))
+    n_ac = len(coeffs)  # block^2 - 1, odd for even block
+    d = d.withColumn("__c", F.array(*coeffs)).withColumn(
+        "__med", F.element_at(F.array_sort("__c"), n_ac // 2 + 1)
+    )
+    phash = None
+    for i in range(n_ac):
+        bit = F.when(
+            F.element_at("__c", i + 1) > F.col("__med"),
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        phash = bit if phash is None else phash + bit
+    return d.withColumn("phash", phash).drop("__lum", "__c", "__med")
+
+
 def ahash_near_dup(
     hashed: DataFrame, id_col: str, max_hamming: int = 6
 ) -> DataFrame:

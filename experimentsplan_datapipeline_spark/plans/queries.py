@@ -2889,6 +2889,41 @@ def media_audio_energy(spark, sf_dir):
     return out.select("doc_id", "chunk_id", F.round("rms", 6).alias("rms"))
 
 
+@register("media_audio_features", """
+WITH c AS (
+  SELECT doc_id, text, unnest(range(0, 4)) AS chunk_id
+  FROM documents WHERE doc_id < 200),
+s AS (
+  SELECT doc_id, chunk_id,
+         list_transform(range(0, 32),
+           p -> ('0x' || substr(sha256(text || '|a' || chunk_id::VARCHAR),
+                                p * 2 + 1, 2))::BIGINT) AS w
+  FROM c)
+SELECT doc_id, chunk_id,
+       round(list_sum(list_transform(range(1, 32),
+             i -> CASE WHEN (w[i] >= 128) <> (w[i+1] >= 128)
+                       THEN 1 ELSE 0 END)) / 31.0, 6) AS zcr,
+       list_max(list_transform(w, x -> abs(x - 128)))::INT AS peak
+FROM s
+""")
+def media_audio_features(spark, sf_dir):
+    """Audio silence/clipping detectors over the same chunked Arrow
+    fan-out as media_audio_energy: zero-crossing rate around the unsigned
+    midpoint (tonal vs noisy) and peak deviation (clipping). The oracle
+    replays the sha256 stub waveform sample-for-sample; a real decoder
+    slots into the same UDF body (media/av.py::audio_chunk_energy)."""
+    from experimentsplan_datapipeline_spark.media.av import (
+        audio_chunk_energy,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    clips = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    out = audio_chunk_energy(clips, n_chunks=4)
+    return out.select(
+        "doc_id", "chunk_id", F.round("zcr", 6).alias("zcr"), "peak"
+    )
+
+
 @register("dedup_incremental", """
 WITH corpus AS (
   SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
@@ -3684,6 +3719,74 @@ def dedup_image_ahash(spark, sf_dir):
         "doc_id", "ahash_lo", "ahash_hi"
     )
     return ahash_near_dup(hashed, "doc_id", max_hamming=6)
+
+
+def _phash_oracle_sql(block: int = 4) -> str:
+    """DuckDB twin of image_phash over the sha256-stub decode: the SAME
+    planted-duplicate content and luminance CTEs as `dedup_image_ahash`,
+    then the SAME literal DCT-weight chains (media.images.phash_terms) in
+    identical left-to-right order, rounded 6, exact odd-count median,
+    integer bit pack."""
+    from experimentsplan_datapipeline_spark.media.images import phash_terms
+
+    rows = phash_terms(block)
+    n_ac = len(rows)
+    chains = []
+    for r in rows:
+        terms = " + ".join(f"s[{k + 1}] * {float(w)!r}" for k, w in enumerate(r))
+        chains.append(f"round(({terms}), 6)")
+    coeff_arr = "[" + ",\n  ".join(chains) + "]"
+    bits = " + ".join(
+        f"(CASE WHEN c[{i + 1}] > med THEN {1 << i} ELSE 0 END)::BIGINT"
+        for i in range(n_ac)
+    )
+    return f"""
+WITH content AS (
+  SELECT d.doc_id, r.text
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+  JOIN documents r ON r.doc_id = d.doc_id % 150),
+px AS (
+  SELECT doc_id,
+         list_transform(range(0, 192),
+           i -> ('0x' || substr(sha256(text || (i // 32)::VARCHAR),
+                                (i % 32) * 2 + 1, 2))::BIGINT) AS pixels
+  FROM content),
+lum AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           i -> pixels[3*i+1] + pixels[3*i+2] + pixels[3*i+3]) AS s
+  FROM px),
+co AS (SELECT doc_id, {coeff_arr} AS c FROM lum),
+m AS (SELECT doc_id, c, list_sort(c)[{n_ac // 2 + 1}] AS med FROM co)
+SELECT doc_id, ({bits}) AS phash FROM m
+"""
+
+
+@register("media_phash", _phash_oracle_sql())
+def media_phash(spark, sf_dir):
+    """Perceptual DCT hash per image (media/images.py::image_phash): the
+    brightness/contrast-invariant upgrade over dedup_image_ahash's
+    average hash — top-left 4x4 DCT coefficients minus DC, each bit
+    coeff > median. Same planted-duplicate stub-decode corpus as the
+    aHash query (ids i and i+150 share bytes, so their phash is equal —
+    the hash-match proves the whole DCT chain replays engine-identically
+    through literal weights + round(6) + exact median)."""
+    from experimentsplan_datapipeline_spark.media.images import (
+        decode_images,
+        image_phash,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    rep = docs.filter(F.col("doc_id") < 150).select(
+        F.col("doc_id").alias("k"), "text"
+    )
+    bin_df = (
+        docs.filter(F.col("doc_id") < 300)
+        .select("doc_id", (F.col("doc_id") % 150).alias("k"))
+        .join(rep, "k")
+        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    )
+    return image_phash(decode_images(bin_df)).select("doc_id", "phash")
 
 
 @register("stream_ema", """

@@ -198,6 +198,10 @@ ROUND8_ANNOTATED: dict[str, str] = {
         "exact interval-overlap self-join, grid cells + meet-once rule",
     "dedup_keep_best":
         "highest-quality doc kept per near-dup cluster (max_by, no window)",
+    "media_phash":
+        "DCT perceptual hash, literal cosine chains, invariance-proven",
+    "media_audio_features":
+        "audio zero-crossing rate + peak per chunk, stub replayed exactly",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)

@@ -166,6 +166,52 @@ def test_image_ahash_near_dup(spark):
     assert h[0] == h[2] and h[0] != h[1]
 
 
+def test_image_phash_invariances(spark):
+    """The DCT hash ignores brightness (a constant shift moves only the
+    discarded DC coefficient) and contrast (a positive gain scales every
+    AC coefficient AND the median equally) — the two transforms that
+    flip aHash bits. Distinct structures still hash apart; duplicates
+    hash equal."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from experimentsplan_datapipeline_spark.media.images import image_phash
+
+    rng = random.Random(11)
+    base = [rng.randrange(10, 120) for _ in range(192)]
+    bright = [p + 60 for p in base]           # brightness shift
+    contrast = [p * 2 for p in base]          # contrast gain
+    other = [rng.randrange(0, 250) for _ in range(192)]
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "image",
+                T.StructType(
+                    [T.StructField("pixels", T.ArrayType(T.IntegerType()))]
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (0, (base,)),
+            (1, (bright,)),
+            (2, (contrast,)),
+            (3, (other,)),
+            (4, (base,)),
+        ],
+        schema,
+    )
+    got = {r.id: r.phash for r in image_phash(df).collect()}
+    assert got[0] == got[4]          # duplicates equal
+    assert got[0] == got[1]          # brightness-invariant
+    assert got[0] == got[2]          # contrast-invariant
+    assert got[0] != got[3]          # structure still separates
+    assert 0 <= got[0] < 2**15       # 15 AC bits
+
+
 def test_png_codec_roundtrip():
     """Pure-Python PNG codec: encode -> decode is identity for RGB,
     grayscale, and RGBA, and survives zlib's real filter pipeline."""
