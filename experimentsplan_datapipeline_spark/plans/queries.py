@@ -2889,6 +2889,40 @@ def media_audio_energy(spark, sf_dir):
     return out.select("doc_id", "chunk_id", F.round("rms", 6).alias("rms"))
 
 
+@register("events_user_streaks", """
+WITH days AS (
+  SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+isl AS (
+  SELECT user_id, d,
+         d - to_days(row_number() OVER (PARTITION BY user_id ORDER BY d)::INT)
+           AS grp
+  FROM days),
+runs AS (
+  SELECT user_id, count(*) AS len FROM isl GROUP BY user_id, grp)
+SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks
+FROM runs GROUP BY user_id
+""")
+def events_user_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands rewrite (distinct active days, day minus dense rank
+    is constant within a run). The window partitions on user_id (high
+    cardinality, scales with users); days-per-user is bounded by the
+    calendar, so no group serializes meaningful data volume."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
 @register("media_audio_features", """
 WITH c AS (
   SELECT doc_id, text, unnest(range(0, 4)) AS chunk_id
@@ -5158,6 +5192,107 @@ def part_price_outliers_iqr(spark, sf_dir):
             F.round(F.any_value("q1"), 6).alias("q1"),
             F.round(F.any_value("q3"), 6).alias("q3"),
             F.count(F.when(is_out, 1)).alias("n_outliers"),
+        )
+    )
+
+
+@register("basket_association_rules", """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+ic AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS c_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT part_a, part_b, c_ab AS support,
+       round(c_ab / ca.c::DOUBLE, 6) AS confidence_a_b,
+       round(c_ab * n.n_baskets / (ca.c::DOUBLE * cb.c), 6) AS lift
+FROM pairs
+JOIN ic ca ON ca.l_partkey = part_a
+JOIN ic cb ON cb.l_partkey = part_b
+CROSS JOIN n
+""")
+def basket_association_rules(spark, sf_dir):
+    """Association rules over co-purchase pairs: support, confidence
+    P(b|a), and lift P(ab)/(P(a)P(b)) — the Apriori reporting layer on
+    basket_part_pairs' support-counting core. Shuffle shape: the pair
+    count keys on the order id (fanout bounded by basket size), item
+    counts and the scalar basket count BROADCAST onto the pair table —
+    the pair table is the only big frame and it never re-shuffles."""
+    items = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n_baskets = items.agg(
+        F.count_distinct("l_orderkey").alias("n_baskets")
+    )
+    ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ca = ic.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("__ca"))
+    cb = ic.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("__cb"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support") / F.col("__ca").cast("double"), 6).alias(
+                "confidence_a_b"
+            ),
+            F.round(
+                F.col("support") * F.col("n_baskets")
+                / (F.col("__ca").cast("double") * F.col("__cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register("events_cohort_revenue", """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+       (CAST(e.ts AS DATE) - f.cohort) AS day_age,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS revenue
+FROM events e JOIN f USING (user_id)
+WHERE e.event_type = 'purchase'
+GROUP BY 1, 2
+""")
+def events_cohort_revenue(spark, sf_dir):
+    """Cohort-LTV matrix: purchase revenue by (signup cohort day, days
+    since signup) — the companion to events_retention's user-count
+    matrix. The first-seen frame is one min-aggregation (a row per user)
+    joined back on user_id; revenue rounds to 2 so the float fold can't
+    straddle the hash."""
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias("day_age"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("revenue"),
         )
     )
 

@@ -202,6 +202,12 @@ ROUND8_ANNOTATED: dict[str, str] = {
         "DCT perceptual hash, literal cosine chains, invariance-proven",
     "media_audio_features":
         "audio zero-crossing rate + peak per chunk, stub replayed exactly",
+    "events_user_streaks":
+        "longest consecutive-day streak per user, gaps-and-islands",
+    "basket_association_rules":
+        "support/confidence/lift with broadcast item counts",
+    "events_cohort_revenue":
+        "cohort x day-age purchase revenue matrix",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)
