@@ -2889,6 +2889,119 @@ def media_audio_energy(spark, sf_dir):
     return out.select("doc_id", "chunk_id", F.round("rms", 6).alias("rms"))
 
 
+@register("profile_mixture_entropy", """
+WITH c AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+t AS (SELECT lang, sum(n) AS tot, count(*) AS k FROM c GROUP BY lang)
+SELECT c.lang,
+       t.k AS n_sources,
+       round(-sum((c.n / t.tot::DOUBLE) * ln(c.n / t.tot::DOUBLE)), 6)
+         AS entropy,
+       round(-sum((c.n / t.tot::DOUBLE) * ln(c.n / t.tot::DOUBLE))
+             / ln(greatest(t.k, 2)), 6) AS balance
+FROM c JOIN t USING (lang)
+GROUP BY c.lang, t.k
+""")
+def profile_mixture_entropy(spark, sf_dir):
+    """Mixture-balance diagnostic: Shannon entropy of the source
+    distribution within each language, normalized by ln(k) to a [0,1]
+    balance score (1 = perfectly even mixture, ->0 = one source
+    dominates) — the number a curation dashboard watches after every
+    mixture change. Two shrinking aggregations, group counts broadcast
+    back."""
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("lang").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("k")
+    )
+    p = F.col("n") / F.col("tot").cast("double")
+    return (
+        c.join(F.broadcast(tot), "lang")
+        .groupBy("lang", F.col("k").alias("n_sources"))
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(
+                -F.sum(p * F.log(p))
+                / F.log(F.greatest(F.col("k"), F.lit(2)).cast("double")),
+                6,
+            ).alias("balance"),
+        )
+    )
+
+
+@register("text_jsd_drift", """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents WHERE source IN ('src0', 'src1')),
+c AS (SELECT source, w, count(*) AS n FROM toks GROUP BY source, w),
+tot AS (SELECT source, sum(n) AS t FROM c GROUP BY source),
+p AS (
+  SELECT w,
+         coalesce(max(CASE WHEN c.source = 'src0'
+                           THEN n / tot.t::DOUBLE END), 0.0) AS pa,
+         coalesce(max(CASE WHEN c.source = 'src1'
+                           THEN n / tot.t::DOUBLE END), 0.0) AS pb
+  FROM c JOIN tot USING (source) GROUP BY w)
+SELECT round(sum(CASE WHEN pa > 0
+                      THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END)
+           + sum(CASE WHEN pb > 0
+                      THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END),
+             6) AS jsd,
+       count(*) AS vocab_union,
+       sum(CASE WHEN pa > 0 AND pb > 0 THEN 1 ELSE 0 END) AS vocab_shared
+FROM p
+""")
+def text_jsd_drift(spark, sf_dir):
+    """Distribution-drift detector: Jensen-Shannon divergence between two
+    corpus slices' unigram distributions (src0 vs src1) — the standard
+    "did this ingest change the data" monitor (0 = identical, ln 2 =
+    disjoint). Shuffle shape: one token count per slice (map-side
+    combined), a full pivot on the token key, one scalar fold; the corpus
+    never self-joins. Token sums round AFTER the fold so the probability
+    arithmetic stays exact-input on both engines."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("w"),
+    )
+    c = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("t"))
+    withp = c.join(F.broadcast(tot), "source").select(
+        "w", "source", (F.col("n") / F.col("t").cast("double")).alias("p")
+    )
+    pvt = withp.groupBy("w").agg(
+        F.coalesce(
+            F.max(F.when(F.col("source") == "src0", F.col("p"))), F.lit(0.0)
+        ).alias("pa"),
+        F.coalesce(
+            F.max(F.when(F.col("source") == "src1", F.col("p"))), F.lit(0.0)
+        ).alias("pb"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term_a = F.when(
+        F.col("pa") > 0, 0.5 * F.col("pa") * F.log(F.col("pa") / m)
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("pb") > 0, 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+    ).otherwise(F.lit(0.0))
+    return pvt.agg(
+        F.round(F.sum(term_a) + F.sum(term_b), 6).alias("jsd"),
+        F.count(F.lit(1)).alias("vocab_union"),
+        F.sum(
+            F.when((F.col("pa") > 0) & (F.col("pb") > 0), 1).otherwise(0)
+        ).alias("vocab_shared"),
+    )
+
+
 @register("events_user_streaks", """
 WITH days AS (
   SELECT DISTINCT user_id, ts::DATE AS d FROM events),

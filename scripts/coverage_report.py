@@ -208,6 +208,10 @@ ROUND8_ANNOTATED: dict[str, str] = {
         "support/confidence/lift with broadcast item counts",
     "events_cohort_revenue":
         "cohort x day-age purchase revenue matrix",
+    "profile_mixture_entropy":
+        "normalized source-distribution entropy per language",
+    "text_jsd_drift":
+        "Jensen-Shannon unigram drift between corpus slices",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)
