@@ -215,6 +215,77 @@ def minhash_lsh_dedup(
     return ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_size, threshold)
 
 
+def minhash_lsh_incremental(
+    corpus: DataFrame, batch: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
+    threshold: float = 0.8, portable_seed: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup screen: which NEW documents near-duplicate the
+    EXISTING corpus — the production ingest gate (`minhash_lsh_dedup` is
+    the one-shot full-corpus pass; this is what every subsequent batch
+    runs). Returns verified (batch_id, corpus_id, jaccard) pairs.
+
+    Scale shape: band keys for both sides, then a band-key equi-join of
+    batch x corpus — the batch side is small, so the join is
+    broadcastable and the CORPUS IS NEVER SELF-JOINED; at steady state
+    corpus signatures/band keys live in a bucketed stage table and only
+    the batch re-hashes. Exact-Jaccard verification runs on candidates
+    only, reading text for just the candidate ids from each side.
+    """
+    def bandkeys(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_size,
+            portable_seed=portable_seed,
+        )
+        rows_per_band = num_hashes // bands
+        structs = []
+        for b in range(bands):
+            cols = [
+                F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+            ]
+            key = (
+                portable_hash(cols, portable_seed)
+                if portable_seed is not None
+                else F.xxhash64(*cols)
+            )
+            structs.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+        return (
+            sig.na.drop(subset=["mh_0"])
+            .select(F.col(id_col), F.explode(F.array(*structs)).alias("bk"))
+            .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        )
+
+    bb = bandkeys(batch).alias("b")
+    cb = bandkeys(corpus).alias("c")
+    cand = (
+        bb.join(
+            cb,
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.key") == F.col("c.key")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("batch_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    sh_b = spread_small_input(batch).select(
+        F.col(id_col).alias("batch_id"),
+        F.array_distinct(ngrams(text_col, shingle_size)).alias("__shb"),
+    )
+    sh_c = spread_small_input(corpus).select(
+        F.col(id_col).alias("corpus_id"),
+        F.array_distinct(ngrams(text_col, shingle_size)).alias("__shc"),
+    )
+    joined = cand.join(sh_b, "batch_id").join(sh_c, "corpus_id")
+    inter = F.size(F.array_intersect(F.col("__shb"), F.col("__shc")))
+    union = F.size(F.array_union(F.col("__shb"), F.col("__shc")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return joined.select(
+        "batch_id", "corpus_id", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def minhash_estimate_pairs(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,

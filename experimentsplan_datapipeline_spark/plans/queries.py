@@ -7477,6 +7477,85 @@ def _random_projection_oracle(in_dim: int, out_dim: int) -> str:
     )
 
 
+def _minhash_incr_oracle_sql(
+    num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
+    threshold: float = 0.5, seed: int = 42,
+) -> str:
+    """DuckDB twin of minhash_lsh_incremental over the dedup_incremental
+    split (corpus doc_id < 400, batch doc_id >= 300): same signature and
+    banding replay as `_minhash_oracle_sql`, but candidates come from a
+    batch x corpus band join (ordered pairs, no id_a < id_b)."""
+    p = dd._MINHASH_PRIME
+    n = shingle_size
+    base = _DUCK_PHASH.format(x="g", seed=seed)
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(dd.minhash_coeffs(num_hashes))
+    )
+    rows_per_band = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        concat = " || '|' || ".join(f"{c}::VARCHAR" for c in cols)
+        key = _DUCK_PHASH.format(x=f"({concat})", seed=seed)
+        band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    bands_sql = "\n    UNION ALL ".join(band_selects)
+    shingle = (
+        f"list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' '))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest({shingle}) AS g FROM toks),
+h AS (
+  SELECT doc_id, {base} % {p} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM h GROUP BY doc_id),
+bandkeys AS (
+    {bands_sql}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM bandkeys b JOIN bandkeys c
+    ON b.band = c.band AND b.key = c.key
+  WHERE b.doc_id >= 300 AND c.doc_id < 400),
+grams AS (
+  SELECT doc_id, list_distinct({shingle}) AS gr FROM toks)
+SELECT batch_id, corpus_id,
+       round(CASE WHEN len(list_distinct(a.gr || b.gr)) > 0
+                  THEN len(list_intersect(a.gr, b.gr))::DOUBLE
+                       / len(list_distinct(a.gr || b.gr))
+                  ELSE 0.0 END, 6) AS jaccard
+FROM cand JOIN grams b ON cand.batch_id = b.doc_id
+          JOIN grams a ON cand.corpus_id = a.doc_id
+WHERE round(CASE WHEN len(list_distinct(a.gr || b.gr)) > 0
+                 THEN len(list_intersect(a.gr, b.gr))::DOUBLE
+                      / len(list_distinct(a.gr || b.gr))
+                 ELSE 0.0 END, 6) >= {threshold}
+"""
+
+
+@register("dedup_incremental_minhash", _minhash_incr_oracle_sql())
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup ingest gate (operators/dedup.py::
+    minhash_lsh_incremental): which batch docs (doc_id >= 300)
+    near-duplicate the existing corpus (doc_id < 400) — the band join is
+    batch x corpus, never a corpus self-join, so steady-state ingest cost
+    is the batch's hashing plus one broadcastable join against the stored
+    corpus band keys. The exact-key twin is dedup_incremental; the
+    one-shot full-corpus pass is dedup_minhash."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 300)
+    return dd.minhash_lsh_incremental(
+        corpus, batch, "text", "doc_id", num_hashes=32, bands=8,
+        shingle_size=3, threshold=0.5, portable_seed=42,
+    )
+
+
 def _minhash_contract_oracle_sql(
     num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
     seed: int = 42, error_band: float = 0.3,

@@ -212,6 +212,8 @@ ROUND8_ANNOTATED: dict[str, str] = {
         "normalized source-distribution entropy per language",
     "text_jsd_drift":
         "Jensen-Shannon unigram drift between corpus slices",
+    "dedup_incremental_minhash":
+        "batch x corpus near-dup band join, corpus never self-joined",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)

@@ -612,6 +612,34 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_minhash_incremental(spark):
+    """The ingest gate flags batch docs duplicating the corpus, never
+    corpus-internal pairs (docs 1 and 2 duplicate each other but are both
+    corpus-side), and passes genuinely new text through."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        minhash_lsh_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different words about spark query planning at scale"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(10, base + " extra"), (11, "fresh novel content nobody wrote before now ok")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.batch_id, r.corpus_id)
+        for r in minhash_lsh_incremental(
+            corpus, batch, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert (10, 1) in got and (10, 2) in got
+    assert all(b != 11 for b, _ in got)      # novel doc passes
+    assert all(b in (10, 11) for b, _ in got)  # only batch ids on the left
+
+
 def test_dedup_lines_rewrite_hand_checked(spark):
     """First occurrence wins corpus-wide (smallest doc, then smallest
     position); later copies vanish from the rebuilt text; in-doc
