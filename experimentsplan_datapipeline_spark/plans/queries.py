@@ -7556,6 +7556,99 @@ def dedup_incremental_minhash(spark, sf_dir):
     )
 
 
+@register("pipeline_ingest_batch", f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+  FROM documents WHERE doc_id >= 300),
+b AS (
+  SELECT doc_id, ws, len(ws) AS n_words,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bg
+  FROM w),
+g AS (
+  SELECT doc_id,
+         (round(list_max(list_transform(list_distinct(ws),
+                d -> len(list_filter(ws, x -> x = d)))) / greatest(n_words, 1), 6) <= 0.2
+          AND CASE WHEN len(bg) > 0
+                   THEN round(1 - len(list_distinct(bg)) / len(bg), 6)
+                   ELSE 0.0 END <= 0.2
+          AND round(list_sum(list_transform(ws, x -> strlen(x))) / greatest(n_words, 1), 6)
+              BETWEEN 3.0 AND 10.0) AS keep
+  FROM b),
+cf AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id < 400),
+bf AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id >= 300),
+near AS (
+  SELECT DISTINCT batch_id FROM ({_minhash_incr_oracle_sql()})),
+flags AS (
+  SELECT bf.doc_id, bf.source, g.keep,
+         bf.fp IN (SELECT fp FROM cf) AS exact_dup,
+         bf.doc_id IN (SELECT batch_id FROM near) AS near_dup
+  FROM bf JOIN g USING (doc_id))
+SELECT source,
+       count(*) AS n_batch,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_quality,
+       sum(CASE WHEN keep AND NOT exact_dup THEN 1 ELSE 0 END) AS n_exact,
+       sum(CASE WHEN keep AND NOT exact_dup AND NOT near_dup
+                THEN 1 ELSE 0 END) AS n_accepted
+FROM flags GROUP BY source
+""")
+def pipeline_ingest_batch(spark, sf_dir):
+    """The incremental-ingest pipeline end-to-end: a new batch
+    (doc_id >= 300) flows through the Gopher quality gate, the exact
+    fingerprint screen against the existing corpus (doc_id < 400, the
+    dedup_incremental split), and the MinHash near-dup screen
+    (minhash_lsh_incremental — batch x corpus band join, corpus never
+    self-joined), reported as a per-source acceptance funnel
+    (n_batch -> n_quality -> n_exact -> n_accepted). Flags are computed
+    independently and conjoined, so every stage stays one shuffle and
+    the oracle replays the identical funnel."""
+    from experimentsplan_datapipeline_spark.functions.text import (
+        doc_fingerprint,
+    )
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 300)
+    sig = repetition_signals(batch, "doc_id", "text").select("doc_id", "keep")
+    cf = corpus.select(doc_fingerprint("text").alias("fp")).distinct()
+    bf = batch.select(
+        "doc_id", "source", doc_fingerprint("text").alias("fp")
+    )
+    exact = bf.join(cf.withColumn("__hit", F.lit(True)), "fp", "left").select(
+        "doc_id", "source", F.coalesce("__hit", F.lit(False)).alias("exact_dup")
+    )
+    near_ids = (
+        dd.minhash_lsh_incremental(
+            corpus, batch, "text", "doc_id", num_hashes=32, bands=8,
+            shingle_size=3, threshold=0.5, portable_seed=42,
+        )
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    flags = (
+        exact.join(sig, "doc_id")
+        .join(near_ids, "doc_id", "left")
+        .withColumn("near_dup", F.coalesce("near_dup", F.lit(False)))
+    )
+    k = F.col("keep")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.when(k, 1).otherwise(0)).alias("n_quality"),
+        F.sum(F.when(k & ~F.col("exact_dup"), 1).otherwise(0)).alias("n_exact"),
+        F.sum(
+            F.when(k & ~F.col("exact_dup") & ~F.col("near_dup"), 1).otherwise(0)
+        ).alias("n_accepted"),
+    )
+
+
 def _minhash_contract_oracle_sql(
     num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
     seed: int = 42, error_band: float = 0.3,

@@ -214,6 +214,8 @@ ROUND8_ANNOTATED: dict[str, str] = {
         "Jensen-Shannon unigram drift between corpus slices",
     "dedup_incremental_minhash":
         "batch x corpus near-dup band join, corpus never self-joined",
+    "pipeline_ingest_batch":
+        "ingest funnel: gopher -> exact screen -> near-dup screen -> report",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)
