@@ -408,6 +408,30 @@ class TestRound6PlanShapes:
         assert "o_orderkey" in plan
         assert "CartesianProduct" not in plan
 
+    def test_association_rules_counts_broadcast(self, spark):
+        """Item counts and the scalar basket count must broadcast onto the
+        pair frame — the pair table is the only big frame and it never
+        re-shuffles through a sort-merge join."""
+        plan = _plan(spark, "basket_association_rules")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_jsd_drift_no_self_join(self, spark):
+        """The drift monitor is counts + a token-key pivot + one scalar
+        fold — the corpus never joins itself and no Python eval node
+        appears."""
+        plan = _plan(spark, "text_jsd_drift")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_ingest_pipeline_no_nested_loop(self, spark):
+        """The ingest funnel conjoins independently-computed flags: every
+        join is an equi-join (fingerprint, band key, doc_id) — no
+        cartesian, no broadcast nested loop anywhere in the plan."""
+        plan = _plan(spark, "pipeline_ingest_batch")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_decontaminate_no_corpus_broadcast(self, spark):
         """The train corpus must never be a broadcast build side; the only
         join on the gram key is an equi-join, and the final attach is a
