@@ -7556,6 +7556,32 @@ def dedup_incremental_minhash(spark, sf_dir):
     )
 
 
+@register("dedup_incremental_indexed", _minhash_incr_oracle_sql())
+def dedup_incremental_indexed(spark, sf_dir):
+    """Steady-state form of the incremental ingest gate: the corpus band
+    keys are PERSISTED once as a bucketed stage table
+    (operators/dedup.py::minhash_index_write — the engine's analogue of
+    the reference's versioned-checkpoint 'latest' discovery, reference
+    train/common/checkpoint_utils.py:34-51) and the batch bands against
+    that index — no corpus text scan on the banding path (plan-asserted
+    in tests/test_ingest.py); the verify stage reads corpus text for
+    candidate ids only. Must hash-match dedup_incremental_minhash's
+    recompute path — both share one oracle."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 300)
+    dd.minhash_index_write(
+        corpus, "minhash_index_stage", "text", "doc_id", num_hashes=32,
+        bands=8, shingle_size=3, portable_seed=42,
+    )
+    idx = dd.minhash_index_read(spark, "minhash_index_stage")
+    return dd.minhash_lsh_incremental(
+        corpus, batch, "text", "doc_id", num_hashes=32, bands=8,
+        shingle_size=3, threshold=0.5, portable_seed=42,
+        corpus_bandkeys=idx,
+    )
+
+
 @register("pipeline_ingest_batch", f"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
