@@ -389,6 +389,11 @@ def merge_changelog(
     otherwise. ``changes`` must carry every non-key snapshot column plus
     ``op_col``; extra change-side columns (like ``ts_col``) are dropped
     from the output.
+
+    A latest change with a NULL op RAISES rather than filtering: the
+    three-valued ``op != delete`` would otherwise silently treat a
+    malformed change event as a delete (same fail-loud convention as
+    pack_chunks' bad-length guard).
     """
     keys = list(key_cols)
     value_cols = [c for c in snapshot.columns if c not in keys]
@@ -403,7 +408,14 @@ def merge_changelog(
         F.max_by(payload, F.struct(F.col(ts_col), payload)).alias("__ch")
     )
     merged = snapshot.alias("s").join(latest, keys, "full_outer")
-    alive = F.col("__ch").isNull() | (F.col("__ch")[op_col] != F.lit(delete_op))
+    op_val = F.when(
+        F.col("__ch").isNotNull() & F.col("__ch")[op_col].isNull(),
+        F.raise_error(
+            F.lit("merge_changelog: latest change has NULL op "
+                  f"(expected an op or {delete_op!r})")
+        ),
+    ).otherwise(F.col("__ch")[op_col])
+    alive = F.col("__ch").isNull() | (op_val != F.lit(delete_op))
     return merged.filter(alive).select(
         *keys,
         *[

@@ -47,10 +47,12 @@ def read_back_json(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """CSV results sink: header on, quoting/escaping at Spark defaults
-    (quote='"', escape='\\') so embedded delimiters and quotes round-trip.
-    One file per partition — task-parallel like any columnar write; CSV is
-    an interchange surface here (reports, spreadsheet handoff), parquet
+    """CSV results sink: header on, quote='"' with escape='"' — RFC-4180
+    doubled-quote style (deliberately NOT Spark's default backslash
+    escape) so embedded delimiters and quotes round-trip with any
+    RFC-compliant reader, including read_back_csv. One file per
+    partition — task-parallel like any columnar write; CSV is an
+    interchange surface here (reports, spreadsheet handoff), parquet
     remains the data path.
     """
     df.write.mode(mode).option("header", "true").option("escape", '"').csv(path)

@@ -1284,6 +1284,32 @@ def test_merge_changelog_equal_ts_deterministic_and_validates(spark):
         merge_changelog(snap, bad, ["k"], "ts")
 
 
+def test_merge_changelog_null_op_raises(spark):
+    """A latest change with a NULL op must FAIL LOUDLY, not act as a
+    silent delete via three-valued `op != delete` (ADVICE r8); a NULL-op
+    event superseded by a later valid one is harmless."""
+    import pytest as _pytest
+
+    from pyspark.sql.utils import AnalysisException
+
+    from experimentsplan_datapipeline_spark.operators.joins import (
+        merge_changelog,
+    )
+
+    snap = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    schema = "k long, v double, op string, ts long"
+    bad = spark.createDataFrame([(1, 99.0, None, 5)], schema)
+    with _pytest.raises(Exception, match="NULL op") as ei:
+        merge_changelog(snap, bad, ["k"], "ts").collect()
+    assert not isinstance(ei.value, AnalysisException)
+    # superseded NULL op: the ts=6 upsert wins the max_by, no raise
+    fixed = spark.createDataFrame(
+        [(1, 99.0, None, 5), (1, 42.0, "upsert", 6)], schema
+    )
+    out = {tuple(r) for r in merge_changelog(snap, fixed, ["k"], "ts").collect()}
+    assert out == {(1, 42.0), (2, 20.0)}
+
+
 def test_sorted_neighborhood_matches_window_definition(spark):
     """The block-cell equi-join must produce EXACTLY the rank-window
     pairs — including across block boundaries — for random data at
