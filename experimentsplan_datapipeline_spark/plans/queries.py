@@ -7587,6 +7587,60 @@ def dedup_incremental_indexed(spark, sf_dir):
     )
 
 
+@register("stream_ingest_gate", _minhash_incr_oracle_sql())
+def stream_ingest_gate(spark, sf_dir):
+    """LIVE form of the incremental ingest gate (streaming/ingest.py::
+    streaming_ingest_gate): the batch docs stream in micro-batches
+    (maxFilesPerTrigger=1 over a 4-file staging), and EVERY micro-batch
+    runs minhash_lsh_incremental against the PERSISTED corpus band-key
+    index — banding reads only the index table, verify is
+    candidate-only. The corpus state is static here so the union of
+    micro-batch hits must hash-match the one-shot batch run — the same
+    oracle as dedup_incremental_minhash. The growing-state form
+    (accepted docs appended to the index between micro-batches —
+    sequential semantics no SQL oracle can replay) is verified against a
+    hand-unrolled batch replay in tests/test_ingest.py. Reference twin:
+    periodic side-effects over a step stream
+    (train/train_stage_1/train.py:95-117)."""
+    import tempfile
+
+    from experimentsplan_datapipeline_spark.streaming.events import (
+        run_available_now,
+    )
+    from experimentsplan_datapipeline_spark.streaming.ingest import (
+        streaming_ingest_gate,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 300)
+    root = tempfile.mkdtemp(prefix="ingest_gate_")
+    staging = os.path.join(root, "staging")
+    result_dir = os.path.join(root, "hits")
+    batch.repartition(4, "doc_id").write.parquet(staging)
+    dd.minhash_index_write(
+        corpus, "stream_ingest_idx", "text", "doc_id", num_hashes=32,
+        bands=8, shingle_size=3, portable_seed=42,
+    )
+    # pre-seed the sink with the empty schema so a zero-hit drain still
+    # reads back cleanly
+    spark.createDataFrame(
+        [], "batch_id long, corpus_id long, jaccard double"
+    ).write.parquet(result_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    writer = streaming_ingest_gate(
+        stream, corpus, "stream_ingest_idx", result_dir, "text", "doc_id",
+        num_hashes=32, bands=8, shingle_size=3, threshold=0.5,
+        portable_seed=42,
+    ).option("checkpointLocation", os.path.join(root, "ckpt"))
+    run_available_now(writer, timeout_sec=240.0)
+    return spark.read.parquet(result_dir)
+
+
 @register("pipeline_ingest_batch", f"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws

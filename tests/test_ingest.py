@@ -159,6 +159,101 @@ class TestPersistedIndex:
             spark.sql("DROP TABLE IF EXISTS t_ingest_idx3")
 
 
+class TestStreamingGrowingState:
+    def test_grow_state_catches_intra_stream_dups(self, spark, tmp_path):
+        """Live gate with grow_state: micro-batch 2's near-dup of a doc
+        ACCEPTED in micro-batch 1 must be flagged — only possible if the
+        accepted doc's band keys were appended to the persisted index
+        between batches. Verified against a hand-unrolled batch replay
+        (the sequential semantics no SQL oracle can express)."""
+        import glob
+        import os
+        import shutil
+
+        from experimentsplan_datapipeline_spark.streaming.events import (
+            run_available_now,
+        )
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            streaming_ingest_gate,
+        )
+
+        corpus, _ = _docs(spark)
+        doc_a = ("quantum flux capacitor meridian zephyr oscillates "
+                 "through crystalline lattice structures beneath "
+                 "aurora fields tonight")
+        corpus3 = corpus.filter(F.col("doc_id") == 3).first()["text"]
+        b1 = spark.createDataFrame(
+            [(100, doc_a), (101, corpus3 + " sigma")], ["doc_id", "text"]
+        )
+        b2 = spark.createDataFrame(
+            [(102, doc_a + " omega")], ["doc_id", "text"]
+        )
+        staging = tmp_path / "staging"
+        staging.mkdir()
+        for i, mb in enumerate([b1, b2]):
+            tmp = str(tmp_path / f"stage_{i}")
+            mb.coalesce(1).write.parquet(tmp)
+            part = glob.glob(tmp + "/part-*.parquet")[0]
+            dst = str(staging / f"{i:04d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+        minhash_index_write(
+            corpus, "t_stream_grow_idx", "text", "doc_id", portable_seed=7
+        )
+        result_dir = str(tmp_path / "hits")
+        accepted_dir = str(tmp_path / "accepted")
+        spark.createDataFrame(
+            [], "batch_id long, corpus_id long, jaccard double"
+        ).write.parquet(result_dir)
+        try:
+            stream = (
+                spark.readStream.schema(b1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(staging))
+            )
+            writer = streaming_ingest_gate(
+                stream, corpus, "t_stream_grow_idx", result_dir,
+                "text", "doc_id", threshold=0.5, portable_seed=7,
+                grow_state=True, accepted_dir=accepted_dir,
+            ).option("checkpointLocation", str(tmp_path / "ckpt"))
+            run_available_now(writer, timeout_sec=240.0)
+
+            got = {
+                (r["batch_id"], r["corpus_id"])
+                for r in spark.read.parquet(result_dir).collect()
+            }
+            # hand-unrolled replay: batch 1 vs corpus, then batch 2 vs
+            # corpus + batch 1's accepted docs
+            h1 = minhash_lsh_incremental(
+                corpus, b1, "text", "doc_id", threshold=0.5,
+                portable_seed=7,
+            )
+            acc1_ids = {r["batch_id"] for r in h1.collect()}
+            grown = corpus.unionByName(
+                b1.filter(~F.col("doc_id").isin(list(acc1_ids)))
+            )
+            h2 = minhash_lsh_incremental(
+                grown, b2, "text", "doc_id", threshold=0.5,
+                portable_seed=7,
+            )
+            replay = {
+                (r["batch_id"], r["corpus_id"])
+                for r in h1.collect() + h2.collect()
+            }
+            assert got == replay
+            assert (101, 3) in got          # caught vs the static corpus
+            assert (102, 100) in got        # caught vs GROWN state only
+            assert not any(b == 100 for b, _ in got)  # novel doc accepted
+            acc = {
+                r["doc_id"]
+                for r in spark.read.parquet(accepted_dir).collect()
+            }
+            assert acc == {100}  # 102 was a dup, only the novel doc kept
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_stream_grow_idx")
+
+
 def test_bandkeys_shape(spark):
     corpus, _ = _docs(spark)
     bk = minhash_bandkeys(corpus, "text", "doc_id", num_hashes=16, bands=4)
