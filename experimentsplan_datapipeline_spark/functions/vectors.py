@@ -57,6 +57,15 @@ def ssim_global(a: Column | str, b: Column | str,
     image pair (train/common/metrics.py:123-170); the windowed variant runs
     the same formula per crop. Population statistics, pure higher-order
     expressions (codegen, no Python boundary).
+
+    EXPRESSION-MULTIPLICITY CAVEAT: this composes everything into ONE
+    Column, so each aggregate() is textually duplicated wherever the
+    formula reuses it (mx appears ~7 times) — and interpreted
+    higher-order expressions get no common-subexpression elimination
+    (the round-8 §4g finding). Fine for one-off scalars; on a hot path
+    use ``ssim_global_staged``, which materializes each aggregate once
+    through staged projections (tests/test_plans.py lints the registry
+    for exactly this shape).
     """
     x, y = _c(a), _c(b)
     n = F.size(x).cast("double")
@@ -73,4 +82,44 @@ def ssim_global(a: Column | str, b: Column | str,
     cov = sxy / n - mx * my
     return ((2 * mx * my + c1) * (2 * cov + c2)) / (
         (mx * mx + my * my + c1) * (vx + vy + c2)
+    )
+
+
+def ssim_global_staged(
+    df, a: str, b: str, out_col: str = "ssim",
+    c1: float = 6.5025, c2: float = 58.5225,
+):
+    """``ssim_global`` with each array aggregate computed EXACTLY ONCE:
+    a staged projection materializes the five sums (sx, sy, sxx, syy,
+    sxy) as scalar columns, then the SSIM formula runs over cheap double
+    arithmetic. CollapseProject keeps the stages apart because the
+    aggregates are non-cheap aliases referenced more than once — so the
+    plan carries one copy of each, not one per formula mention (6x on
+    the unstaged form). Identical math, identical results.
+
+    Takes/returns a DataFrame (column names, not Columns): staging needs
+    projection boundaries, which a single Column cannot express.
+    """
+    x, y = F.col(a), F.col(b)
+    stats = df.withColumns({
+        "__n": F.size(x).cast("double"),
+        "__sx": F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v),
+        "__sy": F.aggregate(y, F.lit(0.0), lambda acc, v: acc + v),
+        "__sxx": F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v * v),
+        "__syy": F.aggregate(y, F.lit(0.0), lambda acc, v: acc + v * v),
+        "__sxy": F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ),
+    })
+    n = F.col("__n")
+    mx, my = F.col("__sx") / n, F.col("__sy") / n
+    vx = F.col("__sxx") / n - mx * mx
+    vy = F.col("__syy") / n - my * my
+    cov = F.col("__sxy") / n - mx * my
+    ssim = ((2 * mx * my + c1) * (2 * cov + c2)) / (
+        (mx * mx + my * my + c1) * (vx + vy + c2)
+    )
+    return stats.withColumn(out_col, ssim).drop(
+        "__n", "__sx", "__sy", "__sxx", "__syy", "__sxy",
     )

@@ -3339,17 +3339,25 @@ def metric_ssim(spark, sf_dir):
     its mirrored self (x vs reverse(x): identical means/variances, reduced
     covariance — the metric math is what's under test; real pred⋈gt pairing
     is join_pred_gt). Decode via the Arrow mapInPandas pass, metric entirely
-    JVM-side higher-order expressions."""
-    from experimentsplan_datapipeline_spark.functions.vectors import ssim_global
+    JVM-side higher-order expressions — the STAGED form, so each array
+    aggregate lands in the plan exactly once instead of once per formula
+    mention (the round-8 §4g expression-multiplicity disease; the registry
+    lint in tests/test_plans.py enforces it)."""
+    from experimentsplan_datapipeline_spark.functions.vectors import (
+        ssim_global_staged,
+    )
     from experimentsplan_datapipeline_spark.media.images import decode_images
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     bin_df = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
     decoded = decode_images(bin_df)
-    x = F.transform(F.col("image.pixels"), lambda v: v.cast("double"))
-    return decoded.select(
+    arrays = decoded.select(
         "doc_id",
-        F.round(ssim_global(x, F.reverse(x)), 6).alias("ssim"),
+        F.transform(F.col("image.pixels"), lambda v: v.cast("double"))
+        .alias("__px"),
+    ).withColumn("__py", F.reverse("__px"))
+    return ssim_global_staged(arrays, "__px", "__py").select(
+        "doc_id", F.round("ssim", 6).alias("ssim")
     )
 
 

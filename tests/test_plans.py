@@ -117,6 +117,81 @@ class TestNewOpPlanShapes:
         assert "SortMergeJoin" not in plan
 
 
+_EXPENSIVE_HOFS = (
+    "array_distinct(", "array_sort(", "sort_array(", "aggregate(",
+    "zip_with(", "array_union(", "array_intersect(",
+)
+
+
+def _repeated_expensive_exprs(plan: str, threshold: int = 3) -> dict[str, int]:
+    """Identical expensive higher-order expressions appearing >= threshold
+    times within one plan line (one projection). Interpreted HOF lambdas
+    get NO common-subexpression elimination, so textual multiplicity is
+    real per-row recompute — the round-8 §4g disease (array_distinct
+    rebuilt 3x per row in the Gopher tier, aggregate(transform(...))
+    rebuilt 6x in the unstaged SSIM). Expression ids (#123L) are stripped
+    so the same expression at different plan positions compares equal."""
+    import collections
+    import re
+
+    def balanced_end(s: str, open_paren: int) -> int:
+        depth = 0
+        for i in range(open_paren, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+        return len(s)
+
+    flagged: dict[str, int] = {}
+    for line in plan.splitlines():
+        counts: collections.Counter[str] = collections.Counter()
+        for hof in _EXPENSIVE_HOFS:
+            start = 0
+            while True:
+                j = line.find(hof, start)
+                if j < 0:
+                    break
+                end = balanced_end(line, j + len(hof) - 1)
+                counts[re.sub(r"#\d+L?", "", line[j:end])] += 1
+                start = j + 1
+        for expr, c in counts.items():
+            if c >= threshold:
+                flagged[expr] = max(c, flagged.get(expr, 0))
+    return flagged
+
+
+def test_expression_multiplicity_lint_catches_unstaged_shape(spark):
+    """Negative fixture: the pre-fix shape (one Column reusing an
+    aggregate in several formula positions — the unstaged ssim_global /
+    pre-r8 Gopher tier) MUST be flagged by the lint."""
+    from experimentsplan_datapipeline_spark.functions.vectors import ssim_global
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["id", "x"])
+    bad = df.select(ssim_global("x", "x").alias("s"))
+    plan = bad._jdf.queryExecution().optimizedPlan().toString()
+    assert _repeated_expensive_exprs(plan), (
+        "lint failed to flag the unstaged SSIM shape"
+    )
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_no_query_repeats_expensive_expressions(spark):
+    """Registry-wide expression-multiplicity lint (VERDICT r8 item 6): no
+    registered query's optimized plan may compute the SAME expensive
+    higher-order expression 3+ times in one projection. The cascade's
+    2.9x §4g win and the staged-SSIM rewrite were both this exact bug."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+        hits = _repeated_expensive_exprs(plan)
+        if hits:
+            offenders[name] = {e[:80]: c for e, c in hits.items()}
+    assert not offenders, f"repeated expensive expressions: {offenders}"
+
+
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
 def test_no_query_degrades_to_cartesian_product(spark):
     """Registry-wide plan lint: no registered query may plan a non-broadcast
