@@ -4567,6 +4567,58 @@ def media_infer_broadcast(spark, sf_dir):
     return scored.select("doc_id", "score", "model")
 
 
+@register("media_infer_npz", """
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 192),
+           i -> ('0x' || substr(sha256(text || (i // 32)::VARCHAR),
+                                (i % 32) * 2 + 1, 2))::BIGINT) AS pixels
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       round(list_sum(list_transform(range(0, 192),
+         i -> (((pixels[i + 1] / 255.0) - 0.5) / 0.5)
+              * (CASE i % 4 WHEN 0 THEN 0.25 WHEN 1 THEN -0.5
+                            WHEN 2 THEN 0.125 ELSE 0.75 END))), 6) AS score,
+       'npz-v1' AS model
+FROM px
+""")
+def media_infer_npz(spark, sf_dir):
+    """P7/P8 external-weights path END-TO-END: a real .npz checkpoint file
+    is written, loaded with media/images.py::load_weights_npz, broadcast
+    to executors, and scored over the Arrow decode pass — the exact plumb
+    a cluster user follows to swap converted LPIPS/segmentation weights
+    in (reference train/common/metrics.py:41-170 loads checkpoints
+    per-worker; here the tensor loads once on the driver and ships via
+    torrent broadcast). Weights are dyadic rationals so the DuckDB oracle
+    replays the scores exactly. media_infer_broadcast covers the in-memory
+    weights path; this entry gates the on-disk artifact path."""
+    import tempfile
+
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.images import (
+        batch_inference_broadcast,
+        decode_images,
+        load_weights_npz,
+        normalize_pixels,
+    )
+
+    root = tempfile.mkdtemp(prefix="npz_weights_")
+    path = os.path.join(root, "checkpoint.npz")
+    np.savez(path, filter=np.array([0.25, -0.5, 0.125, 0.75]))
+    weights = load_weights_npz(path, key="filter")
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    bin_df = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    scored = batch_inference_broadcast(
+        normalize_pixels(decode_images(bin_df)),
+        weights=weights,
+        model_version="npz-v1",
+    )
+    return scored.select("doc_id", "score", "model")
+
+
 def _dedup_semantic_oracle_sql(
     n_cells: int = 16, threshold: float = 0.45,
 ) -> str:

@@ -23,6 +23,15 @@ coverage-rotation scheme VERDICT r5 asked for (the driver's own fixed
 Selection is position-independent: queries are sorted by name, so adding
 a query shifts at most its own slice, and the window for a given ROUND is
 reproducible by anyone (including the judge) from the registry alone.
+
+DRIVER-SAMPLE DRIFT NOTE (r8): the driver's own 50-query sample is NOT a
+fixed set — it was byte-identical r1-r7, then r8 swapped exactly one name
+(+sink_csv_roundtrip, -events_session). Treat CORRECTNESS_rN.json as a
+~50-name SAMPLE whose membership can change between rounds; the committed
+full-registry artifact this script writes with --out is the only complete
+record, and the --rotate window is the only sample whose membership is
+derivable (sorted names + round offset). Don't build anything that assumes
+the driver's sample is set-stable.
 """
 
 from __future__ import annotations

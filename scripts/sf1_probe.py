@@ -257,6 +257,143 @@ def _snm_docs(spark, sf_dir):
     return sorted_neighborhood_pairs(u, ["pfx"], "doc_id", w=3)
 
 
+def _ingest_incremental(spark, sf_dir):
+    """The incremental MinHash ingest gate over a SCALE-PROPORTIONAL split
+    (the registered query's doc_id<400 ranges are scale-fixed): corpus =
+    90% of docs, batch = 10%. Friendly regime — sf1's shuffled copies
+    keep cross-split near-dups rare, so candidates stay band-collision
+    noise and the cost is the banding scan."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        minhash_lsh_incremental,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return minhash_lsh_incremental(
+        corpus, batch, "text", "doc_id", threshold=0.5
+    )
+
+
+def _ingest_incremental_neardup(spark, sf_dir):
+    """ADVERSARIAL regime (VERDICT r8 item 3): the batch is ~100%
+    near-dups of the corpus (every batch doc = a corpus doc + one
+    appended token), so every batch doc collides in most bands and the
+    candidate set ~= the whole batch — the verify stage's semi-join
+    prune must still keep the shingled set candidate-bounded."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        minhash_lsh_incremental,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xqzprobe")).alias("text"),
+    )
+    return minhash_lsh_incremental(
+        docs, batch, "text", "doc_id", threshold=0.5
+    )
+
+
+def _ingest_funnel(spark, sf_dir):
+    """pipeline_ingest_batch's funnel end-to-end over the scale-
+    proportional %10 split: Gopher quality gate + exact fingerprint
+    screen + MinHash near-dup screen, conjoined per-source."""
+    from experimentsplan_datapipeline_spark.functions.text import (
+        doc_fingerprint,
+    )
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        minhash_lsh_incremental,
+    )
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    sig = repetition_signals(batch, "doc_id", "text").select("doc_id", "keep")
+    cf = corpus.select(doc_fingerprint("text").alias("fp")).distinct()
+    bf = batch.select("doc_id", "source", doc_fingerprint("text").alias("fp"))
+    exact = bf.join(cf.withColumn("__hit", F.lit(True)), "fp", "left").select(
+        "doc_id", "source", F.coalesce("__hit", F.lit(False)).alias("exact_dup")
+    )
+    near_ids = (
+        minhash_lsh_incremental(
+            corpus, batch, "text", "doc_id", threshold=0.5
+        )
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    flags = (
+        exact.join(sig, "doc_id")
+        .join(near_ids, "doc_id", "left")
+        .withColumn("near_dup", F.coalesce("near_dup", F.lit(False)))
+    )
+    k = F.col("keep")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.when(k, 1).otherwise(0)).alias("n_quality"),
+        F.sum(F.when(k & ~F.col("exact_dup"), 1).otherwise(0)).alias("n_exact"),
+        F.sum(
+            F.when(k & ~F.col("exact_dup") & ~F.col("near_dup"), 1).otherwise(0)
+        ).alias("n_accepted"),
+    )
+
+
+def build_bounded_vocab_corpus(out_dir: str, src_dir: str, n_sources: int = 50,
+                               vocab_size: int = 20, words: int = 80) -> None:
+    """ADVERSARIAL regime for corpus_source_overlap (VERDICT r8 item 8):
+    a FIXED tiny vocabulary (20 words -> only 8000 possible 3-grams) and
+    many pseudo-sources, so EVERY gram ends up shared by EVERY source:
+    distinct (source, gram) rows saturate at S*V3 (they cannot grow with
+    the corpus) and the gram-key self-join emits its full V3*S(S-1)/2
+    ~= 9.8M pair rows at BOTH scales — the join is constant-cost, the
+    scan/shingle is the only thing that grows, so the measured ratio
+    isolates the scan. Same text generator + vocab at both scales; only
+    row count changes. (The bounded-vocab adversary that bit
+    jaccard_prefix_join in r4 — per-DOC pair growth — cannot occur here:
+    pairs are per (source, source), never per doc.)"""
+    os.makedirs(out_dir, exist_ok=True)
+    dst = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(dst):
+        return
+    import hashlib
+
+    import pandas as pd
+
+    con = duckdb.connect()
+    ids = con.execute(
+        f"SELECT doc_id FROM '{src_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetch_df()["doc_id"].tolist()
+    vocab = [f"w{v}" for v in range(vocab_size)]
+
+    def text_for(doc_id: int) -> str:
+        h = int.from_bytes(
+            hashlib.md5(f"bv|{doc_id}".encode()).digest()[:8], "big"
+        )
+        out = []
+        for i in range(words):
+            h = (h * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            out.append(vocab[h % vocab_size])
+        return " ".join(out)
+
+    pdf = pd.DataFrame({
+        "doc_id": ids,
+        "source": [f"src{d % n_sources}" for d in ids],
+        "text": [text_for(d) for d in ids],
+    })
+    con.register("bv_docs", pdf)
+    con.execute(f"COPY bv_docs TO '{dst}' (FORMAT PARQUET)")
+
+
 def _time_pair(fn, spark, small_dir: str, big_dir: str) -> dict:
     times = {}
     for tag, d in (("sf0.1_sec", small_dir), ("sf1_sec", big_dir)):
@@ -272,7 +409,7 @@ def _time_pair(fn, spark, small_dir: str, big_dir: str) -> dict:
     return times
 
 
-def time_queries(sf_dir: str, spark) -> dict[str, float]:
+def time_queries(sf_dir: str, spark, names: list[str] | None = None) -> dict[str, float]:
     from experimentsplan_datapipeline_spark.plans.queries import QUERIES
 
     overrides = {
@@ -280,7 +417,7 @@ def time_queries(sf_dir: str, spark) -> dict[str, float]:
         "containment_prefix_join": _containment_full_corpus,
     }
     out = {}
-    for name in HEAVY:
+    for name in (names if names is not None else HEAVY):
         fn = overrides.get(name, QUERIES.get(name))
         fn(spark, sf_dir).count()  # warm (plan + code paths)
         t0 = time.monotonic()
@@ -290,7 +427,15 @@ def time_queries(sf_dir: str, spark) -> dict[str, float]:
 
 
 def main() -> None:
+    """SF1_PROBE_ONLY=name1,name2 (substring match on result keys) limits
+    the run — a new round's probes can be measured without re-timing the
+    whole HEAVY suite."""
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    only = [s for s in os.environ.get("SF1_PROBE_ONLY", "").split(",") if s]
+
+    def wanted(key: str) -> bool:
+        return not only or any(s in key for s in only)
+
     if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
         print("building 10x corpus ...", file=sys.stderr)
         build_sf1(out_dir)
@@ -298,32 +443,64 @@ def main() -> None:
 
     spark = get_session()
     spark.sparkContext.setLogLevel("ERROR")
-    small = time_queries(SRC, spark)
-    big = time_queries(out_dir, spark)
-    result = {
-        name: {
-            "sf0.1_sec": small[name],
-            "sf1_sec": big[name],
-            "ratio": round(big[name] / small[name], 2) if small[name] else None,
-        }
-        for name in HEAVY
-    }
+    result = {}
+    heavy = [n for n in HEAVY if wanted(n)]
+    if heavy:
+        small = time_queries(SRC, spark, heavy)
+        big = time_queries(out_dir, spark, heavy)
+        result.update({
+            name: {
+                "sf0.1_sec": small[name],
+                "sf1_sec": big[name],
+                "ratio": round(big[name] / small[name], 2)
+                if small[name] else None,
+            }
+            for name in heavy
+        })
     # adversarial regimes (VERDICT r7 item 5): structure held constant,
     # rows scaled 10x
-    dup_small = os.path.join(out_dir, "adv_dup2")
-    dup_big = os.path.join(out_dir, "adv_dup20")
-    print("building duplicated corpora ...", file=sys.stderr)
-    build_dup_corpus(dup_small, copies=2)
-    build_dup_corpus(dup_big, copies=20)
-    result["dedup_substring_spans@dup_corpus"] = _time_pair(
-        _spans_op, spark, dup_small, dup_big
-    )
-    result["heavy_hitters@uniform_keys"] = _time_pair(
-        _heavy_hitters_uniform, spark, SRC, out_dir
-    )
-    result["sorted_neighborhood@documents"] = _time_pair(
-        _snm_docs, spark, SRC, out_dir
-    )
+    if wanted("dedup_substring_spans@dup_corpus"):
+        dup_small = os.path.join(out_dir, "adv_dup2")
+        dup_big = os.path.join(out_dir, "adv_dup20")
+        print("building duplicated corpora ...", file=sys.stderr)
+        build_dup_corpus(dup_small, copies=2)
+        build_dup_corpus(dup_big, copies=20)
+        result["dedup_substring_spans@dup_corpus"] = _time_pair(
+            _spans_op, spark, dup_small, dup_big
+        )
+    if wanted("heavy_hitters@uniform_keys"):
+        result["heavy_hitters@uniform_keys"] = _time_pair(
+            _heavy_hitters_uniform, spark, SRC, out_dir
+        )
+    if wanted("sorted_neighborhood@documents"):
+        result["sorted_neighborhood@documents"] = _time_pair(
+            _snm_docs, spark, SRC, out_dir
+        )
+    # round 9: the ingest-gate story end-to-end (VERDICT r8 item 3) + the
+    # bounded-vocab source-overlap regime (item 8)
+    if wanted("ingest_incremental@split"):
+        result["ingest_incremental@split"] = _time_pair(
+            _ingest_incremental, spark, SRC, out_dir
+        )
+    if wanted("ingest_incremental@neardup_batch"):
+        result["ingest_incremental@neardup_batch"] = _time_pair(
+            _ingest_incremental_neardup, spark, SRC, out_dir
+        )
+    if wanted("ingest_funnel@split"):
+        result["ingest_funnel@split"] = _time_pair(
+            _ingest_funnel, spark, SRC, out_dir
+        )
+    if wanted("source_overlap@bounded_vocab"):
+        bv_small = os.path.join(out_dir, "adv_bv20_small")
+        bv_big = os.path.join(out_dir, "adv_bv20_big")
+        print("building bounded-vocab corpora ...", file=sys.stderr)
+        build_bounded_vocab_corpus(bv_small, SRC)
+        build_bounded_vocab_corpus(bv_big, out_dir)
+        from experimentsplan_datapipeline_spark.plans.queries import QUERIES
+
+        result["source_overlap@bounded_vocab"] = _time_pair(
+            QUERIES["corpus_source_overlap"], spark, bv_small, bv_big
+        )
     print(json.dumps(result, indent=2))
 
 
