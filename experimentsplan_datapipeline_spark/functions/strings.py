@@ -71,9 +71,14 @@ def parse_s3_uri(uri: Column | str) -> Column:
 
 
 def first_token(name: Column | str, sep: str = "_") -> Column:
-    """``file.split(sep)[0]`` (reference metrics.py:300)."""
+    """``file.split(sep)[0]`` (reference metrics.py:300). ``sep`` is a
+    LITERAL separator (escaped before the regex split), matching Python's
+    str.split semantics — a '.' or '|' sep splits on the character, not
+    on everything."""
+    import re
+
     c = F.col(name) if isinstance(name, str) else name
-    return F.split(c, sep).getItem(0)
+    return F.split(c, re.escape(sep)).getItem(0)
 
 
 def extract_step(path: Column | str, pattern: str = r"checkpoint-step-(\d+)") -> Column:

@@ -252,6 +252,7 @@ def minhash_lsh_incremental(
     num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
     threshold: float = 0.8, portable_seed: int | None = None,
     corpus_bandkeys: DataFrame | None = None,
+    materialize_candidates: bool = True,
 ) -> DataFrame:
     """Incremental near-dup screen: which NEW documents near-duplicate the
     EXISTING corpus — the production ingest gate (`minhash_lsh_dedup` is
@@ -294,10 +295,13 @@ def minhash_lsh_incremental(
             F.col(f"c.{id_col}").alias("corpus_id"),
         )
         .distinct()
-        # reused three times below (two semi-join prunes + the verify
-        # join); materialize once instead of re-running the band join
-        .localCheckpoint(eager=False)
     )
+    if materialize_candidates:
+        # reused three times below (two semi-join prunes + the verify
+        # join); materialize once instead of re-running the band join.
+        # False keeps the full lineage visible (plan tests); at cluster
+        # scale swap for a parquet stage pin for executor-loss durability
+        cand = cand.localCheckpoint(eager=False)
     b_ids = cand.select(F.col("batch_id").alias(id_col)).distinct()
     c_ids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
     sh_b = spread_small_input(

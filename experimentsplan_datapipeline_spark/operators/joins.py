@@ -471,7 +471,16 @@ def scd2_history(
     h = ev.withColumn("valid_from", F.col(ts_col)).withColumn(
         "valid_to", F.lead(ts_col).over(w)
     )
-    return h.filter(F.col(op_col) != delete_op).select(
+    # NULL op would three-valued-filter to a silent delete; fail loudly
+    # instead (same convention as merge_changelog)
+    op_val = F.when(
+        F.col(op_col).isNull(),
+        F.raise_error(
+            F.lit("scd2_history: change event has NULL op "
+                  f"(expected an op or {delete_op!r})")
+        ),
+    ).otherwise(F.col(op_col))
+    return h.filter(op_val != delete_op).select(
         *keys,
         *value_cols,
         "valid_from",

@@ -931,3 +931,54 @@ def random_projection(
             acc = term if acc is None else acc + term
         comps.append(acc * F.lit(inv))
     return df.withColumn(out_col, F.array(*comps))
+
+
+def embedding_centroid_drift(
+    df: DataFrame, vec_col: str, slice_col: str,
+) -> DataFrame:
+    """Embedding-space drift monitor: per-slice centroids + pairwise
+    centroid cosine — the vector companion of the token-distribution JSD
+    monitor (text_analysis: "did this ingest change the data", but asked
+    of the embedding column; a new source whose centroid points away
+    from the corpus is the alarm a curation dashboard wants BEFORE
+    mixing weights are chosen).
+
+    Scale shape: posexplode to (slice, i, v) then ONE map-side-combined
+    aggregation to per-(slice, i) means — the shuffle carries at most
+    S*D tiny rows regardless of corpus size; centroids re-assemble with
+    an in-row sort (collect_list is bounded by D per group), and the
+    pairwise frame is an S^2 broadcast self-join of S rows. The raw
+    vectors never join anything.
+
+    Returns one row per unordered slice pair: (slice_a, slice_b, n_a,
+    n_b, centroid_cosine) with the cosine rounded to 6.
+    """
+    ex = df.select(
+        F.col(slice_col).alias("sl"),
+        F.posexplode(F.col(vec_col)).alias("i", "v"),
+    ).select("sl", "i", F.col("v").cast("double").alias("v"))
+    cent = (
+        ex.groupBy("sl", "i")
+        .agg(F.avg("v").alias("m"), F.count(F.lit(1)).alias("n"))
+        .groupBy("sl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("c"),
+            F.max("n").alias("n"),  # rows per slice (same for every i)
+        )
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.sl") < F.col("b.sl"))
+        .select(
+            F.col("a.sl").alias("slice_a"),
+            F.col("b.sl").alias("slice_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(
+                cosine_similarity(F.col("a.c"), F.col("b.c")), 6
+            ).alias("centroid_cosine"),
+        )
+    )

@@ -3361,6 +3361,74 @@ def metric_ssim(spark, sf_dir):
     )
 
 
+@register("metric_ssim_windowed", """
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 192),
+           i -> (('0x' || substr(sha256(text || (i // 32)::VARCHAR),
+                                 (i % 32) * 2 + 1, 2))::BIGINT)::DOUBLE) AS p
+  FROM documents WHERE doc_id < 200),
+win AS (
+  SELECT doc_id, unnest(range(0, 3)) AS win, p FROM px),
+arr AS (
+  SELECT doc_id, win,
+         p[win * 64 + 1 : win * 64 + 64] AS x,
+         list_reverse(p[win * 64 + 1 : win * 64 + 64]) AS y
+  FROM win),
+st AS (
+  SELECT doc_id, win, 64.0 AS n,
+         list_sum(x) AS sx,
+         list_sum(list_transform(x, v -> v * v)) AS sxx,
+         list_sum(list_transform(range(1, 65), i -> x[i] * y[i])) AS sxy
+  FROM arr),
+m AS (
+  SELECT doc_id, win, sx / n AS mx,
+         sxx / n - (sx / n) * (sx / n) AS vx,
+         sxy / n - (sx / n) * (sx / n) AS cov
+  FROM st)
+SELECT doc_id, win,
+       round(((2 * mx * mx + 6.5025) * (2 * cov + 58.5225))
+             / ((mx * mx + mx * mx + 6.5025) * (vx + vx + 58.5225)), 6)
+         AS ssim
+FROM m
+""")
+def metric_ssim_windowed(spark, sf_dir):
+    """P7 WINDOWED SSIM — the per-crop variant the global metric's
+    docstring promises (reference computes SSIM over sliding windows,
+    train/common/metrics.py:123-170; the window mean is the reported
+    score — here each window row is emitted so the aggregation policy
+    stays the caller's). Windows explode JVM-side (3 x 64-px crops per
+    image via slice on the exploded window index), then the STAGED SSIM
+    runs per (doc, window) row — each array aggregate once, same as
+    metric_ssim, enforced by the registry multiplicity lint. y =
+    reverse(x) per window, so means/variances match and only covariance
+    varies — the metric math is what's under test."""
+    from experimentsplan_datapipeline_spark.functions.vectors import (
+        ssim_global_staged,
+    )
+    from experimentsplan_datapipeline_spark.media.images import decode_images
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    bin_df = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    arrays = decode_images(bin_df).select(
+        "doc_id",
+        F.transform(F.col("image.pixels"), lambda v: v.cast("double"))
+        .alias("__p"),
+    )
+    wins = arrays.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(w) for w in range(3)])).alias("win"),
+        "__p",
+    ).select(
+        "doc_id",
+        "win",
+        F.slice("__p", F.col("win") * 64 + 1, 64).alias("__wx"),
+    ).withColumn("__wy", F.reverse("__wx"))
+    return ssim_global_staged(wins, "__wx", "__wy").select(
+        "doc_id", "win", F.round("ssim", 6).alias("ssim")
+    )
+
+
 @register("pairs_contrastive", """
 WITH d AS (SELECT doc_id, source FROM documents),
 pos AS (
@@ -4617,6 +4685,32 @@ def media_infer_npz(spark, sf_dir):
         model_version="npz-v1",
     )
     return scored.select("doc_id", "score", "model")
+
+
+@register("embedding_centroid_drift", """
+WITH e AS (SELECT label AS sl, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (SELECT sl, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM e),
+cent AS (
+  SELECT sl, list(m ORDER BY i) AS c, max(n) AS n
+  FROM (SELECT sl, i, avg(x) AS m, count(*) AS n FROM ex GROUP BY sl, i)
+  GROUP BY sl)
+SELECT a.sl AS slice_a, b.sl AS slice_b, a.n AS n_a, b.n AS n_b,
+       round(list_cosine_similarity(a.c, b.c), 6) AS centroid_cosine
+FROM cent a JOIN cent b ON a.sl < b.sl
+""")
+def embedding_centroid_drift(spark, sf_dir):
+    """Embedding-space drift monitor (operators/similarity.py::
+    embedding_centroid_drift): pairwise centroid cosine between every
+    pair of label slices — the vector companion of text_jsd_drift.
+    One map-side-combined (slice, dim) mean aggregation (<= S*D rows
+    shuffle regardless of corpus size), centroids re-assembled with an
+    in-row sort, S-row broadcast self-join; raw vectors join nothing."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        embedding_centroid_drift as drift,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    return drift(emb, "embedding", "label")
 
 
 def _dedup_semantic_oracle_sql(

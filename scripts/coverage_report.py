@@ -218,6 +218,20 @@ ROUND8_ANNOTATED: dict[str, str] = {
         "ingest funnel: gopher -> exact screen -> near-dup screen -> report",
 }
 
+# Round-9 additions: steady-state ingest + monitors + P7 depth.
+ROUND9_ANNOTATED: dict[str, str] = {
+    "dedup_incremental_indexed":
+        "ingest gate over the PERSISTED band-key index; no corpus scan on banding",
+    "stream_ingest_gate":
+        "live foreachBatch ingest gate over the persisted index, batch-replay oracle",
+    "media_infer_npz":
+        "real .npz checkpoint -> broadcast -> Arrow scoring (external weights)",
+    "embedding_centroid_drift":
+        "pairwise centroid cosine between label slices (vector JSD companion)",
+    "metric_ssim_windowed":
+        "per-crop SSIM, staged single-copy aggregates per the multiplicity lint",
+}
+
 ROTATION_NOTE = """## Driver-sample rotation (round 6)
 
 The driver's CORRECTNESS gate samples a fixed ~50 queries per round, so
@@ -265,6 +279,17 @@ def main() -> None:
         "|---|---|",
     ]
     for n, note in ROUND8_ANNOTATED.items():
+        listed.add(n)
+        status = f"oracle ({note})" if n in ORACLE else "**MISSING**"
+        lines.append(f"| `{n}` | {status} |")
+    lines.append("")
+    lines += [
+        "## Steady-state ingest, monitors & P7 depth (round 9)",
+        "",
+        "| query | status |",
+        "|---|---|",
+    ]
+    for n, note in ROUND9_ANNOTATED.items():
         listed.add(n)
         status = f"oracle ({note})" if n in ORACLE else "**MISSING**"
         lines.append(f"| `{n}` | {status} |")

@@ -114,8 +114,13 @@ class TestPersistedIndex:
             out = minhash_lsh_incremental(
                 corpus_pq, batch, "text", "doc_id", threshold=0.5,
                 corpus_bandkeys=idx,
+                # keep the full lineage visible: no candidate checkpoint,
+                # so the banding subtree appears in the final plan
+                materialize_candidates=False,
             )
             plan = out._jdf.queryExecution().executedPlan().toString()
+            # the banding side reads the stage table, never corpus text
+            assert "t_ingest_idx2" in plan
             # the corpus text scan is the only FileScan projecting a text
             # column (the index table scans [id, band, key]; plan Location
             # strings truncate long paths, so match the read columns)

@@ -1284,6 +1284,23 @@ def test_merge_changelog_equal_ts_deterministic_and_validates(spark):
         merge_changelog(snap, bad, ["k"], "ts")
 
 
+def test_scd2_null_op_raises(spark):
+    """Same fail-loud convention as merge_changelog: a NULL-op change
+    event must raise, not silently drop the version row."""
+    import pytest as _pytest
+
+    from experimentsplan_datapipeline_spark.operators.joins import (
+        scd2_history,
+    )
+
+    snap = spark.createDataFrame([(1, 10.0)], ["k", "v"])
+    bad = spark.createDataFrame(
+        [(1, 99.0, None, 5)], "k long, v double, op string, ts long"
+    )
+    with _pytest.raises(Exception, match="NULL op"):
+        scd2_history(snap, bad, ["k"], "ts").collect()
+
+
 def test_merge_changelog_null_op_raises(spark):
     """A latest change with a NULL op must FAIL LOUDLY, not act as a
     silent delete via three-valued `op != delete` (ADVICE r8); a NULL-op

@@ -193,6 +193,50 @@ def test_no_query_repeats_expensive_expressions(spark):
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+class TestRound9PlanShapes:
+    def test_centroid_drift_bounded_shuffle_broadcast_pairs(self, spark):
+        """The (slice, dim) mean agg is the only corpus-scale work; the
+        S-row centroid pair join must broadcast, and raw vectors join
+        nothing (no sort-merge anywhere)."""
+        plan = _plan(spark, "embedding_centroid_drift")
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_ssim_windowed_one_python_stage_no_key_shuffle(self, spark):
+        """Decode is the single Python stage; window explode + slice +
+        staged stats are pure per-row codegen — no hash exchange, no
+        row-at-a-time UDF, no join."""
+        plan = _plan(spark, "metric_ssim_windowed")
+        assert plan.count("MapInPandas") == 1
+        assert "Exchange hashpartitioning" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "Join" not in plan
+
+    def test_indexed_ingest_verify_candidate_only(self, spark):
+        """The steady-state gate's final plan: the band join is pinned
+        (Scan ExistingRDD — it ran once in the checkpoint's own job,
+        reading the stage table; asserted against the unpinned lineage
+        in tests/test_ingest.py), so the only documents scans left are
+        the two candidate-pruned verify reads, each above a LeftSemi."""
+        plan = _plan(spark, "dedup_incremental_indexed")
+        assert "Scan ExistingRDD" in plan  # pinned candidates
+        doc_scans = [
+            ln for ln in plan.splitlines()
+            if "FileScan" in ln and "documents" in ln
+        ]
+        assert len(doc_scans) <= 2, f"{len(doc_scans)} documents scans"
+        assert plan.count("LeftSemi") >= 2  # candidate-only verify
+
+    def test_infer_npz_single_python_chain(self, spark):
+        """Decode + normalize + broadcast-scored inference fuse into
+        Arrow mapInPandas stages over one scan — no shuffle at all."""
+        plan = _plan(spark, "media_infer_npz")
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
 def test_no_query_degrades_to_cartesian_product(spark):
     """Registry-wide plan lint: no registered query may plan a non-broadcast
     CartesianProduct — the all-pairs shapes (ngram_jaccard, dedup_embedding)
