@@ -118,6 +118,41 @@ def test_ssim_identical_is_one(spark):
     assert out.s == 1.0
 
 
+def test_ssim_staged_matches_unstaged(spark):
+    """ssim_global_staged is a plan-shape rewrite of ssim_global — the
+    values must agree to double rounding on asymmetric random-ish pairs
+    (including the degenerate constant array)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.functions.vectors import (
+        ssim_global,
+        ssim_global_staged,
+    )
+
+    rng = random.Random(9)
+    rows = [
+        (i, [float(rng.randrange(256)) for _ in range(32)],
+         [float(rng.randrange(256)) for _ in range(32)])
+        for i in range(20)
+    ] + [(99, [7.0] * 32, [7.0] * 32)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    unstaged = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", F.round(ssim_global("x", "y"), 9).alias("s")
+        ).collect()
+    }
+    staged = {
+        r["id"]: r["s"]
+        for r in ssim_global_staged(df, "x", "y")
+        .select("id", F.round("ssim", 9).alias("s"))
+        .collect()
+    }
+    assert staged == unstaged
+
+
 def test_l2_distance(spark):
     from experimentsplan_datapipeline_spark.functions.vectors import l2_distance
     from pyspark.sql import functions as F
