@@ -166,6 +166,86 @@ def length_buckets(
     )
 
 
+def batch_padding_report(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: Column,
+    n_buckets: int = 8,
+    batch_size: int = 16,
+) -> DataFrame:
+    """Padding-efficiency report for length-bucketed batch assembly — the
+    metric that justifies ``length_buckets``: docs sorted by length and
+    cut into ``batch_size``-doc micro-batches within each bucket, every
+    batch padded to its own longest member (how sequence batching
+    actually ships to the trainer). Emits per bucket: the batch count,
+    real token count, padded slot count (sum over batches of
+    batch_rows * batch_max), and efficiency = real/padded. Short-batch
+    buckets with tight length ranges -> efficiency near 1; one global
+    bucket (n_buckets=1) reproduces the naive-batching baseline the
+    report exists to beat.
+
+    Scale shape: ONE distributed rank (range partition + broadcast
+    offsets, no global window) is shared by bucket assignment AND
+    within-bucket batch ids — buckets are contiguous rank ranges, so the
+    in-bucket position is pure arithmetic on the global rank (bucket
+    start replayed from the same ntile remainder rule). Then two
+    shrinking aggregations: (bucket, batch) -> bucket.
+    """
+    from experimentsplan_datapipeline_spark.operators.sampling import ordered_rank
+
+    sized = df.select(F.col(id_col), n_tokens_col.alias("n_tokens"))
+    ranked = ordered_rank(sized, ["n_tokens", id_col], rank_col="__rk")
+    total = sized.select(F.count(F.lit(1)).alias("__tot"))
+    big = F.floor(F.col("__tot") / n_buckets) + 1
+    small = F.floor(F.col("__tot") / n_buckets)
+    extra = F.col("__tot") % n_buckets
+    cut = extra * big
+    bucket = F.when(
+        F.col("__rk") <= cut, F.floor((F.col("__rk") - 1) / big)
+    ).otherwise(
+        extra + F.floor((F.col("__rk") - cut - 1) / F.greatest(small, F.lit(1)))
+    ) + 1
+    # bucket k's first global rank, from the same remainder rule
+    k0 = bucket - 1  # buckets before k
+    start = F.when(
+        k0 <= extra, k0 * big
+    ).otherwise(cut + (k0 - extra) * small)
+    batch_id = F.floor((F.col("__rk") - start - 1) / batch_size)
+    per_batch = (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            bucket.cast("int").alias("bucket"),
+            batch_id.cast("long").alias("batch_id"),
+            "n_tokens",
+        )
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.max("n_tokens").alias("__mx"),
+            F.sum("n_tokens").alias("__real"),
+        )
+    )
+    return (
+        per_batch.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("__real").alias("real_tokens"),
+            F.sum(F.col("__cnt") * F.col("__mx")).alias("padded_slots"),
+        )
+        .withColumn(
+            "efficiency",
+            F.when(
+                F.col("padded_slots") > 0,
+                F.round(
+                    F.col("real_tokens")
+                    / F.col("padded_slots").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),  # all-empty bucket: nothing to pad
+        )
+    )
+
+
 def pack_chunks(
     df: DataFrame,
     id_col: str,

@@ -2428,6 +2428,50 @@ def length_buckets_q(spark, sf_dir):
     return cur.length_buckets(docs, "doc_id", token_count("text"), n_buckets=8)
 
 
+@register("batch_padding_efficiency", r"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+b AS (
+  SELECT doc_id, n_tokens,
+         ntile(8) OVER (ORDER BY n_tokens, doc_id) AS bucket
+  FROM s),
+r AS (
+  SELECT bucket, n_tokens,
+         row_number() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id)
+           AS rk
+  FROM b),
+pb AS (
+  SELECT bucket, (rk - 1) // 16 AS batch_id, count(*) AS cnt,
+         max(n_tokens) AS mx, sum(n_tokens) AS rtok
+  FROM r GROUP BY bucket, batch_id)
+SELECT bucket, count(*) AS n_batches, sum(rtok) AS real_tokens,
+       sum(cnt * mx) AS padded_slots,
+       CASE WHEN sum(cnt * mx) > 0
+            THEN round(sum(rtok) / sum(cnt * mx)::DOUBLE, 6)
+            ELSE 0.0 END AS efficiency
+FROM pb GROUP BY bucket
+""")
+def batch_padding_efficiency(spark, sf_dir):
+    """Padding-efficiency report for length-bucketed batching
+    (operators/curation.py::batch_padding_report): 16-doc micro-batches
+    assembled within 8 equal-frequency length buckets, each batch padded
+    to its own longest member — the metric that justifies length
+    bucketing to the trainer (n_buckets=1 reproduces the naive baseline
+    it beats). One distributed rank shared by bucket AND batch
+    assignment (buckets are contiguous rank ranges, so in-bucket
+    position is arithmetic on the global rank), then two shrinking
+    aggregations."""
+    from experimentsplan_datapipeline_spark.operators import curation as cur
+
+    docs = t(spark, sf_dir, "documents")
+    return cur.batch_padding_report(
+        docs, "doc_id", token_count("text"), n_buckets=8, batch_size=16
+    )
+
+
 @register("skew_heavy_keys", """
 WITH c AS (
   SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
