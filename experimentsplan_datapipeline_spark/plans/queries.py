@@ -7820,11 +7820,11 @@ def stream_ingest_gate(spark, sf_dir):
         corpus, "stream_ingest_idx", "text", "doc_id", num_hashes=32,
         bands=8, shingle_size=3, portable_seed=42,
     )
-    # pre-seed the sink with the empty schema so a zero-hit drain still
-    # reads back cleanly
+    # pre-seed one empty epoch partition so a zero-hit drain still reads
+    # back cleanly (epoch dirs are the exactly-once mechanism)
     spark.createDataFrame(
         [], "batch_id long, corpus_id long, jaccard double"
-    ).write.parquet(result_dir)
+    ).write.parquet(os.path.join(result_dir, "epoch=-1"))
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
@@ -7836,7 +7836,11 @@ def stream_ingest_gate(spark, sf_dir):
         portable_seed=42,
     ).option("checkpointLocation", os.path.join(root, "ckpt"))
     run_available_now(writer, timeout_sec=240.0)
-    return spark.read.parquet(result_dir)
+    from experimentsplan_datapipeline_spark.streaming.ingest import (
+        read_gate_results,
+    )
+
+    return read_gate_results(spark, result_dir)
 
 
 @register("pipeline_ingest_batch", f"""

@@ -66,11 +66,17 @@ def streaming_ingest_gate(
     to BOTH halves of the state: their band keys into ``index_table``
     (bucketed append — only the new docs hash) and their (id, text) rows
     into ``accepted_dir`` (needed only for verify, read candidate-pruned).
-    Restart safety: foreachBatch replays the last uncommitted epoch after
-    a crash, so at-least-once appends can duplicate hits/accepted rows;
-    exactly-once needs an idempotent sink (MERGE on (epoch, id) or a
-    Delta txn) — out of scope for the parquet demo sink, documented here
-    deliberately.
+
+    Restart safety — EXACTLY-ONCE for hits and accepted docs with plain
+    parquet: each epoch writes its own ``epoch=N`` partition dir with
+    mode=overwrite, so a replayed (crash-uncommitted) epoch overwrites
+    itself instead of appending duplicates; epoch ids continue from the
+    checkpoint across restarts, so committed epochs are never reused.
+    The index-table append IS at-least-once (a replayed epoch re-appends
+    its band keys), which is deliberately harmless: duplicate band-key
+    rows only duplicate candidate pairs, and the candidate ``.distinct()``
+    collapses them — results unchanged, a little wasted verify work on
+    the one replayed epoch.
     """
     if grow_state and accepted_dir is None:
         raise ValueError("grow_state=True requires accepted_dir")
@@ -88,14 +94,16 @@ def streaming_ingest_gate(
             threshold=threshold, portable_seed=portable_seed,
             corpus_bandkeys=idx,
         ).localCheckpoint(eager=True)  # hit ids feed the accept filter below
-        hits.write.mode("append").parquet(result_dir)
+        hits.write.mode("overwrite").parquet(
+            os.path.join(result_dir, f"epoch={epoch_id}")
+        )
         if grow_state:
             dup_ids = hits.select(
                 F.col("batch_id").alias(id_col)
             ).distinct()
             accepted = mb.join(F.broadcast(dup_ids), id_col, "left_anti")
-            accepted.select(id_col, text_col).write.mode("append").parquet(
-                accepted_dir
+            accepted.select(id_col, text_col).write.mode("overwrite").parquet(
+                os.path.join(accepted_dir, f"epoch={epoch_id}")
             )
             minhash_index_write(
                 accepted, index_table, text_col, id_col,
@@ -105,3 +113,10 @@ def streaming_ingest_gate(
             )
 
     return batch_stream.writeStream.foreachBatch(gate).outputMode("append")
+
+
+def read_gate_results(spark, result_dir: str) -> DataFrame:
+    """Read back the gate's hit log across all epochs (the ``epoch=N``
+    partition layout is the exactly-once mechanism, not data — dropped
+    here; keep it when auditing which micro-batch flagged a pair)."""
+    return spark.read.parquet(result_dir).drop("epoch")

@@ -179,6 +179,7 @@ class TestStreamingGrowingState:
             run_available_now,
         )
         from experimentsplan_datapipeline_spark.streaming.ingest import (
+            read_gate_results,
             streaming_ingest_gate,
         )
 
@@ -210,7 +211,7 @@ class TestStreamingGrowingState:
         accepted_dir = str(tmp_path / "accepted")
         spark.createDataFrame(
             [], "batch_id long, corpus_id long, jaccard double"
-        ).write.parquet(result_dir)
+        ).write.parquet(result_dir + "/epoch=-1")
         try:
             stream = (
                 spark.readStream.schema(b1.schema)
@@ -226,7 +227,7 @@ class TestStreamingGrowingState:
 
             got = {
                 (r["batch_id"], r["corpus_id"])
-                for r in spark.read.parquet(result_dir).collect()
+                for r in read_gate_results(spark, result_dir).collect()
             }
             # hand-unrolled replay: batch 1 vs corpus, then batch 2 vs
             # corpus + batch 1's accepted docs
@@ -273,6 +274,7 @@ class TestStreamGateResume:
             run_available_now,
         )
         from experimentsplan_datapipeline_spark.streaming.ingest import (
+            read_gate_results,
             streaming_ingest_gate,
         )
 
@@ -298,7 +300,7 @@ class TestStreamGateResume:
         result_dir = str(tmp_path / "hits")
         spark.createDataFrame(
             [], "batch_id long, corpus_id long, jaccard double"
-        ).write.parquet(result_dir)
+        ).write.parquet(result_dir + "/epoch=-1")
         try:
             def drain():
                 stream = (
@@ -318,13 +320,13 @@ class TestStreamGateResume:
             stage(b1, 0)
             drain()
             first = [
-                tuple(r) for r in spark.read.parquet(result_dir).collect()
+                tuple(r) for r in read_gate_results(spark, result_dir).collect()
             ]
             assert {(b, c) for b, c, _ in first} == {(200, 3)}
             stage(b2, 1)
             drain()
             both = [
-                tuple(r) for r in spark.read.parquet(result_dir).collect()
+                tuple(r) for r in read_gate_results(spark, result_dir).collect()
             ]
             # exactly one row per hit: batch 1 was NOT reprocessed
             assert sorted((b, c) for b, c, _ in both) == [(200, 3), (201, 7)]
