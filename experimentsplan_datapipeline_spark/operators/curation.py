@@ -172,17 +172,23 @@ def batch_padding_report(
     n_tokens_col: Column,
     n_buckets: int = 8,
     batch_size: int = 16,
+    order_by_length: bool = True,
 ) -> DataFrame:
     """Padding-efficiency report for length-bucketed batch assembly — the
-    metric that justifies ``length_buckets``: docs sorted by length and
+    metric that justifies ``length_buckets``: docs ordered by length and
     cut into ``batch_size``-doc micro-batches within each bucket, every
     batch padded to its own longest member (how sequence batching
     actually ships to the trainer). Emits per bucket: the batch count,
     real token count, padded slot count (sum over batches of
-    batch_rows * batch_max), and efficiency = real/padded. Short-batch
-    buckets with tight length ranges -> efficiency near 1; one global
-    bucket (n_buckets=1) reproduces the naive-batching baseline the
-    report exists to beat.
+    batch_rows * batch_max), and efficiency = real/padded.
+
+    ``order_by_length=False`` ranks by id instead — ARRIVAL-ORDER
+    batching, the naive baseline the length ordering exists to beat
+    (property-tested: the sorted form's overall efficiency is never
+    worse). With length ordering, the bucket boundaries barely change
+    batch composition (consecutive-rank cuts are near-optimal already);
+    the bucketing's real job is distributability — each bucket's batch
+    stream is an independent unit of work.
 
     Scale shape: ONE distributed rank (range partition + broadcast
     offsets, no global window) is shared by bucket assignment AND
@@ -194,7 +200,8 @@ def batch_padding_report(
     from experimentsplan_datapipeline_spark.operators.sampling import ordered_rank
 
     sized = df.select(F.col(id_col), n_tokens_col.alias("n_tokens"))
-    ranked = ordered_rank(sized, ["n_tokens", id_col], rank_col="__rk")
+    order = ["n_tokens", id_col] if order_by_length else [id_col]
+    ranked = ordered_rank(sized, order, rank_col="__rk")
     total = sized.select(F.count(F.lit(1)).alias("__tot"))
     big = F.floor(F.col("__tot") / n_buckets) + 1
     small = F.floor(F.col("__tot") / n_buckets)

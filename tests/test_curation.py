@@ -565,3 +565,57 @@ def test_vocab_coverage_exact(spark):
         2: (6, 3, 0.5),
         3: (3, 0, 0.0),
     }
+
+
+def test_batch_padding_length_order_beats_arrival_order(spark):
+    """batch_padding_report invariants on random lengths: efficiency in
+    (0, 1], real_tokens equals the corpus token count in every variant,
+    and the length-ordered form's OVERALL efficiency is never worse than
+    arrival-order batching (the naive baseline)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        batch_padding_report,
+    )
+
+    rng = random.Random(17)
+    rows = [(i, rng.randrange(1, 400)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    total = sum(n for _, n in rows)
+
+    def overall(order_by_length):
+        rep = batch_padding_report(
+            df, "doc_id", F.col("n_tok"), n_buckets=8, batch_size=16,
+            order_by_length=order_by_length,
+        ).collect()
+        real = sum(r["real_tokens"] for r in rep)
+        padded = sum(r["padded_slots"] for r in rep)
+        assert real == total
+        for r in rep:
+            assert 0 < r["efficiency"] <= 1
+        return real / padded
+
+    assert overall(True) >= overall(False)
+
+
+def test_batch_padding_matches_hand_computation(spark):
+    """4 docs, batch_size 2, one bucket: batches ((1,2),(3,9)) padded to
+    (2,2),(9,9) -> real 15, padded 22."""
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        batch_padding_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 9)], ["doc_id", "n_tok"]
+    )
+    rep = batch_padding_report(
+        df, "doc_id", F.col("n_tok"), n_buckets=1, batch_size=2
+    ).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert (r["n_batches"], r["real_tokens"], r["padded_slots"]) == (2, 15, 22)
+    assert r["efficiency"] == round(15 / 22, 6)
