@@ -361,6 +361,106 @@ def minhash_index_read(spark, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+def fingerprint_index_write(
+    corpus: DataFrame, table_name: str, text_col: str,
+    n_buckets: int = 16, n_bits: int = 1 << 17, n_hashes: int = 5,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the EXACT-dup screen's steady state: the corpus's
+    normalized-content fingerprints as a bucketed stage table
+    (``table_name``, bucketed on fp — pays its shuffle once) plus the
+    Bloom words of that fingerprint set (``{table_name}_bloom``,
+    n_bits/64 longs — tiny). The exact-screen analogue of
+    ``minhash_index_write``: the corpus is fingerprinted ONCE; every
+    later batch runs ``exact_screen_incremental`` against the tables —
+    no corpus text re-scan, no re-fingerprint.
+
+    ``mode='append'`` grows the state with a batch's accepted docs:
+    their fingerprints append to the fp table, and their bloom words
+    bit_or-fold into the words table (the union of two blooms over the
+    same (n_bits, n_hashes) family IS the bloom of the union set).
+    """
+    from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint
+    from experimentsplan_datapipeline_spark.sources.sinks import write_bucketed
+
+    fp = corpus.select(doc_fingerprint(text_col).alias("fp")).distinct()
+    write_bucketed(fp, table_name, ["fp"], n_buckets, mode=mode)
+    positions = ", ".join(
+        f"pmod(xxhash64(cast(fp as string), {i}), {n_bits}L)"
+        for i in range(n_hashes)
+    )
+    words = (
+        fp.selectExpr(f"explode(array({positions})) as p")
+        .selectExpr("p div 64 as w", "shiftleft(1L, cast(p % 64 as int)) as m")
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("m"))
+    )
+    spark = corpus.sparkSession
+    bloom_name = f"{table_name}_bloom"
+    if mode == "append" and spark.catalog.tableExists(bloom_name):
+        words = (
+            spark.table(bloom_name).unionByName(words)
+            .groupBy("w").agg(F.expr("bit_or(m)").alias("m"))
+        )
+        words.localCheckpoint(eager=True).write.mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(bloom_name)
+    else:
+        write_bucketed(words, bloom_name, ["w"], 1, mode="overwrite")
+
+
+def exact_screen_incremental(
+    batch: DataFrame, text_col: str, id_col: str, table_name: str,
+    n_bits: int = 1 << 17, n_hashes: int = 5,
+) -> DataFrame:
+    """Which batch docs exact-duplicate the indexed corpus — the
+    steady-state exact screen. The batch's fingerprints bit-test against
+    the persisted Bloom words (a bounded driver collect of n_bits/64
+    longs re-embedded as a plan literal — the whole-stage-codegen prune
+    from ``bloom_semi_join``), and only the bloom-POSITIVE survivors
+    (true hits + <1% false positives) semi-join the bucketed fingerprint
+    table, whose bucketing means the corpus side needs no exchange.
+    Returns every batch row as (id, exact_dup) — false positives are
+    killed by the exact join, so the flag is exact.
+    """
+    from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint
+
+    spark = batch.sparkSession
+    n_words = n_bits // 64
+    words = [0] * n_words
+    for r in spark.table(f"{table_name}_bloom").collect():
+        words[r["w"]] = r["m"]
+    bitset = F.lit(words).cast("array<bigint>")
+
+    def _pos(i: int) -> str:
+        return f"pmod(xxhash64(cast(fp as string), {i}), {n_bits}L)"
+
+    checks = " AND ".join(
+        f"(element_at(__bloom, cast({_pos(i)} div 64 as int) + 1)"
+        f" & shiftleft(1L, cast({_pos(i)} % 64 as int))) != 0"
+        for i in range(n_hashes)
+    )
+    fps = batch.select(
+        F.col(id_col), doc_fingerprint(text_col).alias("fp")
+    )
+    candidates = (
+        fps.withColumn("__bloom", bitset)
+        .filter(F.expr(checks))
+        .drop("__bloom")
+    )
+    hits = candidates.join(
+        spark.table(table_name), "fp", "left_semi"
+    ).select(F.col(id_col), F.lit(True).alias("exact_dup"))
+    return (
+        fps.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+        )
+    )
+
+
 def minhash_estimate_pairs(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,

@@ -7843,6 +7843,34 @@ def stream_ingest_gate(spark, sf_dir):
     return read_gate_results(spark, result_dir)
 
 
+@register("dedup_incremental_exact_indexed", r"""
+WITH cf AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id < 400),
+bf AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id >= 300)
+SELECT doc_id, fp IN (SELECT fp FROM cf) AS exact_dup FROM bf
+""")
+def dedup_incremental_exact_indexed(spark, sf_dir):
+    """Steady-state EXACT-dup ingest screen (operators/dedup.py::
+    fingerprint_index_write + exact_screen_incremental) — the exact-dup
+    analogue of dedup_incremental_indexed: the corpus's content
+    fingerprints persist ONCE in a bucketed stage table plus a Bloom
+    words table; each batch bit-tests its fingerprints against the
+    broadcast Bloom literal (whole-stage-codegen prune) and only the
+    bloom-positive survivors semi-join the bucketed fp table. False
+    positives die in the exact join, so the flag is exact — the oracle
+    is plain set membership."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 300)
+    dd.fingerprint_index_write(corpus, "fp_index_stage", "text")
+    return dd.exact_screen_incremental(
+        batch, "text", "doc_id", "fp_index_stage"
+    )
+
+
 @register("pipeline_ingest_batch", f"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws

@@ -230,6 +230,10 @@ ROUND9_ANNOTATED: dict[str, str] = {
         "pairwise centroid cosine between label slices (vector JSD companion)",
     "metric_ssim_windowed":
         "per-crop SSIM, staged single-copy aggregates per the multiplicity lint",
+    "dedup_incremental_exact_indexed":
+        "persisted fingerprint table + Bloom words; bit-test prune, exact verify",
+    "batch_padding_efficiency":
+        "length-bucketed batch padding report, one shared distributed rank",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)

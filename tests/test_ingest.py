@@ -340,3 +340,121 @@ def test_bandkeys_shape(spark):
     assert bk.columns == ["doc_id", "band", "key"]
     counts = bk.groupBy("doc_id").count().collect()
     assert all(r["count"] == 4 for r in counts)
+
+
+class TestExactScreenIndex:
+    def test_flags_match_naive_membership(self, spark):
+        from experimentsplan_datapipeline_spark.functions.text import (
+            doc_fingerprint,
+        )
+        from experimentsplan_datapipeline_spark.operators.dedup import (
+            exact_screen_incremental,
+            fingerprint_index_write,
+        )
+
+        corpus, _ = _docs(spark)
+        batch = spark.createDataFrame(
+            [
+                (300, corpus.filter(F.col("doc_id") == 5).first()["text"]),
+                (301, "  ALPHA  beta gamma delta epsilon zeta eta theta "
+                      "doc9 iota kappa lam mu nu xi omicron pi rho "),
+                (302, "novel text unseen anywhere zanzibar quokka"),
+            ],
+            ["doc_id", "text"],
+        )
+        fingerprint_index_write(corpus, "t_fp_idx", "text")
+        try:
+            got = {
+                r["doc_id"]: r["exact_dup"]
+                for r in exact_screen_incremental(
+                    batch, "text", "doc_id", "t_fp_idx"
+                ).collect()
+            }
+            # 300 = verbatim copy; 301 = whitespace/case variant of doc 9
+            # (normalization must catch it); 302 = novel
+            assert got == {300: True, 301: True, 302: False}
+            cf = {
+                r["fp"]
+                for r in corpus.select(
+                    doc_fingerprint("text").alias("fp")
+                ).collect()
+            }
+            naive = {
+                r["doc_id"]: r["fp"] in cf
+                for r in batch.select(
+                    "doc_id", doc_fingerprint("text").alias("fp")
+                ).collect()
+            }
+            assert got == naive
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_fp_idx")
+            spark.sql("DROP TABLE IF EXISTS t_fp_idx_bloom")
+
+    def test_append_folds_bloom_of_union(self, spark):
+        """mode='append': the bit_or fold of old + new words IS the bloom
+        of the union set — a re-screen of the appended doc must flag it,
+        and a pre-existing doc must stay flagged."""
+        from experimentsplan_datapipeline_spark.operators.dedup import (
+            exact_screen_incremental,
+            fingerprint_index_write,
+        )
+
+        corpus, _ = _docs(spark)
+        novel = spark.createDataFrame(
+            [(400, "entirely fresh content xylophone quartz")],
+            ["doc_id", "text"],
+        )
+        fingerprint_index_write(corpus, "t_fp_grow", "text")
+        try:
+            fingerprint_index_write(
+                novel, "t_fp_grow", "text", mode="append"
+            )
+            rescreen = spark.createDataFrame(
+                [
+                    (500, novel.first()["text"]),
+                    (501, corpus.filter(F.col("doc_id") == 2).first()["text"]),
+                    (502, "still nothing like this one anywhere"),
+                ],
+                ["doc_id", "text"],
+            )
+            got = {
+                r["doc_id"]: r["exact_dup"]
+                for r in exact_screen_incremental(
+                    rescreen, "text", "doc_id", "t_fp_grow"
+                ).collect()
+            }
+            assert got == {500: True, 501: True, 502: False}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_fp_grow")
+            spark.sql("DROP TABLE IF EXISTS t_fp_grow_bloom")
+
+    def test_plan_bit_test_prune_no_corpus_text_scan(self, spark, tmp_path):
+        """Steady state: the screen's plan bit-tests the BATCH
+        fingerprints (element_at on the literal words) and reads corpus
+        state only from the stage tables — the corpus parquet's text is
+        never scanned."""
+        from experimentsplan_datapipeline_spark.operators.dedup import (
+            exact_screen_incremental,
+            fingerprint_index_write,
+        )
+
+        corpus, batch = _docs(spark)
+        cpath = str(tmp_path / "fpcorpus.parquet")
+        corpus.write.parquet(cpath)
+        corpus_pq = spark.read.parquet(cpath)
+        fingerprint_index_write(corpus_pq, "t_fp_plan", "text")
+        try:
+            out = exact_screen_incremental(
+                batch, "text", "doc_id", "t_fp_plan"
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "element_at" in plan  # bloom bit-test prune
+            corpus_scans = [
+                ln for ln in plan.splitlines()
+                if "FileScan" in ln and "fpcorpus" in ln
+            ]
+            assert not corpus_scans, "corpus parquet must not be re-scanned"
+            assert "t_fp_plan" in plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_fp_plan")
+            spark.sql("DROP TABLE IF EXISTS t_fp_plan_bloom")
