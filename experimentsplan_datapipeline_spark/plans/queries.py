@@ -7871,7 +7871,7 @@ def dedup_incremental_exact_indexed(spark, sf_dir):
     )
 
 
-@register("pipeline_ingest_batch", f"""
+_PIPELINE_INGEST_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
   FROM documents WHERE doc_id >= 300),
@@ -7910,7 +7910,64 @@ SELECT source,
        sum(CASE WHEN keep AND NOT exact_dup AND NOT near_dup
                 THEN 1 ELSE 0 END) AS n_accepted
 FROM flags GROUP BY source
-""")
+"""
+
+
+@register("pipeline_ingest_batch_indexed", _PIPELINE_INGEST_ORACLE)
+def pipeline_ingest_batch_indexed(spark, sf_dir):
+    """The ingest funnel in its STEADY-STATE form — both dedup screens
+    run against persisted state: the exact screen bit-tests the Bloom
+    words and semi-joins the bucketed fingerprint table (H48), the
+    near-dup screen bands against the persisted band-key index (H43);
+    corpus text is read only by the candidate-pruned near-dup verify.
+    Per-batch work is O(batch) + candidate-bounded verify — what a
+    100 TB corpus's nightly ingest actually runs. Must hash-match
+    pipeline_ingest_batch's recompute form: both share one oracle."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 300)
+    dd.fingerprint_index_write(corpus, "funnel_fp_idx", "text")
+    dd.minhash_index_write(
+        corpus, "funnel_mh_idx", "text", "doc_id", num_hashes=32,
+        bands=8, shingle_size=3, portable_seed=42,
+    )
+    sig = repetition_signals(batch, "doc_id", "text").select("doc_id", "keep")
+    exact = dd.exact_screen_incremental(
+        batch, "text", "doc_id", "funnel_fp_idx"
+    )
+    near_ids = (
+        dd.minhash_lsh_incremental(
+            corpus, batch, "text", "doc_id", num_hashes=32, bands=8,
+            shingle_size=3, threshold=0.5, portable_seed=42,
+            corpus_bandkeys=dd.minhash_index_read(spark, "funnel_mh_idx"),
+        )
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    flags = (
+        batch.select("doc_id", "source")
+        .join(exact, "doc_id")
+        .join(sig, "doc_id")
+        .join(near_ids, "doc_id", "left")
+        .withColumn("near_dup", F.coalesce("near_dup", F.lit(False)))
+    )
+    k = F.col("keep")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.when(k, 1).otherwise(0)).alias("n_quality"),
+        F.sum(F.when(k & ~F.col("exact_dup"), 1).otherwise(0)).alias("n_exact"),
+        F.sum(
+            F.when(k & ~F.col("exact_dup") & ~F.col("near_dup"), 1).otherwise(0)
+        ).alias("n_accepted"),
+    )
+
+
+@register("pipeline_ingest_batch", _PIPELINE_INGEST_ORACLE)
 def pipeline_ingest_batch(spark, sf_dir):
     """The incremental-ingest pipeline end-to-end: a new batch
     (doc_id >= 300) flows through the Gopher quality gate, the exact

@@ -234,6 +234,8 @@ ROUND9_ANNOTATED: dict[str, str] = {
         "persisted fingerprint table + Bloom words; bit-test prune, exact verify",
     "batch_padding_efficiency":
         "length-bucketed batch padding report, one shared distributed rank",
+    "pipeline_ingest_batch_indexed":
+        "the funnel on persisted state: Bloom+fp exact screen, band-key near-dup",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)
