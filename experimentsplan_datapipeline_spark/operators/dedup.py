@@ -379,12 +379,25 @@ def fingerprint_index_write(
     their fingerprints append to the fp table, and their bloom words
     bit_or-fold into the words table (the union of two blooms over the
     same (n_bits, n_hashes) family IS the bloom of the union set).
+
+    Crash ordering: the BLOOM (and its parameter meta row) commits
+    BEFORE the fp table in both modes — a crash between the two writes
+    leaves bloom-without-fp, which only costs false positives (killed by
+    the exact join); fp-without-bloom would be permanent silent false
+    NEGATIVES. The (n_bits, n_hashes) family is persisted in
+    ``{table_name}_bloom_meta`` so the screen can never probe with a
+    mismatched family. The corpus is fingerprinted once: the fp frame is
+    checkpointed and feeds both writes.
     """
     from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint
     from experimentsplan_datapipeline_spark.sources.sinks import write_bucketed
 
-    fp = corpus.select(doc_fingerprint(text_col).alias("fp")).distinct()
-    write_bucketed(fp, table_name, ["fp"], n_buckets, mode=mode)
+    spark = corpus.sparkSession
+    fp = (
+        corpus.select(doc_fingerprint(text_col).alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=True)  # one fingerprint pass feeds both writes
+    )
     positions = ", ".join(
         f"pmod(xxhash64(cast(fp as string), {i}), {n_bits}L)"
         for i in range(n_hashes)
@@ -395,9 +408,16 @@ def fingerprint_index_write(
         .groupBy("w")
         .agg(F.expr("bit_or(m)").alias("m"))
     )
-    spark = corpus.sparkSession
     bloom_name = f"{table_name}_bloom"
+    meta_name = f"{table_name}_bloom_meta"
     if mode == "append" and spark.catalog.tableExists(bloom_name):
+        meta = spark.table(meta_name).first()
+        if (meta["n_bits"], meta["n_hashes"]) != (n_bits, n_hashes):
+            raise ValueError(
+                f"fingerprint_index_write: index {table_name!r} was built "
+                f"with (n_bits={meta['n_bits']}, n_hashes={meta['n_hashes']});"
+                f" cannot append with ({n_bits}, {n_hashes})"
+            )
         words = (
             spark.table(bloom_name).unionByName(words)
             .groupBy("w").agg(F.expr("bit_or(m)").alias("m"))
@@ -407,11 +427,14 @@ def fingerprint_index_write(
         ).saveAsTable(bloom_name)
     else:
         write_bucketed(words, bloom_name, ["w"], 1, mode="overwrite")
+        spark.createDataFrame(
+            [(n_bits, n_hashes)], "n_bits long, n_hashes int"
+        ).write.mode("overwrite").format("parquet").saveAsTable(meta_name)
+    write_bucketed(fp, table_name, ["fp"], n_buckets, mode=mode)
 
 
 def exact_screen_incremental(
     batch: DataFrame, text_col: str, id_col: str, table_name: str,
-    n_bits: int = 1 << 17, n_hashes: int = 5,
 ) -> DataFrame:
     """Which batch docs exact-duplicate the indexed corpus — the
     steady-state exact screen. The batch's fingerprints bit-test against
@@ -421,11 +444,16 @@ def exact_screen_incremental(
     (true hits + <1% false positives) semi-join the bucketed fingerprint
     table, whose bucketing means the corpus side needs no exchange.
     Returns every batch row as (id, exact_dup) — false positives are
-    killed by the exact join, so the flag is exact.
+    killed by the exact join, so the flag is exact. The Bloom family
+    (n_bits, n_hashes) is read from the index's persisted meta table, so
+    the probe can never hash with a mismatched family (which would be
+    silent false negatives).
     """
     from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint
 
     spark = batch.sparkSession
+    meta = spark.table(f"{table_name}_bloom_meta").first()
+    n_bits, n_hashes = int(meta["n_bits"]), int(meta["n_hashes"])
     n_words = n_bits // 64
     words = [0] * n_words
     for r in spark.table(f"{table_name}_bloom").collect():

@@ -4715,7 +4715,12 @@ def media_infer_npz(spark, sf_dir):
         normalize_pixels,
     )
 
-    root = tempfile.mkdtemp(prefix="npz_weights_")
+    # fixed per-process scratch (see stream_ingest_gate): no leak across
+    # repeated registry runs
+    root = os.path.join(
+        tempfile.gettempdir(), f"npz_weights_{os.getpid()}"
+    )
+    os.makedirs(root, exist_ok=True)
     path = os.path.join(root, "checkpoint.npz")
     np.savez(path, filter=np.array([0.25, -0.5, 0.125, 0.75]))
     weights = load_weights_npz(path, key="filter")
@@ -7800,6 +7805,7 @@ def stream_ingest_gate(spark, sf_dir):
     hand-unrolled batch replay in tests/test_ingest.py. Reference twin:
     periodic side-effects over a step stream
     (train/train_stage_1/train.py:95-117)."""
+    import shutil
     import tempfile
 
     from experimentsplan_datapipeline_spark.streaming.events import (
@@ -7812,7 +7818,14 @@ def stream_ingest_gate(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 300)
-    root = tempfile.mkdtemp(prefix="ingest_gate_")
+    # fixed per-process scratch, cleared on entry: repeated registry runs
+    # (check_oracle sweeps, plan_audit, probes) must not accumulate a
+    # batch copy + checkpoint per invocation
+    root = os.path.join(
+        tempfile.gettempdir(), f"ingest_gate_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
     staging = os.path.join(root, "staging")
     result_dir = os.path.join(root, "hits")
     batch.repartition(4, "doc_id").write.parquet(staging)

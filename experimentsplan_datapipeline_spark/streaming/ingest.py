@@ -22,18 +22,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from experimentsplan_datapipeline_spark.operators.dedup import (
-    minhash_index_write,
+    minhash_bandkeys,
     minhash_lsh_incremental,
 )
 
 
 def _dir_has_data(spark, path: str) -> bool:
-    """Hadoop-FS existence probe (works for local, hdfs://, s3a://)."""
+    """True iff ``path`` exists AND contains at least one entry — a
+    pre-created empty output dir (an mkdir'd mount point, an object-store
+    prefix) must read as 'no state yet', not crash the first micro-batch
+    with an unreadable-parquet error. Hadoop-FS, so local/hdfs/s3a alike."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(hconf)
-    return bool(fs.exists(p))
+    return bool(fs.exists(p)) and len(fs.listStatus(p)) > 0
 
 
 def streaming_ingest_gate(
@@ -50,44 +53,64 @@ def streaming_ingest_gate(
     portable_seed: int | None = None,
     grow_state: bool = False,
     accepted_dir: str | None = None,
+    state_dir: str | None = None,
 ):
     """Build the foreachBatch writer for the live ingest gate. Caller
     configures the trigger (``run_available_now`` for drains) and the
     checkpoint location.
 
-    Per micro-batch: band the batch against the CURRENT persisted index
-    (``spark.table(index_table)`` — re-read each epoch, so appended state
-    is visible), verify candidate-only exact Jaccard, append the verified
-    (batch_id, corpus_id, jaccard) hits to ``result_dir``. The corpus
-    text for verification is the static ``corpus`` plus — when
-    ``grow_state`` — the accepted docs accumulated in ``accepted_dir``.
+    Per micro-batch: band the batch against the persisted seed index
+    (``index_table`` — written once by ``minhash_index_write``, never
+    mutated by the stream) plus the stream's own accumulated band keys,
+    verify candidate-only exact Jaccard, and write the verified
+    (batch_id, corpus_id, jaccard) hits. The corpus text for
+    verification is the static ``corpus`` plus — when ``grow_state`` —
+    the accepted docs accumulated in ``accepted_dir``.
 
-    ``grow_state=True`` then appends the batch's accepted (non-hit) docs
-    to BOTH halves of the state: their band keys into ``index_table``
-    (bucketed append — only the new docs hash) and their (id, text) rows
-    into ``accepted_dir`` (needed only for verify, read candidate-pruned).
+    ``grow_state=True`` (requires ``accepted_dir`` and ``state_dir``)
+    evolves the state between micro-batches: the batch's accepted
+    (non-hit) docs land as (id, text) rows in ``accepted_dir`` and as
+    band keys in ``state_dir``.
 
-    Restart safety — EXACTLY-ONCE for hits and accepted docs with plain
-    parquet: each epoch writes its own ``epoch=N`` partition dir with
-    mode=overwrite, so a replayed (crash-uncommitted) epoch overwrites
-    itself instead of appending duplicates; epoch ids continue from the
-    checkpoint across restarts, so committed epochs are never reused.
-    The index-table append IS at-least-once (a replayed epoch re-appends
-    its band keys), which is deliberately harmless: duplicate band-key
-    rows only duplicate candidate pairs, and the candidate ``.distinct()``
-    collapses them — results unchanged, a little wasted verify work on
-    the one replayed epoch.
+    Restart safety — EXACTLY-ONCE end to end, with plain parquet:
+
+    - every output (hits, accepted text, accepted band keys) writes its
+      own ``epoch=N`` partition dir with mode=overwrite, so a
+      crash-replayed epoch overwrites itself instead of appending
+      duplicates (epoch ids continue from the checkpoint; committed
+      epochs are never reused);
+    - every STATE READ filters ``epoch < N``, so a replayed epoch sees
+      exactly the pre-epoch state even when its own partial writes
+      survived the crash — without the filter, a replay would
+      self-match the batch against its own half-written state, emit
+      bogus self-pairs, and overwrite the accepted set as empty while
+      the band keys lingered (text-less keys = silently missed dups
+      forever). The seed index table is never appended by the stream
+      for the same reason: table appends are not epoch-addressable, so
+      they cannot be made replay-idempotent.
     """
-    if grow_state and accepted_dir is None:
-        raise ValueError("grow_state=True requires accepted_dir")
+    if grow_state and (accepted_dir is None or state_dir is None):
+        raise ValueError("grow_state=True requires accepted_dir and state_dir")
 
     def gate(mb: DataFrame, epoch_id: int) -> None:
         spark = mb.sparkSession
+        prior = F.col("epoch") < F.lit(epoch_id)
         corpus_now = corpus
-        if grow_state and _dir_has_data(spark, accepted_dir):
-            grown = spark.read.parquet(accepted_dir).select(id_col, text_col)
-            corpus_now = corpus.select(id_col, text_col).unionByName(grown)
         idx = spark.table(index_table)
+        if grow_state and _dir_has_data(spark, accepted_dir):
+            grown = (
+                spark.read.parquet(accepted_dir)
+                .filter(prior)
+                .select(id_col, text_col)
+            )
+            corpus_now = corpus.select(id_col, text_col).unionByName(grown)
+        if grow_state and _dir_has_data(spark, state_dir):
+            grown_keys = (
+                spark.read.parquet(state_dir)
+                .filter(prior)
+                .select(id_col, "band", "key")
+            )
+            idx = idx.unionByName(grown_keys)
         hits = minhash_lsh_incremental(
             corpus_now, mb, text_col, id_col,
             num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
@@ -101,15 +124,18 @@ def streaming_ingest_gate(
             dup_ids = hits.select(
                 F.col("batch_id").alias(id_col)
             ).distinct()
-            accepted = mb.join(F.broadcast(dup_ids), id_col, "left_anti")
+            accepted = mb.join(
+                F.broadcast(dup_ids), id_col, "left_anti"
+            ).localCheckpoint(eager=True)  # feeds both state writes once
             accepted.select(id_col, text_col).write.mode("overwrite").parquet(
                 os.path.join(accepted_dir, f"epoch={epoch_id}")
             )
-            minhash_index_write(
-                accepted, index_table, text_col, id_col,
+            minhash_bandkeys(
+                accepted, text_col, id_col,
                 num_hashes=num_hashes, bands=bands,
                 shingle_size=shingle_size, portable_seed=portable_seed,
-                mode="append",
+            ).write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"epoch={epoch_id}")
             )
 
     return batch_stream.writeStream.foreachBatch(gate).outputMode("append")

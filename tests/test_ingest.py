@@ -209,6 +209,7 @@ class TestStreamingGrowingState:
         )
         result_dir = str(tmp_path / "hits")
         accepted_dir = str(tmp_path / "accepted")
+        state_dir = str(tmp_path / "state")
         spark.createDataFrame(
             [], "batch_id long, corpus_id long, jaccard double"
         ).write.parquet(result_dir + "/epoch=-1")
@@ -222,6 +223,7 @@ class TestStreamingGrowingState:
                 stream, corpus, "t_stream_grow_idx", result_dir,
                 "text", "doc_id", threshold=0.5, portable_seed=7,
                 grow_state=True, accepted_dir=accepted_dir,
+                state_dir=state_dir,
             ).option("checkpointLocation", str(tmp_path / "ckpt"))
             run_available_now(writer, timeout_sec=240.0)
 
@@ -389,6 +391,7 @@ class TestExactScreenIndex:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_fp_idx")
             spark.sql("DROP TABLE IF EXISTS t_fp_idx_bloom")
+            spark.sql("DROP TABLE IF EXISTS t_fp_idx_bloom_meta")
 
     def test_append_folds_bloom_of_union(self, spark):
         """mode='append': the bit_or fold of old + new words IS the bloom
@@ -427,6 +430,7 @@ class TestExactScreenIndex:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_fp_grow")
             spark.sql("DROP TABLE IF EXISTS t_fp_grow_bloom")
+            spark.sql("DROP TABLE IF EXISTS t_fp_grow_bloom_meta")
 
     def test_plan_bit_test_prune_no_corpus_text_scan(self, spark, tmp_path):
         """Steady state: the screen's plan bit-tests the BATCH
@@ -458,3 +462,85 @@ class TestExactScreenIndex:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_fp_plan")
             spark.sql("DROP TABLE IF EXISTS t_fp_plan_bloom")
+            spark.sql("DROP TABLE IF EXISTS t_fp_plan_bloom_meta")
+
+
+class TestStreamGateCrashReplay:
+    def test_replayed_epoch_ignores_its_own_partial_state(self, spark, tmp_path):
+        """The reviewer scenario: epoch 0 half-commits (accepted text +
+        band keys + bogus hits written) then the checkpoint never
+        commits, so epoch 0 REPLAYS. The replay must read state with
+        epoch < 0 (i.e. none of its own leftovers — otherwise the batch
+        self-matches its own band keys and every accepted doc flips to a
+        bogus self-dup) and overwrite all three epoch=0 partitions with
+        the clean recomputation."""
+        import glob
+        import os
+        import shutil
+
+        from experimentsplan_datapipeline_spark.operators.dedup import (
+            minhash_bandkeys,
+        )
+        from experimentsplan_datapipeline_spark.streaming.events import (
+            run_available_now,
+        )
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            read_gate_results,
+            streaming_ingest_gate,
+        )
+
+        corpus, _ = _docs(spark)
+        doc_a = ("novel ingredients cardamom saffron turmeric paprika "
+                 "coriander fennel anise clove nutmeg cinnamon bay")
+        b1 = spark.createDataFrame([(600, doc_a)], ["doc_id", "text"])
+        staging = tmp_path / "staging"
+        staging.mkdir()
+        tmp = str(tmp_path / "st0")
+        b1.coalesce(1).write.parquet(tmp)
+        shutil.move(
+            glob.glob(tmp + "/part-*.parquet")[0],
+            str(staging / "0000.parquet"),
+        )
+
+        minhash_index_write(
+            corpus, "t_replay_idx", "text", "doc_id", portable_seed=7
+        )
+        result_dir = str(tmp_path / "hits")
+        accepted_dir = str(tmp_path / "accepted")
+        state_dir = str(tmp_path / "state")
+        try:
+            # plant epoch-0 leftovers AS IF a prior attempt half-committed:
+            # doc 600 already "accepted" (text + band keys) and a bogus
+            # self-pair hit — exactly what a crash after the state writes
+            # leaves behind
+            b1.write.parquet(os.path.join(accepted_dir, "epoch=0"))
+            minhash_bandkeys(
+                b1, "text", "doc_id", portable_seed=7
+            ).write.parquet(os.path.join(state_dir, "epoch=0"))
+            spark.createDataFrame(
+                [(600, 600, 1.0)], "batch_id long, corpus_id long, jaccard double"
+            ).write.parquet(os.path.join(result_dir, "epoch=0"))
+
+            stream = (
+                spark.readStream.schema(b1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(staging))
+            )
+            writer = streaming_ingest_gate(
+                stream, corpus, "t_replay_idx", result_dir,
+                "text", "doc_id", threshold=0.5, portable_seed=7,
+                grow_state=True, accepted_dir=accepted_dir,
+                state_dir=state_dir,
+            ).option("checkpointLocation", str(tmp_path / "ckpt"))
+            run_available_now(writer, timeout_sec=240.0)
+
+            # the bogus self-pair is GONE (epoch 0 overwritten clean) and
+            # the novel doc is accepted again, exactly once
+            hits = read_gate_results(spark, result_dir).collect()
+            assert hits == []
+            acc = spark.read.parquet(accepted_dir).collect()
+            assert {(r["doc_id"], r["epoch"]) for r in acc} == {(600, 0)}
+            keys = spark.read.parquet(state_dir).groupBy("epoch").count().collect()
+            assert [(r["epoch"], r["count"]) for r in keys] == [(0, 8)]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_replay_idx")
