@@ -381,13 +381,16 @@ def fingerprint_index_write(
     same (n_bits, n_hashes) family IS the bloom of the union set).
 
     Crash ordering: the BLOOM (and its parameter meta row) commits
-    BEFORE the fp table in both modes — a crash between the two writes
-    leaves bloom-without-fp, which only costs false positives (killed by
-    the exact join); fp-without-bloom would be permanent silent false
-    NEGATIVES. The (n_bits, n_hashes) family is persisted in
-    ``{table_name}_bloom_meta`` so the screen can never probe with a
-    mismatched family. The corpus is fingerprinted once: the fp frame is
-    checkpointed and feeds both writes.
+    BEFORE the fp table in both modes, and the bloom's own commit is a
+    staging-table write + name swap — every crash window leaves either a
+    consistent old state, a bloom SUPERSET of the fp table (false
+    positives only, killed by the exact join), or a missing bloom table
+    (the screen fails LOUDLY). fp-without-bloom — the one state that
+    silently misses duplicates forever — is unreachable. The (n_bits,
+    n_hashes) family is persisted in ``{table_name}_bloom_meta`` so the
+    screen can never probe with a mismatched family. The corpus is
+    fingerprinted once: the fp frame is checkpointed and feeds both
+    writes.
     """
     from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint
     from experimentsplan_datapipeline_spark.sources.sinks import write_bucketed
@@ -411,6 +414,13 @@ def fingerprint_index_write(
     bloom_name = f"{table_name}_bloom"
     meta_name = f"{table_name}_bloom_meta"
     if mode == "append" and spark.catalog.tableExists(bloom_name):
+        if not spark.catalog.tableExists(meta_name):
+            raise ValueError(
+                f"fingerprint_index_write: {bloom_name!r} exists but its "
+                f"meta table {meta_name!r} is missing — the index predates "
+                f"the persisted-family format (or a partial write); rebuild "
+                f"with mode='overwrite'"
+            )
         meta = spark.table(meta_name).first()
         if (meta["n_bits"], meta["n_hashes"]) != (n_bits, n_hashes):
             raise ValueError(
@@ -421,16 +431,44 @@ def fingerprint_index_write(
         words = (
             spark.table(bloom_name).unionByName(words)
             .groupBy("w").agg(F.expr("bit_or(m)").alias("m"))
+            .localCheckpoint(eager=True)  # materialize before the swap
         )
-        words.localCheckpoint(eager=True).write.mode("overwrite").format(
-            "parquet"
-        ).saveAsTable(bloom_name)
+        _swap_in_table(spark, words, bloom_name)
     else:
-        write_bucketed(words, bloom_name, ["w"], 1, mode="overwrite")
-        spark.createDataFrame(
-            [(n_bits, n_hashes)], "n_bits long, n_hashes int"
-        ).write.mode("overwrite").format("parquet").saveAsTable(meta_name)
+        _swap_in_table(spark, words, bloom_name)
+        write_bucketed(
+            spark.createDataFrame(
+                [(n_bits, n_hashes)], "n_bits long, n_hashes int"
+            ),
+            meta_name, ["n_bits"], 1, mode="overwrite",
+        )
     write_bucketed(fp, table_name, ["fp"], n_buckets, mode=mode)
+
+
+def _swap_in_table(spark, df: DataFrame, table_name: str) -> None:
+    """Commit ``df`` as ``table_name`` via staging-write + rename — the
+    overwrite-in-place saveAsTable deletes the old data before the new
+    files commit, so a mid-commit crash could leave a PARTIAL table (for
+    the bloom, partial = silent false negatives). With the swap, crash
+    windows leave the old table (consistent), a staging leftover
+    (cleaned by the next run's overwrite), or no table at all (readers
+    fail loudly). Stale warehouse dirs from previous sessions are purged
+    before both the staging write and the rename, mirroring
+    write_bucketed's cross-session guard."""
+    import os
+    import shutil
+
+    from experimentsplan_datapipeline_spark.sources.sinks import write_bucketed
+
+    staging = f"{table_name}_staging"
+    write_bucketed(df, staging, [df.columns[0]], 1, mode="overwrite")
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    if not spark.catalog.tableExists(table_name):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
+    spark.sql(f"ALTER TABLE `{staging}` RENAME TO `{table_name}`")
 
 
 def exact_screen_incremental(
@@ -452,7 +490,14 @@ def exact_screen_incremental(
     from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint
 
     spark = batch.sparkSession
-    meta = spark.table(f"{table_name}_bloom_meta").first()
+    meta_name = f"{table_name}_bloom_meta"
+    if not spark.catalog.tableExists(meta_name):
+        raise ValueError(
+            f"exact_screen_incremental: meta table {meta_name!r} not found "
+            f"— build the index with fingerprint_index_write first (indexes "
+            f"from before the persisted-family format must be rebuilt)"
+        )
+    meta = spark.table(meta_name).first()
     n_bits, n_hashes = int(meta["n_bits"]), int(meta["n_hashes"])
     n_words = n_bits // 64
     words = [0] * n_words

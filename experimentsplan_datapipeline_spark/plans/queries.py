@@ -37,6 +37,28 @@ from experimentsplan_datapipeline_spark.operators import dedup as dd
 from experimentsplan_datapipeline_spark.operators import similarity as sim
 from experimentsplan_datapipeline_spark.operators.pivots import pivot_table
 
+# Per-process scratch dirs for registry queries that must write real files
+# (staged streams, npz checkpoints). mkdtemp gives a private 0700 dir with
+# an unpredictable name (a predictable /tmp/<name>_<pid> path is CWE-377:
+# another user can pre-create or symlink it); caching ONE dir per purpose
+# and clearing its contents on entry bounds accumulation across repeated
+# registry runs (check_oracle sweeps, plan_audit, probes) to a single copy.
+_SCRATCH_DIRS: dict[str, str] = {}
+
+
+def _scratch_dir(purpose: str) -> str:
+    import shutil
+    import tempfile
+
+    root = _SCRATCH_DIRS.get(purpose)
+    if root is None or not os.path.isdir(root):
+        root = tempfile.mkdtemp(prefix=f"{purpose}_")
+        _SCRATCH_DIRS[purpose] = root
+    for entry in os.listdir(root):
+        p = os.path.join(root, entry)
+        shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+    return root
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
@@ -4704,8 +4726,6 @@ def media_infer_npz(spark, sf_dir):
     torrent broadcast). Weights are dyadic rationals so the DuckDB oracle
     replays the scores exactly. media_infer_broadcast covers the in-memory
     weights path; this entry gates the on-disk artifact path."""
-    import tempfile
-
     import numpy as np
 
     from experimentsplan_datapipeline_spark.media.images import (
@@ -4715,12 +4735,7 @@ def media_infer_npz(spark, sf_dir):
         normalize_pixels,
     )
 
-    # fixed per-process scratch (see stream_ingest_gate): no leak across
-    # repeated registry runs
-    root = os.path.join(
-        tempfile.gettempdir(), f"npz_weights_{os.getpid()}"
-    )
-    os.makedirs(root, exist_ok=True)
+    root = _scratch_dir("npz_weights")
     path = os.path.join(root, "checkpoint.npz")
     np.savez(path, filter=np.array([0.25, -0.5, 0.125, 0.75]))
     weights = load_weights_npz(path, key="filter")
@@ -7805,9 +7820,6 @@ def stream_ingest_gate(spark, sf_dir):
     hand-unrolled batch replay in tests/test_ingest.py. Reference twin:
     periodic side-effects over a step stream
     (train/train_stage_1/train.py:95-117)."""
-    import shutil
-    import tempfile
-
     from experimentsplan_datapipeline_spark.streaming.events import (
         run_available_now,
     )
@@ -7818,14 +7830,7 @@ def stream_ingest_gate(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 300)
-    # fixed per-process scratch, cleared on entry: repeated registry runs
-    # (check_oracle sweeps, plan_audit, probes) must not accumulate a
-    # batch copy + checkpoint per invocation
-    root = os.path.join(
-        tempfile.gettempdir(), f"ingest_gate_{os.getpid()}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
+    root = _scratch_dir("ingest_gate")
     staging = os.path.join(root, "staging")
     result_dir = os.path.join(root, "hits")
     batch.repartition(4, "doc_id").write.parquet(staging)

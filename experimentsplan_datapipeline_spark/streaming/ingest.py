@@ -97,16 +97,27 @@ def streaming_ingest_gate(
         prior = F.col("epoch") < F.lit(epoch_id)
         corpus_now = corpus
         idx = spark.table(index_table)
+        # EXPLICIT schemas on both state reads (epoch is the partition
+        # column): a crashed first epoch can leave a partition dir with
+        # only _temporary inside — zero data files, so schema INFERENCE
+        # would raise on every replay and wedge the stream permanently;
+        # with the schema the read is just empty and the replay heals it
+        acc_schema = corpus.select(id_col, text_col).schema.add(
+            "epoch", "long"
+        )
+        key_schema = idx.select(id_col, "band", "key").schema.add(
+            "epoch", "long"
+        )
         if grow_state and _dir_has_data(spark, accepted_dir):
             grown = (
-                spark.read.parquet(accepted_dir)
+                spark.read.schema(acc_schema).parquet(accepted_dir)
                 .filter(prior)
                 .select(id_col, text_col)
             )
             corpus_now = corpus.select(id_col, text_col).unionByName(grown)
         if grow_state and _dir_has_data(spark, state_dir):
             grown_keys = (
-                spark.read.parquet(state_dir)
+                spark.read.schema(key_schema).parquet(state_dir)
                 .filter(prior)
                 .select(id_col, "band", "key")
             )
