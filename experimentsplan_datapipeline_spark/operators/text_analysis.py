@@ -223,6 +223,80 @@ def chunk_documents(
     )
 
 
+def chunk_content_defined(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    divisor: int = 16,
+    seed: int = 29,
+) -> DataFrame:
+    """Content-defined chunking (CDC): chunk boundaries fall where the
+    rolling hash of the last two tokens hits 0 mod ``divisor`` — so an
+    insertion or deletion re-chunks only its own neighborhood instead of
+    shifting every later boundary, which is what makes chunk-level dedup
+    stable across document revisions (the FastCDC/rsync idea applied to
+    token streams; ``chunk_documents`` is the fixed-window form whose
+    chunks all move after any edit). Expected chunk length = ``divisor``
+    tokens. Production variants clamp chunks to [min, max] sizes; the
+    clamp is an extra cumsum tier, omitted here to keep the oracle a
+    direct window replay.
+
+    Scale shape: tokenize + explode, then ONE window pass per doc
+    (lag + boundary flag + running sum over the same (id, pos) spec —
+    high-cardinality partition key, the good kind of window), then one
+    combine-capable groupBy (id, chunk) that rebuilds the chunk text
+    in-row. The boundary hash is the engine-portable md5 family, so the
+    oracle replays every boundary decision exactly.
+
+    Returns (id, chunk_id, n_tokens, chunk_hash) — chunk_hash is the
+    md5 of the space-joined chunk, the key chunk-level dedup joins on.
+    """
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        portable_hash,
+    )
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = (
+        df.select(F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "tok"))
+        .withColumn("__prev", F.lag("tok").over(w))
+        .withColumn(
+            "__b",
+            F.when(
+                F.col("__prev").isNotNull()
+                & (
+                    F.pmod(
+                        portable_hash([F.col("__prev"), F.col("tok")], seed),
+                        F.lit(divisor),
+                    )
+                    == 0
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "chunk_id",
+            F.sum("__b").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        toks.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

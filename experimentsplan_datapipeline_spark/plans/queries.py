@@ -1363,6 +1363,49 @@ def text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", doc_fingerprint("text").alias("fp"))
 
 
+@register("chunk_content_defined", r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents),
+ex AS (
+  SELECT doc_id,
+         unnest(range(1, len(tk) + 1)) AS pos,
+         unnest(tk) AS tok,
+         tk
+  FROM toks),
+b AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos = 1 THEN 0
+              WHEN ('0x' || substr(md5(tk[pos - 1] || '|' || tok || '|29'),
+                                   1, 8))::BIGINT % 16 = 0
+              THEN 1 ELSE 0 END AS bb
+  FROM ex),
+c AS (
+  SELECT doc_id, pos, tok,
+         sum(bb) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM b)
+SELECT doc_id, chunk_id, count(*) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+FROM c GROUP BY doc_id, chunk_id
+""")
+def chunk_content_defined_q(spark, sf_dir):
+    """Content-defined chunking (operators/text_analysis.py::
+    chunk_content_defined): boundaries where the rolling 2-token
+    portable hash hits 0 mod 16, so edits re-chunk only their own
+    neighborhood — the revision-stable key for chunk-level dedup
+    (chunk_documents is the fixed-window form whose chunks all shift
+    after any edit). One high-cardinality-keyed window pass + one
+    combine-capable groupBy; every boundary decision replayed by the
+    oracle through the md5 hash family."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        chunk_content_defined,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return chunk_content_defined(docs, "doc_id", "text")
+
+
 @register("tfidf_top_terms", """
 WITH tf AS (
   SELECT doc_id, term, count(*) AS tf

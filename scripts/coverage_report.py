@@ -236,6 +236,8 @@ ROUND9_ANNOTATED: dict[str, str] = {
         "length-bucketed batch padding report, one shared distributed rank",
     "pipeline_ingest_batch_indexed":
         "the funnel on persisted state: Bloom+fp exact screen, band-key near-dup",
+    "chunk_content_defined":
+        "CDC token chunking: rolling-hash boundaries, edit-stable chunk hashes",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)

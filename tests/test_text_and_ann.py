@@ -1026,3 +1026,42 @@ def test_random_projection_preserves_distances(spark):
         for p in proj.values()
         for v in p
     )
+
+
+def test_cdc_chunking_is_edit_stable(spark):
+    """Content-defined chunking's selling point: one inserted token
+    re-chunks only its own neighborhood — all chunks outside it keep
+    their hashes — while fixed-window chunking shifts every chunk after
+    the edit. Boundaries depend only on adjacent token pairs, so chunks
+    not containing the edit are bitwise identical."""
+    import random
+
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        chunk_content_defined,
+        chunk_documents,
+    )
+
+    rng = random.Random(31)
+    words = [f"w{rng.randrange(500)}" for _ in range(300)]
+    edited = words[:7] + ["inserted"] + words[7:]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(edited))], ["doc_id", "text"]
+    )
+
+    cdc = chunk_content_defined(df, "doc_id", "text").collect()
+    h1 = [r["chunk_hash"] for r in cdc if r["doc_id"] == 1]
+    h2 = [r["chunk_hash"] for r in cdc if r["doc_id"] == 2]
+    preserved = len(set(h1) & set(h2))
+    # every chunk except the one containing the edit survives (the
+    # insertion cannot merge/split neighbors: boundaries are pairwise)
+    assert preserved >= len(h1) - 2, (preserved, len(h1))
+    assert len(h1) >= 10  # divisor=16 over 300 tokens: real chunking
+
+    fixed = chunk_documents(df, "doc_id", "text", chunk_tokens=16, overlap=0)
+    fx = fixed.select(
+        "doc_id", F.md5("chunk_text").alias("h")
+    ).collect()
+    f1 = {r["h"] for r in fx if r["doc_id"] == 1}
+    f2 = {r["h"] for r in fx if r["doc_id"] == 2}
+    # fixed windows: everything after the edit point shifts
+    assert len(f1 & f2) <= 2, len(f1 & f2)
