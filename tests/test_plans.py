@@ -228,6 +228,17 @@ class TestRound9PlanShapes:
         assert len(doc_scans) <= 2, f"{len(doc_scans)} documents scans"
         assert plan.count("LeftSemi") >= 2  # candidate-only verify
 
+    def test_cdc_chunking_one_window_bounded_exchanges(self, spark):
+        """CDC chunking is one high-cardinality-keyed window pass (lag +
+        boundary + cumsum share the (doc, pos) spec) plus one combine-
+        capable groupBy — at most two hash exchanges, no join, no
+        Python."""
+        plan = _plan(spark, "chunk_content_defined")
+        assert plan.count("Exchange hashpartitioning") <= 2
+        assert "Window" in plan
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     def test_infer_npz_single_python_chain(self, spark):
         """Decode + normalize + broadcast-scored inference fuse into
         Arrow mapInPandas stages over one scan — no shuffle at all."""
