@@ -952,6 +952,13 @@ def embedding_centroid_drift(
 
     Returns one row per unordered slice pair: (slice_a, slice_b, n_a,
     n_b, centroid_cosine) with the cosine rounded to 6.
+
+    Fail-loud contract (ADVICE r9): ragged vectors (per-slice dimension
+    counts that disagree) or null elements would silently misreport
+    n_a/n_b and misalign centroid dimensions, so both raise instead —
+    the per-(slice, i) counts the aggregation already computes double as
+    the uniformity witness (zero extra passes), and the pair join raises
+    if two slices' centroids disagree on dimensionality.
     """
     ex = df.select(
         F.col(slice_col).alias("sl"),
@@ -959,17 +966,55 @@ def embedding_centroid_drift(
     ).select("sl", "i", F.col("v").cast("double").alias("v"))
     cent = (
         ex.groupBy("sl", "i")
-        .agg(F.avg("v").alias("m"), F.count(F.lit(1)).alias("n"))
+        # n_pos counts positions (posexplode keeps null elements as rows);
+        # n_val counts non-null values — any gap means null elements
+        .agg(
+            F.avg("v").alias("m"),
+            F.count(F.lit(1)).alias("n_pos"),
+            F.count("v").alias("n_val"),
+        )
         .groupBy("sl")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("i", "m"))),
                 lambda s: s["m"],
             ).alias("c"),
-            F.max("n").alias("n"),  # rows per slice (same for every i)
+            F.max("n_pos").alias("n_max"),
+            F.min("n_pos").alias("n_min"),
+            F.min("n_val").alias("nv_min"),
+        )
+        .select(
+            "sl",
+            "c",
+            F.when(
+                (F.col("n_min") == F.col("n_max"))
+                & (F.col("nv_min") == F.col("n_max")),
+                F.col("n_max"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "embedding_centroid_drift: ragged or "
+                            "null-bearing vectors in slice "
+                        ),
+                        F.col("sl").cast("string"),
+                        F.lit(" (per-dimension counts min/max/non-null: "),
+                        F.concat_ws(
+                            "/",
+                            F.col("n_min"),
+                            F.col("n_max"),
+                            F.col("nv_min"),
+                        ),
+                        F.lit(") — fix or filter the embedding column"),
+                    )
+                ).cast("long")
+            )
+            .alias("n"),
         )
     )
     a, b = cent.alias("a"), cent.alias("b")
+    dim_ok = F.size(F.col("a.c")) == F.size(F.col("b.c"))
     return (
         a.join(F.broadcast(b), F.col("a.sl") < F.col("b.sl"))
         .select(
@@ -977,8 +1022,19 @@ def embedding_centroid_drift(
             F.col("b.sl").alias("slice_b"),
             F.col("a.n").alias("n_a"),
             F.col("b.n").alias("n_b"),
-            F.round(
-                cosine_similarity(F.col("a.c"), F.col("b.c")), 6
-            ).alias("centroid_cosine"),
+            F.when(
+                dim_ok,
+                F.round(cosine_similarity(F.col("a.c"), F.col("b.c")), 6),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "embedding_centroid_drift: slices disagree on "
+                        "embedding dimensionality — mixed-dim corpora "
+                        "must be split before drift comparison"
+                    )
+                ).cast("double")
+            )
+            .alias("centroid_cosine"),
         )
     )

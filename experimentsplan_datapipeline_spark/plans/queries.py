@@ -6759,7 +6759,12 @@ def graph_pagerank_converged(spark, sf_dir):
     convergence delta — so a scale where the loop stops a round or two
     before/after the unroll (sf0.001's 14 vs the ladder's 16) still
     hash-matches: post-convergence rounds move values by < tol each,
-    which cannot flip the 5th decimal (ADVICE r8). This is the one
+    which is very unlikely to flip the 5th decimal — a value lying
+    within tol of a rounding boundary COULD still flip, so the
+    cross-scale match is empirically verified (stable at sf0.001/0.01/
+    0.1) rather than provable (ADVICE r8, softened per ADVICE r9); the
+    top-100 cut on coarser-rounded ties is safe because both sides
+    share the node tie-break. This is the one
     registry entry for the driver-loop iterate-until-tol shape; the
     fixed-round ladders (graph_pagerank etc.) cover the unrolled shape.
     max_iter=24 stays above the proven bound so tol, not the cap,

@@ -1065,3 +1065,46 @@ def test_cdc_chunking_is_edit_stable(spark):
     f2 = {r["h"] for r in fx if r["doc_id"] == 2}
     # fixed windows: everything after the edit point shifts
     assert len(f1 & f2) <= 2, len(f1 & f2)
+
+
+def test_centroid_drift_happy_path_and_ragged_guard(spark):
+    """ADVICE r9: ragged / null-bearing vectors must raise, not silently
+    misreport n and misalign dims; uniform vectors still work."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        embedding_centroid_drift,
+    )
+
+    ok = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", [1.0, 2.0]), ("b", [0.0, 1.0])],
+        ["sl", "vec"],
+    )
+    rows = {
+        (r["slice_a"], r["slice_b"]): r
+        for r in embedding_centroid_drift(ok, "vec", "sl").collect()
+    }
+    r = rows[("a", "b")]
+    assert (r["n_a"], r["n_b"]) == (2, 1)
+    # centroid_a = (1, 1), centroid_b = (0, 1) -> cos = 1/sqrt(2)
+    assert abs(r["centroid_cosine"] - 1 / math.sqrt(2)) < 1e-6
+
+    ragged = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", [1.0]), ("b", [0.0, 1.0])],
+        ["sl", "vec"],
+    )
+    with pytest.raises(Exception, match="ragged or null-bearing"):
+        embedding_centroid_drift(ragged, "vec", "sl").collect()
+
+    nullelem = spark.createDataFrame(
+        [("a", [1.0, None]), ("a", [1.0, 2.0]), ("b", [0.0, 1.0])],
+        ["sl", "vec"],
+    )
+    with pytest.raises(Exception, match="ragged or null-bearing"):
+        embedding_centroid_drift(nullelem, "vec", "sl").collect()
+
+    # uniform WITHIN each slice but dims disagree ACROSS slices: the
+    # pair join must refuse to compare mixed dimensionalities
+    mixed = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0, 3.0])], ["sl", "vec"]
+    )
+    with pytest.raises(Exception, match="disagree on embedding dim"):
+        embedding_centroid_drift(mixed, "vec", "sl").collect()
