@@ -325,6 +325,33 @@ def minhash_lsh_incremental(
     ).filter(F.col("jaccard") >= threshold)
 
 
+_UNSET = object()
+
+
+def _read_pointer(spark, meta_name: str):
+    """Current meta row of a generation-pointed index, or None."""
+    if not spark.catalog.tableExists(meta_name):
+        return None
+    return spark.table(meta_name).first()
+
+
+def _drop_gen_tables(spark, base: str, keep_gen: int | None) -> None:
+    """Best-effort GC of ``{base}_g<N>`` generation tables other than
+    ``keep_gen`` (leaked by a crash between data write and pointer swap,
+    or superseded by a successful overwrite). Never load-bearing: a
+    leaked generation is unreferenced by the pointer, so correctness
+    never depends on this running."""
+    import re
+
+    pat = re.compile(re.escape(base.lower()) + r"_g(\d+)(_staging)?")
+    for tbl in spark.catalog.listTables():
+        m = pat.fullmatch(tbl.name)
+        if m and (
+            keep_gen is None or int(m.group(1)) != keep_gen or m.group(2)
+        ):  # staging leftovers are pre-commit scratch: always collectable
+            spark.sql(f"DROP TABLE IF EXISTS `{tbl.name}`")
+
+
 def minhash_index_write(
     corpus: DataFrame, table_name: str, text_col: str, id_col: str,
     num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
@@ -339,26 +366,129 @@ def minhash_index_write(
     O(batch) hashing + one broadcastable join — no corpus text scan on
     the banding path (plan-asserted in tests/test_ingest.py).
 
-    ``mode='append'`` grows the index with a new batch's accepted docs
-    (pass the accepted rows as ``corpus``) — the persisted-state
-    evolution mirroring the reference's versioned checkpoint 'latest'
-    discovery (reference train/common/checkpoint_utils.py:34-51).
-    Bucketing on ``key`` pays the band-key shuffle at write time.
+    Layout (generation-pointer commit, ADVICE r9): band keys live in
+    ``{table_name}_keys_g<gen>`` (bucketed on key — pays the shuffle at
+    write time) and a one-row pointer table ``{table_name}_meta``
+    records (num_hashes, bands, shingle_size, portable_seed, gen). An
+    overwrite writes a FRESH generation's keys table and swaps the
+    pointer last (staging-table rename), so every crash window leaves
+    either the old consistent (meta, keys) pair, an unreferenced leaked
+    generation (GC'd by the next write), or no meta at all — readers
+    fail LOUDLY via ``minhash_index_read``. The persisted hash params
+    close the silent-false-negative hazard of probing an index with
+    mismatched banding parameters: reads validate against the meta row.
+
+    ``mode='append'`` grows the CURRENT generation with a new batch's
+    accepted docs (pass the accepted rows as ``corpus``) after
+    validating the hash params match the persisted family — the
+    persisted-state evolution mirroring the reference's versioned
+    checkpoint 'latest' discovery (reference
+    train/common/checkpoint_utils.py:34-51). A crashed append is safely
+    RETRIED with the same batch: duplicate (id, band, key) rows are
+    harmless (candidates are de-duplicated downstream), and a partial
+    append is healed by the retry. For epoch-addressable exactly-once
+    growth use the streaming gate + ``minhash_index_compact`` instead.
     """
     from experimentsplan_datapipeline_spark.sources.sinks import write_bucketed
 
+    spark = corpus.sparkSession
+    meta_name = f"{table_name}_meta"
+    params = (num_hashes, bands, shingle_size, portable_seed)
+    meta = _read_pointer(spark, meta_name)
     bk = minhash_bandkeys(
         corpus, text_col, id_col, num_hashes, bands, shingle_size,
         portable_seed=portable_seed,
     )
-    write_bucketed(bk, table_name, ["key"], n_buckets, mode=mode)
+    if mode == "append":
+        if meta is None:
+            raise ValueError(
+                f"minhash_index_write: cannot append — meta table "
+                f"{meta_name!r} not found (index missing, or predates the "
+                f"generation-pointer format); rebuild with mode='overwrite'"
+            )
+        stored = (
+            meta["num_hashes"], meta["bands"], meta["shingle_size"],
+            meta["portable_seed"],
+        )
+        if stored != params:
+            raise ValueError(
+                f"minhash_index_write: index {table_name!r} was built with "
+                f"(num_hashes, bands, shingle_size, portable_seed)={stored};"
+                f" cannot append with {params} — mismatched banding params "
+                f"would silently miss near-duplicates"
+            )
+        write_bucketed(
+            bk, f"{table_name}_keys_g{meta['gen']}", ["key"], n_buckets,
+            mode="append",
+        )
+        return
+    new_gen = (meta["gen"] + 1) if meta is not None else 0
+    write_bucketed(
+        bk, f"{table_name}_keys_g{new_gen}", ["key"], n_buckets,
+        mode="overwrite",
+    )
+    _swap_in_table(
+        spark,
+        spark.createDataFrame(
+            [params + (new_gen,)],
+            "num_hashes int, bands int, shingle_size int, "
+            "portable_seed long, gen int",
+        ),
+        meta_name,
+    )
+    _drop_gen_tables(spark, f"{table_name}_keys", new_gen)
 
 
-def minhash_index_read(spark, table_name: str) -> DataFrame:
+def minhash_index_read(
+    spark, table_name: str,
+    num_hashes=_UNSET, bands=_UNSET, shingle_size=_UNSET,
+    portable_seed=_UNSET,
+) -> DataFrame:
     """Read back the band-key stage table ``minhash_index_write`` maintains
     (the (id, band, key) frame ``minhash_lsh_incremental`` accepts as
-    ``corpus_bandkeys``)."""
-    return spark.table(table_name)
+    ``corpus_bandkeys``), resolving the current generation through the
+    pointer table. Pass the banding params the BATCH will be hashed with
+    to validate them against the index's persisted family (ADVICE r9):
+    a mismatch raises instead of silently missing every near-duplicate
+    (different params → disjoint band keys → zero candidates)."""
+    meta = _read_pointer(spark, f"{table_name}_meta")
+    if meta is None:
+        raise ValueError(
+            f"minhash_index_read: meta table {table_name + '_meta'!r} not "
+            f"found — build the index with minhash_index_write first "
+            f"(indexes from before the generation-pointer format must be "
+            f"rebuilt)"
+        )
+    for arg, key in (
+        (num_hashes, "num_hashes"), (bands, "bands"),
+        (shingle_size, "shingle_size"), (portable_seed, "portable_seed"),
+    ):
+        if arg is not _UNSET and arg != meta[key]:
+            raise ValueError(
+                f"minhash_index_read: index {table_name!r} was built with "
+                f"{key}={meta[key]!r} but the batch would band with "
+                f"{key}={arg!r} — mismatched banding params would silently "
+                f"miss near-duplicates; rebuild the index or fix the caller"
+            )
+    return spark.table(f"{table_name}_keys_g{meta['gen']}")
+
+
+def minhash_index_drop(spark, table_name: str) -> None:
+    """Drop a minhash band-key index: pointer FIRST (readers fail loudly
+    the instant it's gone — no window reads a half-dropped index), then
+    every generation's keys table."""
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta`")
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta_staging`")
+    _drop_gen_tables(spark, f"{table_name}_keys", None)
+
+
+def fingerprint_index_drop(spark, table_name: str) -> None:
+    """Drop a fingerprint index: pointer first, then all generations of
+    the fp and bloom tables."""
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta`")
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta_staging`")
+    for base in (f"{table_name}_fp", f"{table_name}_bloom"):
+        _drop_gen_tables(spark, base, None)
 
 
 def fingerprint_index_write(
@@ -367,35 +497,45 @@ def fingerprint_index_write(
     mode: str = "overwrite",
 ) -> None:
     """Persist the EXACT-dup screen's steady state: the corpus's
-    normalized-content fingerprints as a bucketed stage table
-    (``table_name``, bucketed on fp — pays its shuffle once) plus the
-    Bloom words of that fingerprint set (``{table_name}_bloom``,
-    n_bits/64 longs — tiny). The exact-screen analogue of
+    normalized-content fingerprints as a bucketed stage table (pays its
+    shuffle once) plus the Bloom words of that fingerprint set
+    (n_bits/64 longs — tiny). The exact-screen analogue of
     ``minhash_index_write``: the corpus is fingerprinted ONCE; every
     later batch runs ``exact_screen_incremental`` against the tables —
     no corpus text re-scan, no re-fingerprint.
 
-    ``mode='append'`` grows the state with a batch's accepted docs:
-    their fingerprints append to the fp table, and their bloom words
-    bit_or-fold into the words table (the union of two blooms over the
-    same (n_bits, n_hashes) family IS the bloom of the union set).
+    Layout (generation-pointer commit, ADVICE r9): fingerprints live in
+    ``{table_name}_fp_g<gen>`` (bucketed on fp), the Bloom words in
+    ``{table_name}_bloom_g<gen>``, and a one-row pointer table
+    ``{table_name}_meta`` records (n_bits, n_hashes, gen). An overwrite
+    — fresh OR over an existing index — writes BOTH data tables under a
+    fresh generation and swaps the pointer last (staging-table rename),
+    so no crash window can pair a new bloom with an old fp table (the
+    silent-false-negative hazard of in-place rebuilds): every window
+    leaves the old consistent (fp, bloom, meta) triple, an unreferenced
+    leaked generation (GC'd by the next write), or no meta at all — the
+    screen fails LOUDLY.
 
-    Crash ordering: the BLOOM (and its parameter meta row) commits
-    BEFORE the fp table in both modes, and the bloom's own commit is a
-    staging-table write + name swap — every crash window leaves either a
-    consistent old state, a bloom SUPERSET of the fp table (false
-    positives only, killed by the exact join), or a missing bloom table
-    (the screen fails LOUDLY). fp-without-bloom — the one state that
-    silently misses duplicates forever — is unreachable. The (n_bits,
-    n_hashes) family is persisted in ``{table_name}_bloom_meta`` so the
-    screen can never probe with a mismatched family. The corpus is
-    fingerprinted once: the fp frame is checkpointed and feeds both
-    writes.
+    ``mode='append'`` grows the CURRENT generation with a batch's
+    accepted docs: the batch's bloom words bit_or-fold into the words
+    table FIRST (the union of two blooms over one (n_bits, n_hashes)
+    family IS the bloom of the union set; commit via staging swap),
+    then the fingerprints append. A crash between the two leaves the
+    bloom a SUPERSET of the fp table — false positives only, killed by
+    the exact join — and a crashed append is safely RETRIED with the
+    same batch: the bloom fold is idempotent and duplicate fp rows
+    cannot change a semi-join. fp-without-bloom — the one state that
+    silently misses duplicates forever — is unreachable in every mode.
+    The persisted family means the screen can never probe with
+    mismatched (n_bits, n_hashes). The corpus is fingerprinted once:
+    the fp frame is checkpointed and feeds both writes.
     """
     from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint
     from experimentsplan_datapipeline_spark.sources.sinks import write_bucketed
 
     spark = corpus.sparkSession
+    meta_name = f"{table_name}_meta"
+    meta = _read_pointer(spark, meta_name)
     fp = (
         corpus.select(doc_fingerprint(text_col).alias("fp"))
         .distinct()
@@ -411,38 +551,44 @@ def fingerprint_index_write(
         .groupBy("w")
         .agg(F.expr("bit_or(m)").alias("m"))
     )
-    bloom_name = f"{table_name}_bloom"
-    meta_name = f"{table_name}_bloom_meta"
-    if mode == "append" and spark.catalog.tableExists(bloom_name):
-        if not spark.catalog.tableExists(meta_name):
+    if mode == "append":
+        if meta is None:
             raise ValueError(
-                f"fingerprint_index_write: {bloom_name!r} exists but its "
-                f"meta table {meta_name!r} is missing — the index predates "
-                f"the persisted-family format (or a partial write); rebuild "
-                f"with mode='overwrite'"
+                f"fingerprint_index_write: cannot append — meta table "
+                f"{meta_name!r} not found (index missing, or predates the "
+                f"generation-pointer format); rebuild with mode='overwrite'"
             )
-        meta = spark.table(meta_name).first()
         if (meta["n_bits"], meta["n_hashes"]) != (n_bits, n_hashes):
             raise ValueError(
                 f"fingerprint_index_write: index {table_name!r} was built "
                 f"with (n_bits={meta['n_bits']}, n_hashes={meta['n_hashes']});"
                 f" cannot append with ({n_bits}, {n_hashes})"
             )
+        gen = meta["gen"]
+        bloom_name = f"{table_name}_bloom_g{gen}"
         words = (
             spark.table(bloom_name).unionByName(words)
             .groupBy("w").agg(F.expr("bit_or(m)").alias("m"))
             .localCheckpoint(eager=True)  # materialize before the swap
         )
-        _swap_in_table(spark, words, bloom_name)
-    else:
-        _swap_in_table(spark, words, bloom_name)
-        write_bucketed(
-            spark.createDataFrame(
-                [(n_bits, n_hashes)], "n_bits long, n_hashes int"
-            ),
-            meta_name, ["n_bits"], 1, mode="overwrite",
-        )
-    write_bucketed(fp, table_name, ["fp"], n_buckets, mode=mode)
+        _swap_in_table(spark, words, bloom_name)  # bloom-first: superset-safe
+        write_bucketed(fp, f"{table_name}_fp_g{gen}", ["fp"], n_buckets,
+                       mode="append")
+        return
+    new_gen = (meta["gen"] + 1) if meta is not None else 0
+    write_bucketed(fp, f"{table_name}_fp_g{new_gen}", ["fp"], n_buckets,
+                   mode="overwrite")
+    write_bucketed(words, f"{table_name}_bloom_g{new_gen}", ["w"], 1,
+                   mode="overwrite")
+    _swap_in_table(
+        spark,
+        spark.createDataFrame(
+            [(n_bits, n_hashes, new_gen)], "n_bits long, n_hashes int, gen int"
+        ),
+        meta_name,
+    )
+    for base in (f"{table_name}_fp", f"{table_name}_bloom"):
+        _drop_gen_tables(spark, base, new_gen)
 
 
 def _swap_in_table(spark, df: DataFrame, table_name: str) -> None:
@@ -483,25 +629,27 @@ def exact_screen_incremental(
     table, whose bucketing means the corpus side needs no exchange.
     Returns every batch row as (id, exact_dup) — false positives are
     killed by the exact join, so the flag is exact. The Bloom family
-    (n_bits, n_hashes) is read from the index's persisted meta table, so
-    the probe can never hash with a mismatched family (which would be
-    silent false negatives).
+    (n_bits, n_hashes) AND the current generation are read from the
+    index's pointer table, so the probe can never hash with a
+    mismatched family (silent false negatives) nor pair a bloom with a
+    different generation's fp table.
     """
     from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint
 
     spark = batch.sparkSession
-    meta_name = f"{table_name}_bloom_meta"
-    if not spark.catalog.tableExists(meta_name):
+    meta = _read_pointer(spark, f"{table_name}_meta")
+    if meta is None:
         raise ValueError(
-            f"exact_screen_incremental: meta table {meta_name!r} not found "
-            f"— build the index with fingerprint_index_write first (indexes "
-            f"from before the persisted-family format must be rebuilt)"
+            f"exact_screen_incremental: meta table {table_name + '_meta'!r} "
+            f"not found — build the index with fingerprint_index_write first "
+            f"(indexes from before the generation-pointer format must be "
+            f"rebuilt)"
         )
-    meta = spark.table(meta_name).first()
     n_bits, n_hashes = int(meta["n_bits"]), int(meta["n_hashes"])
+    gen = meta["gen"]
     n_words = n_bits // 64
     words = [0] * n_words
-    for r in spark.table(f"{table_name}_bloom").collect():
+    for r in spark.table(f"{table_name}_bloom_g{gen}").collect():
         words[r["w"]] = r["m"]
     bitset = F.lit(words).cast("array<bigint>")
 
@@ -522,7 +670,7 @@ def exact_screen_incremental(
         .drop("__bloom")
     )
     hits = candidates.join(
-        spark.table(table_name), "fp", "left_semi"
+        spark.table(f"{table_name}_fp_g{gen}"), "fp", "left_semi"
     ).select(F.col(id_col), F.lit(True).alias("exact_dup"))
     return (
         fps.select(id_col)

@@ -59,6 +59,20 @@ def _scratch_dir(purpose: str) -> str:
         shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
     return root
 
+# Stage-table names get a per-process suffix (VERDICT r9 finding 2): the
+# in-memory catalog is session-scoped but spark-warehouse/ is not, so two
+# engine processes sharing one working directory (a sweep running next to
+# pytest) would otherwise race on the same table paths. pid is unique among
+# LIVE processes on one host — exactly the collision domain; leftovers from
+# dead pids are inert dirs that write_bucketed's stale-dir purge clears if
+# the name ever recurs.
+_STAGE_TOKEN = f"p{os.getpid()}"
+
+
+def _stage(name: str) -> str:
+    return f"{name}_{_STAGE_TOKEN}"
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
@@ -1606,7 +1620,7 @@ def join_bucketed(spark, sf_dir):
     from experimentsplan_datapipeline_spark.sources.sinks import write_bucketed
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    li_t, or_t = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    li_t, or_t = _stage(f"lineitem_bkt_{tag}"), _stage(f"orders_bkt_{tag}")
     if not spark.catalog.tableExists(li_t):
         write_bucketed(
             t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
@@ -7842,10 +7856,13 @@ def dedup_incremental_indexed(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 300)
     dd.minhash_index_write(
-        corpus, "minhash_index_stage", "text", "doc_id", num_hashes=32,
-        bands=8, shingle_size=3, portable_seed=42,
+        corpus, _stage("minhash_index_stage"), "text", "doc_id",
+        num_hashes=32, bands=8, shingle_size=3, portable_seed=42,
     )
-    idx = dd.minhash_index_read(spark, "minhash_index_stage")
+    idx = dd.minhash_index_read(
+        spark, _stage("minhash_index_stage"), num_hashes=32, bands=8,
+        shingle_size=3, portable_seed=42,
+    )
     return dd.minhash_lsh_incremental(
         corpus, batch, "text", "doc_id", num_hashes=32, bands=8,
         shingle_size=3, threshold=0.5, portable_seed=42,
@@ -7883,8 +7900,8 @@ def stream_ingest_gate(spark, sf_dir):
     result_dir = os.path.join(root, "hits")
     batch.repartition(4, "doc_id").write.parquet(staging)
     dd.minhash_index_write(
-        corpus, "stream_ingest_idx", "text", "doc_id", num_hashes=32,
-        bands=8, shingle_size=3, portable_seed=42,
+        corpus, _stage("stream_ingest_idx"), "text", "doc_id",
+        num_hashes=32, bands=8, shingle_size=3, portable_seed=42,
     )
     # pre-seed one empty epoch partition so a zero-hit drain still reads
     # back cleanly (epoch dirs are the exactly-once mechanism)
@@ -7897,7 +7914,8 @@ def stream_ingest_gate(spark, sf_dir):
         .parquet(staging)
     )
     writer = streaming_ingest_gate(
-        stream, corpus, "stream_ingest_idx", result_dir, "text", "doc_id",
+        stream, corpus, _stage("stream_ingest_idx"), result_dir, "text",
+        "doc_id",
         num_hashes=32, bands=8, shingle_size=3, threshold=0.5,
         portable_seed=42,
     ).option("checkpointLocation", os.path.join(root, "ckpt"))
@@ -7931,9 +7949,9 @@ def dedup_incremental_exact_indexed(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 300)
-    dd.fingerprint_index_write(corpus, "fp_index_stage", "text")
+    dd.fingerprint_index_write(corpus, _stage("fp_index_stage"), "text")
     return dd.exact_screen_incremental(
-        batch, "text", "doc_id", "fp_index_stage"
+        batch, "text", "doc_id", _stage("fp_index_stage")
     )
 
 
@@ -7996,20 +8014,23 @@ def pipeline_ingest_batch_indexed(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 300)
-    dd.fingerprint_index_write(corpus, "funnel_fp_idx", "text")
+    dd.fingerprint_index_write(corpus, _stage("funnel_fp_idx"), "text")
     dd.minhash_index_write(
-        corpus, "funnel_mh_idx", "text", "doc_id", num_hashes=32,
+        corpus, _stage("funnel_mh_idx"), "text", "doc_id", num_hashes=32,
         bands=8, shingle_size=3, portable_seed=42,
     )
     sig = repetition_signals(batch, "doc_id", "text").select("doc_id", "keep")
     exact = dd.exact_screen_incremental(
-        batch, "text", "doc_id", "funnel_fp_idx"
+        batch, "text", "doc_id", _stage("funnel_fp_idx")
     )
     near_ids = (
         dd.minhash_lsh_incremental(
             corpus, batch, "text", "doc_id", num_hashes=32, bands=8,
             shingle_size=3, threshold=0.5, portable_seed=42,
-            corpus_bandkeys=dd.minhash_index_read(spark, "funnel_mh_idx"),
+            corpus_bandkeys=dd.minhash_index_read(
+                spark, _stage("funnel_mh_idx"), num_hashes=32, bands=8,
+                shingle_size=3, portable_seed=42,
+            ),
         )
         .select(F.col("batch_id").alias("doc_id"))
         .distinct()

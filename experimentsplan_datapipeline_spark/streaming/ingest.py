@@ -22,9 +22,199 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from experimentsplan_datapipeline_spark.operators.dedup import (
+    _drop_gen_tables,
+    _read_pointer,
     minhash_bandkeys,
+    minhash_index_read,
     minhash_lsh_incremental,
 )
+
+
+def _fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf), p, jvm
+
+
+def _list_epochs(spark, path: str) -> list[int]:
+    """Epoch numbers present as ``epoch=N`` partition dirs under ``path``
+    (Hadoop-FS listing, so local/hdfs/s3a alike). Reading committed
+    epochs dir-by-dir — instead of one whole-dir scan — keeps a crashed
+    epoch's zero-data-file leftover from poisoning schema inference and
+    keeps the compactor's read set exactly the fold set."""
+    fs, p, _ = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("epoch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def last_committed_epoch(spark, checkpoint_dir: str) -> int:
+    """Highest micro-batch id with a commit marker in the stream's
+    checkpoint (``commits/<batchId>``) — the exactly-once watermark, and
+    therefore the only safe ``upto_epoch`` for ``ingest_state_compact``:
+    epochs at or below it can never replay; anything above it still can.
+    Returns -1 when no batch has committed yet."""
+    fs, _, jvm = _fs(spark, checkpoint_dir)
+    commits = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(checkpoint_dir, "commits")
+    )
+    if not fs.exists(commits):
+        return -1
+    best = -1
+    for st in fs.listStatus(commits):
+        name = st.getPath().getName()
+        if name.isdigit():
+            best = max(best, int(name))
+    return best
+
+
+def ingest_state_compact(
+    spark,
+    compact_table: str,
+    accepted_dir: str,
+    state_dir: str,
+    upto_epoch: int,
+    n_buckets: int = 16,
+    gc_old: bool = True,
+) -> None:
+    """Fold the live gate's committed epoch partitions into bucketed
+    compact tables behind an epoch high-water mark (VERDICT r9 item 1).
+
+    Without this, ``grow_state=True`` accumulates one parquet
+    epoch-partition per micro-batch FOREVER: per-batch state reads grow
+    O(epochs) in file listings and the band-key state is maximally
+    fragmented row-scattered parquet instead of the bucketed layout the
+    batch path enjoys. Compaction rewrites the grown state as two
+    bucketed generation tables — ``{compact_table}_acc_g<gen>`` (the
+    accepted (id, text) rows, bucketed on id) and
+    ``{compact_table}_keys_g<gen>`` (their band keys, bucketed on key)
+    — and a one-row pointer ``{compact_table}_meta`` (hwm, gen) swapped
+    last, after which the gate reads "compact tables + epochs > hwm"
+    and per-batch cost is O(batch + epochs since last compaction).
+
+    ``upto_epoch`` MUST be at or below the stream's committed watermark
+    (use ``last_committed_epoch(spark, checkpoint_dir)``): committed
+    epochs can never replay, so folding them — and then DELETING their
+    partition dirs — is replay-safe by construction; folding an
+    uncommitted epoch would double-apply it when it replays (the gate
+    raises loudly if it ever sees its own epoch at or below the hwm).
+
+    Crash windows (same generation-pointer commit as the persisted
+    dedup indexes): new-gen tables written first, pointer swapped via
+    staging rename, folded epoch dirs deleted only AFTER the swap, old
+    generations GC'd last. A crash anywhere leaves either the old
+    consistent (pointer, tables, dirs) state or unreferenced leftovers
+    the next compaction collects — never a double-read or a lost epoch.
+    Each compaction rewrites the full compacted state (the standard
+    log-compaction trade: schedule it every K epochs so the O(state)
+    rewrite amortizes over K O(batch) reads; the reference's analogue
+    is the versioned checkpoint 'latest' overwrite,
+    train/common/checkpoint_utils.py:34-51).
+
+    Run between drains (or from a maintenance job): the gate re-reads
+    the pointer every micro-batch, but a concurrent GC can make an
+    in-flight batch's lazy read fail loudly — the batch retries; pass
+    ``gc_old=False`` to defer collection if that matters.
+    """
+    from experimentsplan_datapipeline_spark.sources.sinks import write_bucketed
+
+    meta_name = f"{compact_table}_meta"
+    ptr = _read_pointer(spark, meta_name)
+    old_hwm = ptr["hwm"] if ptr is not None else -1
+    if upto_epoch < old_hwm:
+        raise ValueError(
+            f"ingest_state_compact: upto_epoch={upto_epoch} is below the "
+            f"existing high-water mark {old_hwm} — the compacted state "
+            f"already covers those epochs"
+        )
+    acc_fold = [
+        e for e in _list_epochs(spark, accepted_dir) if old_hwm < e <= upto_epoch
+    ]
+    key_fold = [
+        e for e in _list_epochs(spark, state_dir) if old_hwm < e <= upto_epoch
+    ]
+
+    def _swap_pointer(gen: int) -> None:
+        from experimentsplan_datapipeline_spark.operators.dedup import (
+            _swap_in_table,
+        )
+
+        _swap_in_table(
+            spark,
+            spark.createDataFrame([(upto_epoch, gen)], "hwm long, gen int"),
+            meta_name,
+        )
+
+    if not acc_fold and not key_fold:
+        if ptr is None:
+            return  # nothing folded, nothing pointed at: stay absent
+        cur_gen = ptr["gen"]
+        if upto_epoch > old_hwm:
+            _swap_pointer(cur_gen)  # hwm-only advance, same tables
+    else:
+        if acc_fold != key_fold:
+            # a committed epoch writes BOTH dirs (and prior compactions
+            # delete from both): one-sided state below the watermark
+            # means upto_epoch overshot it into a half-written epoch
+            raise ValueError(
+                f"ingest_state_compact: asymmetric epoch state "
+                f"(accepted epochs {acc_fold}, band-key epochs {key_fold}) "
+                f"— upto_epoch={upto_epoch} likely exceeds the stream's "
+                f"committed watermark; use last_committed_epoch()"
+            )
+        new_gen = (ptr["gen"] + 1) if ptr is not None else 0
+        acc_new = spark.read.parquet(
+            *[os.path.join(accepted_dir, f"epoch={e}") for e in acc_fold]
+        ) if acc_fold else None
+        if ptr is not None:
+            old_acc = spark.table(f"{compact_table}_acc_g{ptr['gen']}")
+            acc_new = (
+                old_acc.unionByName(acc_new) if acc_new is not None else old_acc
+            )
+        keys_new = spark.read.parquet(
+            *[os.path.join(state_dir, f"epoch={e}") for e in key_fold]
+        ) if key_fold else None
+        if ptr is not None:
+            old_keys = spark.table(f"{compact_table}_keys_g{ptr['gen']}")
+            keys_new = (
+                old_keys.unionByName(keys_new)
+                if keys_new is not None
+                else old_keys
+            )
+        write_bucketed(
+            acc_new, f"{compact_table}_acc_g{new_gen}",
+            [acc_new.columns[0]], n_buckets, mode="overwrite",
+        )
+        write_bucketed(
+            keys_new, f"{compact_table}_keys_g{new_gen}",
+            ["key"], n_buckets, mode="overwrite",
+        )
+        _swap_pointer(new_gen)
+        cur_gen = new_gen
+    # the pointer now covers everything <= upto_epoch: folded dirs are
+    # dead weight (committed => never replayed) — delete them so state
+    # reads stop paying O(epochs) listings
+    for path, epochs in ((accepted_dir, acc_fold), (state_dir, key_fold)):
+        fs, _, jvm = _fs(spark, path)
+        for e in epochs:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(path, f"epoch={e}")
+                ),
+                True,
+            )
+    if gc_old:
+        for base in (f"{compact_table}_acc", f"{compact_table}_keys"):
+            _drop_gen_tables(spark, base, cur_gen)
 
 
 def _dir_has_data(spark, path: str) -> bool:
@@ -54,6 +244,7 @@ def streaming_ingest_gate(
     grow_state: bool = False,
     accepted_dir: str | None = None,
     state_dir: str | None = None,
+    compact_table: str | None = None,
 ):
     """Build the foreachBatch writer for the live ingest gate. Caller
     configures the trigger (``run_available_now`` for drains) and the
@@ -70,7 +261,12 @@ def streaming_ingest_gate(
     ``grow_state=True`` (requires ``accepted_dir`` and ``state_dir``)
     evolves the state between micro-batches: the batch's accepted
     (non-hit) docs land as (id, text) rows in ``accepted_dir`` and as
-    band keys in ``state_dir``.
+    band keys in ``state_dir``. Pass ``compact_table`` to also read the
+    compacted form of that state (``ingest_state_compact``): each batch
+    then reads the bucketed compact tables plus only the epoch
+    partitions ABOVE the compaction high-water mark, keeping per-batch
+    state cost O(batch + epochs since last compaction) instead of
+    O(all epochs) — run the compactor between drains every K epochs.
 
     Restart safety — EXACTLY-ONCE end to end, with plain parquet:
 
@@ -79,24 +275,58 @@ def streaming_ingest_gate(
       crash-replayed epoch overwrites itself instead of appending
       duplicates (epoch ids continue from the checkpoint; committed
       epochs are never reused);
-    - every STATE READ filters ``epoch < N``, so a replayed epoch sees
-      exactly the pre-epoch state even when its own partial writes
-      survived the crash — without the filter, a replay would
-      self-match the batch against its own half-written state, emit
-      bogus self-pairs, and overwrite the accepted set as empty while
-      the band keys lingered (text-less keys = silently missed dups
-      forever). The seed index table is never appended by the stream
-      for the same reason: table appends are not epoch-addressable, so
-      they cannot be made replay-idempotent.
+    - every STATE READ filters ``hwm < epoch < N`` (hwm = the
+      compaction high-water mark when ``compact_table`` is set, else
+      -1), so a replayed epoch sees exactly the pre-epoch state even
+      when its own partial writes survived the crash — without the
+      filter, a replay would self-match the batch against its own
+      half-written state, emit bogus self-pairs, and overwrite the
+      accepted set as empty while the band keys lingered (text-less
+      keys = silently missed dups forever). The seed index table is
+      never appended by the stream for the same reason: table appends
+      are not epoch-addressable, so they cannot be made
+      replay-idempotent — epoch state reaches the bucketed form only
+      through ``ingest_state_compact``'s commit-watermark-gated fold.
     """
     if grow_state and (accepted_dir is None or state_dir is None):
         raise ValueError("grow_state=True requires accepted_dir and state_dir")
 
     def gate(mb: DataFrame, epoch_id: int) -> None:
         spark = mb.sparkSession
-        prior = F.col("epoch") < F.lit(epoch_id)
         corpus_now = corpus
-        idx = spark.table(index_table)
+        # validated read (ADVICE r9): banding the batch with params that
+        # differ from the persisted index's family would produce disjoint
+        # band keys — zero candidates, every near-dup silently admitted
+        idx = minhash_index_read(
+            spark, index_table, num_hashes=num_hashes, bands=bands,
+            shingle_size=shingle_size, portable_seed=portable_seed,
+        )
+        hwm, compact_gen = -1, None
+        if grow_state and compact_table is not None:
+            ptr = _read_pointer(spark, f"{compact_table}_meta")
+            if ptr is not None:
+                hwm, compact_gen = ptr["hwm"], ptr["gen"]
+                if epoch_id <= hwm:
+                    # folding an epoch that later replays would apply it
+                    # twice — unreachable when upto_epoch respects
+                    # last_committed_epoch; fail loudly if it ever isn't
+                    raise RuntimeError(
+                        f"streaming_ingest_gate: replaying epoch "
+                        f"{epoch_id} at or below the compaction "
+                        f"high-water mark {hwm} — the compactor folded "
+                        f"an uncommitted epoch (upto_epoch must come "
+                        f"from last_committed_epoch)"
+                    )
+        # state = compacted tables (epochs <= hwm) + epoch partitions in
+        # (hwm, epoch_id): strictly BELOW the current epoch, so a
+        # crash-replayed epoch sees exactly the pre-epoch state even when
+        # its own partial writes survived — without the filter, a replay
+        # would self-match the batch against its own half-written state.
+        # The seed index table is never appended by the stream for the
+        # same reason: table appends are not epoch-addressable.
+        prior = (F.col("epoch") > F.lit(hwm)) & (
+            F.col("epoch") < F.lit(epoch_id)
+        )
         # EXPLICIT schemas on both state reads (epoch is the partition
         # column): a crashed first epoch can leave a partition dir with
         # only _temporary inside — zero data files, so schema INFERENCE
@@ -108,20 +338,29 @@ def streaming_ingest_gate(
         key_schema = idx.select(id_col, "band", "key").schema.add(
             "epoch", "long"
         )
-        if grow_state and _dir_has_data(spark, accepted_dir):
-            grown = (
-                spark.read.schema(acc_schema).parquet(accepted_dir)
-                .filter(prior)
-                .select(id_col, text_col)
-            )
-            corpus_now = corpus.select(id_col, text_col).unionByName(grown)
-        if grow_state and _dir_has_data(spark, state_dir):
-            grown_keys = (
-                spark.read.schema(key_schema).parquet(state_dir)
-                .filter(prior)
-                .select(id_col, "band", "key")
-            )
-            idx = idx.unionByName(grown_keys)
+        if grow_state:
+            corpus_now = corpus.select(id_col, text_col)
+            if compact_gen is not None:
+                corpus_now = corpus_now.unionByName(
+                    spark.table(f"{compact_table}_acc_g{compact_gen}")
+                    .select(id_col, text_col)
+                )
+                idx = idx.unionByName(
+                    spark.table(f"{compact_table}_keys_g{compact_gen}")
+                    .select(id_col, "band", "key")
+                )
+            if _dir_has_data(spark, accepted_dir):
+                corpus_now = corpus_now.unionByName(
+                    spark.read.schema(acc_schema).parquet(accepted_dir)
+                    .filter(prior)
+                    .select(id_col, text_col)
+                )
+            if _dir_has_data(spark, state_dir):
+                idx = idx.unionByName(
+                    spark.read.schema(key_schema).parquet(state_dir)
+                    .filter(prior)
+                    .select(id_col, "band", "key")
+                )
         hits = minhash_lsh_incremental(
             corpus_now, mb, text_col, id_col,
             num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,

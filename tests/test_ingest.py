@@ -14,7 +14,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from experimentsplan_datapipeline_spark.operators.dedup import (
+    fingerprint_index_drop,
     minhash_bandkeys,
+    minhash_index_drop,
     minhash_index_read,
     minhash_index_write,
     minhash_lsh_incremental,
@@ -97,7 +99,7 @@ class TestPersistedIndex:
             b = sorted(map(tuple, recompute.collect()))
             assert a == b and a
         finally:
-            spark.sql("DROP TABLE IF EXISTS t_ingest_idx")
+            minhash_index_drop(spark, "t_ingest_idx")
 
     def test_index_path_bands_without_corpus_text_scan(self, spark, tmp_path):
         """The banding side of the steady-state plan must contain NO corpus
@@ -139,7 +141,7 @@ class TestPersistedIndex:
             ).collect()))
             assert a == b and a
         finally:
-            spark.sql("DROP TABLE IF EXISTS t_ingest_idx2")
+            minhash_index_drop(spark, "t_ingest_idx2")
 
     def test_index_append_grows_state(self, spark):
         """mode='append' evolves the persisted state: after appending the
@@ -161,7 +163,7 @@ class TestPersistedIndex:
             assert {(r["batch_id"], r["corpus_id"]) for r in hits} == {(102, 102)}
             assert hits[0]["jaccard"] == 1.0
         finally:
-            spark.sql("DROP TABLE IF EXISTS t_ingest_idx3")
+            minhash_index_drop(spark, "t_ingest_idx3")
 
 
 class TestStreamingGrowingState:
@@ -259,7 +261,7 @@ class TestStreamingGrowingState:
             }
             assert acc == {100}  # 102 was a dup, only the novel doc kept
         finally:
-            spark.sql("DROP TABLE IF EXISTS t_stream_grow_idx")
+            minhash_index_drop(spark, "t_stream_grow_idx")
 
 
 class TestStreamGateResume:
@@ -333,7 +335,7 @@ class TestStreamGateResume:
             # exactly one row per hit: batch 1 was NOT reprocessed
             assert sorted((b, c) for b, c, _ in both) == [(200, 3), (201, 7)]
         finally:
-            spark.sql("DROP TABLE IF EXISTS t_resume_idx")
+            minhash_index_drop(spark, "t_resume_idx")
 
 
 def test_bandkeys_shape(spark):
@@ -389,9 +391,7 @@ class TestExactScreenIndex:
             }
             assert got == naive
         finally:
-            spark.sql("DROP TABLE IF EXISTS t_fp_idx")
-            spark.sql("DROP TABLE IF EXISTS t_fp_idx_bloom")
-            spark.sql("DROP TABLE IF EXISTS t_fp_idx_bloom_meta")
+            fingerprint_index_drop(spark, "t_fp_idx")
 
     def test_append_folds_bloom_of_union(self, spark):
         """mode='append': the bit_or fold of old + new words IS the bloom
@@ -428,9 +428,7 @@ class TestExactScreenIndex:
             }
             assert got == {500: True, 501: True, 502: False}
         finally:
-            spark.sql("DROP TABLE IF EXISTS t_fp_grow")
-            spark.sql("DROP TABLE IF EXISTS t_fp_grow_bloom")
-            spark.sql("DROP TABLE IF EXISTS t_fp_grow_bloom_meta")
+            fingerprint_index_drop(spark, "t_fp_grow")
 
     def test_plan_bit_test_prune_no_corpus_text_scan(self, spark, tmp_path):
         """Steady state: the screen's plan bit-tests the BATCH
@@ -460,9 +458,7 @@ class TestExactScreenIndex:
             assert not corpus_scans, "corpus parquet must not be re-scanned"
             assert "t_fp_plan" in plan
         finally:
-            spark.sql("DROP TABLE IF EXISTS t_fp_plan")
-            spark.sql("DROP TABLE IF EXISTS t_fp_plan_bloom")
-            spark.sql("DROP TABLE IF EXISTS t_fp_plan_bloom_meta")
+            fingerprint_index_drop(spark, "t_fp_plan")
 
 
 class TestStreamGateCrashReplay:
@@ -543,4 +539,441 @@ class TestStreamGateCrashReplay:
             keys = spark.read.parquet(state_dir).groupBy("epoch").count().collect()
             assert [(r["epoch"], r["count"]) for r in keys] == [(0, 8)]
         finally:
-            spark.sql("DROP TABLE IF EXISTS t_replay_idx")
+            minhash_index_drop(spark, "t_replay_idx")
+
+
+class TestGenerationPointerCommit:
+    """ADVICE r9 items 1-2: persisted banding params + crash-consistent
+    rebuilds for BOTH persisted indexes."""
+
+    def test_minhash_read_validates_params(self, spark):
+        corpus, _ = _docs(spark)
+        minhash_index_write(
+            corpus, "t_meta_idx", "text", "doc_id", num_hashes=32, bands=8,
+            shingle_size=3, portable_seed=42,
+        )
+        try:
+            ok = minhash_index_read(
+                spark, "t_meta_idx", num_hashes=32, bands=8,
+                shingle_size=3, portable_seed=42,
+            )
+            assert ok.columns == ["doc_id", "band", "key"]
+            for bad in (
+                dict(num_hashes=16),
+                dict(bands=4),
+                dict(shingle_size=5),
+                dict(portable_seed=7),
+                dict(portable_seed=None),
+            ):
+                with pytest.raises(ValueError, match="mismatched banding"):
+                    minhash_index_read(spark, "t_meta_idx", **bad)
+        finally:
+            minhash_index_drop(spark, "t_meta_idx")
+
+    def test_minhash_append_validates_params(self, spark):
+        corpus, batch = _docs(spark)
+        minhash_index_write(
+            corpus, "t_meta_app", "text", "doc_id", portable_seed=42
+        )
+        try:
+            with pytest.raises(ValueError, match="mismatched banding"):
+                minhash_index_write(
+                    batch, "t_meta_app", "text", "doc_id",
+                    portable_seed=43, mode="append",
+                )
+            with pytest.raises(ValueError, match="cannot append"):
+                minhash_index_write(
+                    batch, "t_meta_missing", "text", "doc_id", mode="append"
+                )
+        finally:
+            minhash_index_drop(spark, "t_meta_app")
+
+    def test_minhash_read_requires_meta(self, spark):
+        with pytest.raises(ValueError, match="not found"):
+            minhash_index_read(spark, "t_never_built")
+
+    def test_streaming_gate_rejects_mismatched_index(self, spark, tmp_path):
+        """The live gate's first micro-batch must raise, not silently
+        admit every near-dup, when the persisted index was built with
+        different banding params than the gate is configured with."""
+        from experimentsplan_datapipeline_spark.streaming.events import (
+            run_available_now,
+        )
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            streaming_ingest_gate,
+        )
+
+        corpus, b1 = _docs(spark)
+        staging = tmp_path / "staging"
+        staging.mkdir()
+        b1.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        minhash_index_write(
+            corpus, "t_gate_mismatch", "text", "doc_id", portable_seed=7
+        )
+        try:
+            stream = (
+                spark.readStream.schema(b1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(staging))
+            )
+            writer = streaming_ingest_gate(
+                stream, corpus, "t_gate_mismatch",
+                str(tmp_path / "hits"), "text", "doc_id",
+                threshold=0.5, portable_seed=999,  # != index's 7
+            ).option("checkpointLocation", str(tmp_path / "ckpt"))
+            with pytest.raises(Exception, match="mismatched banding"):
+                run_available_now(writer, timeout_sec=240.0)
+        finally:
+            minhash_index_drop(spark, "t_gate_mismatch")
+
+    def test_fp_overwrite_crash_before_pointer_swap_keeps_old_state(
+        self, spark, monkeypatch
+    ):
+        """The reviewer's crash window: rebuilding an EXISTING fp index
+        dies after writing the new generation's data tables but before
+        the pointer swap. The screen must keep answering from the OLD
+        consistent (fp, bloom, meta) triple — never a new bloom paired
+        with an old fp table."""
+        from experimentsplan_datapipeline_spark.operators import dedup as dd
+        from experimentsplan_datapipeline_spark.operators.dedup import (
+            exact_screen_incremental,
+            fingerprint_index_write,
+        )
+
+        corpus, _ = _docs(spark)
+        extra = spark.createDataFrame(
+            [(900, "rebuild-only content periwinkle obsidian")],
+            ["doc_id", "text"],
+        )
+        fingerprint_index_write(corpus, "t_fp_crash", "text")
+        probe = spark.createDataFrame(
+            [
+                (700, corpus.filter(F.col("doc_id") == 1).first()["text"]),
+                (701, extra.first()["text"]),
+            ],
+            ["doc_id", "text"],
+        )
+
+        def boom(spark_, df, name):
+            raise RuntimeError("injected crash before pointer swap")
+
+        try:
+            monkeypatch.setattr(dd, "_swap_in_table", boom)
+            with pytest.raises(RuntimeError, match="injected crash"):
+                # overwrite-over-existing with a DIFFERENT corpus + family
+                fingerprint_index_write(
+                    corpus.unionByName(extra), "t_fp_crash", "text",
+                    n_bits=1 << 16, n_hashes=3, mode="overwrite",
+                )
+            monkeypatch.undo()
+            got = {
+                r["doc_id"]: r["exact_dup"]
+                for r in exact_screen_incremental(
+                    probe, "text", "doc_id", "t_fp_crash"
+                ).collect()
+            }
+            # old generation still serves: corpus doc flagged, the
+            # rebuild-only doc NOT (its fp lives only in the leaked,
+            # unreferenced new generation)
+            assert got == {700: True, 701: False}
+            # and a retried rebuild completes + flips the answer
+            fingerprint_index_write(
+                corpus.unionByName(extra), "t_fp_crash", "text",
+                n_bits=1 << 16, n_hashes=3, mode="overwrite",
+            )
+            got2 = {
+                r["doc_id"]: r["exact_dup"]
+                for r in exact_screen_incremental(
+                    probe, "text", "doc_id", "t_fp_crash"
+                ).collect()
+            }
+            assert got2 == {700: True, 701: True}
+        finally:
+            fingerprint_index_drop(spark, "t_fp_crash")
+
+    def test_minhash_overwrite_crash_before_pointer_swap_keeps_old_state(
+        self, spark, monkeypatch
+    ):
+        from experimentsplan_datapipeline_spark.operators import dedup as dd
+
+        corpus, batch = _docs(spark)
+        minhash_index_write(
+            corpus, "t_mh_crash", "text", "doc_id", portable_seed=7
+        )
+
+        def boom(spark_, df, name):
+            raise RuntimeError("injected crash before pointer swap")
+
+        try:
+            monkeypatch.setattr(dd, "_swap_in_table", boom)
+            with pytest.raises(RuntimeError, match="injected crash"):
+                minhash_index_write(
+                    corpus, "t_mh_crash", "text", "doc_id",
+                    num_hashes=16, bands=4, portable_seed=9,
+                    mode="overwrite",
+                )
+            monkeypatch.undo()
+            # pointer still names the OLD family and the OLD generation
+            idx = minhash_index_read(
+                spark, "t_mh_crash", num_hashes=32, bands=8,
+                shingle_size=3, portable_seed=7,
+            )
+            hits = minhash_lsh_incremental(
+                corpus, batch, "text", "doc_id", threshold=0.5,
+                portable_seed=7, corpus_bandkeys=idx,
+            ).collect()
+            assert {(r["batch_id"], r["corpus_id"]) for r in hits} >= {
+                (100, 3), (101, 7)
+            }
+        finally:
+            minhash_index_drop(spark, "t_mh_crash")
+
+    def test_generation_gc_drops_superseded_tables(self, spark):
+        corpus, _ = _docs(spark)
+        minhash_index_write(corpus, "t_gc_idx", "text", "doc_id")
+        minhash_index_write(corpus, "t_gc_idx", "text", "doc_id")
+        try:
+            names = {t.name for t in spark.catalog.listTables()}
+            assert "t_gc_idx_keys_g1" in names
+            assert "t_gc_idx_keys_g0" not in names
+        finally:
+            minhash_index_drop(spark, "t_gc_idx")
+
+
+class TestIngestStateCompaction:
+    """VERDICT r9 item 1: the live gate's grown epoch state folds into
+    bucketed compact tables behind an epoch high-water mark, folded
+    epoch dirs are pruned, and replay stays exactly-once ACROSS the
+    compaction boundary."""
+
+    @staticmethod
+    def _mk_batches(spark, corpus_rows, n):
+        """One single-doc micro-batch per index, mixing: novel docs
+        (accepted), near-dups of the PREVIOUS batch's accepted doc
+        (caught only via grown state), and near-dups of corpus docs
+        (caught via the seed index)."""
+        import random
+
+        rng = random.Random(17)
+        vocab = [f"tok{j}" for j in range(4000)]
+        batches, last_novel, first_novel = [], None, None
+        for i in range(n):
+            did = 1000 + i
+            kind = i % 4
+            if kind == 0 or last_novel is None:
+                words = [f"novel{i}"] + rng.sample(vocab, 14)
+                text = " ".join(words)
+                last_novel = text
+                first_novel = first_novel or text
+            elif kind == 1:
+                text = last_novel + f" extra{i}"
+            elif kind == 3:
+                # near-dup of batch 0's accepted doc: late instances
+                # (i >= 10) can only be caught through state that
+                # crossed a compaction boundary
+                text = first_novel + f" tail{i}"
+            else:  # kind == 2: near-dup of a corpus doc
+                text = corpus_rows[i % len(corpus_rows)] + f" suffix{i}"
+            batches.append(
+                spark.createDataFrame([(did, text)], ["doc_id", "text"])
+            )
+        return batches
+
+    @staticmethod
+    def _stage_file(tmp_path, staging, mb, i):
+        import glob
+        import os
+        import shutil
+
+        tmp = str(tmp_path / f"mkstage_{i}")
+        mb.coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = str(staging / f"{i:04d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    def test_compact_mid_stream_with_crash_replay(self, spark, tmp_path):
+        import os
+
+        from experimentsplan_datapipeline_spark.streaming.events import (
+            run_available_now,
+        )
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            _list_epochs,
+            ingest_state_compact,
+            last_committed_epoch,
+            read_gate_results,
+            streaming_ingest_gate,
+        )
+
+        corpus, _ = _docs(spark)
+        corpus_rows = [r["text"] for r in corpus.orderBy("doc_id").collect()]
+        N = 22
+        batches = self._mk_batches(spark, corpus_rows, N)
+        staging = tmp_path / "staging"
+        staging.mkdir()
+        minhash_index_write(
+            corpus, "t_compact_idx", "text", "doc_id", portable_seed=7
+        )
+        result_dir = str(tmp_path / "hits")
+        accepted_dir = str(tmp_path / "accepted")
+        state_dir = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [], "batch_id long, corpus_id long, jaccard double"
+        ).write.parquet(result_dir + "/epoch=-1")
+
+        def drain():
+            stream = (
+                spark.readStream.schema(batches[0].schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(staging))
+            )
+            writer = streaming_ingest_gate(
+                stream, corpus, "t_compact_idx", result_dir,
+                "text", "doc_id", threshold=0.5, portable_seed=7,
+                grow_state=True, accepted_dir=accepted_dir,
+                state_dir=state_dir, compact_table="t_compact_state",
+            ).option("checkpointLocation", ckpt)
+            run_available_now(writer, timeout_sec=480.0)
+
+        try:
+            # phase 1: epochs 0-9, then compact at the committed watermark
+            for i in range(10):
+                self._stage_file(tmp_path, staging, batches[i], i)
+            drain()
+            hwm1 = last_committed_epoch(spark, ckpt)
+            assert hwm1 == 9
+            ingest_state_compact(
+                spark, "t_compact_state", accepted_dir, state_dir, hwm1
+            )
+            # folded epoch dirs are PRUNED (state reads stop paying
+            # O(epochs) listings) and the compact tables exist
+            assert _list_epochs(spark, accepted_dir) == []
+            assert _list_epochs(spark, state_dir) == []
+            names = {t.name for t in spark.catalog.listTables()}
+            assert {"t_compact_state_acc_g0", "t_compact_state_keys_g0",
+                    "t_compact_state_meta"} <= names
+
+            # phase 2: epochs 10-15 run against compact + fresh epochs,
+            # then compact AGAIN (generation 1 folds gen 0 + new epochs)
+            for i in range(10, 16):
+                self._stage_file(tmp_path, staging, batches[i], i)
+            drain()
+            hwm2 = last_committed_epoch(spark, ckpt)
+            assert hwm2 == 15
+            ingest_state_compact(
+                spark, "t_compact_state", accepted_dir, state_dir, hwm2
+            )
+            names = {t.name for t in spark.catalog.listTables()}
+            assert "t_compact_state_acc_g1" in names
+            assert "t_compact_state_acc_g0" not in names  # GC'd
+
+            # phase 3: crash-replay ACROSS the compaction boundary —
+            # plant epoch-16 leftovers as if a prior attempt
+            # half-committed, then drain: epoch 16 must ignore its own
+            # partial state (reads = compact hwm=15 + nothing between)
+            self._stage_file(tmp_path, staging, batches[16], 16)
+            batches[16].write.parquet(
+                os.path.join(accepted_dir, "epoch=16")
+            )
+            minhash_bandkeys(
+                batches[16], "text", "doc_id", portable_seed=7
+            ).write.parquet(os.path.join(state_dir, "epoch=16"))
+            spark.createDataFrame(
+                [(1016, 1016, 1.0)],
+                "batch_id long, corpus_id long, jaccard double",
+            ).write.parquet(os.path.join(result_dir, "epoch=16"))
+            drain()
+
+            # phase 4: the rest, no further compaction
+            for i in range(17, N):
+                self._stage_file(tmp_path, staging, batches[i], i)
+            drain()
+
+            # hand-unrolled sequential replay is the truth
+            expected_hits, exp_accepted = set(), set()
+            state = corpus.select("doc_id", "text")
+            for mb in batches:
+                h = minhash_lsh_incremental(
+                    state, mb, "text", "doc_id", threshold=0.5,
+                    portable_seed=7,
+                ).collect()
+                expected_hits |= {
+                    (r["batch_id"], r["corpus_id"], r["jaccard"]) for r in h
+                }
+                dup_ids = [r["batch_id"] for r in h]
+                acc = mb.filter(~F.col("doc_id").isin(dup_ids or [-1]))
+                exp_accepted |= {r["doc_id"] for r in acc.collect()}
+                state = state.unionByName(
+                    acc.select("doc_id", "text")
+                ).localCheckpoint(eager=True)
+
+            got_hits = {
+                (r["batch_id"], r["corpus_id"], r["jaccard"])
+                for r in read_gate_results(spark, result_dir).collect()
+            }
+            assert got_hits == expected_hits
+            assert (1016, 1016, 1.0) not in got_hits  # bogus pair replaced
+            # accepted state = compact table + post-compaction epochs
+            ptr = spark.table("t_compact_state_meta").first()
+            acc_state = {
+                r["doc_id"]
+                for r in spark.table(
+                    f"t_compact_state_acc_g{ptr['gen']}"
+                ).collect()
+            } | {
+                r["doc_id"]
+                for r in spark.read.parquet(accepted_dir)
+                .filter(F.col("epoch") > ptr["hwm"])
+                .collect()
+            }
+            assert acc_state == exp_accepted
+            # growth across the boundary really happened: at least one
+            # hit's corpus_id is a batch doc accepted BEFORE the first
+            # compaction, matched by a batch AFTER it
+            grown_hits = {
+                (b, c) for b, c, _ in got_hits if c >= 1000
+            }
+            assert any(c <= 1009 and b >= 1010 for b, c in grown_hits)
+        finally:
+            minhash_index_drop(spark, "t_compact_idx")
+            spark.sql("DROP TABLE IF EXISTS t_compact_state_meta")
+            spark.sql("DROP TABLE IF EXISTS t_compact_state_meta_staging")
+            for g in range(4):
+                spark.sql(f"DROP TABLE IF EXISTS t_compact_state_acc_g{g}")
+                spark.sql(f"DROP TABLE IF EXISTS t_compact_state_keys_g{g}")
+
+    def test_compact_guards(self, spark, tmp_path):
+        """Compacting past the committed watermark (one-sided epoch
+        state) raises; hwm regression raises; the gate raises loudly if
+        a replayed epoch ever lands at or below the hwm."""
+        import os
+
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            ingest_state_compact,
+        )
+
+        acc = str(tmp_path / "acc")
+        st = str(tmp_path / "st")
+        df = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+        df.write.parquet(os.path.join(acc, "epoch=0"))
+        # band keys written for epoch 0 AND a half-written epoch 1
+        # (accepted side missing) — folding epoch 1 must raise
+        kdf = spark.createDataFrame(
+            [(1, 0, 123)], "doc_id long, band int, key long"
+        )
+        kdf.write.parquet(os.path.join(st, "epoch=0"))
+        kdf.write.parquet(os.path.join(st, "epoch=1"))
+        with pytest.raises(ValueError, match="asymmetric"):
+            ingest_state_compact(spark, "t_guard_state", acc, st, 1)
+        try:
+            ingest_state_compact(spark, "t_guard_state", acc, st, 0)
+            with pytest.raises(ValueError, match="below the existing"):
+                ingest_state_compact(spark, "t_guard_state", acc, st, -1)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_guard_state_meta")
+            spark.sql("DROP TABLE IF EXISTS t_guard_state_meta_staging")
+            for g in range(3):
+                spark.sql(f"DROP TABLE IF EXISTS t_guard_state_acc_g{g}")
+                spark.sql(f"DROP TABLE IF EXISTS t_guard_state_keys_g{g}")
