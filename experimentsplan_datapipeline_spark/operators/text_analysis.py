@@ -700,3 +700,154 @@ def repetition_signals(
         id_col, "n_words", "mean_word_len", "top_word_frac",
         "dup_bigram_frac", "keep",
     )
+
+
+# BPE symbol encoding: each symbol wrapped in one-character open/close
+# delimiters (ASCII record/unit separators — absent from real text; words
+# containing them are dropped, mirrored by the oracle). Per-symbol
+# delimiters make the merge step a plain non-overlapping left-to-right
+# string replace that is EXACTLY greedy BPE application: the pattern
+# "(a)(b)" can never start inside a symbol (needs the opening delimiter)
+# and never shares boundary characters with an adjacent match — on
+# (a)(a)(a)(a), replace yields (aa)(aa), the greedy result, where a
+# single-separator encoding would mis-merge.
+_BPE_O = "\x1e"
+_BPE_C = "\x1f"
+
+
+def _bpe_words(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct-word frequency table with delimiter-encoded symbols —
+    the working state BPE training iterates on. Sublinear in corpus size
+    (Heaps' law): at 100 TB the vocabulary is still millions of rows,
+    so per-iteration work is corpus-independent."""
+    w = (
+        df.select(F.explode(_tokens(text_col)).alias("w"))
+        .filter(
+            (F.col("w") != "")
+            & ~F.col("w").rlike(f"[{_BPE_O}{_BPE_C}]")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return w.select(
+        F.regexp_replace("w", "(.)", f"{_BPE_O}$1{_BPE_C}").alias("enc"),
+        "cnt",
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """Train a byte-pair-encoding merge table (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units" —
+    public algorithm) on a corpus — the trained-tokenizer path the
+    reference consumes downstream (its dataloader tokenizes captions
+    with a PRE-trained tokenizer, train/train_stage_1/dataloader.py:
+    79-86; this op is where such a tokenizer comes from).
+
+    Iterate-until-N driver loop (the ``pagerank_until`` shape): each
+    round is ONE map-side-combinable pair-count aggregation over the
+    distinct-WORD frequency table (never the corpus — the word table is
+    sublinear in corpus size and the corpus is scanned exactly once, at
+    word-count time), one bounded 1-row collect of the argmax pair
+    (deterministic tie-break: count desc, then (lhs, rhs) lexicographic)
+    and one narrow ``replace`` map applying the merge. State is
+    localCheckpointed per round so lineage stays flat.
+
+    Pair counting uses every adjacent symbol position (overlaps
+    included, per the canonical algorithm); merge application is greedy
+    left-to-right (see the encoding note above). Raises if the corpus
+    exhausts mergeable pairs before ``n_merges`` — a silent short table
+    would poison downstream tokenization.
+
+    Returns ``(merges_df, merge_list)``: a DataFrame
+    (merge_rank, lhs, rhs, pair_count) and the plain list for feeding
+    ``bpe_tokenize``.
+    """
+    spark = df.sparkSession
+    words = _bpe_words(df, text_col).localCheckpoint(eager=True)
+    o, c = _BPE_O, _BPE_C
+    pat = f"{o}(.*?){c}"
+    merges: list[tuple[str, str, int]] = []
+    for r in range(n_merges):
+        syms = F.regexp_extract_all("enc", F.lit(pat), F.lit(1))
+        n1 = F.greatest(F.size(F.col("s")) - 1, F.lit(0))
+        pairs = (
+            words.select(syms.alias("s"), "cnt")
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("s", 1, n1).alias("l"),
+                        F.slice("s", 2, n1).alias("r"),
+                    )
+                ).alias("pr"),
+                "cnt",
+            )
+            .groupBy(
+                F.col("pr.l").alias("l"), F.col("pr.r").alias("r")
+            )
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), "l", "r").first()
+        if best is None:
+            raise ValueError(
+                f"bpe_train: corpus exhausted mergeable pairs after "
+                f"{r} merges (requested {n_merges}) — lower n_merges "
+                f"or train on more text"
+            )
+        l, rr = best["l"], best["r"]
+        merges.append((l, rr, int(best["c"])))
+        words = words.withColumn(
+            "enc",
+            F.replace(
+                F.col("enc"),
+                F.lit(f"{o}{l}{c}{o}{rr}{c}"),
+                F.lit(f"{o}{l}{rr}{c}"),
+            ),
+        ).localCheckpoint(eager=True)
+    out = spark.createDataFrame(
+        [(i, l, rr, cn) for i, (l, rr, cn) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string, pair_count long",
+    )
+    return out, [(l, rr) for l, rr, _ in merges]
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize with a TRAINED merge table: per word, apply the merges
+    in rank order (each one greedy left-to-right — the standard
+    apply-time semantics matching how ``bpe_train`` counted), then count
+    resulting symbols. Pure Catalyst expression chain — the merge table
+    is bounded (n_merges plan literals), so the whole thing runs inside
+    whole-stage codegen with zero shuffles and zero Python.
+
+    Returns (id, n_words, n_tokens): whitespace words kept by the
+    training filter, and BPE symbols after all merges.
+    """
+    o, c = _BPE_O, _BPE_C
+
+    def enc_word(w: F.Column) -> F.Column:
+        e = F.regexp_replace(w, "(.)", f"{o}$1{c}")
+        for l, r in merges:
+            e = F.replace(
+                e, F.lit(f"{o}{l}{c}{o}{r}{c}"), F.lit(f"{o}{l}{r}{c}")
+            )
+        return e
+
+    ws = F.filter(
+        _tokens(text_col),
+        lambda w: (w != "") & ~w.rlike(f"[{o}{c}]"),
+    )
+    enc_all = F.concat_ws("", F.transform(ws, enc_word))
+    return df.select(
+        F.col(id_col),
+        F.size(ws).alias("n_words"),
+        (
+            F.length(enc_all)
+            - F.length(F.translate(enc_all, o, ""))
+        ).alias("n_tokens"),
+    )

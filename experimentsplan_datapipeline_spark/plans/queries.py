@@ -8317,3 +8317,136 @@ def ann_rp_recall(spark, sf_dir):
         F.count("p_id").alias("hits"),
         F.round(F.count("p_id") / F.lit(10.0), 6).alias("recall_at_k"),
     )
+
+
+# ------------------------------------------------ trained BPE tokenizer (r10)
+
+_BPE_O, _BPE_C = "\x1e", "\x1f"
+
+
+def _bpe_oracle_cte(n_merges: int, train_filter: str) -> str:
+    """Unrolled WITH-ladder replaying bpe_train's merge sequence in
+    DuckDB: the same word-frequency base, then per iteration one
+    pair-count aggregation (pairs materialized as delimiter-encoded
+    strings — ordering by the encoded pair is exactly (lhs, rhs)
+    lexicographic because the closing delimiter sorts below every
+    printable character), one argmax with the (count desc, pair)
+    tie-break, and one greedy left-to-right replace."""
+    o, c = _BPE_O, _BPE_C
+    parts = [f"""WITH w0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', '{o}\\1{c}', 'g') AS enc, cnt FROM (
+    SELECT w, count(*) AS cnt FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x <> '' AND NOT regexp_matches(x, '[{o}{c}]'))) AS w
+      FROM documents WHERE {train_filter})
+    GROUP BY w))"""]
+    for i in range(n_merges):
+        parts.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT pair, sum(cnt) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(syms)),
+        j -> '{o}' || syms[j] || '{c}{o}' || syms[j + 1] || '{c}')) AS pair, cnt
+    FROM (SELECT regexp_extract_all(enc, '{o}(.*?){c}', 1) AS syms, cnt FROM w{i}))
+  GROUP BY pair),
+b{i} AS MATERIALIZED (
+  SELECT pair, replace(pair, '{c}{o}', '') AS mrg, c
+  FROM p{i} ORDER BY c DESC, pair LIMIT 1),
+w{i + 1} AS MATERIALIZED (
+  SELECT replace(enc, (SELECT pair FROM b{i}), (SELECT mrg FROM b{i})) AS enc, cnt
+  FROM w{i})""")
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int, train_filter: str) -> str:
+    o, c = _BPE_O, _BPE_C
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i} AS merge_rank, pair, c FROM b{i}" for i in range(n_merges)
+    )
+    return _bpe_oracle_cte(n_merges, train_filter) + f""",
+sel AS ({sel})
+SELECT merge_rank,
+       regexp_extract_all(pair, '{o}(.*?){c}', 1)[1] AS lhs,
+       regexp_extract_all(pair, '{o}(.*?){c}', 1)[2] AS rhs,
+       c AS pair_count
+FROM sel"""
+
+
+def _bpe_tokenize_oracle(
+    n_merges: int, train_filter: str, apply_filter: str
+) -> str:
+    o, c = _BPE_O, _BPE_C
+    mt_cols = ", ".join(
+        f"b{i}.pair AS p{i}, b{i}.mrg AS m{i}" for i in range(n_merges)
+    )
+    mt_from = ", ".join(f"b{i}" for i in range(n_merges))
+    expr = f"regexp_replace(w, '(.)', '{o}\\1{c}', 'g')"
+    for i in range(n_merges):
+        expr = f"replace({expr}, p{i}, m{i})"
+    return _bpe_oracle_cte(n_merges, train_filter) + f""",
+mt AS MATERIALIZED (SELECT {mt_cols} FROM {mt_from}),
+tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x <> '' AND NOT regexp_matches(x, '[{o}{c}]')) AS ws
+  FROM documents WHERE {apply_filter})
+SELECT doc_id, len(ws) AS n_words,
+       length(s) - length(replace(s, '{o}', '')) AS n_tokens
+FROM (SELECT doc_id, ws,
+             array_to_string(list_transform(ws, w -> {expr}), '') AS s
+      FROM tok, mt)"""
+
+
+_BPE_N_MERGES = 12
+_BPE_TRAIN_FILTER = "doc_id < 200"
+
+
+@register(
+    "tokenizer_train_bpe", _bpe_train_oracle(_BPE_N_MERGES, _BPE_TRAIN_FILTER)
+)
+def tokenizer_train_bpe(spark, sf_dir):
+    """TRAIN a BPE merge table on the corpus (operators/text_analysis.py::
+    bpe_train — Sennrich et al. 2016, the public subword algorithm). The
+    reference consumes a PRE-trained tokenizer in its caption dataloader
+    (train/train_stage_1/dataloader.py:79-86); this is the engine op
+    that produces one. Iterate-until-N driver loop over the
+    distinct-word frequency table (sublinear in corpus size): per round
+    one map-side-combinable pair-count agg, a 1-row argmax collect with
+    a deterministic (count desc, lhs, rhs) tie-break, and one narrow
+    replace. The oracle replays the full merge sequence as an unrolled
+    CTE ladder — every rank, pair, and count must match exactly."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        bpe_train,
+    )
+
+    merges_df, _ = bpe_train(docs, "text", _BPE_N_MERGES)
+    return merges_df
+
+
+@register(
+    "tokenizer_bpe_tokenize",
+    _bpe_tokenize_oracle(
+        _BPE_N_MERGES, _BPE_TRAIN_FILTER, "doc_id >= 200 AND doc_id < 300"
+    ),
+)
+def tokenizer_bpe_tokenize(spark, sf_dir):
+    """Tokenize HELD-OUT documents with the trained merge table
+    (operators/text_analysis.py::bpe_tokenize): per word, the learned
+    merges apply in rank order, each greedy left-to-right; output is
+    per-doc (n_words, n_tokens). The merge table is bounded plan
+    literals, so tokenization is a pure whole-stage-codegen expression
+    chain — zero shuffles, zero Python. The oracle re-trains the same
+    merges in SQL and applies them through the same nested-replace
+    chain."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        bpe_tokenize,
+        bpe_train,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    _, merges = bpe_train(
+        docs.filter(F.col("doc_id") < 200), "text", _BPE_N_MERGES
+    )
+    return bpe_tokenize(
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)),
+        "doc_id", "text", merges,
+    )

@@ -1108,3 +1108,106 @@ def test_centroid_drift_happy_path_and_ragged_guard(spark):
     )
     with pytest.raises(Exception, match="disagree on embedding dim"):
         embedding_centroid_drift(mixed, "vec", "sl").collect()
+
+
+def _py_bpe_train(texts, n_merges):
+    """Pure-Python reference: Sennrich-style BPE with all-adjacent-position
+    pair counts and greedy left-to-right merge application."""
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                wc[w] += 1
+    words = {w: [ch for ch in w] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            return merges, words, wc
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((best[0], best[1], pc[best]))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, words, wc
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        bpe_train,
+        bpe_tokenize,
+    )
+
+    texts = [
+        "low low low lower lowest newest newest widest",
+        "the cat sat on the mat the cat ran",
+        "banana bandana cabana banana banana",
+        "low newest wide wide wider widest",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    n = 10
+    got_df, got_merges = bpe_train(df, "text", n)
+    exp_merges, exp_words, wc = _py_bpe_train(texts, n)
+    assert got_merges == [(l, r) for l, r, _ in exp_merges]
+    rows = got_df.orderBy("merge_rank").collect()
+    assert [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"]) for r in rows
+    ] == [(i, l, r, c) for i, (l, r, c) in enumerate(exp_merges)]
+
+    # tokenize with the learned table must match the reference's final
+    # symbolization lengths, word by word
+    tok = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_tokenize(df, "doc_id", "text", got_merges).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in t.strip().lower().split() if w]
+        exp_tokens = sum(len(exp_words[w]) for w in words)
+        assert tok[i] == (len(words), exp_tokens), (i, tok[i])
+
+
+def test_bpe_train_overlapping_pairs_greedy(spark):
+    """'aaaa' with merge (a,a): counting sees 3 adjacent positions,
+    application merges greedily to [aa, aa] — the delimiter encoding
+    must not lose the second merge to a shared boundary."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        bpe_train,
+        bpe_tokenize,
+    )
+
+    df = spark.createDataFrame([(0, "aaaa aaaa ab")], ["doc_id", "text"])
+    got_df, merges = bpe_train(df, "text", 2)
+    rows = {r["merge_rank"]: r for r in got_df.collect()}
+    # (a,a) appears 3x in each 'aaaa' (2 words) = 6; (a,b) once
+    assert (rows[0]["lhs"], rows[0]["rhs"], rows[0]["pair_count"]) == ("a", "a", 6)
+    # after merging: each 'aaaa' -> [aa, aa], so (aa, aa) count 2
+    assert (rows[1]["lhs"], rows[1]["rhs"]) == ("aa", "aa")
+    tok = bpe_tokenize(df, "doc_id", "text", merges).first()
+    # aaaa->[aaaa], aaaa->[aaaa], ab->[a,b] => 4 tokens
+    assert (tok["n_words"], tok["n_tokens"]) == (3, 4)
+
+
+def test_bpe_train_raises_when_exhausted(spark):
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        bpe_train,
+    )
+
+    df = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_train(df, "text", 5)
