@@ -8450,3 +8450,124 @@ def tokenizer_bpe_tokenize(spark, sf_dir):
         docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)),
         "doc_id", "text", merges,
     )
+
+
+# --------------------------------------------- LPIPS-shaped npz metric (r10)
+
+_LPIPS_K1 = [[0.5, -0.25], [0.25, 0.5]]
+_LPIPS_K2 = [[0.25, 0.5], [-0.5, 0.25]]
+_LPIPS_LW = [0.75, 0.25]
+_LPIPS_EPS_LIT = "0.00000095367431640625"  # 2^-20, exact decimal
+
+
+def _lpips_oracle_sql() -> str:
+    """DuckDB replay of the literal conv chains in
+    media/images.py::lpips_shape_distance. Exactness argument: pixels
+    are ints, kernels dyadic rationals, so conv sums / ReLU / squares /
+    spatial sums are exact dyadics within double's mantissa (order-free);
+    the only non-dyadic steps (sqrt + divide in the channel
+    normalization) are single IEEE ops on identical inputs, snapped to
+    the 2^-20 grid immediately after — so both engines carry identical
+    doubles into every later step and round(,6) can never disagree."""
+    def sha_px(suffix_sql: str) -> str:
+        return (
+            f"list_transform(range(0, 192), i -> "
+            f"(('0x' || substr(sha256(text {suffix_sql}|| (i // 32)::VARCHAR), "
+            f"(i % 32) * 2 + 1, 2))::BIGINT)::DOUBLE)"
+        )
+
+    def conv(src: str, k, in_w: int, out_w: int) -> str:
+        n = out_w * out_w * 3
+        terms = " + ".join(
+            f"{k[dy][dx]} * {src}[((2*(o//{out_w * 3}) + {dy}) * {in_w} "
+            f"+ 2*((o//3)%{out_w}) + {dx}) * 3 + o%3 + 1]"
+            for dy in (0, 1) for dx in (0, 1)
+        )
+        return f"list_transform(range(0, {n}), o -> greatest({terms}, 0.0))"
+
+    def quant(f: str, n: int) -> str:
+        ssq = " + ".join(
+            f"{f}[(o//3)*3 + {j} + 1] * {f}[(o//3)*3 + {j} + 1]"
+            for j in (0, 1, 2)
+        )
+        return (
+            f"list_transform(range(0, {n}), o -> "
+            f"floor({f}[o + 1] / sqrt({ssq} + {_LPIPS_EPS_LIT}) "
+            f"* 1048576.0 + 0.5) / 1048576.0)"
+        )
+
+    def dist(qx: str, qy: str, n: int, positions: int) -> str:
+        return (
+            f"list_sum(list_transform(range(0, {n}), o -> "
+            f"({qx}[o + 1] - {qy}[o + 1]) * ({qx}[o + 1] - {qy}[o + 1])))"
+            f" / {positions}.0"
+        )
+
+    k1, k2, lw = _LPIPS_K1, _LPIPS_K2, _LPIPS_LW
+    return f"""
+WITH px AS (
+  SELECT doc_id, {sha_px('')} AS ax, {sha_px("|| '|y' ")} AS ay
+  FROM documents WHERE doc_id < 100),
+c1 AS (SELECT doc_id, {conv('ax', k1, 8, 4)} AS fx1,
+              {conv('ay', k1, 8, 4)} AS fy1 FROM px),
+q1 AS (SELECT doc_id, {quant('fx1', 48)} AS qx1,
+              {quant('fy1', 48)} AS qy1 FROM c1),
+c2 AS (SELECT doc_id, qx1, qy1, {conv('qx1', k2, 4, 2)} AS fx2,
+              {conv('qy1', k2, 4, 2)} AS fy2 FROM q1),
+q2 AS (SELECT doc_id, qx1, qy1, {quant('fx2', 12)} AS qx2,
+              {quant('fy2', 12)} AS qy2 FROM c2)
+SELECT doc_id,
+       round({lw[0]} * ({dist('qx1', 'qy1', 48, 16)})
+             + {lw[1]} * ({dist('qx2', 'qy2', 12, 4)}), 6) AS lpips_shape
+FROM q2
+"""
+
+
+@register("metric_lpips_shape", _lpips_oracle_sql())
+def metric_lpips_shape(spark, sf_dir):
+    """P7 LPIPS-shaped perceptual distance END-TO-END (media/images.py::
+    lpips_shape_distance): two stub-decoded images per doc feed a shared
+    two-layer conv backbone whose kernels + layer weights load from a
+    REAL .npz checkpoint (load_weights_npz -> torrent broadcast), with
+    channel-unit-normalized per-layer features, squared-difference
+    spatial means, and learned layer weighting — the exact dataflow
+    LPIPS runs with converted weights (reference
+    train/common/metrics.py:123-170; Zhang et al. 2018). Narrows the P7
+    gap as far as a torch-free sandbox allows: swapping real converted
+    weights in changes only the .npz contents. The oracle replays the
+    literal conv chains (see _lpips_oracle_sql's exactness argument)."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.images import (
+        decode_images,
+        load_weights_npz,
+        lpips_shape_distance,
+    )
+
+    root = _scratch_dir("lpips_npz")
+    path = os.path.join(root, "lpips_shape.npz")
+    np.savez(
+        path,
+        conv1=np.array(_LPIPS_K1),
+        conv2=np.array(_LPIPS_K2),
+        layer_w=np.array(_LPIPS_LW),
+    )
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    bx = decode_images(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    ).select("doc_id", F.col("image.pixels").alias("px_x"))
+    by = decode_images(
+        docs.select(
+            "doc_id",
+            F.encode(F.concat("text", F.lit("|y")), "UTF-8").alias("content"),
+        )
+    ).select("doc_id", F.col("image.pixels").alias("px_y"))
+    out = lpips_shape_distance(
+        bx.join(by, "doc_id"),
+        conv1=load_weights_npz(path, key="conv1"),
+        conv2=load_weights_npz(path, key="conv2"),
+        layer_weights=load_weights_npz(path, key="layer_w"),
+    )
+    return out.select(
+        "doc_id", F.round("lpips_shape", 6).alias("lpips_shape")
+    )

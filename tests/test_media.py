@@ -919,3 +919,33 @@ def test_jpeg_foreign_progressive_fixture():
     # the refinement-only coefficient must really be present: block A
     # varies along Y (the (1,0) basis), which no earlier scan transmits
     assert len(set(out[:, 0, 0].tolist())) > 1
+
+
+def test_lpips_shape_distance_identity_and_symmetry(spark):
+    """d(x, x) = 0 exactly; d(x, y) = d(y, x); kernel shape validated."""
+    import numpy as np
+    import pytest
+
+    from experimentsplan_datapipeline_spark.media.images import (
+        lpips_shape_distance,
+    )
+
+    rng = np.random.RandomState(5)
+    px_a = rng.randint(0, 256, 192).tolist()
+    px_b = rng.randint(0, 256, 192).tolist()
+    k1 = np.array([[0.5, -0.25], [0.25, 0.5]])
+    k2 = np.array([[0.25, 0.5], [-0.5, 0.25]])
+    lw = np.array([0.75, 0.25])
+    df = spark.createDataFrame(
+        [(0, px_a, px_a), (1, px_a, px_b), (2, px_b, px_a)],
+        "id long, px_x array<int>, px_y array<int>",
+    )
+    rows = {
+        r["id"]: r["lpips_shape"]
+        for r in lpips_shape_distance(df, k1, k2, lw).collect()
+    }
+    assert rows[0] == 0.0
+    assert rows[1] == rows[2] > 0.0
+
+    with pytest.raises(ValueError, match="2x2 conv kernels"):
+        lpips_shape_distance(df, np.ones((3, 3)), k2, lw)
