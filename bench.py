@@ -58,6 +58,21 @@ HEADLINE = [
     "ann_ivfpq",
 ]
 
+# Heavy post-round-1 operators (VERDICT r9 item 3): benchmarked as their
+# own suite so the r1-baseline comparison over HEADLINE stays valid while
+# the rounds-6-10 heavy ops get a tracked sf0.1 wall-time trend. One rep
+# per pass (these run seconds each; min-of-passes still filters neighbor
+# noise).
+EXTENDED = [
+    "graph_pagerank",
+    "corpus_source_overlap",
+    "curate_corpus_v2",
+    "pipeline_ingest_batch_indexed",
+    "dedup_incremental_indexed",
+    "stream_ingest_gate",
+    "tokenizer_train_bpe",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,16 +98,16 @@ def main() -> None:
         except OSError:
             return -1.0
 
-    def run_pass() -> dict[str, float]:
+    def run_pass(names: list[str], n_reps: int) -> dict[str, float]:
         # best-of-N per query: min-of-reps measures the plan, not the
         # neighbors
         timings: dict[str, float] = {}
-        for name in HEADLINE:
+        for name in names:
             fn = QUERIES.get(name)
             if fn is None:
                 continue
             best = float("inf")
-            for _ in range(reps):
+            for _ in range(n_reps):
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
@@ -106,7 +121,7 @@ def main() -> None:
     totals: list[float] = []
     agreed = False
     for _ in range(max_passes):
-        p = run_pass()
+        p = run_pass(HEADLINE, reps)
         passes.append(p)
         totals.append(round(sum(p.values()), 3))
         if len(totals) >= 2:
@@ -114,6 +129,13 @@ def main() -> None:
             if abs(a - b) / max(min(a, b), 1e-9) <= 0.10:
                 agreed = True
                 break
+
+    ext_passes: list[dict[str, float]] = []
+    ext_totals: list[float] = []
+    for _ in range(2):
+        p = run_pass(EXTENDED, 1)
+        ext_passes.append(p)
+        ext_totals.append(round(sum(p.values()), 3))
     load_post = loadavg()
 
     # per-query minimum across passes; the reported total is the min PASS
@@ -122,6 +144,10 @@ def main() -> None:
         name: min(p[name] for p in passes) for name in passes[0]
     }
     total = min(totals)
+    ext_timings = {
+        name: min(p[name] for p in ext_passes) for name in ext_passes[0]
+    }
+    ext_total = min(ext_totals)
     print(
         json.dumps(
             {
@@ -129,9 +155,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": ext_timings,
+                "extended_total": ext_total,
                 "sf": sf,
                 "conditions": {
                     "pass_totals": totals,
+                    "extended_pass_totals": ext_totals,
                     "agreed_within_10pct": agreed,
                     "loadavg_1m_pre": load_pre,
                     "loadavg_1m_post": load_post,
