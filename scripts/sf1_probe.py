@@ -442,6 +442,53 @@ def build_bounded_vocab_corpus(out_dir: str, src_dir: str, n_sources: int = 50,
     con.execute(f"COPY bv_docs TO '{dst}' (FORMAT PARQUET)")
 
 
+def build_megadoc_corpus(out_dir: str) -> None:
+    """Round-10 adversary for content-defined chunking: the SAME total
+    token stream as sf0.1's documents, concatenated into just 8 mega
+    documents. chunk_content_defined's only window runs per doc — with
+    8 docs the window stage degrades to 8 tasks, the worst shape the op
+    can see. The probe's claim: the hazard is DOC-LENGTH-bounded (one
+    task sorts one doc's tokens), not corpus-bounded, so the slowdown vs
+    the natural corpus is the parallelism factor, not a blowup."""
+    os.makedirs(out_dir, exist_ok=True)
+    dst = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(dst):
+        return
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT doc_id % 8 AS doc_id, "
+        f"string_agg(text, ' ' ORDER BY doc_id) AS text, "
+        f"min(lang) AS lang, 'mega' AS source, "
+        f"sum(n_chars) AS n_chars "
+        f"FROM '{SRC}/documents.parquet' GROUP BY doc_id % 8) "
+        f"TO '{dst}' (FORMAT PARQUET)"
+    )
+
+
+def _chunk_cdc(spark, sf_dir):
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        chunk_content_defined,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+
+    return chunk_content_defined(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def _batch_padding(spark, sf_dir):
+    from experimentsplan_datapipeline_spark.operators import curation as cur
+    from experimentsplan_datapipeline_spark.plans.queries import t
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.functions.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    return cur.batch_padding_report(
+        docs, "doc_id", token_count("text"), n_buckets=8, batch_size=16
+    )
+
+
 def _time_pair(fn, spark, small_dir: str, big_dir: str) -> dict:
     times = {}
     for tag, d in (("sf0.1_sec", small_dir), ("sf1_sec", big_dir)):
@@ -552,6 +599,23 @@ def main() -> None:
 
         result["source_overlap@bounded_vocab"] = _time_pair(
             QUERIES["corpus_source_overlap"], spark, bv_small, bv_big
+        )
+    # round 10: the two window-tier ops (VERDICT r9 item 6)
+    if wanted("chunk_cdc@sf1"):
+        result["chunk_cdc@sf1"] = _time_pair(_chunk_cdc, spark, SRC, out_dir)
+    if wanted("chunk_cdc@megadoc"):
+        mega = os.path.join(out_dir, "adv_megadoc")
+        print("building mega-doc corpus ...", file=sys.stderr)
+        build_megadoc_corpus(mega)
+        # NOT a size pair: same total tokens, 8 docs vs ~5k docs — the
+        # ratio is the parallelism loss of the per-doc window, which must
+        # stay a small constant (doc-length-bounded), not a blowup
+        result["chunk_cdc@megadoc"] = _time_pair(
+            _chunk_cdc, spark, SRC, mega
+        )
+    if wanted("batch_padding@sf1"):
+        result["batch_padding@sf1"] = _time_pair(
+            _batch_padding, spark, SRC, out_dir
         )
     print(json.dumps(result, indent=2))
 
