@@ -217,6 +217,16 @@ def ingest_state_compact(
             _drop_gen_tables(spark, base, cur_gen)
 
 
+def ingest_state_drop(spark, compact_table: str) -> None:
+    """Drop a compacted gate state: pointer FIRST (readers fall back to
+    'nothing compacted' loudly-visibly rather than reading a
+    half-dropped generation), then all generations of both tables."""
+    spark.sql(f"DROP TABLE IF EXISTS `{compact_table}_meta`")
+    spark.sql(f"DROP TABLE IF EXISTS `{compact_table}_meta_staging`")
+    for base in (f"{compact_table}_acc", f"{compact_table}_keys"):
+        _drop_gen_tables(spark, base, None)
+
+
 def _dir_has_data(spark, path: str) -> bool:
     """True iff ``path`` exists AND contains at least one entry — a
     pre-created empty output dir (an mkdir'd mount point, an object-store

@@ -240,6 +240,19 @@ ROUND9_ANNOTATED: dict[str, str] = {
         "CDC token chunking: rolling-hash boundaries, edit-stable chunk hashes",
 }
 
+# Round-10 additions: state compaction, trained tokenizer, LPIPS shape.
+ROUND10_ANNOTATED: dict[str, str] = {
+    "tokenizer_train_bpe":
+        "BPE merge-table training, driver loop; oracle replays every merge",
+    "tokenizer_bpe_tokenize":
+        "tokenize with the trained merges, pure codegen expression chain",
+    "metric_lpips_shape":
+        "LPIPS dataflow over npz conv weights; oracle replays the conv chains",
+    "stream_ingest_gate_compacted":
+        "live gate + MID-STREAM epoch-state compaction (rows-only: sequential; "
+        "plants a cross-compaction near-dup and raises unless caught)",
+}
+
 ROTATION_NOTE = """## Driver-sample rotation (round 6)
 
 The driver's CORRECTNESS gate samples a fixed ~50 queries per round, so
@@ -300,6 +313,22 @@ def main() -> None:
     for n, note in ROUND9_ANNOTATED.items():
         listed.add(n)
         status = f"oracle ({note})" if n in ORACLE else "**MISSING**"
+        lines.append(f"| `{n}` | {status} |")
+    lines.append("")
+    lines += [
+        "## State compaction, trained tokenizer & LPIPS shape (round 10)",
+        "",
+        "| query | status |",
+        "|---|---|",
+    ]
+    for n, note in ROUND10_ANNOTATED.items():
+        listed.add(n)
+        if n in ORACLE:
+            status = f"oracle ({note})"
+        elif n in QUERIES:
+            status = f"rows-only ({note})"
+        else:
+            status = "**MISSING**"
         lines.append(f"| `{n}` | {status} |")
     lines.append("")
     extra = sorted(set(QUERIES) - listed)

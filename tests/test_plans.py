@@ -30,7 +30,7 @@ def test_readme_query_count_matches_registry():
 
     readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
     with open(readme) as f:
-        m = re.search(r"(\d+) queries, ALL (\d+) value-checked", f.read())
+        m = re.search(r"(\d+) queries, (?:ALL )?(\d+) value-checked", f.read())
     assert m, "README query-count sentence missing"
     assert int(m.group(1)) == len(QUERIES), (m.group(1), len(QUERIES))
     assert int(m.group(2)) == len(ORACLE), (m.group(2), len(ORACLE))
