@@ -851,3 +851,26 @@ def bpe_tokenize(
             - F.length(F.translate(enc_all, o, ""))
         ).alias("n_tokens"),
     )
+
+
+def bpe_vocab(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Corpus vocabulary under a TRAINED merge table: re-encode the
+    distinct-word frequency table, apply the merges in rank order (the
+    same bounded replace chain ``bpe_tokenize`` runs), and aggregate
+    weighted symbol counts — the (symbol, token_count) table a tokenizer
+    ships with. One corpus scan (word counting), then everything runs
+    over the sublinear word table; the symbol explode + groupBy carries
+    |vocab|-scale rows only."""
+    o, c = _BPE_O, _BPE_C
+    words = _bpe_words(df, text_col)
+    e = F.col("enc")
+    for l, r in merges:
+        e = F.replace(e, F.lit(f"{o}{l}{c}{o}{r}{c}"), F.lit(f"{o}{l}{r}{c}"))
+    syms = F.regexp_extract_all(e, F.lit(f"{o}(.*?){c}"), F.lit(1))
+    return (
+        words.select(F.explode(syms).alias("symbol"), "cnt")
+        .groupBy("symbol")
+        .agg(F.sum("cnt").alias("token_count"))
+    )

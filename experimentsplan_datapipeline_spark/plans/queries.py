@@ -8673,3 +8673,202 @@ def stream_ingest_gate_compacted(spark, sf_dir):
             "state"
         )
     return hits
+
+
+_STREAM_FUNNEL_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+  FROM documents WHERE doc_id >= 300),
+b AS (
+  SELECT doc_id, ws, len(ws) AS n_words,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bg
+  FROM w),
+g AS (
+  SELECT doc_id,
+         (round(list_max(list_transform(list_distinct(ws),
+                d -> len(list_filter(ws, x -> x = d)))) / greatest(n_words, 1), 6) <= 0.2
+          AND CASE WHEN len(bg) > 0
+                   THEN round(1 - len(list_distinct(bg)) / len(bg), 6)
+                   ELSE 0.0 END <= 0.2
+          AND round(list_sum(list_transform(ws, x -> strlen(x))) / greatest(n_words, 1), 6)
+              BETWEEN 3.0 AND 10.0) AS keep
+  FROM b),
+cf AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id < 400),
+bf AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id >= 300),
+near AS (
+  SELECT DISTINCT batch_id FROM ({_minhash_incr_oracle_sql()})),
+flags AS (
+  SELECT bf.doc_id, g.keep,
+         bf.fp IN (SELECT fp FROM cf) AS exact_dup,
+         bf.doc_id IN (SELECT batch_id FROM near) AS near_dup
+  FROM bf JOIN g USING (doc_id))
+SELECT doc_id, keep, exact_dup, near_dup,
+       (keep AND NOT exact_dup AND NOT near_dup) AS accepted
+FROM flags
+"""
+
+
+@register("stream_ingest_funnel", _STREAM_FUNNEL_ORACLE)
+def stream_ingest_funnel(spark, sf_dir):
+    """The FULL ingest funnel LIVE (streaming/ingest.py::
+    streaming_ingest_funnel): the batch docs stream in micro-batches and
+    EVERY micro-batch runs all three screens against persisted state —
+    the Gopher-style quality gate, the exact screen against the
+    fingerprint/Bloom index (codegen bit-test + bucketed semi-join), and
+    the near-dup screen against the band-key index (candidate-only
+    verify) — emitting a per-doc decision log (keep, exact_dup,
+    near_dup, accepted) as epoch partitions. Static corpus state here,
+    so the union of per-epoch decisions must hash-match the one-shot
+    batch funnel's per-doc flags — the same components
+    pipeline_ingest_batch_indexed aggregates, now value-checked row by
+    row through the live path. The growing-state form (all THREE state
+    families evolve between micro-batches) is verified against a
+    hand-unrolled replay in tests/test_ingest.py."""
+    from experimentsplan_datapipeline_spark.streaming.events import (
+        run_available_now,
+    )
+    from experimentsplan_datapipeline_spark.streaming.ingest import (
+        read_gate_results,
+        streaming_ingest_funnel,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 300).select("doc_id", "text")
+    root = _scratch_dir("ingest_funnel_live")
+    staging = os.path.join(root, "staging")
+    result_dir = os.path.join(root, "decisions")
+    batch.repartition(3, "doc_id").write.parquet(staging)
+    dd.minhash_index_write(
+        corpus, _stage("sfunnel_mh"), "text", "doc_id", num_hashes=32,
+        bands=8, shingle_size=3, portable_seed=42,
+    )
+    dd.fingerprint_index_write(corpus, _stage("sfunnel_fp"), "text")
+    spark.createDataFrame(
+        [],
+        "doc_id long, keep boolean, exact_dup boolean, near_dup boolean, "
+        "accepted boolean",
+    ).write.parquet(os.path.join(result_dir, "epoch=-1"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    writer = streaming_ingest_funnel(
+        stream, corpus, _stage("sfunnel_mh"), _stage("sfunnel_fp"),
+        result_dir, "text", "doc_id", num_hashes=32, bands=8,
+        shingle_size=3, threshold=0.5, portable_seed=42,
+    ).option("checkpointLocation", os.path.join(root, "ckpt"))
+    run_available_now(writer, timeout_sec=240.0)
+    return read_gate_results(spark, result_dir)
+
+
+def _bpe_vocab_oracle(n_merges: int, train_filter: str) -> str:
+    o, c = _BPE_O, _BPE_C
+    return _bpe_oracle_cte(n_merges, train_filter) + f"""
+SELECT symbol, sum(cnt) AS token_count FROM (
+  SELECT unnest(regexp_extract_all(enc, '{o}(.*?){c}', 1)) AS symbol, cnt
+  FROM w{n_merges})
+GROUP BY symbol"""
+
+
+@register(
+    "tokenizer_bpe_vocab", _bpe_vocab_oracle(_BPE_N_MERGES, _BPE_TRAIN_FILTER)
+)
+def tokenizer_bpe_vocab(spark, sf_dir):
+    """The trained tokenizer's VOCABULARY (operators/text_analysis.py::
+    bpe_vocab): weighted symbol counts of the training corpus under the
+    learned merge table — what a tokenizer artifact actually ships.
+    Everything after the one corpus scan runs over the sublinear
+    distinct-word table; the oracle reads the final state of the same
+    unrolled merge-replay ladder the training oracle uses."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    _, merges = bpe_train(docs, "text", _BPE_N_MERGES)
+    return bpe_vocab(docs, "text", merges)
+
+
+@register("dedup_cdc_chunks", r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents),
+ex AS (
+  SELECT doc_id,
+         unnest(range(1, len(tk) + 1)) AS pos,
+         unnest(tk) AS tok,
+         tk
+  FROM toks),
+b AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos = 1 THEN 0
+              WHEN ('0x' || substr(md5(tk[pos - 1] || '|' || tok || '|29'),
+                                   1, 8))::BIGINT % 16 = 0
+              THEN 1 ELSE 0 END AS bb
+  FROM ex),
+c AS (
+  SELECT doc_id, pos, tok,
+         sum(bb) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM b),
+ch AS (
+  SELECT doc_id, chunk_id, count(*) AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+  FROM c GROUP BY doc_id, chunk_id),
+shared AS (
+  SELECT chunk_hash FROM ch GROUP BY chunk_hash
+  HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       sum(CASE WHEN chunk_hash IN (SELECT chunk_hash FROM shared)
+                THEN 1 ELSE 0 END) AS n_dup_chunks,
+       round(sum(CASE WHEN chunk_hash IN (SELECT chunk_hash FROM shared)
+                      THEN n_tokens ELSE 0 END)::DOUBLE
+             / greatest(sum(n_tokens), 1), 6) AS dup_token_frac
+FROM ch GROUP BY doc_id
+""")
+def dedup_cdc_chunks(spark, sf_dir):
+    """Chunk-level duplication profile over CONTENT-DEFINED chunks (the
+    H51 payoff query): per doc, how many of its CDC chunks — and what
+    fraction of its tokens — are shared verbatim with at least one
+    other document. Because CDC boundaries are edit-stable, a revised
+    copy of a document still shares all untouched chunks, which is
+    exactly what fixed windows lose after one insertion (dedup_chunks
+    is the fixed-window twin). Scale shape: the chunk frame shuffles
+    once on chunk_hash for the distinct-doc share count (map-side
+    combinable) and once on doc_id for the profile — both carry
+    16-byte-hash-keyed rows, never text; the shared-hash side joins as
+    a regular hash join (it can be corpus-scale, so no broadcast)."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        chunk_content_defined,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    ch = chunk_content_defined(docs, "doc_id", "text")
+    shared = (
+        ch.groupBy("chunk_hash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk_hash")
+        .withColumn("__dup", F.lit(True))
+    )
+    prof = ch.join(shared, "chunk_hash", "left").withColumn(
+        "__dup", F.coalesce("__dup", F.lit(False))
+    )
+    return prof.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0)).alias("n_dup_chunks"),
+        F.round(
+            F.sum(F.when(F.col("__dup"), F.col("n_tokens")).otherwise(0))
+            / F.greatest(F.sum("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_token_frac"),
+    )

@@ -85,6 +85,7 @@ def ingest_state_compact(
     upto_epoch: int,
     n_buckets: int = 16,
     gc_old: bool = True,
+    fp_state_dir: str | None = None,
 ) -> None:
     """Fold the live gate's committed epoch partitions into bucketed
     compact tables behind an epoch high-water mark (VERDICT r9 item 1).
@@ -142,6 +143,10 @@ def ingest_state_compact(
     key_fold = [
         e for e in _list_epochs(spark, state_dir) if old_hwm < e <= upto_epoch
     ]
+    fp_fold = [
+        e for e in _list_epochs(spark, fp_state_dir)
+        if old_hwm < e <= upto_epoch
+    ] if fp_state_dir is not None else []
 
     def _swap_pointer(gen: int) -> None:
         from experimentsplan_datapipeline_spark.operators.dedup import (
@@ -154,14 +159,16 @@ def ingest_state_compact(
             meta_name,
         )
 
-    if not acc_fold and not key_fold:
+    if not acc_fold and not key_fold and not fp_fold:
         if ptr is None:
             return  # nothing folded, nothing pointed at: stay absent
         cur_gen = ptr["gen"]
         if upto_epoch > old_hwm:
             _swap_pointer(cur_gen)  # hwm-only advance, same tables
     else:
-        if acc_fold != key_fold:
+        if acc_fold != key_fold or (
+            fp_state_dir is not None and fp_fold != acc_fold
+        ):
             # a committed epoch writes BOTH dirs (and prior compactions
             # delete from both): one-sided state below the watermark
             # means upto_epoch overshot it into a half-written epoch
@@ -198,12 +205,36 @@ def ingest_state_compact(
             keys_new, f"{compact_table}_keys_g{new_gen}",
             ["key"], n_buckets, mode="overwrite",
         )
+        # fingerprints (the funnel's third state family): fold when a
+        # dir is given, else carry the previous generation's table
+        # forward so a gate-only compaction never drops funnel state
+        fp_new = spark.read.schema("fp string, epoch long").parquet(
+            *[os.path.join(fp_state_dir, f"epoch={e}") for e in fp_fold]
+        ).select("fp") if fp_fold else None
+        if ptr is not None and spark.catalog.tableExists(
+            f"{compact_table}_fp_g{ptr['gen']}"
+        ):
+            old_fp = spark.table(f"{compact_table}_fp_g{ptr['gen']}")
+            fp_new = (
+                old_fp.unionByName(fp_new) if fp_new is not None else old_fp
+            )
+        if fp_new is not None:
+            write_bucketed(
+                fp_new.distinct(), f"{compact_table}_fp_g{new_gen}",
+                ["fp"], n_buckets, mode="overwrite",
+            )
         _swap_pointer(new_gen)
         cur_gen = new_gen
     # the pointer now covers everything <= upto_epoch: folded dirs are
     # dead weight (committed => never replayed) — delete them so state
     # reads stop paying O(epochs) listings
-    for path, epochs in ((accepted_dir, acc_fold), (state_dir, key_fold)):
+    for path, epochs in (
+        (accepted_dir, acc_fold),
+        (state_dir, key_fold),
+        (fp_state_dir, fp_fold),
+    ):
+        if path is None:
+            continue
         fs, _, jvm = _fs(spark, path)
         for e in epochs:
             fs.delete(
@@ -213,7 +244,11 @@ def ingest_state_compact(
                 True,
             )
     if gc_old:
-        for base in (f"{compact_table}_acc", f"{compact_table}_keys"):
+        for base in (
+            f"{compact_table}_acc",
+            f"{compact_table}_keys",
+            f"{compact_table}_fp",
+        ):
             _drop_gen_tables(spark, base, cur_gen)
 
 
@@ -223,7 +258,11 @@ def ingest_state_drop(spark, compact_table: str) -> None:
     half-dropped generation), then all generations of both tables."""
     spark.sql(f"DROP TABLE IF EXISTS `{compact_table}_meta`")
     spark.sql(f"DROP TABLE IF EXISTS `{compact_table}_meta_staging`")
-    for base in (f"{compact_table}_acc", f"{compact_table}_keys"):
+    for base in (
+        f"{compact_table}_acc",
+        f"{compact_table}_keys",
+        f"{compact_table}_fp",
+    ):
         _drop_gen_tables(spark, base, None)
 
 
@@ -406,3 +445,209 @@ def read_gate_results(spark, result_dir: str) -> DataFrame:
     partition layout is the exactly-once mechanism, not data — dropped
     here; keep it when auditing which micro-batch flagged a pair)."""
     return spark.read.parquet(result_dir).drop("epoch")
+
+
+def streaming_ingest_funnel(
+    batch_stream: DataFrame,
+    corpus: DataFrame,
+    mh_index_table: str,
+    fp_index_table: str,
+    result_dir: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    portable_seed: int | None = None,
+    grow_state: bool = False,
+    accepted_dir: str | None = None,
+    state_dir: str | None = None,
+    fp_state_dir: str | None = None,
+    compact_table: str | None = None,
+):
+    """The FULL ingest funnel as a live stream — the streaming twin of
+    ``pipeline_ingest_batch_indexed`` (H50): every micro-batch runs the
+    Gopher-style quality gate (repetition_signals), the exact-dup screen
+    against the persisted fingerprint/Bloom index (H48), and the
+    near-dup screen against the persisted band-key index (H43), and
+    writes a per-doc decision log (id, keep, exact_dup, near_dup,
+    accepted) as its ``epoch=N`` partition. ``streaming_ingest_gate``
+    is the near-dup-only form; this is what a production ingest stream
+    actually runs — one pass, three screens, one decision.
+
+    ``grow_state=True`` (requires ``accepted_dir``, ``state_dir`` AND
+    ``fp_state_dir``) evolves ALL dedup state between micro-batches:
+    accepted docs' text, band keys, and content fingerprints each land
+    as epoch partitions, so later micro-batches reject both exact and
+    near duplicates of earlier ACCEPTED stream docs. The grown exact
+    screen semi-joins the batch fingerprints against the grown fp set
+    directly (no bloom — table appends are not epoch-addressable, and
+    the grown set is compact-table + a few epochs, so the semi-join is
+    already cheap); the STATIC corpus side keeps its codegen Bloom
+    bit-test. ``compact_table`` folds all three state families via
+    ``ingest_state_compact(..., fp_state_dir=...)``.
+
+    Exactly-once: identical epoch-partition overwrite + (hwm, N)-bounded
+    state reads as ``streaming_ingest_gate`` (see its docstring); the
+    decision log replays clean because every screen reads only
+    pre-epoch state.
+    """
+    from experimentsplan_datapipeline_spark.functions.text import (
+        doc_fingerprint,
+    )
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        exact_screen_incremental,
+    )
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    if grow_state and (
+        accepted_dir is None or state_dir is None or fp_state_dir is None
+    ):
+        raise ValueError(
+            "grow_state=True requires accepted_dir, state_dir and "
+            "fp_state_dir"
+        )
+
+    def gate(mb: DataFrame, epoch_id: int) -> None:
+        spark = mb.sparkSession
+        idx = minhash_index_read(
+            spark, mh_index_table, num_hashes=num_hashes, bands=bands,
+            shingle_size=shingle_size, portable_seed=portable_seed,
+        )
+        hwm, compact_gen = -1, None
+        if grow_state and compact_table is not None:
+            ptr = _read_pointer(spark, f"{compact_table}_meta")
+            if ptr is not None:
+                hwm, compact_gen = ptr["hwm"], ptr["gen"]
+                if epoch_id <= hwm:
+                    raise RuntimeError(
+                        f"streaming_ingest_funnel: replaying epoch "
+                        f"{epoch_id} at or below the compaction "
+                        f"high-water mark {hwm} — the compactor folded "
+                        f"an uncommitted epoch (upto_epoch must come "
+                        f"from last_committed_epoch)"
+                    )
+        prior = (F.col("epoch") > F.lit(hwm)) & (
+            F.col("epoch") < F.lit(epoch_id)
+        )
+        acc_schema = corpus.select(id_col, text_col).schema.add(
+            "epoch", "long"
+        )
+        key_schema = idx.select(id_col, "band", "key").schema.add(
+            "epoch", "long"
+        )
+        fp_schema = "fp string, epoch long"
+        corpus_now = corpus.select(id_col, text_col)
+        grown_fp = None
+        if grow_state:
+            if compact_gen is not None:
+                corpus_now = corpus_now.unionByName(
+                    spark.table(f"{compact_table}_acc_g{compact_gen}")
+                    .select(id_col, text_col)
+                )
+                idx = idx.unionByName(
+                    spark.table(f"{compact_table}_keys_g{compact_gen}")
+                    .select(id_col, "band", "key")
+                )
+                fp_tbl = f"{compact_table}_fp_g{compact_gen}"
+                if spark.catalog.tableExists(fp_tbl):
+                    grown_fp = spark.table(fp_tbl).select("fp")
+            if _dir_has_data(spark, accepted_dir):
+                corpus_now = corpus_now.unionByName(
+                    spark.read.schema(acc_schema).parquet(accepted_dir)
+                    .filter(prior)
+                    .select(id_col, text_col)
+                )
+            if _dir_has_data(spark, state_dir):
+                idx = idx.unionByName(
+                    spark.read.schema(key_schema).parquet(state_dir)
+                    .filter(prior)
+                    .select(id_col, "band", "key")
+                )
+            if _dir_has_data(spark, fp_state_dir):
+                fresh_fp = (
+                    spark.read.schema(fp_schema).parquet(fp_state_dir)
+                    .filter(prior)
+                    .select("fp")
+                )
+                grown_fp = (
+                    fresh_fp
+                    if grown_fp is None
+                    else grown_fp.unionByName(fresh_fp)
+                )
+        sig = repetition_signals(mb, id_col, text_col).select(id_col, "keep")
+        exact = exact_screen_incremental(mb, text_col, id_col, fp_index_table)
+        if grown_fp is not None:
+            gex = (
+                mb.select(
+                    F.col(id_col), doc_fingerprint(text_col).alias("fp")
+                )
+                .join(grown_fp, "fp", "left_semi")
+                .select(F.col(id_col), F.lit(True).alias("__gdup"))
+            )
+            exact = (
+                exact.join(gex, id_col, "left")
+                .select(
+                    id_col,
+                    (
+                        F.col("exact_dup")
+                        | F.coalesce("__gdup", F.lit(False))
+                    ).alias("exact_dup"),
+                )
+            )
+        near_ids = (
+            minhash_lsh_incremental(
+                corpus_now, mb, text_col, id_col,
+                num_hashes=num_hashes, bands=bands,
+                shingle_size=shingle_size, threshold=threshold,
+                portable_seed=portable_seed, corpus_bandkeys=idx,
+            )
+            .select(F.col("batch_id").alias(id_col))
+            .distinct()
+            .withColumn("near_dup", F.lit(True))
+        )
+        decisions = (
+            mb.select(id_col)
+            .join(sig, id_col)
+            .join(exact, id_col)
+            .join(near_ids, id_col, "left")
+            .select(
+                id_col,
+                "keep",
+                "exact_dup",
+                F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+            )
+            .withColumn(
+                "accepted",
+                F.col("keep") & ~F.col("exact_dup") & ~F.col("near_dup"),
+            )
+            .localCheckpoint(eager=True)  # feeds the log + 3 state writes
+        )
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(result_dir, f"epoch={epoch_id}")
+        )
+        if grow_state:
+            acc_ids = decisions.filter("accepted").select(id_col)
+            accepted = mb.join(
+                F.broadcast(acc_ids), id_col, "left_semi"
+            ).localCheckpoint(eager=True)  # feeds all three state writes
+            accepted.select(id_col, text_col).write.mode("overwrite").parquet(
+                os.path.join(accepted_dir, f"epoch={epoch_id}")
+            )
+            minhash_bandkeys(
+                accepted, text_col, id_col,
+                num_hashes=num_hashes, bands=bands,
+                shingle_size=shingle_size, portable_seed=portable_seed,
+            ).write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"epoch={epoch_id}")
+            )
+            accepted.select(
+                doc_fingerprint(text_col).alias("fp")
+            ).distinct().write.mode("overwrite").parquet(
+                os.path.join(fp_state_dir, f"epoch={epoch_id}")
+            )
+
+    return batch_stream.writeStream.foreachBatch(gate).outputMode("append")

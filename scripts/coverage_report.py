@@ -248,6 +248,13 @@ ROUND10_ANNOTATED: dict[str, str] = {
         "tokenize with the trained merges, pure codegen expression chain",
     "metric_lpips_shape":
         "LPIPS dataflow over npz conv weights; oracle replays the conv chains",
+    "tokenizer_bpe_vocab":
+        "weighted symbol counts under the trained merges (tokenizer artifact)",
+    "dedup_cdc_chunks":
+        "per-doc CDC chunk-duplication profile — the edit-stable dedup payoff",
+    "stream_ingest_funnel":
+        "the FULL funnel live: quality+exact+near-dup per micro-batch, "
+        "decision log hash-matches the batch funnel's per-doc flags",
     "stream_ingest_gate_compacted":
         "live gate + MID-STREAM epoch-state compaction (rows-only: sequential; "
         "plants a cross-compaction near-dup and raises unless caught)",

@@ -977,3 +977,165 @@ class TestIngestStateCompaction:
             for g in range(3):
                 spark.sql(f"DROP TABLE IF EXISTS t_guard_state_acc_g{g}")
                 spark.sql(f"DROP TABLE IF EXISTS t_guard_state_keys_g{g}")
+
+
+class TestStreamingFunnelGrowingState:
+    def test_funnel_grow_state_with_compaction_matches_replay(
+        self, spark, tmp_path
+    ):
+        """The live FULL funnel (quality + exact + near-dup) with all
+        three state families growing, compacted mid-stream: decisions
+        must match a hand-unrolled sequential replay, including an
+        exact-dup and a near-dup of pre-compaction-ACCEPTED docs whose
+        state survives only through the compact tables (their epoch
+        dirs are deleted by the compactor)."""
+        import glob
+        import os
+        import shutil
+
+        from experimentsplan_datapipeline_spark.functions.text import (
+            doc_fingerprint,
+        )
+        from experimentsplan_datapipeline_spark.operators.dedup import (
+            fingerprint_index_drop,
+            fingerprint_index_write,
+        )
+        from experimentsplan_datapipeline_spark.operators.text_analysis import (
+            repetition_signals,
+        )
+        from experimentsplan_datapipeline_spark.streaming.events import (
+            run_available_now,
+        )
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            _list_epochs,
+            ingest_state_compact,
+            ingest_state_drop,
+            last_committed_epoch,
+            read_gate_results,
+            streaming_ingest_funnel,
+        )
+
+        corpus, _ = _docs(spark)
+        doc_a = ("cardinal marble lantern velvet ember quartz meadow "
+                 "harbor cedar juniper saffron willow")
+        doc_b = ("orbit prism canyon tundra mosaic relic summit anchor "
+                 "breeze garnet lagoon thistle")
+        c2 = corpus.filter(F.col("doc_id") == 2).first()["text"]
+        batches = [
+            (700, doc_a),                         # novel -> accepted
+            (701, "  " + doc_a.upper() + "  "),   # exact dup of 700 (grown fp)
+            (702, doc_a + " omega"),              # near dup of 700 (grown keys)
+            (703, "spam spam spam spam spam spam"),  # fails quality gate
+            (704, c2),                            # exact dup of CORPUS doc
+            # --- compaction happens here ---
+            (705, doc_b),                         # novel -> accepted
+            (706, doc_a + "  "),                  # exact dup of 700 via COMPACT fp
+            (707, doc_b + " sigma"),              # near dup of 705 (fresh epoch)
+        ]
+        staging = tmp_path / "staging"
+        staging.mkdir()
+
+        def stage(i):
+            mb = spark.createDataFrame([batches[i]], ["doc_id", "text"])
+            tmp = str(tmp_path / f"fst_{i}")
+            mb.coalesce(1).write.parquet(tmp)
+            shutil.move(
+                glob.glob(tmp + "/part-*.parquet")[0],
+                str(staging / f"{i:04d}.parquet"),
+            )
+            os.utime(
+                str(staging / f"{i:04d}.parquet"),
+                (1_700_000_000 + i * 100,) * 2,
+            )
+
+        minhash_index_write(
+            corpus, "t_fun_mh", "text", "doc_id", portable_seed=7
+        )
+        fingerprint_index_write(corpus, "t_fun_fp", "text")
+        ingest_state_drop(spark, "t_fun_state")
+        result_dir = str(tmp_path / "decisions")
+        accepted_dir = str(tmp_path / "acc")
+        state_dir = str(tmp_path / "keys")
+        fp_state_dir = str(tmp_path / "fps")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drain():
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(staging))
+            )
+            writer = streaming_ingest_funnel(
+                stream, corpus, "t_fun_mh", "t_fun_fp", result_dir,
+                "text", "doc_id", threshold=0.5, portable_seed=7,
+                grow_state=True, accepted_dir=accepted_dir,
+                state_dir=state_dir, fp_state_dir=fp_state_dir,
+                compact_table="t_fun_state",
+            ).option("checkpointLocation", ckpt)
+            run_available_now(writer, timeout_sec=480.0)
+
+        try:
+            for i in range(5):
+                stage(i)
+            drain()
+            hwm = last_committed_epoch(spark, ckpt)
+            assert hwm == 4
+            ingest_state_compact(
+                spark, "t_fun_state", accepted_dir, state_dir, hwm,
+                fp_state_dir=fp_state_dir,
+            )
+            # all three state families folded AND their dirs pruned
+            assert _list_epochs(spark, accepted_dir) == []
+            assert _list_epochs(spark, state_dir) == []
+            assert _list_epochs(spark, fp_state_dir) == []
+            names = {t.name for t in spark.catalog.listTables()}
+            assert "t_fun_state_fp_g0" in names
+            for i in range(5, 8):
+                stage(i)
+            drain()
+
+            got = {
+                r["doc_id"]: (
+                    r["keep"], r["exact_dup"], r["near_dup"], r["accepted"]
+                )
+                for r in read_gate_results(spark, result_dir).collect()
+            }
+
+            # hand-unrolled sequential replay with the same operators
+            state = corpus.select("doc_id", "text")
+            state_fps = {
+                r["fp"]
+                for r in corpus.select(
+                    doc_fingerprint("text").alias("fp")
+                ).collect()
+            }
+            exp = {}
+            for did, text in batches:
+                mb = spark.createDataFrame([(did, text)], ["doc_id", "text"])
+                keep = repetition_signals(mb, "doc_id", "text").first()["keep"]
+                fp = mb.select(doc_fingerprint("text").alias("fp")).first()["fp"]
+                exact = fp in state_fps
+                near = bool(
+                    minhash_lsh_incremental(
+                        state, mb, "text", "doc_id", threshold=0.5,
+                        portable_seed=7,
+                    ).count()
+                )
+                acc = keep and not exact and not near
+                exp[did] = (keep, exact, near, acc)
+                if acc:
+                    state = state.unionByName(mb).localCheckpoint(eager=True)
+                    state_fps.add(fp)
+            assert got == exp
+            # the decisive rows, spelled out
+            assert exp[700] == (True, False, False, True)
+            assert got[701][1] is True      # exact via grown state
+            assert got[702][2] is True      # near via grown state
+            assert got[703][0] is False     # quality gate
+            assert got[704][1] is True      # exact via static index
+            assert got[706][1] is True      # exact via COMPACT fp table
+            assert got[707][2] is True      # near via fresh epoch state
+        finally:
+            minhash_index_drop(spark, "t_fun_mh")
+            fingerprint_index_drop(spark, "t_fun_fp")
+            ingest_state_drop(spark, "t_fun_state")
