@@ -489,6 +489,27 @@ def _batch_padding(spark, sf_dir):
     )
 
 
+def _bpe_train_probe(spark, sf_dir):
+    """BPE training at scale: the corpus scan happens once (word
+    counting); every iteration then works the DISTINCT-WORD table, which
+    grows sublinearly (Heaps' law) under the 10x shuffled-copy corpus —
+    the probe checks the per-iteration pair-count aggs really ride the
+    word table, not the corpus."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        bpe_train,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+
+    mdf, _ = bpe_train(t(spark, sf_dir, "documents"), "text", 12)
+    return mdf
+
+
+def _cdc_dedup_probe(spark, sf_dir):
+    from experimentsplan_datapipeline_spark.plans.queries import QUERIES
+
+    return QUERIES["dedup_cdc_chunks"](spark, sf_dir)
+
+
 def _time_pair(fn, spark, small_dir: str, big_dir: str) -> dict:
     times = {}
     for tag, d in (("sf0.1_sec", small_dir), ("sf1_sec", big_dir)):
@@ -616,6 +637,14 @@ def main() -> None:
     if wanted("batch_padding@sf1"):
         result["batch_padding@sf1"] = _time_pair(
             _batch_padding, spark, SRC, out_dir
+        )
+    if wanted("bpe_train@sf1"):
+        result["bpe_train@sf1"] = _time_pair(
+            _bpe_train_probe, spark, SRC, out_dir
+        )
+    if wanted("cdc_dedup@sf1"):
+        result["cdc_dedup@sf1"] = _time_pair(
+            _cdc_dedup_probe, spark, SRC, out_dir
         )
     print(json.dumps(result, indent=2))
 

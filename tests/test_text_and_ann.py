@@ -1170,6 +1170,24 @@ def test_bpe_train_matches_python_reference(spark):
         (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"]) for r in rows
     ] == [(i, l, r, c) for i, (l, r, c) in enumerate(exp_merges)]
 
+    # the vocabulary under the learned merges must match the reference's
+    # final symbolization, symbol by symbol
+    from collections import Counter
+
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        bpe_vocab,
+    )
+
+    exp_vocab = Counter()
+    for w, syms in exp_words.items():
+        for sym in syms:
+            exp_vocab[sym] += wc[w]
+    got_vocab = {
+        r["symbol"]: r["token_count"]
+        for r in bpe_vocab(df, "text", got_merges).collect()
+    }
+    assert got_vocab == dict(exp_vocab)
+
     # tokenize with the learned table must match the reference's final
     # symbolization lengths, word by word
     tok = {
