@@ -294,6 +294,7 @@ def streaming_ingest_gate(
     accepted_dir: str | None = None,
     state_dir: str | None = None,
     compact_table: str | None = None,
+    auto_compact_every: int | None = None,
 ):
     """Build the foreachBatch writer for the live ingest gate. Caller
     configures the trigger (``run_available_now`` for drains) and the
@@ -315,7 +316,14 @@ def streaming_ingest_gate(
     then reads the bucketed compact tables plus only the epoch
     partitions ABOVE the compaction high-water mark, keeping per-batch
     state cost O(batch + epochs since last compaction) instead of
-    O(all epochs) — run the compactor between drains every K epochs.
+    O(all epochs) — run the compactor between drains every K epochs,
+    or set ``auto_compact_every=K`` to have the gate do it itself: at
+    the start of every K-th epoch N it folds epochs <= N-1, which are
+    ALWAYS committed by the time batch N runs (Structured Streaming
+    commits batch N-1 before triggering N, and a replayed N implies
+    N-1 committed), so the auto fold can never touch a replayable
+    epoch; a crash mid-fold replays epoch N and re-runs the
+    (idempotent, generation-pointer-committed) compaction.
 
     Restart safety — EXACTLY-ONCE end to end, with plain parquet:
 
@@ -340,6 +348,13 @@ def streaming_ingest_gate(
     if grow_state and (accepted_dir is None or state_dir is None):
         raise ValueError("grow_state=True requires accepted_dir and state_dir")
 
+    if auto_compact_every is not None and (
+        not grow_state or compact_table is None
+    ):
+        raise ValueError(
+            "auto_compact_every requires grow_state=True and compact_table"
+        )
+
     def gate(mb: DataFrame, epoch_id: int) -> None:
         spark = mb.sparkSession
         corpus_now = corpus
@@ -350,6 +365,15 @@ def streaming_ingest_gate(
             spark, index_table, num_hashes=num_hashes, bands=bands,
             shingle_size=shingle_size, portable_seed=portable_seed,
         )
+        if (
+            auto_compact_every is not None
+            and epoch_id > 0
+            and epoch_id % auto_compact_every == 0
+        ):
+            ingest_state_compact(
+                spark, compact_table, accepted_dir, state_dir,
+                epoch_id - 1,
+            )
         hwm, compact_gen = -1, None
         if grow_state and compact_table is not None:
             ptr = _read_pointer(spark, f"{compact_table}_meta")
@@ -465,6 +489,7 @@ def streaming_ingest_funnel(
     state_dir: str | None = None,
     fp_state_dir: str | None = None,
     compact_table: str | None = None,
+    auto_compact_every: int | None = None,
 ):
     """The FULL ingest funnel as a live stream — the streaming twin of
     ``pipeline_ingest_batch_indexed`` (H50): every micro-batch runs the
@@ -486,7 +511,10 @@ def streaming_ingest_funnel(
     the grown set is compact-table + a few epochs, so the semi-join is
     already cheap); the STATIC corpus side keeps its codegen Bloom
     bit-test. ``compact_table`` folds all three state families via
-    ``ingest_state_compact(..., fp_state_dir=...)``.
+    ``ingest_state_compact(..., fp_state_dir=...)``;
+    ``auto_compact_every=K`` self-compacts at the start of every K-th
+    epoch (folding epochs <= N-1 — always committed; see
+    ``streaming_ingest_gate``).
 
     Exactly-once: identical epoch-partition overwrite + (hwm, N)-bounded
     state reads as ``streaming_ingest_gate`` (see its docstring); the
@@ -510,6 +538,12 @@ def streaming_ingest_funnel(
             "grow_state=True requires accepted_dir, state_dir and "
             "fp_state_dir"
         )
+    if auto_compact_every is not None and (
+        not grow_state or compact_table is None
+    ):
+        raise ValueError(
+            "auto_compact_every requires grow_state=True and compact_table"
+        )
 
     def gate(mb: DataFrame, epoch_id: int) -> None:
         spark = mb.sparkSession
@@ -517,6 +551,15 @@ def streaming_ingest_funnel(
             spark, mh_index_table, num_hashes=num_hashes, bands=bands,
             shingle_size=shingle_size, portable_seed=portable_seed,
         )
+        if (
+            auto_compact_every is not None
+            and epoch_id > 0
+            and epoch_id % auto_compact_every == 0
+        ):
+            ingest_state_compact(
+                spark, compact_table, accepted_dir, state_dir,
+                epoch_id - 1, fp_state_dir=fp_state_dir,
+            )
         hwm, compact_gen = -1, None
         if grow_state and compact_table is not None:
             ptr = _read_pointer(spark, f"{compact_table}_meta")

@@ -1139,3 +1139,95 @@ class TestStreamingFunnelGrowingState:
             minhash_index_drop(spark, "t_fun_mh")
             fingerprint_index_drop(spark, "t_fun_fp")
             ingest_state_drop(spark, "t_fun_state")
+
+
+class TestAutoCompaction:
+    def test_gate_auto_compacts_every_k_epochs(self, spark, tmp_path):
+        """auto_compact_every=3: one drain of 9 single-file micro-batches
+        must leave the epoch dirs pruned up to the last in-stream fold
+        (epoch 5, folded at the start of epoch 6), the pointer's hwm
+        there, and the hit log identical to the hand-unrolled replay —
+        compaction is invisible to results."""
+        import os
+
+        from experimentsplan_datapipeline_spark.streaming.events import (
+            run_available_now,
+        )
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            _list_epochs,
+            ingest_state_drop,
+            read_gate_results,
+            streaming_ingest_gate,
+        )
+
+        corpus, _ = _docs(spark)
+        corpus_rows = [r["text"] for r in corpus.orderBy("doc_id").collect()]
+        batches = TestIngestStateCompaction._mk_batches(spark, corpus_rows, 9)
+        staging = tmp_path / "staging"
+        staging.mkdir()
+        for i in range(9):
+            TestIngestStateCompaction._stage_file(
+                tmp_path, staging, batches[i], i
+            )
+        minhash_index_write(
+            corpus, "t_auto_idx", "text", "doc_id", portable_seed=7
+        )
+        ingest_state_drop(spark, "t_auto_state")
+        result_dir = str(tmp_path / "hits")
+        accepted_dir = str(tmp_path / "acc")
+        state_dir = str(tmp_path / "keys")
+        spark.createDataFrame(
+            [], "batch_id long, corpus_id long, jaccard double"
+        ).write.parquet(result_dir + "/epoch=-1")
+        try:
+            stream = (
+                spark.readStream.schema(batches[0].schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(staging))
+            )
+            writer = streaming_ingest_gate(
+                stream, corpus, "t_auto_idx", result_dir, "text", "doc_id",
+                threshold=0.5, portable_seed=7, grow_state=True,
+                accepted_dir=accepted_dir, state_dir=state_dir,
+                compact_table="t_auto_state", auto_compact_every=3,
+            ).option("checkpointLocation", str(tmp_path / "ckpt"))
+            run_available_now(writer, timeout_sec=480.0)
+
+            ptr = spark.table("t_auto_state_meta").first()
+            assert ptr["hwm"] == 5  # folded at the start of epoch 6
+            # only post-fold epochs remain on disk
+            assert _list_epochs(spark, accepted_dir) == [6, 7, 8]
+            assert _list_epochs(spark, state_dir) == [6, 7, 8]
+
+            # results identical to the hand-unrolled replay
+            expected = set()
+            state = corpus.select("doc_id", "text")
+            for mb in batches:
+                h = minhash_lsh_incremental(
+                    state, mb, "text", "doc_id", threshold=0.5,
+                    portable_seed=7,
+                ).collect()
+                expected |= {(r["batch_id"], r["corpus_id"]) for r in h}
+                dup = [r["batch_id"] for r in h]
+                acc = mb.filter(~F.col("doc_id").isin(dup or [-1]))
+                state = state.unionByName(acc).localCheckpoint(eager=True)
+            got = {
+                (r["batch_id"], r["corpus_id"])
+                for r in read_gate_results(spark, result_dir).collect()
+            }
+            assert got == expected and got
+        finally:
+            minhash_index_drop(spark, "t_auto_idx")
+            ingest_state_drop(spark, "t_auto_state")
+
+    def test_auto_compact_param_validation(self, spark):
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            streaming_ingest_gate,
+        )
+
+        corpus, _ = _docs(spark)
+        with pytest.raises(ValueError, match="auto_compact_every requires"):
+            streaming_ingest_gate(
+                corpus, corpus, "idx", "/tmp/x", "text", "doc_id",
+                auto_compact_every=3,
+            )
