@@ -70,6 +70,7 @@ EXTENDED = [
     "pipeline_ingest_batch_indexed",
     "dedup_incremental_indexed",
     "stream_ingest_gate",
+    "stream_ingest_funnel",
     "tokenizer_train_bpe",
 ]
 

@@ -1038,3 +1038,218 @@ def embedding_centroid_drift(
             .alias("centroid_cosine"),
         )
     )
+
+
+def ann_index_write(
+    corpus: DataFrame,
+    table_name: str,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF index — the ANN member of the persisted-index triad
+    (exact screen H48, near-dup band keys H43, similarity here): the
+    corpus is coarse-quantized ONCE into Voronoi cells and every later
+    batch of queries (or appended vectors) touches only the bounded
+    centroid codebook plus the probed cells.
+
+    Layout (the same generation-pointer commit as the dedup indexes):
+    ``{table_name}_cells_g<gen>`` holds the n_cells centroids (the
+    n_cells lowest-id corpus vectors — the deterministic,
+    oracle-replayable convention ``ivf_topk`` defaults to; swap a
+    ``kmeans_lite`` codebook in by training first and filtering the
+    corpus accordingly), ``{table_name}_asg_g<gen>`` holds (id, cell,
+    vec) BUCKETED ON CELL — the inverted lists; probes hash-join on
+    cell with no exchange on the corpus side — and the one-row pointer
+    ``{table_name}_meta`` (n_cells, gen) commits last, so every crash
+    window leaves the old consistent index, an unreferenced leaked
+    generation, or a loud missing-pointer failure.
+
+    ``mode='append'`` is IVF maintenance: new vectors assign to the
+    FROZEN persisted centroids (the standard production trade — cells
+    drift slowly; rebuild with overwrite when the drift monitor says
+    so) and append to the inverted lists. A crashed append is safely
+    retried: ``ann_query_indexed`` de-duplicates candidates by id, so
+    duplicate appended rows cannot change a top-k.
+    """
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        _drop_gen_tables,
+        _read_pointer,
+        _swap_in_table,
+    )
+    from experimentsplan_datapipeline_spark.sources.sinks import write_bucketed
+
+    spark = corpus.sparkSession
+    meta_name = f"{table_name}_meta"
+    meta = _read_pointer(spark, meta_name)
+    if mode == "append":
+        if meta is None:
+            raise ValueError(
+                f"ann_index_write: cannot append — meta table "
+                f"{meta_name!r} not found; build with mode='overwrite'"
+            )
+        if meta["n_cells"] != n_cells:
+            raise ValueError(
+                f"ann_index_write: index {table_name!r} was built with "
+                f"n_cells={meta['n_cells']}; cannot append with {n_cells}"
+            )
+        gen = meta["gen"]
+        cents = _load_centroids(spark, table_name, gen)
+        asg = _assign_to_cells(corpus, vec_col, id_col, cents)
+        write_bucketed(
+            asg, f"{table_name}_asg_g{gen}", ["cell"], n_buckets,
+            mode="append",
+        )
+        return
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    cents = [(int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows]
+    new_gen = (meta["gen"] + 1) if meta is not None else 0
+    cells_df = spark.createDataFrame(
+        cents, "cell int, cvec array<double>"
+    )
+    write_bucketed(
+        cells_df, f"{table_name}_cells_g{new_gen}", ["cell"], 1,
+        mode="overwrite",
+    )
+    write_bucketed(
+        _assign_to_cells(corpus, vec_col, id_col, cents),
+        f"{table_name}_asg_g{new_gen}", ["cell"], n_buckets,
+        mode="overwrite",
+    )
+    _swap_in_table(
+        spark,
+        spark.createDataFrame([(n_cells, new_gen)], "n_cells int, gen int"),
+        meta_name,
+    )
+    for base in (f"{table_name}_cells", f"{table_name}_asg"):
+        _drop_gen_tables(spark, base, new_gen)
+
+
+def _scored_cells_expr(vec, cents: list[tuple[int, list[float]]]):
+    """array<struct<cos, cell>> over the literal codebook — struct
+    ordering compares cos first then cell, so max/sort rank cells by
+    similarity with ties to the larger cell (ivf_topk's convention)."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cell"),
+                F.lit([float(x) for x in cv]).alias("cvec"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    return F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.round(cosine_similarity(vec, c["cvec"]), 6).alias("cos"),
+            c["cell"].alias("cell"),
+        ),
+    )
+
+
+def _assign_to_cells(
+    df: DataFrame, vec_col: str, id_col: str,
+    cents: list[tuple[int, list[float]]],
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.array_max(_scored_cells_expr(F.col(vec_col), cents))["cell"]
+        .alias("cell"),
+        F.col(vec_col).alias("vec"),
+    )
+
+
+def _load_centroids(
+    spark, table_name: str, gen: int
+) -> list[tuple[int, list[float]]]:
+    rows = spark.table(f"{table_name}_cells_g{gen}").collect()  # k-bounded
+    return sorted(
+        (int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows
+    )
+
+
+def ann_query_indexed(
+    queries: DataFrame,
+    table_name: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Query the persisted IVF index: per query, rank cells against the
+    broadcast centroid codebook (whole-stage codegen, no shuffle), probe
+    the top ``n_probe`` cells with a hash join on the BUCKETED inverted
+    lists (no exchange on the corpus side — the bucketing paid it at
+    write time), and two-phase top-k the candidates. Candidates are
+    de-duplicated by (query, id) first, which is what makes a crashed
+    index append retry-safe. Returns ({query_id}_q, id, cosine)."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        _read_pointer,
+    )
+    from experimentsplan_datapipeline_spark.operators.windows import (
+        top_k_per_key_two_phase,
+    )
+
+    spark = queries.sparkSession
+    meta = _read_pointer(spark, f"{table_name}_meta")
+    if meta is None:
+        raise ValueError(
+            f"ann_query_indexed: meta table {table_name + '_meta'!r} not "
+            f"found — build the index with ann_index_write first"
+        )
+    cents = _load_centroids(spark, table_name, meta["gen"])
+    asg = spark.table(f"{table_name}_asg_g{meta['gen']}")
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
+    ).withColumn(
+        "__cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            _scored_cells_expr(F.col("__qvec"), cents)
+                        )
+                    ),
+                    1, n_probe,
+                ),
+                lambda s: s["cell"],
+            )
+        ),
+    )
+    scored = asg.join(
+        F.broadcast(q), asg["cell"] == q["__cell"]
+    ).select(
+        F.col("__qid").alias(query_id + "_q"),
+        F.col(asg.columns[0]),
+        F.round(
+            cosine_similarity(F.col("vec"), F.col("__qvec")), 6
+        ).alias("cosine"),
+    )
+    id_out = asg.columns[0]
+    return top_k_per_key_two_phase(
+        scored.dropDuplicates([query_id + "_q", id_out]),
+        key_cols=[query_id + "_q"],
+        order_by=[F.col("cosine").desc(), F.col(id_out).asc()],
+        k=k,
+        bucket_cols=[id_out],
+    )
+
+
+def ann_index_drop(spark, table_name: str) -> None:
+    """Drop a persisted IVF index: pointer first, then all generations."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        _drop_gen_tables,
+    )
+
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta`")
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta_staging`")
+    for base in (f"{table_name}_cells", f"{table_name}_asg"):
+        _drop_gen_tables(spark, base, None)

@@ -8872,3 +8872,104 @@ def dedup_cdc_chunks(spark, sf_dir):
             6,
         ).alias("dup_token_frac"),
     )
+
+
+# ------------------------------------------- persisted IVF ANN index (r10)
+
+
+@register("ann_index_query", _ann_ivf_oracle_sql())
+def ann_index_query(spark, sf_dir):
+    """ANN top-k through the PERSISTED IVF index (operators/similarity.py::
+    ann_index_write / ann_query_indexed) — the similarity member of the
+    persisted-index triad (exact screen H48, band keys H43): centroids
+    and cell-bucketed inverted lists live in generation-pointed tables;
+    the query assigns against the broadcast codebook and hash-joins only
+    the probed cells, with no exchange on the corpus side (bucketed on
+    cell at write time). Shares ann_ivf's oracle: the indexed path must
+    return exactly what the recompute path returns."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        ann_index_write,
+        ann_query_indexed,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    ann_index_write(emb, _stage("ann_idx"), "embedding", "vec_id")
+    return ann_query_indexed(
+        emb.filter(F.col("vec_id") < 5), _stage("ann_idx"),
+        "vec_id", "embedding", k=10, n_probe=2,
+    )
+
+
+def _ann_indexed_append_oracle(
+    cent_lo: int = 8, n_cells: int = 16, n_probe: int = 2, k: int = 10,
+    n_queries: int = 5,
+) -> str:
+    """The append-maintenance twin of _ann_ivf_oracle_sql: centroids are
+    the n_cells lowest-id vectors OF THE BASE CORPUS (vec_id >= cent_lo,
+    so ids cent_lo..cent_lo+n_cells-1 — frozen when the batch appends),
+    assignment runs over base + appended = all vectors."""
+    hi = cent_lo + n_cells
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cell, v AS cv FROM e
+      WHERE vec_id >= {cent_lo} AND vec_id < {hi}),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                        c.cell DESC) AS rn
+    FROM e CROSS JOIN c)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {n_queries}),
+qcells AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                        c.cell DESC) AS rn
+    FROM q CROSS JOIN c)
+  WHERE rn <= {n_probe}),
+scored AS (
+  SELECT DISTINCT qc.qid AS vec_id_q, a.vec_id,
+         round(list_cosine_similarity(a.v, qc.qv), 6) AS cosine
+  FROM assign a JOIN qcells qc ON a.cell = qc.cell)
+SELECT vec_id_q, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id_q
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@register("ann_index_append_query", _ann_indexed_append_oracle())
+def ann_index_append_query(spark, sf_dir):
+    """IVF index MAINTENANCE: the index builds over the base corpus
+    (vec_id >= 8 — centroids 8..23), then a new batch (vec_id < 8)
+    appends against the FROZEN centroids (the production trade: cells
+    drift slowly, rebuild on the drift monitor's say-so), and the
+    queries — which ARE the appended vectors — must each find
+    themselves at cosine 1.0 plus their true neighbors among base AND
+    appended vectors. A crashed append is retry-safe: the query path
+    de-duplicates candidates by id, so duplicate appended rows cannot
+    change the top-k."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        ann_index_write,
+        ann_query_indexed,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    base = emb.filter(F.col("vec_id") >= 8)
+    batch = emb.filter(F.col("vec_id") < 8)
+    ann_index_write(base, _stage("ann_app_idx"), "embedding", "vec_id")
+    ann_index_write(
+        batch, _stage("ann_app_idx"), "embedding", "vec_id", mode="append"
+    )
+    return ann_query_indexed(
+        emb.filter(F.col("vec_id") < 5), _stage("ann_app_idx"),
+        "vec_id", "embedding", k=10, n_probe=2,
+    )

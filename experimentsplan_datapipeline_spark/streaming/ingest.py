@@ -253,9 +253,9 @@ def ingest_state_compact(
 
 
 def ingest_state_drop(spark, compact_table: str) -> None:
-    """Drop a compacted gate state: pointer FIRST (readers fall back to
-    'nothing compacted' loudly-visibly rather than reading a
-    half-dropped generation), then all generations of both tables."""
+    """Drop a compacted gate/funnel state: pointer FIRST (readers fall
+    back to 'nothing compacted' rather than reading a half-dropped
+    generation), then every generation of all three state families."""
     spark.sql(f"DROP TABLE IF EXISTS `{compact_table}_meta`")
     spark.sql(f"DROP TABLE IF EXISTS `{compact_table}_meta_staging`")
     for base in (

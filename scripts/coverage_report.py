@@ -252,6 +252,11 @@ ROUND10_ANNOTATED: dict[str, str] = {
         "weighted symbol counts under the trained merges (tokenizer artifact)",
     "dedup_cdc_chunks":
         "per-doc CDC chunk-duplication profile — the edit-stable dedup payoff",
+    "ann_index_query":
+        "persisted IVF index (generation-pointed centroids + cell-bucketed "
+        "inverted lists); shares the recompute path's oracle",
+    "ann_index_append_query":
+        "IVF maintenance: frozen-centroid append, retry-safe duplicates",
     "stream_ingest_funnel":
         "the FULL funnel live: quality+exact+near-dup per micro-batch, "
         "decision log hash-matches the batch funnel's per-doc flags",

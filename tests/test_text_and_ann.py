@@ -1229,3 +1229,92 @@ def test_bpe_train_raises_when_exhausted(spark):
     df = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="exhausted"):
         bpe_train(df, "text", 5)
+
+
+def test_ann_persisted_index_matches_recompute_and_append_safety(spark):
+    """The persisted IVF index must return exactly what ivf_topk
+    recomputes; appends validate n_cells, freeze centroids, and are
+    retry-safe (a double append cannot change the top-k)."""
+    import random
+
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        ann_index_drop,
+        ann_index_write,
+        ann_query_indexed,
+        ivf_topk,
+    )
+
+    rng = random.Random(11)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    base = emb.filter(F.col("vec_id") >= 10)
+    batch = emb.filter(F.col("vec_id") < 10)
+    try:
+        ann_index_write(emb, "t_ann_idx", "embedding", "vec_id", n_cells=8)
+        got = sorted(
+            map(
+                tuple,
+                ann_query_indexed(
+                    emb.filter(F.col("vec_id") < 4), "t_ann_idx",
+                    "vec_id", "embedding", k=5, n_probe=2,
+                ).collect(),
+            )
+        )
+        exp = sorted(
+            map(
+                tuple,
+                ivf_topk(
+                    emb, emb.filter(F.col("vec_id") < 4),
+                    "vec_id", "vec_id", "embedding",
+                    k=5, n_cells=8, n_probe=2,
+                ).collect(),
+            )
+        )
+        assert got == exp and got
+
+        # append path: frozen centroids, retry-safe duplicates
+        ann_index_write(base, "t_ann_idx", "embedding", "vec_id", n_cells=8)
+        ann_index_write(
+            batch, "t_ann_idx", "embedding", "vec_id", n_cells=8,
+            mode="append",
+        )
+        once = sorted(
+            map(
+                tuple,
+                ann_query_indexed(
+                    batch.filter(F.col("vec_id") < 3), "t_ann_idx",
+                    "vec_id", "embedding", k=5, n_probe=2,
+                ).collect(),
+            )
+        )
+        # every appended query finds itself at cosine 1.0 rank 1
+        r1 = {(q, i) for q, i, cos, rk in once if rk == 1}
+        assert r1 == {(0, 0), (1, 1), (2, 2)}
+        ann_index_write(  # the "crashed append retried" double-apply
+            batch, "t_ann_idx", "embedding", "vec_id", n_cells=8,
+            mode="append",
+        )
+        twice = sorted(
+            map(
+                tuple,
+                ann_query_indexed(
+                    batch.filter(F.col("vec_id") < 3), "t_ann_idx",
+                    "vec_id", "embedding", k=5, n_probe=2,
+                ).collect(),
+            )
+        )
+        assert twice == once
+
+        with pytest.raises(ValueError, match="n_cells"):
+            ann_index_write(
+                batch, "t_ann_idx", "embedding", "vec_id", n_cells=4,
+                mode="append",
+            )
+        with pytest.raises(ValueError, match="not found"):
+            ann_query_indexed(
+                batch, "t_never_an_index", "vec_id", "embedding"
+            )
+    finally:
+        ann_index_drop(spark, "t_ann_idx")
