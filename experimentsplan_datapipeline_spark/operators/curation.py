@@ -670,3 +670,150 @@ def decontaminate(
             "contaminated"
         ),
     )
+
+
+# Trained model-based quality filtering (the FastText/CCNet-style
+# discriminative classifier an LLM-data pipeline trains over cheap text
+# statistics; LM perplexity and DSIR are the generative companions).
+# Every arithmetic choice below exists to make the training loop
+# EXACTLY replayable by the DuckDB oracle:
+#   - features are capped INTEGER counts scaled by the dyadic 1/256
+#     (engine-identical values with 8 fractional bits),
+#   - the activation is the hard sigmoid clamp(0.25 z + 0.5, 0, 1) —
+#     plain IEEE mul/add/clamp, no libm exp whose last ulp differs
+#     across engines,
+#   - per-row residuals snap to the 2^-20 grid before summation, so the
+#     gradient sums are sums of exact dyadic rationals (order-free),
+#   - the gradient MEAN divides by the next power of two >= n (exact)
+#     and the learning rate is dyadic, and
+#   - weights snap to the 2^-30 grid after each update, which keeps
+#     every later product inside double's 53-bit mantissa (z = sum of
+#     30-frac-bit weights x 8-frac-bit features stays exact).
+_QC_LR = 4.0
+_QC_Q = 2.0 ** 20
+_QC_WQ = 2.0 ** 30
+_QC_XS = 1.0 / 256.0
+
+
+def _qc_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The fixed 5-feature map: bias + four capped counts (words,
+    distinct words, chars/16, longest word), each scaled by 1/256 — the
+    cheap statistics a quality classifier actually uses."""
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+    sc = F.lit(_QC_XS)
+    return df.select(
+        F.col(id_col),
+        F.lit(1.0).alias("x0"),
+        (F.least(F.size(ws), F.lit(255)) * sc).alias("x1"),
+        (F.least(F.size(F.array_distinct(ws)), F.lit(255)) * sc).alias("x2"),
+        (
+            F.least(F.length(text_col) / 16, F.lit(255)).cast("int") * sc
+        ).alias("x3"),
+        # coalesce BEFORE least: an empty doc has no words, and both
+        # engines must agree the feature is 0 (least() NULL handling is
+        # not something to depend on cross-engine)
+        (
+            F.least(
+                F.coalesce(
+                    F.array_max(F.transform(ws, lambda w: F.length(w))),
+                    F.lit(0),
+                ),
+                F.lit(255),
+            )
+            * sc
+        ).alias("x4"),
+    )
+
+
+def quality_classifier_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label: Column,
+    n_steps: int = 32,
+) -> tuple[DataFrame, list[float]]:
+    """Train a hard-sigmoid logistic quality classifier by full-batch
+    gradient descent — the iterate-until-N driver-loop shape
+    (``pagerank_until``, ``bpe_train``): per step ONE map-side-combinable
+    aggregation computes the five gradient sums plus the running
+    accuracy (a bounded 1-row collect), and the weight update happens
+    driver-side. The corpus is featurized once (localCheckpoint); every
+    later step touches only the 6-column feature frame, so 100 TB is
+    scanned exactly once regardless of step count.
+
+    Returns ``(trace_df, weights)``: one row per step
+    (step, w0..w4, n_correct — accuracy measured under the PRE-update
+    weights, i.e. the model the step's gradients were computed from)
+    and the final weight list for ``quality_classifier_score``.
+    """
+    import math
+
+    spark = df.sparkSession
+    feats = (
+        _qc_features(df, id_col, text_col)
+        .join(
+            df.select(
+                F.col(id_col), label.cast("int").alias("y")
+            ),
+            id_col,
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = feats.count()
+    pow2 = float(1 << max(n - 1, 1).bit_length())
+    w = [0.0] * 5
+    rows = []
+    for t in range(1, n_steps + 1):
+        z = sum(
+            (F.col(f"x{j}") * F.lit(w[j]) for j in range(1, 5)),
+            F.lit(w[0]) * F.col("x0"),
+        )
+        p = F.greatest(F.least(z * 0.25 + 0.5, F.lit(1.0)), F.lit(0.0))
+        g = F.floor((p - F.col("y")) * _QC_Q + 0.5) / _QC_Q
+        agg = feats.select(
+            *[F.sum(g * F.col(f"x{j}")).alias(f"g{j}") for j in range(5)],
+            F.sum(
+                F.when(
+                    (p >= 0.5) == (F.col("y") == 1), 1
+                ).otherwise(0)
+            ).alias("n_correct"),
+        ).first()
+        w = [
+            math.floor(
+                (w[j] - _QC_LR * float(agg[f"g{j}"]) / pow2) * _QC_WQ + 0.5
+            )
+            / _QC_WQ
+            for j in range(5)
+        ]
+        rows.append(tuple([t] + w + [int(agg["n_correct"])]))
+    trace = spark.createDataFrame(
+        rows,
+        "step int, w0 double, w1 double, w2 double, w3 double, "
+        "w4 double, n_correct long",
+    )
+    return trace, w
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[float],
+) -> DataFrame:
+    """Apply a trained quality classifier: (id, quality_p, keep_quality).
+    Pure codegen expressions over the same fixed feature map — the
+    bounded weight literals ride the plan like the BPE merge table."""
+    feats = _qc_features(df, id_col, text_col)
+    z = sum(
+        (F.col(f"x{j}") * F.lit(float(weights[j])) for j in range(1, 5)),
+        F.lit(float(weights[0])) * F.col("x0"),
+    )
+    p = F.greatest(F.least(z * 0.25 + 0.5, F.lit(1.0)), F.lit(0.0))
+    return feats.select(
+        F.col(id_col),
+        F.round(p, 6).alias("quality_p"),
+        (p >= 0.5).alias("keep_quality"),
+    )

@@ -257,6 +257,11 @@ ROUND10_ANNOTATED: dict[str, str] = {
         "inverted lists); shares the recompute path's oracle",
     "ann_index_append_query":
         "IVF maintenance: frozen-centroid append, retry-safe duplicates",
+    "quality_classifier_train":
+        "trained quality classifier: 32 GD steps replayed bit-for-bit "
+        "(hard sigmoid, dyadic grids — no libm in the loop)",
+    "quality_classifier_score":
+        "corpus-wide scoring under the trained weights, pure codegen",
     "stream_ingest_funnel":
         "the FULL funnel live: quality+exact+near-dup per micro-batch, "
         "decision log hash-matches the batch funnel's per-doc flags",
