@@ -1,17 +1,20 @@
-"""Live streaming ingest gate (SURVEY.md §2.9 + the H41/H42 ingest story).
+"""Live streaming ingest: near-dup gate, full funnel, and state compaction
+(SURVEY.md §2.9 + the H41/H42/H44/H50/H52/H55 ingest story).
 
 The reference's streaming surface is periodic side-effects over a step
 stream (train/train_stage_1/train.py:95-117: every N steps, act on the
 accumulated state). The engine's equivalent for data ingest: a document
-stream drains in micro-batches, and EVERY micro-batch runs the incremental
-MinHash near-dup screen against the PERSISTED corpus LSH state
-(operators/dedup.py::minhash_index_write) — the same gate
-``pipeline_ingest_batch`` runs one-shot, now in its live form. With
-``grow_state=True`` each micro-batch's accepted (non-duplicate) documents
-are appended to the state before the next batch arrives, so later
-micro-batches are screened against earlier ones — the sequential semantics
-a real ingest pipeline needs, verified against a hand-unrolled batch
-replay in tests/test_ingest.py.
+stream drains in micro-batches, and EVERY micro-batch runs against the
+PERSISTED corpus state — ``streaming_ingest_gate`` is the MinHash
+near-dup screen alone; ``streaming_ingest_funnel`` is the full
+quality + exact + near-dup funnel, hash-matched to the one-shot batch
+funnel. With ``grow_state=True`` each micro-batch's accepted documents
+join the state before the next batch arrives (sequential semantics,
+verified against hand-unrolled replays in tests/test_ingest.py), and
+``ingest_state_compact`` — manual or via ``auto_compact_every`` —
+folds committed epoch partitions into bucketed compact tables behind a
+commit-watermark high-water mark so per-batch state reads never grow
+O(all epochs).
 """
 
 from __future__ import annotations
