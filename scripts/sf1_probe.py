@@ -504,6 +504,29 @@ def _bpe_train_probe(spark, sf_dir):
     return mdf
 
 
+def _qc_train_probe(spark, sf_dir):
+    """Quality-classifier training at 10x corpus: the corpus term lives
+    only in the one-time featurization + the per-step partial-aggregate
+    scans of the 6-column pinned frame; the probe checks step cost is
+    dominated by job overhead, not data (near-flat expected)."""
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        quality_classifier_train,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+
+    docs = t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    trace, _ = quality_classifier_train(
+        docs, "doc_id", "text",
+        2 * F.size(F.array_distinct(ws)) > F.size(ws), n_steps=32,
+    )
+    return trace
+
+
 def _cdc_dedup_probe(spark, sf_dir):
     from experimentsplan_datapipeline_spark.plans.queries import QUERIES
 
@@ -645,6 +668,10 @@ def main() -> None:
     if wanted("cdc_dedup@sf1"):
         result["cdc_dedup@sf1"] = _time_pair(
             _cdc_dedup_probe, spark, SRC, out_dir
+        )
+    if wanted("qc_train@sf1"):
+        result["qc_train@sf1"] = _time_pair(
+            _qc_train_probe, spark, SRC, out_dir
         )
     print(json.dumps(result, indent=2))
 
