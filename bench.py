@@ -72,6 +72,8 @@ EXTENDED = [
     "stream_ingest_gate",
     "stream_ingest_funnel",
     "tokenizer_train_bpe",
+    "quality_classifier_train",
+    "ann_index_query",
 ]
 
 
