@@ -9127,3 +9127,158 @@ def quality_classifier_score_q(spark, sf_dir):
         docs, "doc_id", "text", label, n_steps=_QC_STEPS
     )
     return quality_classifier_score(docs, "doc_id", "text", w)
+
+
+# ------------------------------------------- streaming drift monitor (r10)
+
+_STREAM_DRIFT_ORACLE = r"""
+WITH reft AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents WHERE doc_id < 250),
+rc AS (SELECT w, count(*) AS n FROM reft GROUP BY w),
+top16 AS (SELECT w FROM rc ORDER BY n DESC, w LIMIT 16),
+classes AS (SELECT w AS cls FROM top16 UNION ALL SELECT '__other'),
+refcls AS (
+  SELECT CASE WHEN w IN (SELECT w FROM top16) THEN w
+              ELSE '__other' END AS cls
+  FROM reft),
+refp AS (
+  SELECT c.cls,
+         coalesce(r.n, 0)::DOUBLE / (SELECT count(*) FROM refcls) AS q
+  FROM classes c LEFT JOIN (
+    SELECT cls, count(*) AS n FROM refcls GROUP BY cls) r USING (cls)),
+livet AS (
+  SELECT time_bucket(INTERVAL 2 HOUR,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                     + INTERVAL (doc_id * 60) SECOND) AS ws,
+         CASE WHEN w IN (SELECT w FROM top16) THEN w
+              ELSE '__other' END AS cls
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents WHERE doc_id >= 250)),
+wc AS (SELECT ws, cls, count(*) AS n FROM livet GROUP BY ws, cls),
+wt AS (SELECT ws, sum(n) AS t FROM wc GROUP BY ws),
+j AS (
+  SELECT wt.ws, wt.t, c.cls, p.q,
+         coalesce(wc.n, 0)::DOUBLE / wt.t AS p
+  FROM wt CROSS JOIN classes c
+  JOIN refp p ON p.cls = c.cls
+  LEFT JOIN wc ON wc.ws = wt.ws AND wc.cls = c.cls)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       min(t) AS n_tokens,
+       round(sum(CASE WHEN p > 0
+                      THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END)
+           + sum(CASE WHEN q > 0
+                      THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END),
+             6) AS jsd
+FROM j GROUP BY ws
+"""
+
+
+@register("stream_token_drift", _STREAM_DRIFT_ORACLE)
+def stream_token_drift(spark, sf_dir):
+    """LIVE distribution-drift monitor — the streaming twin of
+    text_jsd_drift: the document stream drains in micro-batches through
+    a REAL Structured Streaming windowed aggregation (tokens collapse
+    to the reference's top-16 vocabulary + '__other', counted per
+    2-hour event-time tumbling window), and each window's unigram
+    distribution scores a Jensen-Shannon divergence against the
+    broadcast REFERENCE distribution — the "did this ingest change the
+    data" alarm, per window, as data arrives. Token classes are bounded
+    (17), so streaming state is windows x 17 rows regardless of corpus
+    size — the class collapse is what makes the monitor
+    state-affordable at 100 TB/day. Event time is synthesized
+    deterministically from doc_id (one doc per minute from
+    2024-01-01), so the batch oracle replays windows exactly."""
+    docs = t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") < 250)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    rc = (
+        ref.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top16 = [
+        r["w"]
+        for r in rc.orderBy(F.col("n").desc(), "w").limit(16).collect()
+    ]
+    cls_of = lambda w: F.when(w.isin(top16), w).otherwise("__other")  # noqa: E731
+    refcls = ref.select(
+        F.explode(toks).alias("w")
+    ).select(cls_of(F.col("w")).alias("cls"))
+    ref_total = refcls.count()
+    classes = spark.createDataFrame(
+        [(c,) for c in top16 + ["__other"]], "cls string"
+    )
+    refp = F.broadcast(
+        classes.join(
+            refcls.groupBy("cls").agg(F.count(F.lit(1)).alias("rn")),
+            "cls", "left",
+        ).select(
+            "cls",
+            (
+                F.coalesce("rn", F.lit(0)) / F.lit(float(ref_total))
+            ).alias("q"),
+        )
+    )
+    root = _scratch_dir("token_drift")
+    staging = os.path.join(root, "staging")
+    live = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", "text",
+        F.timestamp_seconds(
+            F.lit(1704067200).cast("long") + F.col("doc_id") * 60
+        ).alias("ts"),
+    )
+    live.repartition(2, "doc_id").write.parquet(staging)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    counted = (
+        stream.select(F.col("ts"), F.explode(toks).alias("w"))
+        .select("ts", cls_of(F.col("w")).alias("cls"))
+        .groupBy(F.window("ts", "2 hours").alias("w"), "cls")
+        .count()
+    )
+    name = "stream_token_drift_result"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    wc = spark.table(name).select(
+        F.col("w.start").alias("ws"), "cls", F.col("count").alias("n")
+    )
+    wt = wc.groupBy("ws").agg(F.sum("n").alias("t"))
+    j = (
+        wt.crossJoin(refp)
+        .join(wc, ["ws", "cls"], "left")
+        .select(
+            "ws", "t", "q",
+            (F.coalesce("n", F.lit(0)) / F.col("t").cast("double")).alias("p"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term_p = F.when(
+        F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)
+    ).otherwise(F.lit(0.0))
+    term_q = F.when(
+        F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / m)
+    ).otherwise(F.lit(0.0))
+    return j.groupBy(
+        F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start")
+    ).agg(
+        F.min("t").alias("n_tokens"),
+        F.round(F.sum(term_p) + F.sum(term_q), 6).alias("jsd"),
+    )

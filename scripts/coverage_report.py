@@ -262,6 +262,9 @@ ROUND10_ANNOTATED: dict[str, str] = {
         "(hard sigmoid, dyadic grids — no libm in the loop)",
     "quality_classifier_score":
         "corpus-wide scoring under the trained weights, pure codegen",
+    "stream_token_drift":
+        "live windowed JSD drift monitor vs a broadcast reference "
+        "distribution; bounded 17-class streaming state",
     "stream_ingest_funnel":
         "the FULL funnel live: quality+exact+near-dup per micro-batch, "
         "decision log hash-matches the batch funnel's per-doc flags",
