@@ -1231,3 +1231,99 @@ class TestAutoCompaction:
                 corpus, corpus, "idx", "/tmp/x", "text", "doc_id",
                 auto_compact_every=3,
             )
+
+
+class TestFunnelCrashReplay:
+    def test_replayed_funnel_epoch_ignores_its_own_partial_state(
+        self, spark, tmp_path
+    ):
+        """Funnel twin of the gate's crash-replay test: epoch 0
+        half-commits (decision log + all THREE state families written,
+        checkpoint never commits), so epoch 0 replays. The replay must
+        read state with hwm < epoch < 0 (none of its own leftovers —
+        otherwise the batch exact- and near-matches ITSELF and every
+        accepted doc flips to rejected) and overwrite all four epoch=0
+        partitions with the clean recomputation."""
+        import glob
+        import os
+        import shutil
+
+        from experimentsplan_datapipeline_spark.functions.text import (
+            doc_fingerprint,
+        )
+        from experimentsplan_datapipeline_spark.operators.dedup import (
+            fingerprint_index_drop,
+            fingerprint_index_write,
+        )
+        from experimentsplan_datapipeline_spark.streaming.events import (
+            run_available_now,
+        )
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            read_gate_results,
+            streaming_ingest_funnel,
+        )
+
+        corpus, _ = _docs(spark)
+        doc_a = ("halcyon bramble sonnet gossamer ripple vertex nimbus "
+                 "talon crescent ember stride lagoon")
+        b1 = spark.createDataFrame([(800, doc_a)], ["doc_id", "text"])
+        staging = tmp_path / "staging"
+        staging.mkdir()
+        tmp = str(tmp_path / "fst0")
+        b1.coalesce(1).write.parquet(tmp)
+        shutil.move(
+            glob.glob(tmp + "/part-*.parquet")[0],
+            str(staging / "0000.parquet"),
+        )
+        minhash_index_write(
+            corpus, "t_freplay_mh", "text", "doc_id", portable_seed=7
+        )
+        fingerprint_index_write(corpus, "t_freplay_fp", "text")
+        result_dir = str(tmp_path / "decisions")
+        accepted_dir = str(tmp_path / "acc")
+        state_dir = str(tmp_path / "keys")
+        fp_state_dir = str(tmp_path / "fps")
+        try:
+            # plant epoch-0 leftovers AS IF a prior attempt half-committed
+            b1.write.parquet(os.path.join(accepted_dir, "epoch=0"))
+            minhash_bandkeys(
+                b1, "text", "doc_id", portable_seed=7
+            ).write.parquet(os.path.join(state_dir, "epoch=0"))
+            b1.select(doc_fingerprint("text").alias("fp")).write.parquet(
+                os.path.join(fp_state_dir, "epoch=0")
+            )
+            spark.createDataFrame(
+                [(800, True, True, True, False)],
+                "doc_id long, keep boolean, exact_dup boolean, "
+                "near_dup boolean, accepted boolean",
+            ).write.parquet(os.path.join(result_dir, "epoch=0"))
+
+            stream = (
+                spark.readStream.schema(b1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(staging))
+            )
+            writer = streaming_ingest_funnel(
+                stream, corpus, "t_freplay_mh", "t_freplay_fp",
+                result_dir, "text", "doc_id", threshold=0.5,
+                portable_seed=7, grow_state=True,
+                accepted_dir=accepted_dir, state_dir=state_dir,
+                fp_state_dir=fp_state_dir,
+            ).option("checkpointLocation", str(tmp_path / "ckpt"))
+            run_available_now(writer, timeout_sec=240.0)
+
+            # the bogus self-dup decision is GONE: the novel doc is
+            # accepted, exactly once, and the state is clean
+            rows = read_gate_results(spark, result_dir).collect()
+            assert [
+                (r["doc_id"], r["keep"], r["exact_dup"], r["near_dup"],
+                 r["accepted"])
+                for r in rows
+            ] == [(800, True, False, False, True)]
+            acc = spark.read.parquet(accepted_dir).collect()
+            assert {(r["doc_id"], r["epoch"]) for r in acc} == {(800, 0)}
+            fps = spark.read.parquet(fp_state_dir).collect()
+            assert len(fps) == 1 and fps[0]["epoch"] == 0
+        finally:
+            minhash_index_drop(spark, "t_freplay_mh")
+            fingerprint_index_drop(spark, "t_freplay_fp")
