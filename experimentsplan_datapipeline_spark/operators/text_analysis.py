@@ -874,3 +874,45 @@ def bpe_vocab(
         .groupBy("symbol")
         .agg(F.sum("cnt").alias("token_count"))
     )
+
+
+def bpe_save(
+    spark, merges: list[tuple[str, str]], table_name: str
+) -> None:
+    """Persist a trained merge table as the tokenizer ARTIFACT — the
+    (merge_rank, lhs, rhs) table a pipeline ships so every later job
+    tokenizes identically without retraining (the reference consumes
+    exactly such a pre-trained artifact,
+    train/train_stage_1/dataloader.py:79-86). Committed via the same
+    staging-swap the index pointers use, so readers never see a partial
+    merge table — a truncated table would silently tokenize with a
+    prefix of the merges."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        _swap_in_table,
+    )
+
+    _swap_in_table(
+        spark,
+        spark.createDataFrame(
+            [(i, l, r) for i, (l, r) in enumerate(merges)],
+            "merge_rank int, lhs string, rhs string",
+        ),
+        table_name,
+    )
+
+
+def bpe_load(spark, table_name: str) -> list[tuple[str, str]]:
+    """Load a persisted merge table in rank order (bounded collect —
+    merge tables are tokenizer-sized, not corpus-sized)."""
+    if not spark.catalog.tableExists(table_name):
+        raise ValueError(
+            f"bpe_load: tokenizer table {table_name!r} not found — train "
+            f"with bpe_train and persist with bpe_save first"
+        )
+    rows = spark.table(table_name).orderBy("merge_rank").collect()
+    if [r["merge_rank"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"bpe_load: tokenizer table {table_name!r} has non-contiguous "
+            f"merge ranks — partial or corrupted artifact; re-save it"
+        )
+    return [(r["lhs"], r["rhs"]) for r in rows]

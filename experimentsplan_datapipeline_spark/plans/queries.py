@@ -9282,3 +9282,42 @@ def stream_token_drift(spark, sf_dir):
         F.min("t").alias("n_tokens"),
         F.round(F.sum(term_p) + F.sum(term_q), 6).alias("jsd"),
     )
+
+
+@register(
+    "tokenizer_bpe_roundtrip",
+    _bpe_tokenize_oracle(
+        _BPE_N_MERGES, _BPE_TRAIN_FILTER, "doc_id >= 200 AND doc_id < 300"
+    ),
+)
+def tokenizer_bpe_roundtrip(spark, sf_dir):
+    """Tokenizer ARTIFACT round-trip: train the merge table, persist it
+    as a real table (bpe_save — staging-swap commit, so a partial
+    artifact is unreadable rather than silently truncated), reload it
+    (bpe_load — validates rank contiguity), and tokenize the held-out
+    docs with the LOADED merges. Must hash-match
+    tokenizer_bpe_tokenize through the shared oracle: shipping the
+    artifact changes nothing about tokenization — the property every
+    later pipeline job depends on."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        bpe_load,
+        bpe_save,
+        bpe_tokenize,
+        bpe_train,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    _, merges = bpe_train(
+        docs.filter(F.col("doc_id") < 200), "text", _BPE_N_MERGES
+    )
+    bpe_save(spark, merges, _stage("bpe_tokenizer"))
+    loaded = bpe_load(spark, _stage("bpe_tokenizer"))
+    if loaded != merges:
+        raise RuntimeError(
+            "tokenizer_bpe_roundtrip: loaded merge table differs from the "
+            "trained one"
+        )
+    return bpe_tokenize(
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)),
+        "doc_id", "text", loaded,
+    )

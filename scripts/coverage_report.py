@@ -262,6 +262,9 @@ ROUND10_ANNOTATED: dict[str, str] = {
         "(hard sigmoid, dyadic grids — no libm in the loop)",
     "quality_classifier_score":
         "corpus-wide scoring under the trained weights, pure codegen",
+    "tokenizer_bpe_roundtrip":
+        "trained merge table persisted (staging-swap) + reloaded + applied; "
+        "hash-matches direct tokenization",
     "stream_token_drift":
         "live windowed JSD drift monitor vs a broadcast reference "
         "distribution; bounded 17-class streaming state",
