@@ -1318,3 +1318,34 @@ def test_ann_persisted_index_matches_recompute_and_append_safety(spark):
             )
     finally:
         ann_index_drop(spark, "t_ann_idx")
+
+
+def test_bpe_artifact_roundtrip_and_validation(spark):
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        bpe_load,
+        bpe_save,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "low low low lower lowest newest newest")], ["doc_id", "text"]
+    )
+    _, merges = bpe_train(df, "text", 4)
+    try:
+        bpe_save(spark, merges, "t_bpe_art")
+        assert bpe_load(spark, "t_bpe_art") == merges
+
+        with pytest.raises(ValueError, match="not found"):
+            bpe_load(spark, "t_bpe_never")
+
+        # a gap in merge ranks = partial/corrupt artifact -> loud
+        spark.createDataFrame(
+            [(0, "a", "b"), (2, "c", "d")],
+            "merge_rank int, lhs string, rhs string",
+        ).write.mode("overwrite").saveAsTable("t_bpe_bad")
+        with pytest.raises(ValueError, match="non-contiguous"):
+            bpe_load(spark, "t_bpe_bad")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bpe_art")
+        spark.sql("DROP TABLE IF EXISTS t_bpe_art_staging")
+        spark.sql("DROP TABLE IF EXISTS t_bpe_bad")
