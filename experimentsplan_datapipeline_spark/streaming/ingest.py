@@ -281,6 +281,99 @@ def _dir_has_data(spark, path: str) -> bool:
     return bool(fs.exists(p)) and len(fs.listStatus(p)) > 0
 
 
+def _grown_state(
+    spark,
+    corpus: DataFrame,
+    idx: DataFrame,
+    epoch_id: int,
+    *,
+    grow_state: bool,
+    compact_table: str | None,
+    accepted_dir: str | None,
+    state_dir: str | None,
+    fp_state_dir: str | None,
+    id_col: str,
+    text_col: str,
+    caller: str,
+):
+    """The exactly-once state read both live screens share: resolve the
+    compaction pointer, then assemble corpus text / band keys / (when
+    ``fp_state_dir`` is given) fingerprints from compact tables (epochs
+    <= hwm) plus epoch partitions in (hwm, epoch_id) — strictly BELOW
+    the current epoch, so a crash-replayed epoch sees exactly the
+    pre-epoch state even when its own partial writes survived (without
+    the filter, a replay would self-match the batch against its own
+    half-written state). The seed index table is never appended by the
+    stream for the same reason: table appends are not
+    epoch-addressable; epoch state reaches the bucketed form only
+    through ``ingest_state_compact``'s commit-watermark-gated fold.
+
+    EXPLICIT schemas on every dir read (epoch is the partition column):
+    a crashed first epoch can leave a partition dir with only
+    _temporary inside — zero data files, so schema INFERENCE would
+    raise on every replay and wedge the stream permanently; with the
+    schema the read is just empty and the replay heals it.
+
+    Returns (corpus_now, idx, grown_fp, hwm). Raises if the replayed
+    epoch sits at or below the hwm — the only way there is a compactor
+    fold of an uncommitted epoch.
+    """
+    hwm, compact_gen = -1, None
+    if grow_state and compact_table is not None:
+        ptr = _read_pointer(spark, f"{compact_table}_meta")
+        if ptr is not None:
+            hwm, compact_gen = ptr["hwm"], ptr["gen"]
+            if epoch_id <= hwm:
+                raise RuntimeError(
+                    f"{caller}: replaying epoch {epoch_id} at or below "
+                    f"the compaction high-water mark {hwm} — the "
+                    f"compactor folded an uncommitted epoch (upto_epoch "
+                    f"must come from last_committed_epoch)"
+                )
+    if not grow_state:
+        return corpus, idx, None, hwm
+    prior = (F.col("epoch") > F.lit(hwm)) & (F.col("epoch") < F.lit(epoch_id))
+    acc_schema = corpus.select(id_col, text_col).schema.add("epoch", "long")
+    key_schema = idx.select(id_col, "band", "key").schema.add("epoch", "long")
+    corpus_now = corpus.select(id_col, text_col)
+    grown_fp = None
+    if compact_gen is not None:
+        corpus_now = corpus_now.unionByName(
+            spark.table(f"{compact_table}_acc_g{compact_gen}")
+            .select(id_col, text_col)
+        )
+        idx = idx.unionByName(
+            spark.table(f"{compact_table}_keys_g{compact_gen}")
+            .select(id_col, "band", "key")
+        )
+        if fp_state_dir is not None:
+            fp_tbl = f"{compact_table}_fp_g{compact_gen}"
+            if spark.catalog.tableExists(fp_tbl):
+                grown_fp = spark.table(fp_tbl).select("fp")
+    if _dir_has_data(spark, accepted_dir):
+        corpus_now = corpus_now.unionByName(
+            spark.read.schema(acc_schema).parquet(accepted_dir)
+            .filter(prior)
+            .select(id_col, text_col)
+        )
+    if _dir_has_data(spark, state_dir):
+        idx = idx.unionByName(
+            spark.read.schema(key_schema).parquet(state_dir)
+            .filter(prior)
+            .select(id_col, "band", "key")
+        )
+    if fp_state_dir is not None and _dir_has_data(spark, fp_state_dir):
+        fresh_fp = (
+            spark.read.schema("fp string, epoch long").parquet(fp_state_dir)
+            .filter(prior)
+            .select("fp")
+        )
+        grown_fp = (
+            fresh_fp if grown_fp is None else grown_fp.unionByName(fresh_fp)
+        )
+    return corpus_now, idx, grown_fp, hwm
+
+
 def streaming_ingest_gate(
     batch_stream: DataFrame,
     corpus: DataFrame,
@@ -360,7 +453,6 @@ def streaming_ingest_gate(
 
     def gate(mb: DataFrame, epoch_id: int) -> None:
         spark = mb.sparkSession
-        corpus_now = corpus
         # validated read (ADVICE r9): banding the batch with params that
         # differ from the persisted index's family would produce disjoint
         # band keys — zero candidates, every near-dup silently admitted
@@ -377,66 +469,12 @@ def streaming_ingest_gate(
                 spark, compact_table, accepted_dir, state_dir,
                 epoch_id - 1,
             )
-        hwm, compact_gen = -1, None
-        if grow_state and compact_table is not None:
-            ptr = _read_pointer(spark, f"{compact_table}_meta")
-            if ptr is not None:
-                hwm, compact_gen = ptr["hwm"], ptr["gen"]
-                if epoch_id <= hwm:
-                    # folding an epoch that later replays would apply it
-                    # twice — unreachable when upto_epoch respects
-                    # last_committed_epoch; fail loudly if it ever isn't
-                    raise RuntimeError(
-                        f"streaming_ingest_gate: replaying epoch "
-                        f"{epoch_id} at or below the compaction "
-                        f"high-water mark {hwm} — the compactor folded "
-                        f"an uncommitted epoch (upto_epoch must come "
-                        f"from last_committed_epoch)"
-                    )
-        # state = compacted tables (epochs <= hwm) + epoch partitions in
-        # (hwm, epoch_id): strictly BELOW the current epoch, so a
-        # crash-replayed epoch sees exactly the pre-epoch state even when
-        # its own partial writes survived — without the filter, a replay
-        # would self-match the batch against its own half-written state.
-        # The seed index table is never appended by the stream for the
-        # same reason: table appends are not epoch-addressable.
-        prior = (F.col("epoch") > F.lit(hwm)) & (
-            F.col("epoch") < F.lit(epoch_id)
+        corpus_now, idx, _, _ = _grown_state(
+            spark, corpus, idx, epoch_id, grow_state=grow_state,
+            compact_table=compact_table, accepted_dir=accepted_dir,
+            state_dir=state_dir, fp_state_dir=None, id_col=id_col,
+            text_col=text_col, caller="streaming_ingest_gate",
         )
-        # EXPLICIT schemas on both state reads (epoch is the partition
-        # column): a crashed first epoch can leave a partition dir with
-        # only _temporary inside — zero data files, so schema INFERENCE
-        # would raise on every replay and wedge the stream permanently;
-        # with the schema the read is just empty and the replay heals it
-        acc_schema = corpus.select(id_col, text_col).schema.add(
-            "epoch", "long"
-        )
-        key_schema = idx.select(id_col, "band", "key").schema.add(
-            "epoch", "long"
-        )
-        if grow_state:
-            corpus_now = corpus.select(id_col, text_col)
-            if compact_gen is not None:
-                corpus_now = corpus_now.unionByName(
-                    spark.table(f"{compact_table}_acc_g{compact_gen}")
-                    .select(id_col, text_col)
-                )
-                idx = idx.unionByName(
-                    spark.table(f"{compact_table}_keys_g{compact_gen}")
-                    .select(id_col, "band", "key")
-                )
-            if _dir_has_data(spark, accepted_dir):
-                corpus_now = corpus_now.unionByName(
-                    spark.read.schema(acc_schema).parquet(accepted_dir)
-                    .filter(prior)
-                    .select(id_col, text_col)
-                )
-            if _dir_has_data(spark, state_dir):
-                idx = idx.unionByName(
-                    spark.read.schema(key_schema).parquet(state_dir)
-                    .filter(prior)
-                    .select(id_col, "band", "key")
-                )
         hits = minhash_lsh_incremental(
             corpus_now, mb, text_col, id_col,
             num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
@@ -563,67 +601,13 @@ def streaming_ingest_funnel(
                 spark, compact_table, accepted_dir, state_dir,
                 epoch_id - 1, fp_state_dir=fp_state_dir,
             )
-        hwm, compact_gen = -1, None
-        if grow_state and compact_table is not None:
-            ptr = _read_pointer(spark, f"{compact_table}_meta")
-            if ptr is not None:
-                hwm, compact_gen = ptr["hwm"], ptr["gen"]
-                if epoch_id <= hwm:
-                    raise RuntimeError(
-                        f"streaming_ingest_funnel: replaying epoch "
-                        f"{epoch_id} at or below the compaction "
-                        f"high-water mark {hwm} — the compactor folded "
-                        f"an uncommitted epoch (upto_epoch must come "
-                        f"from last_committed_epoch)"
-                    )
-        prior = (F.col("epoch") > F.lit(hwm)) & (
-            F.col("epoch") < F.lit(epoch_id)
+        corpus_now, idx, grown_fp, _ = _grown_state(
+            spark, corpus.select(id_col, text_col), idx, epoch_id,
+            grow_state=grow_state, compact_table=compact_table,
+            accepted_dir=accepted_dir, state_dir=state_dir,
+            fp_state_dir=fp_state_dir, id_col=id_col, text_col=text_col,
+            caller="streaming_ingest_funnel",
         )
-        acc_schema = corpus.select(id_col, text_col).schema.add(
-            "epoch", "long"
-        )
-        key_schema = idx.select(id_col, "band", "key").schema.add(
-            "epoch", "long"
-        )
-        fp_schema = "fp string, epoch long"
-        corpus_now = corpus.select(id_col, text_col)
-        grown_fp = None
-        if grow_state:
-            if compact_gen is not None:
-                corpus_now = corpus_now.unionByName(
-                    spark.table(f"{compact_table}_acc_g{compact_gen}")
-                    .select(id_col, text_col)
-                )
-                idx = idx.unionByName(
-                    spark.table(f"{compact_table}_keys_g{compact_gen}")
-                    .select(id_col, "band", "key")
-                )
-                fp_tbl = f"{compact_table}_fp_g{compact_gen}"
-                if spark.catalog.tableExists(fp_tbl):
-                    grown_fp = spark.table(fp_tbl).select("fp")
-            if _dir_has_data(spark, accepted_dir):
-                corpus_now = corpus_now.unionByName(
-                    spark.read.schema(acc_schema).parquet(accepted_dir)
-                    .filter(prior)
-                    .select(id_col, text_col)
-                )
-            if _dir_has_data(spark, state_dir):
-                idx = idx.unionByName(
-                    spark.read.schema(key_schema).parquet(state_dir)
-                    .filter(prior)
-                    .select(id_col, "band", "key")
-                )
-            if _dir_has_data(spark, fp_state_dir):
-                fresh_fp = (
-                    spark.read.schema(fp_schema).parquet(fp_state_dir)
-                    .filter(prior)
-                    .select("fp")
-                )
-                grown_fp = (
-                    fresh_fp
-                    if grown_fp is None
-                    else grown_fp.unionByName(fresh_fp)
-                )
         sig = repetition_signals(mb, id_col, text_col).select(id_col, "keep")
         exact = exact_screen_incremental(mb, text_col, id_col, fp_index_table)
         if grown_fp is not None:
