@@ -9321,3 +9321,41 @@ def tokenizer_bpe_roundtrip(spark, sf_dir):
         docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)),
         "doc_id", "text", loaded,
     )
+
+
+@register("export_training_shards", r"""
+WITH ranked AS (
+  SELECT doc_id, text,
+         (row_number() OVER (ORDER BY doc_id) - 1) // 64 AS shard
+  FROM documents)
+SELECT shard,
+       count(*) AS n_seqs,
+       sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+         AS n_tokens,
+       sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || text || '|77'),
+                           1, 8))::BIGINT % 1000000007) AS content_checksum
+FROM ranked GROUP BY shard
+""")
+def export_training_shards_q(spark, sf_dir):
+    """Training-data EXPORT round-trip (sources/sinks.py::
+    export_training_shards): the curated corpus writes as deterministic
+    64-doc shards in a ``shard=N/`` partition layout — the file shape a
+    trainer's dataloader consumes (reference
+    train/train_CATVTON/dataloader.py:150-172 selects datasets by file
+    prefix) — and the returned manifest (n_seqs, n_tokens,
+    order-insensitive content checksum per shard) is computed from the
+    READ-BACK files, so the oracle match proves the bytes on disk carry
+    exactly the intended rows. Shard assignment is a pure function of
+    the id order (distributed rank, no single-task window), so
+    re-exports are reproducible."""
+    from experimentsplan_datapipeline_spark.sources.sinks import (
+        export_training_shards,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    root = _scratch_dir("train_shards")
+    return export_training_shards(
+        docs, os.path.join(root, "shards"), "doc_id", "text",
+        seqs_per_shard=64,
+    )

@@ -288,3 +288,67 @@ def compact_zorder(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def export_training_shards(
+    df,
+    path: str,
+    id_col: str,
+    text_col: str,
+    seqs_per_shard: int = 1000,
+    checksum_seed: int = 77,
+):
+    """Training-data EXPORT: the pipeline's last mile — write the curated
+    corpus as deterministic fixed-size shards with a verifiable
+    manifest, which is what a trainer's dataloader actually consumes
+    (the reference reads its datasets as pre-sharded files chosen by
+    prefix, train/train_CATVTON/dataloader.py:150-172; this is the
+    engine-side producer of such a layout).
+
+    Sharding is DETERMINISTIC and engine-replayable: docs rank by id
+    through the distributed ``ordered_rank`` (range partition +
+    broadcast offsets — no single-task window at any corpus size) and
+    shard = (rank - 1) // seqs_per_shard, so shard membership is a pure
+    function of the id set — re-running the export reproduces identical
+    shards byte-for-byte content-wise. Files land as a
+    ``shard=N/`` partition layout (partition pruning serves a trainer
+    that wants shards K..K+m).
+
+    Returns the MANIFEST DataFrame computed from the WRITTEN data (read
+    back, not from the input plan): per shard — n_seqs, n_tokens, and an
+    order-insensitive content checksum (sum of per-row portable md5
+    hashes mod 1e9+7, exact in 64-bit on both engines) — so a checksum
+    match proves the files on disk carry exactly the intended rows.
+    """
+    from experimentsplan_datapipeline_spark.functions.text import token_count
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        portable_hash,
+    )
+    from experimentsplan_datapipeline_spark.operators.sampling import (
+        ordered_rank,
+    )
+
+    spark = df.sparkSession
+    ranked = ordered_rank(
+        df.select(id_col, text_col), [id_col], rank_col="__rk"
+    )
+    sharded = ranked.select(
+        id_col,
+        text_col,
+        ((F.col("__rk") - 1) / seqs_per_shard).cast("long").alias("shard"),
+    )
+    write_partitioned(sharded, path, ["shard"])
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum(token_count(text_col)).alias("n_tokens"),
+            F.sum(
+                F.pmod(
+                    portable_hash([id_col, text_col], checksum_seed),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("content_checksum"),
+        )
+    )

@@ -265,6 +265,9 @@ ROUND10_ANNOTATED: dict[str, str] = {
     "tokenizer_bpe_roundtrip":
         "trained merge table persisted (staging-swap) + reloaded + applied; "
         "hash-matches direct tokenization",
+    "export_training_shards":
+        "deterministic 64-doc shard export + read-back manifest with "
+        "order-insensitive content checksums — the trainer's last mile",
     "stream_token_drift":
         "live windowed JSD drift monitor vs a broadcast reference "
         "distribution; bounded 17-class streaming state",
