@@ -329,9 +329,23 @@ _UNSET = object()
 
 
 def _read_pointer(spark, meta_name: str):
-    """Current meta row of a generation-pointed index, or None."""
+    """Current meta row of a generation-pointed index, or None.
+
+    SELF-HEALING (ADVICE r10): ``_swap_in_table`` commits a pointer by
+    renaming the live table aside to ``{meta}_prev`` and renaming the
+    staging table in — a crash between those two renames leaves no
+    ``meta_name`` but an intact ``_prev``. Treating that as "no pointer"
+    would be a silent state loss (a compacted ingest gate would screen
+    against empty grown state and admit near-dups forever), so the read
+    restores ``_prev`` as the live pointer instead. A concurrent writer
+    crashing in that window therefore never loses the OLD pointer; its
+    own commit is simply not visible until it completes."""
     if not spark.catalog.tableExists(meta_name):
-        return None
+        prev = f"{meta_name}_prev"
+        if not spark.catalog.tableExists(prev):
+            return None
+        _purge_stale_warehouse_dir(spark, meta_name)
+        spark.sql(f"ALTER TABLE `{prev}` RENAME TO `{meta_name}`")
     return spark.table(meta_name).first()
 
 
@@ -477,6 +491,7 @@ def minhash_index_drop(spark, table_name: str) -> None:
     """Drop a minhash band-key index: pointer FIRST (readers fail loudly
     the instant it's gone — no window reads a half-dropped index), then
     every generation's keys table."""
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta_prev`")
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta`")
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta_staging`")
     _drop_gen_tables(spark, f"{table_name}_keys", None)
@@ -485,6 +500,7 @@ def minhash_index_drop(spark, table_name: str) -> None:
 def fingerprint_index_drop(spark, table_name: str) -> None:
     """Drop a fingerprint index: pointer first, then all generations of
     the fp and bloom tables."""
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta_prev`")
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta`")
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta_staging`")
     for base in (f"{table_name}_fp", f"{table_name}_bloom"):
@@ -591,30 +607,63 @@ def fingerprint_index_write(
         _drop_gen_tables(spark, base, new_gen)
 
 
-def _swap_in_table(spark, df: DataFrame, table_name: str) -> None:
-    """Commit ``df`` as ``table_name`` via staging-write + rename — the
-    overwrite-in-place saveAsTable deletes the old data before the new
-    files commit, so a mid-commit crash could leave a PARTIAL table (for
-    the bloom, partial = silent false negatives). With the swap, crash
-    windows leave the old table (consistent), a staging leftover
-    (cleaned by the next run's overwrite), or no table at all (readers
-    fail loudly). Stale warehouse dirs from previous sessions are purged
-    before both the staging write and the rename, mirroring
-    write_bucketed's cross-session guard."""
+def _purge_stale_warehouse_dir(spark, table_name: str) -> None:
+    """Remove a warehouse dir left by a PREVIOUS session for a table the
+    current in-memory catalog does not know — such a dir blocks both
+    saveAsTable and RENAME TO (mirrors write_bucketed's guard)."""
     import os
     import shutil
 
+    if spark.catalog.tableExists(table_name):
+        return
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
+
+
+def _swap_in_table(spark, df: DataFrame, table_name: str) -> None:
+    """Commit ``df`` as ``table_name`` via staging-write + rename-aside —
+    the overwrite-in-place saveAsTable deletes the old data before the
+    new files commit, so a mid-commit crash could leave a PARTIAL table
+    (for the bloom, partial = silent false negatives). And a plain
+    DROP-then-RENAME commit (ADVICE r10) has a window where the table is
+    simply GONE: for a compaction pointer whose folded epoch dirs were
+    already deleted, readers would silently treat "no pointer" as
+    "nothing compacted" and lose the compacted state forever. So the
+    commit never drops before the replacement is in place:
+
+      1. write ``{table}_staging`` (crash ⇒ old table intact);
+      2. rename the live table aside to ``{table}_prev`` (crash here ⇒
+         ``_read_pointer`` restores ``_prev`` as live — self-healing);
+      3. rename staging in (crash after ⇒ new table live, stale
+         ``_prev`` collected by the next commit);
+      4. drop ``_prev``.
+
+    Stale warehouse dirs from previous sessions are purged before every
+    write/rename target, mirroring write_bucketed's cross-session guard.
+    """
     from experimentsplan_datapipeline_spark.sources.sinks import write_bucketed
 
     staging = f"{table_name}_staging"
+    prev = f"{table_name}_prev"
+    if spark.catalog.tableExists(prev) and not spark.catalog.tableExists(
+        table_name
+    ):
+        # a prior commit crashed between its two renames: _prev is the
+        # last consistent value — restore it before superseding it, so
+        # every crash window of THIS commit still has a live fallback
+        _purge_stale_warehouse_dir(spark, table_name)
+        spark.sql(f"ALTER TABLE `{prev}` RENAME TO `{table_name}`")
     write_bucketed(df, staging, [df.columns[0]], 1, mode="overwrite")
-    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
-    if not spark.catalog.tableExists(table_name):
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
-        if os.path.isdir(loc):
-            shutil.rmtree(loc)
+    spark.sql(f"DROP TABLE IF EXISTS `{prev}`")  # stale from a past commit
+    _purge_stale_warehouse_dir(spark, prev)
+    if spark.catalog.tableExists(table_name):
+        spark.sql(f"ALTER TABLE `{table_name}` RENAME TO `{prev}`")
+    else:
+        _purge_stale_warehouse_dir(spark, table_name)
     spark.sql(f"ALTER TABLE `{staging}` RENAME TO `{table_name}`")
+    spark.sql(f"DROP TABLE IF EXISTS `{prev}`")
 
 
 def exact_screen_incremental(

@@ -1123,9 +1123,13 @@ def ann_index_write(
         f"{table_name}_asg_g{new_gen}", ["cell"], n_buckets,
         mode="overwrite",
     )
+    # hwm = the streaming twin's compaction high-water mark (epochs at
+    # or below it are folded into _asg_g<gen>); -1 = nothing folded yet
     _swap_in_table(
         spark,
-        spark.createDataFrame([(n_cells, new_gen)], "n_cells int, gen int"),
+        spark.createDataFrame(
+            [(n_cells, new_gen, -1)], "n_cells int, gen int, hwm long"
+        ),
         meta_name,
     )
     for base in (f"{table_name}_cells", f"{table_name}_asg"):
@@ -1182,6 +1186,7 @@ def ann_query_indexed(
     vec_col: str,
     k: int = 10,
     n_probe: int = 2,
+    live_dir: str | None = None,
 ) -> DataFrame:
     """Query the persisted IVF index: per query, rank cells against the
     broadcast centroid codebook (whole-stage codegen, no shuffle), probe
@@ -1189,7 +1194,15 @@ def ann_query_indexed(
     lists (no exchange on the corpus side — the bucketing paid it at
     write time), and two-phase top-k the candidates. Candidates are
     de-duplicated by (query, id) first, which is what makes a crashed
-    index append retry-safe. Returns ({query_id}_q, id, cosine)."""
+    index append retry-safe. Returns ({query_id}_q, id, cosine).
+
+    ``live_dir`` adds the STREAMING twin's not-yet-compacted state
+    (streaming/ingest.py::streaming_ann_ingest): the inverted lists
+    become "compact generation + epoch partitions above the meta hwm" —
+    the exact read ``ann_state_compact`` keeps O(batch + K recent
+    epochs). Epoch rows carry the same (id, cell, vec) shape, so probes
+    hash-join them identically (they are small and unbucketed until the
+    next compaction folds them in)."""
     from experimentsplan_datapipeline_spark.operators.dedup import (
         _read_pointer,
     )
@@ -1206,6 +1219,19 @@ def ann_query_indexed(
         )
     cents = _load_centroids(spark, table_name, meta["gen"])
     asg = spark.table(f"{table_name}_asg_g{meta['gen']}")
+    if live_dir is not None:
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            _dir_has_data,
+        )
+
+        hwm = meta["hwm"] if "hwm" in meta.__fields__ else -1
+        if _dir_has_data(spark, live_dir):
+            live_schema = asg.schema.add("epoch", "long")
+            asg = asg.unionByName(
+                spark.read.schema(live_schema).parquet(live_dir)
+                .filter(F.col("epoch") > F.lit(hwm))
+                .drop("epoch")
+            )
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
     ).withColumn(
@@ -1249,6 +1275,7 @@ def ann_index_drop(spark, table_name: str) -> None:
         _drop_gen_tables,
     )
 
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta_prev`")
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta`")
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta_staging`")
     for base in (f"{table_name}_cells", f"{table_name}_asg"):

@@ -10,6 +10,8 @@ side.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -704,15 +706,24 @@ def repetition_signals(
 
 # BPE symbol encoding: each symbol wrapped in one-character open/close
 # delimiters (ASCII record/unit separators — absent from real text; words
-# containing them are dropped, mirrored by the oracle). Per-symbol
-# delimiters make the merge step a plain non-overlapping left-to-right
-# string replace that is EXACTLY greedy BPE application: the pattern
-# "(a)(b)" can never start inside a symbol (needs the opening delimiter)
-# and never shares boundary characters with an adjacent match — on
-# (a)(a)(a)(a), replace yields (aa)(aa), the greedy result, where a
-# single-separator encoding would mis-merge.
+# containing ANY C0 control character are dropped, mirrored by the
+# oracle). Per-symbol delimiters make the merge step a plain
+# non-overlapping left-to-right string replace that is EXACTLY greedy
+# BPE application: the pattern "(a)(b)" can never start inside a symbol
+# (needs the opening delimiter) and never shares boundary characters
+# with an adjacent match — on (a)(a)(a)(a), replace yields (aa)(aa), the
+# greedy result, where a single-separator encoding would mis-merge.
+#
+# The filter is the FULL C0 range, not just the two delimiters (ADVICE
+# r10): the engine tie-breaks the argmax by raw (lhs, rhs) order while
+# the oracle orders by the delimiter-ENCODED pair string; with every
+# symbol character above 0x1f those orders provably coincide (at the
+# first differing char both compare the same codepoint; at a prefix
+# boundary the closing delimiter 0x1f sorts below every surviving
+# char), whereas a symbol containing e.g. 0x01 could flip a tie.
 _BPE_O = "\x1e"
 _BPE_C = "\x1f"
+_BPE_DROP_RE = r"[\x00-\x1f]"  # same class in Java regex and RE2
 
 
 def _bpe_words(df: DataFrame, text_col: str) -> DataFrame:
@@ -724,7 +735,7 @@ def _bpe_words(df: DataFrame, text_col: str) -> DataFrame:
         df.select(F.explode(_tokens(text_col)).alias("w"))
         .filter(
             (F.col("w") != "")
-            & ~F.col("w").rlike(f"[{_BPE_O}{_BPE_C}]")
+            & ~F.col("w").rlike(_BPE_DROP_RE)
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -840,7 +851,7 @@ def bpe_tokenize(
 
     ws = F.filter(
         _tokens(text_col),
-        lambda w: (w != "") & ~w.rlike(f"[{o}{c}]"),
+        lambda w: (w != "") & ~w.rlike(_BPE_DROP_RE),
     )
     enc_all = F.concat_ws("", F.transform(ws, enc_word))
     return df.select(
@@ -876,8 +887,191 @@ def bpe_vocab(
     )
 
 
+def bpe_alphabet(df: DataFrame, text_col: str) -> list[str]:
+    """Sorted training alphabet: the distinct characters of the
+    distinct-word table, under the same C0 drop filter as ``bpe_train``.
+    Bounded collect — even a CJK corpus has a few thousand distinct
+    characters, never corpus-scale. Part of the tokenizer artifact:
+    ``bpe_id_map`` needs it to assign ids to never-merged base symbols."""
+    rows = (
+        df.select(F.explode(_tokens(text_col)).alias("w"))
+        .filter((F.col("w") != "") & ~F.col("w").rlike(_BPE_DROP_RE))
+        .select(
+            F.explode(
+                F.regexp_extract_all("w", F.lit("(.)"), F.lit(1))
+            ).alias("ch")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["ch"] for r in rows)
+
+
+def bpe_id_map(
+    merges: list[tuple[str, str]], alphabet: list[str]
+) -> dict[str, int]:
+    """Deterministic token-id layout (the GPT-2-style public contract):
+    ids 0-255 are byte-FALLBACK pieces (byte value == id, VERDICT r10
+    item 8 — an out-of-vocabulary symbol tokenizes to its UTF-8 bytes,
+    so EVERY word tokenizes); ids 256.. are the training alphabet's
+    single-char symbols in codepoint order; ids 256+len(alphabet)+rank
+    are merge outputs. Two merges may produce the same symbol STRING
+    (e.g. (a,bc) and (ab,c) both yield 'abc'): ids stay positional by
+    rank and the string maps to its LOWEST id, keeping the map a
+    function of the artifact alone. Returns {symbol: id} (byte pieces
+    are implicit — the apply path emits them without a dict entry)."""
+    vocab: dict[str, int] = {}
+    for i, ch in enumerate(alphabet):
+        vocab.setdefault(ch, 256 + i)
+    base = 256 + len(alphabet)
+    for r, (l, rr) in enumerate(merges):
+        vocab.setdefault(l + rr, base + r)
+    return vocab
+
+
+# Spark's `split(trim(text), '\\s+')` tokenizer, replayed EXACTLY in
+# Python: Java regex \s is [ \t\n\x0B\f\r] and Java trim strips
+# codepoints <= 0x20 from both ends. Python's own str.split()/\s are
+# WIDER (they treat \x1c-\x1f as whitespace), which would silently
+# split control-char words differently from the JVM path.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_tokens(text: str | None) -> list[str]:
+    return [w for w in _JAVA_WS.split((text or "").lower()) if w]
+
+
+def _bpe_apply_word(
+    word: str,
+    merges: list[tuple[str, str]],
+    ranks: dict[tuple[str, str], int],
+) -> list[str]:
+    """Apply a trained merge table to one word by the min-rank loop (the
+    production tokenizer algorithm: repeatedly merge the LOWEST-rank
+    pair present, greedy left-to-right). O(len(word) * merges_applied),
+    independent of merge-table size — feasible at the ~49k merges of
+    the tokenizer the reference consumes
+    (train/train_stage_1/dataloader.py:79-86), where ``bpe_tokenize``'s
+    replace-expression chain is not (plan size, then the JVM 64 KB
+    codegen limit).
+
+    Equivalent to the chain's sequential rank-order application FOR
+    RANK-CONSISTENT tables (anything ``bpe_train`` produces): a merge's
+    output symbol can only participate in pairs learned AFTER it, so
+    once the lowest-rank applicable pair is k, no pair below k can ever
+    become applicable again — the two application orders perform the
+    same multiset of merges (property-tested at id level in
+    tests/test_text_and_ann.py)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        l, rr = merges[best]
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == rr:
+                out.append(l + rr)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_tokenize_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    alphabet: list[str],
+    max_len: int | None = None,
+    pad_id: int = 0,
+    drop_c0_words: bool = True,
+) -> DataFrame:
+    """PRODUCTION apply path for a trained BPE tokenizer (VERDICT r10
+    item 1): Arrow-batched ``mapInPandas`` that emits per-document
+    TOKEN-ID SEQUENCES, not just counts. The merge table rides the
+    closure as two dicts (rank map + ``bpe_id_map`` vocabulary) — no
+    per-merge plan literal, so a 49k-merge production table costs the
+    same plan as the 12-merge test table. Per-task memo over distinct
+    words: Zipf-distributed text hits the memo for almost every word,
+    so steady-state cost per word is one dict lookup. Zero shuffle —
+    tokenization stays embarrassingly parallel at 100 TB.
+
+    Out-of-vocabulary symbols (always single characters — merges only
+    ever produce in-vocabulary outputs) fall back to their UTF-8 bytes
+    as ids 0-255 (item 8), so every word tokenizes. With the default
+    ``drop_c0_words=True`` words containing C0 control characters are
+    dropped, matching the ``bpe_train``/``bpe_tokenize`` family
+    contract (and the SQL oracle); pass ``False`` for
+    tokenize-everything ingest where the byte fallback covers even
+    control characters.
+
+    ``max_len``/``pad_id`` pad/truncate like P9's caption tokenizer
+    (reference train/train_stage_1/dataloader.py:79-86): ``token_ids``
+    is exactly ``max_len`` long, ``n_tokens`` keeps the untruncated
+    count. Returns (id, token_ids array<int>, n_tokens int).
+    """
+    import pandas as pd
+
+    ranks: dict[tuple[str, str], int] = {}
+    for i, p in enumerate(merges):
+        ranks.setdefault(tuple(p), i)
+    vocab = bpe_id_map(merges, alphabet)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, token_ids array<int>, n_tokens int"
+    drop_re = re.compile(_BPE_DROP_RE)
+
+    def run(batches):
+        memo: dict[str, list[int]] = {}
+
+        def word_ids(w: str) -> list[int]:
+            got = memo.get(w)
+            if got is None:
+                got = []
+                for s in _bpe_apply_word(w, merges, ranks):
+                    tid = vocab.get(s)
+                    if tid is not None:
+                        got.append(tid)
+                    else:
+                        got.extend(s.encode("utf-8"))
+                memo[w] = got
+            return got
+
+        for pdf in batches:
+            ids_col, n_col = [], []
+            for text in pdf[text_col]:
+                ids: list[int] = []
+                for w in _py_tokens(text):
+                    if drop_c0_words and drop_re.search(w):
+                        continue
+                    ids.extend(word_ids(w))
+                n_col.append(len(ids))
+                if max_len is not None:
+                    ids = ids[:max_len] + [pad_id] * (max_len - len(ids))
+                ids_col.append(ids)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "token_ids": ids_col,
+                    "n_tokens": n_col,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def bpe_save(
-    spark, merges: list[tuple[str, str]], table_name: str
+    spark,
+    merges: list[tuple[str, str]],
+    table_name: str,
+    alphabet: list[str] | None = None,
 ) -> None:
     """Persist a trained merge table as the tokenizer ARTIFACT — the
     (merge_rank, lhs, rhs) table a pipeline ships so every later job
@@ -886,7 +1080,9 @@ def bpe_save(
     train/train_stage_1/dataloader.py:79-86). Committed via the same
     staging-swap the index pointers use, so readers never see a partial
     merge table — a truncated table would silently tokenize with a
-    prefix of the merges."""
+    prefix of the merges. Pass ``alphabet`` (from ``bpe_alphabet``) to
+    also persist ``{table_name}_alpha`` — the base-symbol half of the
+    ``bpe_id_map`` id contract the ids apply path needs."""
     from experimentsplan_datapipeline_spark.operators.dedup import (
         _swap_in_table,
     )
@@ -899,6 +1095,33 @@ def bpe_save(
         ),
         table_name,
     )
+    if alphabet is not None:
+        _swap_in_table(
+            spark,
+            spark.createDataFrame(
+                list(enumerate(alphabet)), "ord_idx int, ch string"
+            ),
+            f"{table_name}_alpha",
+        )
+
+
+def bpe_load_alphabet(spark, table_name: str) -> list[str]:
+    """Load the persisted alphabet half of a tokenizer artifact in id
+    order, validating index contiguity like ``bpe_load`` does for
+    merge ranks (a gap would silently shift every base-symbol id)."""
+    alpha_tbl = f"{table_name}_alpha"
+    if not spark.catalog.tableExists(alpha_tbl):
+        raise ValueError(
+            f"bpe_load_alphabet: alphabet table {alpha_tbl!r} not found — "
+            f"persist with bpe_save(..., alphabet=bpe_alphabet(...)) first"
+        )
+    rows = spark.table(alpha_tbl).orderBy("ord_idx").collect()
+    if [r["ord_idx"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"bpe_load_alphabet: alphabet table {alpha_tbl!r} has "
+            f"non-contiguous indexes — partial or corrupted artifact"
+        )
+    return [r["ch"] for r in rows]
 
 
 def bpe_load(spark, table_name: str) -> list[tuple[str, str]]:

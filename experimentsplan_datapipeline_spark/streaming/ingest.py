@@ -60,6 +60,26 @@ def _list_epochs(spark, path: str) -> list[int]:
     return sorted(out)
 
 
+def _epoch_dirs_schema(spark, base: str, epochs: list[int]):
+    """Explicit schema for the compactor's epoch-dir reads, pinned from
+    the first folded dir that actually contains a data file (ADVICE
+    r10: schema INFERENCE over the fold set raises when a committed
+    epoch wrote zero data files — an all-dup micro-batch writes an
+    empty accepted partition — and would wedge every compaction
+    attempt). Returns None when every folded dir is empty of data
+    files; inference over a single non-empty dir is safe."""
+    fs, _, jvm = _fs(spark, base)
+    for e in epochs:
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(base, f"epoch={e}"))
+        if not fs.exists(p):
+            continue
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                return spark.read.parquet(p.toString()).schema
+    return None
+
+
 def last_committed_epoch(spark, checkpoint_dir: str) -> int:
     """Highest micro-batch id with a commit marker in the stream's
     checkpoint (``commits/<batchId>``) — the exactly-once watermark, and
@@ -182,7 +202,51 @@ def ingest_state_compact(
                 f"committed watermark; use last_committed_epoch()"
             )
         new_gen = (ptr["gen"] + 1) if ptr is not None else 0
-        acc_new = spark.read.parquet(
+        # explicit schemas on every epoch-dir read (ADVICE r10): from
+        # the previous generation's table when one exists, else pinned
+        # from the first folded dir with a data file — never inferred
+        # over the whole fold set, where one empty committed epoch
+        # would make inference raise and wedge compaction forever
+        if ptr is not None:
+            acc_schema = spark.table(
+                f"{compact_table}_acc_g{ptr['gen']}"
+            ).schema
+            key_schema = spark.table(
+                f"{compact_table}_keys_g{ptr['gen']}"
+            ).schema
+        else:
+            acc_schema = _epoch_dirs_schema(spark, accepted_dir, acc_fold)
+            key_schema = _epoch_dirs_schema(spark, state_dir, key_fold)
+            if acc_schema is None or key_schema is None:
+                if acc_schema is not None or key_schema is not None:
+                    raise ValueError(
+                        "ingest_state_compact: one state family's folded "
+                        "epochs are all empty while the other's are not — "
+                        "a committed epoch writes symmetric (possibly "
+                        "empty) state to both dirs; refusing to commit a "
+                        "one-sided compact generation"
+                    )
+                # every folded epoch is empty and nothing is compacted
+                # yet: there is no schema to write empty tables with and
+                # nothing to point at — just clear the empty dirs below
+                acc_fold_dirs, key_fold_dirs = acc_fold, key_fold
+                for path, epochs in (
+                    (accepted_dir, acc_fold_dirs),
+                    (state_dir, key_fold_dirs),
+                    (fp_state_dir, fp_fold),
+                ):
+                    if path is None:
+                        continue
+                    fs, _, jvm = _fs(spark, path)
+                    for e in epochs:
+                        fs.delete(
+                            jvm.org.apache.hadoop.fs.Path(
+                                os.path.join(path, f"epoch={e}")
+                            ),
+                            True,
+                        )
+                return
+        acc_new = spark.read.schema(acc_schema).parquet(
             *[os.path.join(accepted_dir, f"epoch={e}") for e in acc_fold]
         ) if acc_fold else None
         if ptr is not None:
@@ -190,7 +254,7 @@ def ingest_state_compact(
             acc_new = (
                 old_acc.unionByName(acc_new) if acc_new is not None else old_acc
             )
-        keys_new = spark.read.parquet(
+        keys_new = spark.read.schema(key_schema).parquet(
             *[os.path.join(state_dir, f"epoch={e}") for e in key_fold]
         ) if key_fold else None
         if ptr is not None:
@@ -256,9 +320,11 @@ def ingest_state_compact(
 
 
 def ingest_state_drop(spark, compact_table: str) -> None:
-    """Drop a compacted gate/funnel state: pointer FIRST (readers fall
-    back to 'nothing compacted' rather than reading a half-dropped
-    generation), then every generation of all three state families."""
+    """Drop a compacted gate/funnel state: pointer FIRST — its ``_prev``
+    fallback before the live row, so the self-healing ``_read_pointer``
+    can never resurrect a pointer to half-dropped tables — then every
+    generation of all three state families."""
+    spark.sql(f"DROP TABLE IF EXISTS `{compact_table}_meta_prev`")
     spark.sql(f"DROP TABLE IF EXISTS `{compact_table}_meta`")
     spark.sql(f"DROP TABLE IF EXISTS `{compact_table}_meta_staging`")
     for base in (
@@ -391,6 +457,7 @@ def streaming_ingest_gate(
     state_dir: str | None = None,
     compact_table: str | None = None,
     auto_compact_every: int | None = None,
+    compact_gc_old: bool = True,
 ):
     """Build the foreachBatch writer for the live ingest gate. Caller
     configures the trigger (``run_available_now`` for drains) and the
@@ -467,7 +534,7 @@ def streaming_ingest_gate(
         ):
             ingest_state_compact(
                 spark, compact_table, accepted_dir, state_dir,
-                epoch_id - 1,
+                epoch_id - 1, gc_old=compact_gc_old,
             )
         corpus_now, idx, _, _ = _grown_state(
             spark, corpus, idx, epoch_id, grow_state=grow_state,
@@ -531,6 +598,7 @@ def streaming_ingest_funnel(
     fp_state_dir: str | None = None,
     compact_table: str | None = None,
     auto_compact_every: int | None = None,
+    compact_gc_old: bool = True,
 ):
     """The FULL ingest funnel as a live stream — the streaming twin of
     ``pipeline_ingest_batch_indexed`` (H50): every micro-batch runs the
@@ -600,6 +668,7 @@ def streaming_ingest_funnel(
             ingest_state_compact(
                 spark, compact_table, accepted_dir, state_dir,
                 epoch_id - 1, fp_state_dir=fp_state_dir,
+                gc_old=compact_gc_old,
             )
         corpus_now, idx, grown_fp, _ = _grown_state(
             spark, corpus.select(id_col, text_col), idx, epoch_id,
@@ -681,3 +750,168 @@ def streaming_ingest_funnel(
             )
 
     return batch_stream.writeStream.foreachBatch(gate).outputMode("append")
+
+
+def ann_state_compact(
+    spark,
+    index_table: str,
+    asg_dir: str,
+    upto_epoch: int,
+    n_buckets: int = 16,
+    gc_old: bool = True,
+) -> None:
+    """Fold the live ANN ingest's committed epoch partitions into the
+    persisted IVF index's cell-bucketed inverted lists (VERDICT r10
+    item 4 — the streaming maintenance story the exact/near-dup indexes
+    already have). A NEW generation ``{index_table}_asg_g<gen+1>`` is
+    written as old lists + folded epochs (bucketed on cell — the fold
+    pays the shuffle the per-batch path skips), the frozen centroid
+    table is carried forward as ``_cells_g<gen+1>``, and the meta
+    pointer commits last with the new (gen, hwm). Same replay-safety
+    contract as ``ingest_state_compact``: ``upto_epoch`` must come from
+    ``last_committed_epoch`` — committed epochs never replay, so
+    folding THEN deleting their dirs is safe, and
+    ``streaming_ann_ingest`` raises if a replayed epoch ever lands at
+    or below the hwm. Crash anywhere leaves the old consistent index,
+    an unreferenced leaked generation, or a healable pointer ``_prev``.
+    """
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        _read_pointer,
+        _swap_in_table,
+    )
+    from experimentsplan_datapipeline_spark.sources.sinks import write_bucketed
+
+    meta_name = f"{index_table}_meta"
+    ptr = _read_pointer(spark, meta_name)
+    if ptr is None:
+        raise ValueError(
+            f"ann_state_compact: meta table {meta_name!r} not found — "
+            f"build the index with ann_index_write first"
+        )
+    old_hwm = ptr["hwm"] if "hwm" in ptr.__fields__ else -1
+    if upto_epoch < old_hwm:
+        raise ValueError(
+            f"ann_state_compact: upto_epoch={upto_epoch} is below the "
+            f"existing high-water mark {old_hwm}"
+        )
+    fold = [
+        e for e in _list_epochs(spark, asg_dir) if old_hwm < e <= upto_epoch
+    ]
+    gen = ptr["gen"]
+
+    def _commit(new_gen: int) -> None:
+        _swap_in_table(
+            spark,
+            spark.createDataFrame(
+                [(int(ptr["n_cells"]), new_gen, upto_epoch)],
+                "n_cells int, gen int, hwm long",
+            ),
+            meta_name,
+        )
+
+    if not fold:
+        if upto_epoch > old_hwm:
+            _commit(gen)  # hwm-only advance, same tables
+        return
+    old_asg = spark.table(f"{index_table}_asg_g{gen}")
+    asg_schema = old_asg.schema  # explicit: an empty epoch dir must not
+    # wedge the fold on schema inference (ADVICE r10)
+    folded = spark.read.schema(asg_schema).parquet(
+        *[os.path.join(asg_dir, f"epoch={e}") for e in fold]
+    )
+    new_gen = gen + 1
+    write_bucketed(
+        old_asg.unionByName(folded), f"{index_table}_asg_g{new_gen}",
+        ["cell"], n_buckets, mode="overwrite",
+    )
+    write_bucketed(
+        spark.table(f"{index_table}_cells_g{gen}"),
+        f"{index_table}_cells_g{new_gen}", ["cell"], 1, mode="overwrite",
+    )
+    _commit(new_gen)
+    fs, _, jvm = _fs(spark, asg_dir)
+    for e in fold:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(asg_dir, f"epoch={e}")
+            ),
+            True,
+        )
+    if gc_old:
+        from experimentsplan_datapipeline_spark.operators.dedup import (
+            _drop_gen_tables,
+        )
+
+        for base in (f"{index_table}_asg", f"{index_table}_cells"):
+            _drop_gen_tables(spark, base, new_gen)
+
+
+def streaming_ann_ingest(
+    vec_stream,
+    index_table: str,
+    asg_dir: str,
+    vec_col: str,
+    id_col: str,
+    auto_compact_every: int | None = None,
+    compact_gc_old: bool = True,
+):
+    """Live IVF index maintenance (VERDICT r10 item 4): a vector stream
+    drains in micro-batches, each batch assigns to the persisted
+    index's FROZEN centroids (the production trade — cells drift
+    slowly; rebuild via ann_index_write(mode='overwrite') when the
+    drift monitor says so) and lands as an ``epoch=N`` partition of
+    (id, cell, vec) rows under ``asg_dir``. Queries see the grown
+    index via ``ann_query_indexed(..., live_dir=asg_dir)`` — compact
+    generation + epochs above the hwm — and
+    ``ann_state_compact`` (manual between drains, or
+    ``auto_compact_every=K`` at the start of every K-th epoch, which
+    only ever folds epochs <= N-1: always committed, see
+    ``streaming_ingest_gate``) folds committed epochs into the
+    cell-bucketed lists so per-query state never grows O(all epochs).
+
+    Exactly-once: epoch partitions overwrite on replay; the only state
+    read is the frozen centroid codebook, so a replayed epoch cannot
+    self-match — and it raises loudly if it ever lands at or below the
+    compaction hwm (the one way a compactor could have folded an
+    uncommitted epoch)."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        _read_pointer,
+    )
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        _assign_to_cells,
+        _load_centroids,
+    )
+
+    def gate(mb, epoch_id: int) -> None:
+        spark = mb.sparkSession
+        meta = _read_pointer(spark, f"{index_table}_meta")
+        if meta is None:
+            raise ValueError(
+                f"streaming_ann_ingest: meta table "
+                f"{index_table + '_meta'!r} not found — build the index "
+                f"with ann_index_write first"
+            )
+        hwm = meta["hwm"] if "hwm" in meta.__fields__ else -1
+        if epoch_id <= hwm:
+            raise RuntimeError(
+                f"streaming_ann_ingest: replaying epoch {epoch_id} at or "
+                f"below the compaction high-water mark {hwm} — the "
+                f"compactor folded an uncommitted epoch (upto_epoch must "
+                f"come from last_committed_epoch)"
+            )
+        if (
+            auto_compact_every is not None
+            and epoch_id > 0
+            and epoch_id % auto_compact_every == 0
+        ):
+            ann_state_compact(
+                spark, index_table, asg_dir, epoch_id - 1,
+                gc_old=compact_gc_old,
+            )
+            meta = _read_pointer(spark, f"{index_table}_meta")
+        cents = _load_centroids(spark, index_table, meta["gen"])
+        _assign_to_cells(mb, vec_col, id_col, cents).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(asg_dir, f"epoch={epoch_id}"))
+
+    return vec_stream.writeStream.foreachBatch(gate).outputMode("append")

@@ -111,6 +111,9 @@ def main() -> int:
     from experimentsplan_datapipeline_spark.session import get_session
 
     spark = get_session()
+    # codegen lint (VERDICT r10 item 2): whole-stage-codegen compile
+    # failures must FAIL the sweep, not silently run interpreted
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

@@ -1327,3 +1327,275 @@ class TestFunnelCrashReplay:
         finally:
             minhash_index_drop(spark, "t_freplay_mh")
             fingerprint_index_drop(spark, "t_freplay_fp")
+
+
+class TestPointerCrashWindows:
+    """ADVICE r10: the pointer commit must never have a window where the
+    meta table is simply gone — for a compaction pointer whose folded
+    epoch dirs were already deleted, 'no pointer' silently reads as
+    'nothing compacted' and the grown state is lost forever."""
+
+    def test_crash_between_renames_self_heals(self, spark):
+        from experimentsplan_datapipeline_spark.operators.dedup import (
+            _read_pointer,
+            _swap_in_table,
+        )
+
+        name = "t_heal_meta"
+        try:
+            _swap_in_table(
+                spark,
+                spark.createDataFrame([(9, 0)], "hwm long, gen int"),
+                name,
+            )
+            # simulate a crash between rename-aside and rename-in: the
+            # live table sits at _prev, nothing at the live name
+            spark.sql(f"ALTER TABLE `{name}` RENAME TO `{name}_prev`")
+            assert not spark.catalog.tableExists(name)
+            ptr = _read_pointer(spark, name)
+            assert ptr is not None and ptr["hwm"] == 9 and ptr["gen"] == 0
+            # healed: the live name is restored, _prev is consumed
+            assert spark.catalog.tableExists(name)
+            assert not spark.catalog.tableExists(f"{name}_prev")
+        finally:
+            for suf in ("", "_prev", "_staging"):
+                spark.sql(f"DROP TABLE IF EXISTS `{name}{suf}`")
+
+    def test_swap_never_leaves_no_table(self, spark):
+        """A second commit over an existing pointer keeps either the old
+        or the new value readable at every step boundary: after the
+        commit the new value is live and no leftovers remain."""
+        from experimentsplan_datapipeline_spark.operators.dedup import (
+            _read_pointer,
+            _swap_in_table,
+        )
+
+        name = "t_swap2_meta"
+        try:
+            _swap_in_table(
+                spark, spark.createDataFrame([(1,)], "v int"), name
+            )
+            _swap_in_table(
+                spark, spark.createDataFrame([(2,)], "v int"), name
+            )
+            assert _read_pointer(spark, name)["v"] == 2
+            assert not spark.catalog.tableExists(f"{name}_prev")
+            assert not spark.catalog.tableExists(f"{name}_staging")
+            # a stale _prev leftover (crash after rename-in, before the
+            # final drop) is healed into the next commit cleanly
+            spark.sql(f"ALTER TABLE `{name}` RENAME TO `{name}_prev`")
+            _swap_in_table(
+                spark, spark.createDataFrame([(3,)], "v int"), name
+            )
+            assert _read_pointer(spark, name)["v"] == 3
+            assert not spark.catalog.tableExists(f"{name}_prev")
+        finally:
+            for suf in ("", "_prev", "_staging"):
+                spark.sql(f"DROP TABLE IF EXISTS `{name}{suf}`")
+
+
+class TestCompactorEmptyEpochs:
+    """ADVICE r10: an all-dup micro-batch commits an epoch whose state
+    partitions have zero data files — the compactor must read folded
+    dirs with an explicit schema instead of wedging on inference."""
+
+    def test_empty_epoch_dir_folds_clean(self, spark, tmp_path):
+        import os
+
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            ingest_state_compact,
+        )
+
+        acc = str(tmp_path / "acc")
+        st = str(tmp_path / "st")
+        df = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+        kdf = spark.createDataFrame(
+            [(1, 0, 123)], "doc_id long, band int, key long"
+        )
+        df.write.parquet(os.path.join(acc, "epoch=0"))
+        kdf.write.parquet(os.path.join(st, "epoch=0"))
+        # epoch 1 committed but EMPTY: only a _SUCCESS marker, no data
+        for base in (acc, st):
+            d = os.path.join(base, "epoch=1")
+            os.makedirs(d)
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+        try:
+            ingest_state_compact(spark, "t_empty_state", acc, st, 1)
+            ptr = spark.table("t_empty_state_meta").first()
+            assert ptr["hwm"] == 1
+            got = spark.table(f"t_empty_state_acc_g{ptr['gen']}").collect()
+            assert [(r["doc_id"], r["text"]) for r in got] == [(1, "x y z")]
+        finally:
+            for suf in ("_meta", "_meta_prev", "_meta_staging"):
+                spark.sql(f"DROP TABLE IF EXISTS t_empty_state{suf}")
+            for g in range(3):
+                spark.sql(f"DROP TABLE IF EXISTS t_empty_state_acc_g{g}")
+                spark.sql(f"DROP TABLE IF EXISTS t_empty_state_keys_g{g}")
+
+    def test_all_empty_first_fold_is_a_noop(self, spark, tmp_path):
+        import os
+
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            _list_epochs,
+            ingest_state_compact,
+        )
+
+        acc = str(tmp_path / "acc")
+        st = str(tmp_path / "st")
+        for base in (acc, st):
+            d = os.path.join(base, "epoch=0")
+            os.makedirs(d)
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+        ingest_state_compact(spark, "t_allempty_state", acc, st, 0)
+        # nothing to point at: no pointer committed, empty dirs cleared
+        assert not spark.catalog.tableExists("t_allempty_state_meta")
+        assert _list_epochs(spark, acc) == []
+        assert _list_epochs(spark, st) == []
+
+
+class TestAnnStreamingIngest:
+    """VERDICT r10 item 4: live IVF maintenance — epoch partitions,
+    watermark-gated compaction into the cell-bucketed lists, and
+    crash-replay across the compaction boundary."""
+
+    @staticmethod
+    def _vecs(spark):
+        import math
+
+        rows = [
+            (i, [math.sin(i * 0.7 + d) for d in range(8)])
+            for i in range(40)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, vec array<double>")
+
+    def test_live_ingest_with_compaction_and_crash_replay(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from experimentsplan_datapipeline_spark.operators.similarity import (
+            ann_index_drop,
+            ann_index_write,
+            ann_query_indexed,
+        )
+        from experimentsplan_datapipeline_spark.streaming.events import (
+            run_available_now,
+        )
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            _list_epochs,
+            streaming_ann_ingest,
+        )
+
+        vecs = self._vecs(spark)
+        base = vecs.filter(F.col("vec_id") >= 8)
+        new = vecs.filter(F.col("vec_id") < 8)
+        staging = tmp_path / "staging"
+        staging.mkdir()
+        asg_dir = str(tmp_path / "asg")
+        ckpt = str(tmp_path / "ckpt")
+        try:
+            ann_index_write(base, "t_sann_idx", "vec", "vec_id", n_cells=4)
+
+            def stage(df, i):
+                import glob
+                import shutil
+
+                tmp = str(tmp_path / f"st{i}")
+                df.coalesce(1).write.parquet(tmp)
+                part = glob.glob(tmp + "/part-*.parquet")[0]
+                dst = str(staging / f"{i:04d}.parquet")
+                shutil.move(part, dst)
+                os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+            def drain():
+                stream = (
+                    spark.readStream.schema(new.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(str(staging))
+                )
+                writer = streaming_ann_ingest(
+                    stream, "t_sann_idx", asg_dir, "vec", "vec_id",
+                    auto_compact_every=2,
+                ).option("checkpointLocation", ckpt)
+                run_available_now(writer, timeout_sec=240.0)
+
+            # epochs 0-1, then CRASH-REPLAY setup: plant a partial (and
+            # WRONG) epoch-2 dir as if a prior attempt half-wrote it
+            stage(new.filter(F.col("vec_id") % 4 == 0), 0)
+            stage(new.filter(F.col("vec_id") % 4 == 1), 1)
+            drain()
+            spark.createDataFrame(
+                [(999, 0, [0.0] * 8)], "vec_id long, cell int, vec array<double>"
+            ).write.parquet(os.path.join(asg_dir, "epoch=2"))
+            # epochs 2-3: epoch 2 triggers the auto-compaction (folds
+            # 0-1) and then OVERWRITES its own partial leftovers
+            stage(new.filter(F.col("vec_id") % 4 == 2), 2)
+            stage(new.filter(F.col("vec_id") % 4 == 3), 3)
+            drain()
+
+            meta = spark.table("t_sann_idx_meta").first()
+            assert meta["hwm"] == 1 and meta["gen"] == 1
+            assert _list_epochs(spark, asg_dir) == [2, 3]  # 0-1 folded
+            # the planted bogus row is gone (epoch 2 overwrote itself)
+            live = spark.read.parquet(asg_dir)
+            assert live.filter(F.col("vec_id") == 999).count() == 0
+
+            # truth: batch append over the same frozen centroids
+            ann_index_write(base, "t_sann_ref", "vec", "vec_id", n_cells=4)
+            ann_index_write(
+                new, "t_sann_ref", "vec", "vec_id", n_cells=4, mode="append"
+            )
+            q = vecs.filter(F.col("vec_id") < 5)
+            got = {
+                (r["vec_id_q"], r["vec_id"], r["cosine"], r["rank"])
+                for r in ann_query_indexed(
+                    q, "t_sann_idx", "vec_id", "vec", k=5, n_probe=2,
+                    live_dir=asg_dir,
+                ).collect()
+            }
+            want = {
+                (r["vec_id_q"], r["vec_id"], r["cosine"], r["rank"])
+                for r in ann_query_indexed(
+                    q, "t_sann_ref", "vec_id", "vec", k=5, n_probe=2
+                ).collect()
+            }
+            assert got == want and len(got) == 25
+        finally:
+            ann_index_drop(spark, "t_sann_idx")
+            ann_index_drop(spark, "t_sann_ref")
+
+    def test_compact_guards(self, spark, tmp_path):
+        import os
+
+        from experimentsplan_datapipeline_spark.operators.similarity import (
+            ann_index_drop,
+            ann_index_write,
+        )
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            ann_state_compact,
+        )
+
+        vecs = self._vecs(spark)
+        asg_dir = str(tmp_path / "asg2")
+        try:
+            with pytest.raises(ValueError, match="not found"):
+                ann_state_compact(spark, "t_sann_g", asg_dir, 0)
+            ann_index_write(
+                vecs.filter(F.col("vec_id") >= 8), "t_sann_g", "vec",
+                "vec_id", n_cells=4,
+            )
+            spark.createDataFrame(
+                [(0, 1, [0.5] * 8)], "vec_id long, cell int, vec array<double>"
+            ).write.parquet(os.path.join(asg_dir, "epoch=0"))
+            ann_state_compact(spark, "t_sann_g", asg_dir, 0)
+            meta = spark.table("t_sann_g_meta").first()
+            assert meta["hwm"] == 0 and meta["gen"] == 1
+            # folded rows really reached the bucketed lists
+            assert (
+                spark.table("t_sann_g_asg_g1")
+                .filter(F.col("vec_id") == 0).count() == 1
+            )
+            with pytest.raises(ValueError, match="below the existing"):
+                ann_state_compact(spark, "t_sann_g", asg_dir, -1)
+        finally:
+            ann_index_drop(spark, "t_sann_g")

@@ -1349,3 +1349,267 @@ def test_bpe_artifact_roundtrip_and_validation(spark):
         spark.sql("DROP TABLE IF EXISTS t_bpe_art")
         spark.sql("DROP TABLE IF EXISTS t_bpe_art_staging")
         spark.sql("DROP TABLE IF EXISTS t_bpe_bad")
+
+
+def test_bpe_drops_c0_control_words(spark):
+    """ADVICE r10: words containing ANY C0 control character are dropped
+    from BPE training and tokenization — the engine's raw (lhs, rhs)
+    tie-break and the oracle's encoded-pair tie-break only provably
+    coincide when every symbol character sorts above the 0x1f closing
+    delimiter."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        _bpe_words,
+        bpe_tokenize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab ab a\x01b a\x1eb norm")], ["doc_id", "text"]
+    )
+    words = {
+        r["enc"] for r in _bpe_words(df, "text").collect()
+    }
+    # only the clean words survive (encoded per-char)
+    assert words == {"\x1ea\x1f\x1eb\x1f", "\x1en\x1f\x1eo\x1f\x1er\x1f\x1em\x1f"}
+    out = bpe_tokenize(df, "doc_id", "text", [("a", "b")]).first()
+    assert out["n_words"] == 3  # ab, ab, norm — control-char words dropped
+    assert out["n_tokens"] == 2 + 4  # (ab)(ab) merged + n o r m
+
+
+class TestBpeIdsApplyPath:
+    """VERDICT r10 items 1+8: the Arrow min-rank apply path must agree
+    with the replace-expression chain at TOKEN-ID level on trained
+    tables, stay feasible at merge counts where the chain is not, and
+    tokenize every word via the UTF-8 byte fallback."""
+
+    @staticmethod
+    def _chain_symbols(spark, df, merges):
+        """Per-doc symbol sequence through the SAME replace chain
+        bpe_tokenize inlines (the oracle-checked sequential rank-order
+        semantics), extracted from the encoded string."""
+        from experimentsplan_datapipeline_spark.operators.text_analysis import (
+            _BPE_C,
+            _BPE_DROP_RE,
+            _BPE_O,
+            _tokens,
+        )
+
+        o, c = _BPE_O, _BPE_C
+
+        def enc_word(w):
+            e = F.regexp_replace(w, "(.)", f"{o}$1{c}")
+            for l, r in merges:
+                e = F.replace(
+                    e, F.lit(f"{o}{l}{c}{o}{r}{c}"), F.lit(f"{o}{l}{r}{c}")
+                )
+            return e
+
+        ws = F.filter(
+            _tokens("text"), lambda w: (w != "") & ~w.rlike(_BPE_DROP_RE)
+        )
+        enc_all = F.concat_ws("", F.transform(ws, enc_word))
+        return {
+            r["doc_id"]: r["syms"]
+            for r in df.select(
+                "doc_id",
+                F.regexp_extract_all(
+                    enc_all, F.lit(f"{o}(.*?){c}"), F.lit(1)
+                ).alias("syms"),
+            ).collect()
+        }
+
+    @staticmethod
+    def _py_sequential_ids(text, merges, vocab):
+        """Pure-Python SEQUENTIAL rank-order application (the chain's
+        definition): per word, each merge in rank order replaces greedy
+        left-to-right over the symbol list; then map through the id
+        contract with byte fallback."""
+        from experimentsplan_datapipeline_spark.operators.text_analysis import (
+            _py_tokens,
+        )
+
+        ids = []
+        for w in _py_tokens(text):
+            syms = list(w)
+            for l, r in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == l
+                        and syms[i + 1] == r
+                    ):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            for s in syms:
+                tid = vocab.get(s)
+                ids.extend([tid] if tid is not None else s.encode("utf-8"))
+        return ids
+
+    @staticmethod
+    def _py_bpe_train(word_counts, n_merges):
+        """Pure-Python twin of bpe_train (same pair count over distinct
+        words, same (count desc, lhs, rhs) tie-break, same greedy
+        replace) — instant at 1k+ merges, used where a 1k-iteration
+        Spark driver loop would dominate the test suite."""
+        words = {tuple(w): c for w, c in word_counts.items()}
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for syms, cnt in words.items():
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + cnt
+            if not counts:
+                break
+            best = min(counts, key=lambda p: (-counts[p], p))
+            merges.append(best)
+            l, r = best
+            new_words = {}
+            for syms, cnt in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_words[tuple(out)] = new_words.get(tuple(out), 0) + cnt
+            words = new_words
+        return merges
+
+    def test_ids_equal_chain_on_trained_table(self, spark, sf_dir):
+        """Id-level equality: Arrow min-rank path == the expression
+        chain's symbol sequence mapped through bpe_id_map, on the
+        Spark-trained table over real documents."""
+        from experimentsplan_datapipeline_spark.operators.text_analysis import (
+            bpe_alphabet,
+            bpe_id_map,
+            bpe_tokenize_ids,
+            bpe_train,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        train = docs.filter(F.col("doc_id") < 30)
+        _, merges = bpe_train(train, "text", 8)
+        alphabet = bpe_alphabet(train, "text")
+        vocab = bpe_id_map(merges, alphabet)
+        app = docs.filter(
+            (F.col("doc_id") >= 30) & (F.col("doc_id") < 60)
+        ).select("doc_id", "text")
+        chain_syms = self._chain_symbols(spark, app, merges)
+        chain_ids = {
+            d: [
+                i
+                for s in syms
+                for i in (
+                    [vocab[s]] if s in vocab else list(s.encode("utf-8"))
+                )
+            ]
+            for d, syms in chain_syms.items()
+        }
+        got = {
+            r["doc_id"]: list(r["token_ids"])
+            for r in bpe_tokenize_ids(
+                app, "doc_id", "text", merges, alphabet
+            ).collect()
+        }
+        assert got == chain_ids
+
+    def test_min_rank_loop_feasible_at_1k_merges(self, spark):
+        """The chain is plan-size-infeasible at production merge counts;
+        the Arrow path is not: train 1200 merges with the pure-Python
+        twin on a synthetic corpus, apply via mapInPandas, and verify
+        id-level equality with the SEQUENTIAL rank-order reference on
+        held-out text."""
+        import random
+
+        from experimentsplan_datapipeline_spark.operators.text_analysis import (
+            bpe_id_map,
+            bpe_tokenize_ids,
+        )
+
+        rng = random.Random(11)
+        alpha = list("abcdefgh")
+        words = {
+            "".join(rng.choice(alpha) for _ in range(rng.randint(8, 30))): rng.randint(1, 9)
+            for _ in range(400)
+        }
+        merges = [
+            (l, r) for l, r in self._py_bpe_train(words, 1200)
+        ]
+        assert len(merges) >= 1000  # the corpus really sustains 1k merges
+        vocab = bpe_id_map(merges, sorted(alpha))
+        held_out = [
+            (i, " ".join(rng.choice(list(words)) for _ in range(12))
+             + " zzz9 éxo")  # OOV word incl. a non-ASCII char
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(held_out, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: list(r["token_ids"])
+            for r in bpe_tokenize_ids(
+                df, "doc_id", "text", merges, sorted(alpha)
+            ).collect()
+        }
+        want = {
+            i: self._py_sequential_ids(t, merges, vocab) for i, t in held_out
+        }
+        assert got == want
+
+    def test_multibyte_oov_falls_back_to_utf8_bytes(self, spark):
+        from experimentsplan_datapipeline_spark.operators.text_analysis import (
+            bpe_tokenize_ids,
+        )
+
+        df = spark.createDataFrame([(1, "ab é 中")], ["doc_id", "text"])
+        row = bpe_tokenize_ids(
+            df, "doc_id", "text", [("a", "b")], ["a", "b"]
+        ).first()
+        want = [256 + 0 + 2]  # 'ab' merge output: 256 + |alpha| + rank 0
+        want = [258] + list("é".encode("utf-8")) + list(
+            "中".encode("utf-8")
+        )
+        assert list(row["token_ids"]) == want
+        assert row["n_tokens"] == len(want)
+
+    def test_alphabet_artifact_roundtrip(self, spark, sf_dir):
+        from experimentsplan_datapipeline_spark.operators.text_analysis import (
+            bpe_alphabet,
+            bpe_load,
+            bpe_load_alphabet,
+            bpe_save,
+            bpe_train,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        train = docs.filter(F.col("doc_id") < 20)
+        _, merges = bpe_train(train, "text", 4)
+        alphabet = bpe_alphabet(train, "text")
+        try:
+            bpe_save(spark, merges, "t_bpe_art", alphabet=alphabet)
+            assert bpe_load(spark, "t_bpe_art") == merges
+            assert bpe_load_alphabet(spark, "t_bpe_art") == alphabet
+            # contiguity validation: corrupt one index and reload
+            from experimentsplan_datapipeline_spark.operators.dedup import (
+                _swap_in_table,
+            )
+
+            bad = [
+                (i + (5 if i == 1 else 0), ch)
+                for i, ch in enumerate(alphabet)
+            ]
+            _swap_in_table(
+                spark,
+                spark.createDataFrame(bad, "ord_idx int, ch string"),
+                "t_bpe_art_alpha",
+            )
+            with pytest.raises(ValueError, match="non-contiguous"):
+                bpe_load_alphabet(spark, "t_bpe_art")
+        finally:
+            for s in ("", "_alpha", "_staging", "_prev", "_alpha_staging",
+                      "_alpha_prev"):
+                spark.sql(f"DROP TABLE IF EXISTS t_bpe_art{s}")
