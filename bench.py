@@ -74,6 +74,11 @@ EXTENDED = [
     "tokenizer_train_bpe",
     "quality_classifier_train",
     "ann_index_query",
+    # round 11 additions: the live ANN maintenance stream, the Arrow
+    # token-id apply path, and the compacted gate (now full-oracle)
+    "stream_ann_ingest",
+    "tokenizer_bpe_ids",
+    "stream_ingest_gate_compacted",
 ]
 
 
@@ -151,6 +156,29 @@ def main() -> None:
         name: min(p[name] for p in ext_passes) for name in ext_passes[0]
     }
     ext_total = min(ext_totals)
+    # extended-suite trend (VERDICT r10 item 7): flag any extended query
+    # > 1.5x its previous-round time so regressions in the heavy post-r1
+    # operators surface in the bench artifact itself, not only in a
+    # manual diff of BENCH_r{N}.json files
+    ext_flags = {}
+    prev_bench = sorted(
+        f for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    if prev_bench:
+        try:
+            with open(prev_bench[-1]) as fh:
+                prev_ext = json.load(fh).get("extended", {})
+            ext_flags = {
+                name: {"sec": ext_timings[name], "prev_sec": prev_ext[name],
+                       "ratio": round(ext_timings[name] / prev_ext[name], 2)}
+                for name in ext_timings
+                if name in prev_ext
+                and prev_ext[name] > 0
+                and ext_timings[name] > 1.5 * prev_ext[name]
+            }
+        except (json.JSONDecodeError, OSError):
+            pass
     print(
         json.dumps(
             {
@@ -160,6 +188,7 @@ def main() -> None:
                 "queries": timings,
                 "extended": ext_timings,
                 "extended_total": ext_total,
+                "extended_regressions_vs_prev": ext_flags,
                 "sf": sf,
                 "conditions": {
                     "pass_totals": totals,

@@ -275,8 +275,22 @@ ROUND10_ANNOTATED: dict[str, str] = {
         "the FULL funnel live: quality+exact+near-dup per micro-batch, "
         "decision log hash-matches the batch funnel's per-doc flags",
     "stream_ingest_gate_compacted":
-        "live gate + MID-STREAM epoch-state compaction (rows-only: sequential; "
-        "plants a cross-compaction near-dup and raises unless caught)",
+        "live gate + MID-STREAM epoch-state compaction; r11 gave the "
+        "sequential semantics a FULL value-hash oracle (membership ladder)",
+}
+
+
+# Round-11 additions: lost-pointer healing is tested (not a query); these
+# are the new registry entries.
+ROUND11_ANNOTATED: dict[str, str] = {
+    "tokenizer_bpe_ids":
+        "PRODUCTION Arrow apply path: min-rank merge fold emitting "
+        "token-id sequences, GPT-2-style id layout, UTF-8 byte fallback "
+        "for OOV (exercised inside the value hash)",
+    "stream_ann_ingest":
+        "live IVF maintenance: exactly-once epoch assignments against "
+        "frozen centroids + mid-stream watermark-gated compaction into "
+        "the cell-bucketed lists; shares the batch-append oracle",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)
@@ -355,6 +369,17 @@ def main() -> None:
             status = f"rows-only ({note})"
         else:
             status = "**MISSING**"
+        lines.append(f"| `{n}` | {status} |")
+    lines.append("")
+    lines += [
+        "## Production tokenizer ids & live ANN maintenance (round 11)",
+        "",
+        "| query | status |",
+        "|---|---|",
+    ]
+    for n, note in ROUND11_ANNOTATED.items():
+        listed.add(n)
+        status = f"oracle ({note})" if n in ORACLE else "**MISSING**"
         lines.append(f"| `{n}` | {status} |")
     lines.append("")
     extra = sorted(set(QUERIES) - listed)

@@ -587,6 +587,180 @@ def _live_funnel_probe(spark, sf_dir):
     return read_gate_results(spark, result_dir)
 
 
+# ---------------------------------------------------------------- sf10 (r11)
+
+def build_sf10(out_dir: str, copies: int = 100) -> None:
+    """100x corpus — documents + embeddings ONLY — for the
+    persisted-index steady-state probes (VERDICT r10 item 3: the 100 TB
+    claim extrapolated from 10x until now). Same construction as
+    build_sf1 (id shifts; later copies word-shuffle text / perturb one
+    embedding coordinate, so copies are neither near-dups nor identical
+    vectors), written copy-by-copy into a parquet DIRECTORY so 100
+    copies never sit in memory at once."""
+    import hashlib
+
+    import pandas as pd
+
+    docs_dir = os.path.join(out_dir, "documents.parquet")
+    emb_dir = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.isdir(docs_dir) and os.path.isdir(emb_dir):
+        return
+    os.makedirs(docs_dir, exist_ok=True)
+    os.makedirs(emb_dir, exist_ok=True)
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT * FROM '{SRC}/documents.parquet' ORDER BY doc_id"
+    ).fetch_df()
+    n_docs = len(docs)
+
+    def shuffled_text(text: str, c: int) -> str:
+        words = text.split()
+        random.Random((c << 20) ^ len(words)).shuffle(words)
+        return " ".join(words)
+
+    for c in range(copies):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + c * n_docs
+        if c:
+            d["text"] = [shuffled_text(t, c) for t in d["text"]]
+        con.register("sf10_docs", d)
+        con.execute(
+            f"COPY sf10_docs TO '{docs_dir}/part{c:03d}.parquet' "
+            f"(FORMAT PARQUET)"
+        )
+    emb = con.execute(
+        f"SELECT * FROM '{SRC}/embeddings.parquet' ORDER BY vec_id"
+    ).fetch_df()
+    n_emb = len(emb)
+    for c in range(copies):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + c * n_emb
+        if c:
+            e["embedding"] = [
+                [float(x) + (0.001 * (c % 7 + 1) if i == (c % len(v)) else 0.0)
+                 for i, x in enumerate(v)]
+                for v in e["embedding"]
+            ]
+        con.register("sf10_emb", e)
+        con.execute(
+            f"COPY (SELECT vec_id, embedding::FLOAT[] AS embedding, label "
+            f"FROM sf10_emb) TO '{emb_dir}/part{c:03d}.parquet' "
+            f"(FORMAT PARQUET)"
+        )
+
+
+def _fixed_batch(spark):
+    """The FIXED per-batch workload every steady-state probe reuses: the
+    sf0.1 %10==0 docs (~500). The corpus scales 1x/10x/100x around it,
+    so the timed ratio isolates per-batch cost growth — the number the
+    100 TB design argument says must stay near-flat."""
+    from experimentsplan_datapipeline_spark.plans.queries import t
+    from pyspark.sql import functions as F
+
+    return t(spark, SRC, "documents").filter(F.col("doc_id") % 10 == 0)
+
+
+def _probe_tag(sf_dir: str) -> str:
+    import hashlib as _h
+
+    return _h.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+def _steady_exact_fixed(spark, sf_dir):
+    """Exact screen per-batch cost: Bloom bit-test prune (plan literal)
+    + bucketed fp-table semi join. Index pre-built per corpus (warm
+    pass); batch fixed."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        exact_screen_incremental,
+        fingerprint_index_write,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+    from pyspark.sql import functions as F
+
+    tag = "fx_" + _probe_tag(sf_dir)
+    if tag not in _SS_BUILT:
+        corpus = t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        fingerprint_index_write(corpus, f"fp_{tag}", "text")
+        _SS_BUILT.add(tag)
+    return exact_screen_incremental(
+        _fixed_batch(spark), "text", "doc_id", f"fp_{tag}"
+    )
+
+
+def _steady_near_fixed(spark, sf_dir):
+    """Band-key gate per-batch cost: batch hashing + band join against
+    the persisted (bucketed) index + candidate-only verify. The verify
+    stage's corpus-text read is the piece that could betray the claim
+    at 100x — candidates are id-pruned, but the prune is a semi join
+    over the corpus scan."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        minhash_index_read,
+        minhash_index_write,
+        minhash_lsh_incremental,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+    from pyspark.sql import functions as F
+
+    tag = "nx_" + _probe_tag(sf_dir)
+    corpus = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+    if tag not in _SS_BUILT:
+        minhash_index_write(corpus, f"mh_{tag}", "text", "doc_id")
+        _SS_BUILT.add(tag)
+    return minhash_lsh_incremental(
+        corpus, _fixed_batch(spark), "text", "doc_id", threshold=0.5,
+        corpus_bandkeys=minhash_index_read(spark, f"mh_{tag}"),
+    )
+
+
+def _ann_query_fixed(spark, sf_dir):
+    """IVF query cost against a 1x/10x/100x index: 5 fixed queries rank
+    the 16-cell codebook and probe 2 cells of the bucketed inverted
+    lists. Growth here is the probed-cell row count (~corpus/16*2),
+    so sub-linear-in-corpus but not flat — the mitigation at 100 TB is
+    more cells (n_cells scales with corpus), recorded in BASELINE."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        ann_index_write,
+        ann_query_indexed,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+    from pyspark.sql import functions as F
+
+    tag = "ax_" + _probe_tag(sf_dir)
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    if tag not in _SS_BUILT:
+        ann_index_write(emb, f"ann_{tag}", "embedding", "vec_id")
+        _SS_BUILT.add(tag)
+    queries = (
+        t(spark, SRC, "embeddings")
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x.cast("double")),
+        )
+        .filter(F.col("vec_id") < 5)
+    )
+    return ann_query_indexed(
+        queries, f"ann_{tag}", "vec_id", "embedding", k=10, n_probe=2
+    )
+
+
+def _time_scales(fn, spark, dirs: dict) -> dict:
+    out = {}
+    for tag, d in dirs.items():
+        fn(spark, d).count()  # warm: builds the index, JITs the plan
+        t0 = time.monotonic()
+        fn(spark, d).count()
+        out[f"{tag}_sec"] = round(time.monotonic() - t0, 3)
+    base = out.get("sf0.1_sec")
+    for tag in dirs:
+        if tag != "sf0.1" and base:
+            out[f"ratio_{tag}"] = round(out[f"{tag}_sec"] / base, 2)
+    return out
+
+
 def _time_pair(fn, spark, small_dir: str, big_dir: str) -> dict:
     times = {}
     for tag, d in (("sf0.1_sec", small_dir), ("sf1_sec", big_dir)):
@@ -731,6 +905,20 @@ def main() -> None:
         result["live_funnel@sf1"] = _time_pair(
             _live_funnel_probe, spark, SRC, out_dir
         )
+    # round 11: the 100x steady-state probes (VERDICT r10 item 3)
+    sf10_dir = os.path.join(out_dir, "sf10")
+    sf10_probes = [
+        ("steady_exact@sf10", _steady_exact_fixed),
+        ("steady_neardup@sf10", _steady_near_fixed),
+        ("ann_index_query@sf10", _ann_query_fixed),
+    ]
+    if any(wanted(k) for k, _ in sf10_probes):
+        print("building 100x corpus ...", file=sys.stderr)
+        build_sf10(sf10_dir)
+        dirs = {"sf0.1": SRC, "sf1": out_dir, "sf10": sf10_dir}
+        for key, fn in sf10_probes:
+            if wanted(key):
+                result[key] = _time_scales(fn, spark, dirs)
     print(json.dumps(result, indent=2))
 
 

@@ -1560,6 +1560,19 @@ class TestAnnStreamingIngest:
                 ).collect()
             }
             assert got == want and len(got) == 25
+            # plan shape: the live union must not demote the probe join —
+            # the batch side broadcasts onto the (bucketed + live) lists,
+            # never a sort-merge or cartesian
+            plan = (
+                ann_query_indexed(
+                    q, "t_sann_idx", "vec_id", "vec", k=5, n_probe=2,
+                    live_dir=asg_dir,
+                )
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "SortMergeJoin" not in plan
+            assert "CartesianProduct" not in plan
+            assert "BroadcastHashJoin" in plan
         finally:
             ann_index_drop(spark, "t_sann_idx")
             ann_index_drop(spark, "t_sann_ref")

@@ -949,3 +949,53 @@ def test_lpips_shape_distance_identity_and_symmetry(spark):
 
     with pytest.raises(ValueError, match="2x2 conv kernels"):
         lpips_shape_distance(df, np.ones((3, 3)), k2, lw)
+
+
+def test_codegen_lint_catches_flattened_dct(spark):
+    """VERDICT r10 item 2, the lint half: with
+    spark.sql.codegen.fallback=false (set session-wide in conftest and
+    check_oracle), the OLD flattened one-pass pHash DCT — 15 chains of
+    64 multiply-adds inlined into one array expression — must FAIL
+    LOUDLY with the 64 KB codegen error instead of silently running
+    interpreted, while the shipped two-pass image_phash compiles clean
+    (its oracle pass and test_image_phash_invariances prove that). This
+    pins the lint to the exact failure class round 10 found."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from experimentsplan_datapipeline_spark.media.images import dct_weights
+
+    assert spark.conf.get("spark.sql.codegen.fallback") == "false"
+    df = spark.range(4).withColumn(
+        "__lum",
+        F.array(
+            *[(F.col("id") + F.lit(float(i))).cast("double")
+              for i in range(64)]
+        ),
+    )
+    c = dct_weights(8)
+    coeffs = []
+    for u in range(4):
+        for v in range(4):
+            if u == 0 and v == 0:
+                continue
+            acc = None
+            for x in range(8):
+                for y in range(8):
+                    t = F.element_at("__lum", x * 8 + y + 1) * F.lit(
+                        float(c[u][x] * c[v][y])
+                    )
+                    acc = t if acc is None else acc + t
+            coeffs.append(F.round(acc, 6))
+    d = df.withColumn("__c", F.array(*coeffs)).withColumn(
+        "__med", F.element_at(F.array_sort("__c"), 8)
+    )
+    ph = None
+    for i in range(15):
+        bit = F.when(
+            F.element_at("__c", i + 1) > F.col("__med"),
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        ph = bit if ph is None else ph + bit
+    with pytest.raises(Py4JJavaError, match="64 KB"):
+        d.withColumn("phash", ph).select("phash").collect()
