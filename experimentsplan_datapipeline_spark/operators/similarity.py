@@ -1048,6 +1048,7 @@ def ann_index_write(
     n_cells: int = 16,
     n_buckets: int = 16,
     mode: str = "overwrite",
+    centroids: "list[tuple[int, list[float]]] | None" = None,
 ) -> None:
     """Persist an IVF index — the ANN member of the persisted-index triad
     (exact screen H48, near-dup band keys H43, similarity here): the
@@ -1058,9 +1059,11 @@ def ann_index_write(
     Layout (the same generation-pointer commit as the dedup indexes):
     ``{table_name}_cells_g<gen>`` holds the n_cells centroids (the
     n_cells lowest-id corpus vectors — the deterministic,
-    oracle-replayable convention ``ivf_topk`` defaults to; swap a
-    ``kmeans_lite`` codebook in by training first and filtering the
-    corpus accordingly), ``{table_name}_asg_g<gen>`` holds (id, cell,
+    oracle-replayable convention ``ivf_topk`` defaults to — or a
+    TRAINED ``kmeans_lite`` codebook passed as ``centroids=``, the
+    production path when lowest-id cells get lopsided and the 100 TB
+    mitigation for probed-cell growth: n_cells scales with the
+    corpus), ``{table_name}_asg_g<gen>`` holds (id, cell,
     vec) BUCKETED ON CELL — the inverted lists; probes hash-join on
     cell with no exchange on the corpus side — and the one-row pointer
     ``{table_name}_meta`` (n_cells, gen) commits last, so every crash
@@ -1103,13 +1106,26 @@ def ann_index_write(
             mode="append",
         )
         return
-    rows = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
-        .collect()
-    )
-    cents = [(int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows]
+    if centroids is not None:
+        # a TRAINED codebook (kmeans_lite) — the production path when the
+        # lowest-id convention's cells get lopsided; n_cells follows it
+        if len(centroids) != n_cells:
+            n_cells = len(centroids)
+        cents = [
+            (int(cid), [float(x) for x in cv]) for cid, cv in centroids
+        ]
+    else:
+        rows = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+            )
+            .collect()
+        )
+        cents = [
+            (int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows
+        ]
     new_gen = (meta["gen"] + 1) if meta is not None else 0
     cells_df = spark.createDataFrame(
         cents, "cell int, cvec array<double>"

@@ -9224,6 +9224,39 @@ def ann_index_append_query(spark, sf_dir):
     )
 
 
+@register("ann_index_trained_query", _ann_ivf_trained_oracle_sql(
+    k_cells=8, iters=2, n_probe=2, k=10, n_queries=5,
+))
+def ann_index_trained_query(spark, sf_dir):
+    """The persisted IVF index under a TRAINED codebook
+    (operators/similarity.py::ann_index_write(centroids=kmeans_lite(...))
+    — the production path when the lowest-id cell convention gets
+    lopsided, and the 100 TB mitigation for probed-cell growth: n_cells
+    scales with the corpus by training a bigger codebook, not by
+    rebucketing). Shares ann_ivf_trained's oracle — the indexed path
+    (generation-pointed cells + cell-bucketed inverted lists) must
+    return exactly what the recompute path returns under the same
+    deterministic Lloyd fixpoint."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        ann_index_write,
+        ann_query_indexed,
+        kmeans_lite,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = kmeans_lite(emb, "vec_id", "embedding", k=8, iters=2)
+    ann_index_write(
+        emb, _stage("ann_tr_idx"), "embedding", "vec_id", n_cells=8,
+        centroids=cents,
+    )
+    return ann_query_indexed(
+        emb.filter(F.col("vec_id") < 5), _stage("ann_tr_idx"),
+        "vec_id", "embedding", k=10, n_probe=2,
+    )
+
+
 @register("stream_ann_ingest", _ann_indexed_append_oracle())
 def stream_ann_ingest(spark, sf_dir):
     """LIVE IVF index maintenance (streaming/ingest.py::

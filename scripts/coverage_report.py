@@ -291,6 +291,9 @@ ROUND11_ANNOTATED: dict[str, str] = {
         "live IVF maintenance: exactly-once epoch assignments against "
         "frozen centroids + mid-stream watermark-gated compaction into "
         "the cell-bucketed lists; shares the batch-append oracle",
+    "ann_index_trained_query":
+        "persisted IVF under a TRAINED kmeans_lite codebook — the "
+        "n_cells-scales-with-corpus mitigation, oracle = unrolled Lloyd",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)

@@ -1612,3 +1612,48 @@ class TestAnnStreamingIngest:
                 ann_state_compact(spark, "t_sann_g", asg_dir, -1)
         finally:
             ann_index_drop(spark, "t_sann_g")
+
+
+def test_compact_gc_old_false_defers_collection(spark, tmp_path):
+    """ADVICE r10: gc_old=False must leave superseded generation tables
+    on disk (an in-flight reader that resolved the old pointer keeps
+    working; a maintenance window collects later) — and the next
+    gc_old=True compaction collects them."""
+    import os
+
+    from experimentsplan_datapipeline_spark.streaming.ingest import (
+        ingest_state_compact,
+        ingest_state_drop,
+    )
+
+    acc = str(tmp_path / "acc")
+    st = str(tmp_path / "st")
+    kschema = "doc_id long, band int, key long"
+    try:
+        for e in range(3):
+            spark.createDataFrame(
+                [(10 + e, f"w{e} x y")], ["doc_id", "text"]
+            ).write.parquet(os.path.join(acc, f"epoch={e}"))
+            spark.createDataFrame(
+                [(10 + e, 0, 100 + e)], kschema
+            ).write.parquet(os.path.join(st, f"epoch={e}"))
+        ingest_state_compact(spark, "t_gc_state", acc, st, 0)  # gen 0
+        ingest_state_compact(
+            spark, "t_gc_state", acc, st, 1, gc_old=False
+        )  # gen 1, gen 0 kept
+        names = {t.name for t in spark.catalog.listTables()}
+        assert {"t_gc_state_acc_g0", "t_gc_state_acc_g1"} <= names
+        ingest_state_compact(spark, "t_gc_state", acc, st, 2)  # gen 2, GC
+        names = {t.name for t in spark.catalog.listTables()}
+        assert "t_gc_state_acc_g2" in names
+        assert "t_gc_state_acc_g0" not in names
+        assert "t_gc_state_acc_g1" not in names
+        # the folded rows all made it through the deferred-GC chain
+        ptr = spark.table("t_gc_state_meta").first()
+        got = {
+            r["doc_id"]
+            for r in spark.table(f"t_gc_state_acc_g{ptr['gen']}").collect()
+        }
+        assert got == {10, 11, 12}
+    finally:
+        ingest_state_drop(spark, "t_gc_state")
