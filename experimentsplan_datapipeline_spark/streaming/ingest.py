@@ -383,6 +383,15 @@ def _grown_state(
     Returns (corpus_now, idx, grown_fp, hwm). Raises if the replayed
     epoch sits at or below the hwm — the only way there is a compactor
     fold of an uncommitted epoch.
+
+    A missing pointer is trustworthy (ADVICE r10): the commit protocol
+    never has a window without a readable pointer — ``_swap_in_table``
+    renames the live row aside before renaming staging in, and
+    ``_read_pointer`` restores that ``_prev`` fallback — so pointer
+    absent + orphan ``_acc_g*`` tables only means a compactor crashed
+    BEFORE its first pointer commit, where the epoch dirs are still
+    intact and hwm=-1 reads the exact same state the pointer would
+    have covered.
     """
     hwm, compact_gen = -1, None
     if grow_state and compact_table is not None:
