@@ -761,6 +761,37 @@ def _time_scales(fn, spark, dirs: dict) -> dict:
     return out
 
 
+_BPE_IDS_STATE: dict = {}
+
+
+def _bpe_ids_probe(spark, sf_dir):
+    """The Arrow token-id apply path (r11) at 10x: the merge table +
+    alphabet train ONCE on the sf0.1 corpus (cached — apply-time cost is
+    the claim, matching a shipped tokenizer artifact), then every doc of
+    the probed corpus tokenizes through the mapInPandas min-rank fold.
+    Expected ~linear in corpus (it is a single pass over the text) with
+    a small constant — the point is that the cost is per-TOKEN, not
+    per-merge-table-size."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        bpe_alphabet,
+        bpe_tokenize_ids,
+        bpe_train,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+    from pyspark.sql import functions as F
+
+    if not _BPE_IDS_STATE:
+        train = t(spark, SRC, "documents").filter(F.col("doc_id") < 2000)
+        _, merges = bpe_train(train, "text", 12)
+        _BPE_IDS_STATE["merges"] = merges
+        _BPE_IDS_STATE["alphabet"] = bpe_alphabet(train, "text")
+    docs = t(spark, sf_dir, "documents")
+    return bpe_tokenize_ids(
+        docs, "doc_id", "text", _BPE_IDS_STATE["merges"],
+        _BPE_IDS_STATE["alphabet"],
+    ).select("doc_id", "n_tokens")
+
+
 def _time_pair(fn, spark, small_dir: str, big_dir: str) -> dict:
     times = {}
     for tag, d in (("sf0.1_sec", small_dir), ("sf1_sec", big_dir)):
@@ -904,6 +935,11 @@ def main() -> None:
     if wanted("live_funnel@sf1"):
         result["live_funnel@sf1"] = _time_pair(
             _live_funnel_probe, spark, SRC, out_dir
+        )
+    # round 11: the Arrow token-id apply path
+    if wanted("bpe_ids@sf1"):
+        result["bpe_ids@sf1"] = _time_pair(
+            _bpe_ids_probe, spark, SRC, out_dir
         )
     # round 11: the 100x steady-state probes (VERDICT r10 item 3)
     sf10_dir = os.path.join(out_dir, "sf10")
