@@ -1285,6 +1285,61 @@ def ann_query_indexed(
     )
 
 
+def semantic_dedup_clustered(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style clustered SEMANTIC dedup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public algorithm): train a k-means codebook
+    (``kmeans_lite`` — deterministic Lloyd, oracle-replayable), assign
+    every embedding to its cluster via the broadcast argmin expression
+    (codegen, zero shuffle), and search near-duplicate pairs ONLY
+    within clusters — the equi-join on cluster bounds candidate pairs
+    to sum(|cluster|^2) instead of the corpus-wide |N|^2 the brute
+    twin (``dedup_embedding``) pays, and the LSH twin
+    (``dedup_embedding_lsh``) trades recall for. At 100 TB, k scales
+    with the corpus (k ~ sqrt(N) keeps per-cluster work ~N) — the same
+    codebook-scaling lever as the trained IVF index, and the cluster
+    key's cardinality grows with it, so the join shuffle never
+    degenerates to a few hot partitions.
+
+    Returns one row per within-cluster near-dup pair:
+    (cluster, keep_id, drop_id, cosine) with keep = the SMALLER id
+    (deterministic; the paper keeps the point farthest from the
+    centroid — swap the keep rule downstream if that bias is wanted),
+    cosine rounded to 6 (the cross-engine float contract).
+    """
+    cents = kmeans_lite(emb, id_col, vec_col, k=k, iters=iters)
+    a = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        _assign_expr(F.col(vec_col), cents).alias("cluster"),
+    )
+    x, y = a.alias("x"), a.alias("y")
+    cos = F.round(
+        cosine_similarity(F.col("x.__v"), F.col("y.__v")), 6
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col("x.cluster").alias("cluster"),
+            F.col(f"x.{id_col}").alias("keep_id"),
+            F.col(f"y.{id_col}").alias("drop_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ann_index_drop(spark, table_name: str) -> None:
     """Drop a persisted IVF index: pointer first, then all generations."""
     from experimentsplan_datapipeline_spark.operators.dedup import (

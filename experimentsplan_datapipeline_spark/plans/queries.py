@@ -5342,6 +5342,78 @@ WHERE rank <= {k}
 """
 
 
+def _semantic_dedup_oracle_sql(
+    dim: int = 64, k_cells: int = 8, iters: int = 2,
+    threshold: float = 0.3,
+) -> str:
+    """SemDeDup oracle: the same unrolled deterministic Lloyd as
+    _ann_ivf_trained_oracle_sql, then the FINAL assignment by the
+    kmeans_assign convention (argmin ROUNDED squared distance, ties to
+    the smaller cid — _assign_expr's array_min struct ordering), then
+    within-cluster pairs above the rounded-cosine threshold."""
+    it_blocks = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        it_blocks.append(f"""
+a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_sum(list_transform(range(1, {dim} + 1),
+                   p -> (e.v[p] - c.cv[p]) ^ 2)), 6) ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {prev} c)
+  WHERE rn = 1),
+m{i} AS (
+  SELECT a.cid, pos.p, round(avg(a.v[pos.p]), 6) AS m
+  FROM a{i} a CROSS JOIN pos GROUP BY a.cid, pos.p),
+n{i} AS (SELECT cid, list(m ORDER BY p) AS cv FROM m{i} GROUP BY cid),
+c{i} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv
+         FROM {prev} c LEFT JOIN n{i} n USING (cid))""")
+        prev = f"c{i}"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pos AS (SELECT unnest(range(1, {dim} + 1)) AS p),
+c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       FROM e WHERE vec_id < {k_cells}),{",".join(it_blocks)},
+fin AS (
+  SELECT vec_id, v, cid AS cluster FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_sum(list_transform(range(1, {dim} + 1),
+                   p -> (e.v[p] - c.cv[p]) ^ 2)), 6) ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {prev} c)
+  WHERE rn = 1)
+SELECT x.cluster, x.vec_id AS keep_id, y.vec_id AS drop_id,
+       round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+FROM fin x JOIN fin y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
+"""
+
+
+@register("dedup_semantic_clustered", _semantic_dedup_oracle_sql())
+def dedup_semantic_clustered(spark, sf_dir):
+    """SemDeDup-style clustered semantic dedup (operators/similarity.py::
+    semantic_dedup_clustered — Abbas et al. 2023, the public
+    web-scale semantic dedup recipe): k-means codebook (deterministic
+    Lloyd), broadcast-argmin cluster assignment, near-dup pairs
+    searched WITHIN clusters only — sum(|cluster|^2) candidates
+    instead of the brute twin's corpus-wide |N|^2
+    (dedup_embedding), with k scaling as sqrt(N) at 100 TB (the same
+    codebook lever as the trained IVF index). Keep rule: smaller id.
+    The oracle unrolls the identical Lloyd fixpoint and replays the
+    assignment + pair thresholds value-for-value."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        semantic_dedup_clustered,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return semantic_dedup_clustered(
+        emb, "vec_id", "embedding", k=8, iters=2, threshold=0.3
+    )
+
+
 @register("ann_ivf_trained", _ann_ivf_trained_oracle_sql())
 def ann_ivf_trained(spark, sf_dir):
     """IVF probe under TRAINED k-means cells (kmeans_lite: deterministic

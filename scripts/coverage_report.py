@@ -294,6 +294,10 @@ ROUND11_ANNOTATED: dict[str, str] = {
     "ann_index_trained_query":
         "persisted IVF under a TRAINED kmeans_lite codebook — the "
         "n_cells-scales-with-corpus mitigation, oracle = unrolled Lloyd",
+    "dedup_semantic_clustered":
+        "SemDeDup (Abbas 2023): k-means clusters bound the near-dup "
+        "pair search to sum(|cluster|^2); oracle = unrolled Lloyd + "
+        "within-cluster pair replay",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)

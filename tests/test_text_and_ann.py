@@ -1613,3 +1613,34 @@ class TestBpeIdsApplyPath:
             for s in ("", "_alpha", "_staging", "_prev", "_alpha_staging",
                       "_alpha_prev"):
                 spark.sql(f"DROP TABLE IF EXISTS t_bpe_art{s}")
+
+
+def test_semantic_dedup_clustered_finds_planted_pairs(spark):
+    """SemDeDup path: planted duplicate vectors must land in one cluster
+    and surface as a (keep=smaller id, drop=larger id) pair at cosine
+    1.0; far-apart vectors must not pair. Cluster-bounded search: a
+    pair split across clusters is by construction invisible — the
+    planted twins are identical, so they can never split."""
+    import math
+
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        semantic_dedup_clustered,
+    )
+
+    base = [
+        (i, [math.sin(i * 1.3 + d) for d in range(8)]) for i in range(20)
+    ]
+    planted = [(100, list(base[5][1])), (101, list(base[12][1]))]
+    emb = spark.createDataFrame(
+        base + planted, "vec_id long, embedding array<double>"
+    )
+    pairs = {
+        (r["keep_id"], r["drop_id"]): r["cosine"]
+        for r in semantic_dedup_clustered(
+            emb, "vec_id", "embedding", k=4, iters=1, threshold=0.999
+        ).collect()
+    }
+    assert pairs.get((5, 100)) == 1.0
+    assert pairs.get((12, 101)) == 1.0
+    # identical twins only — nothing else reaches 0.999
+    assert set(pairs) == {(5, 100), (12, 101)}
