@@ -594,3 +594,76 @@ def test_mixture_temperature_quota_contract(spark, masses, alpha, total):
     assert all(q <= 3 for q in quotas.values())
     assert sum(quotas.values()) <= total
     assert all(per_src[s] == quotas[s] for s in per_src)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=12),
+        min_size=3,
+        max_size=25,
+    ),
+    n_merges=st.integers(1, 30),
+    data=st.data(),
+)
+@settings(max_examples=50, deadline=None)
+def test_bpe_min_rank_loop_equals_sequential_application(
+    words, n_merges, data
+):
+    """PURE-PYTHON property (no Spark): for any RANK-CONSISTENT merge
+    table (anything trained by the bpe_train algorithm on any corpus),
+    the production min-rank merge loop (_bpe_apply_word) produces the
+    same symbol sequence as sequential rank-order application (the
+    replace chain's definition) on any input word. This is the
+    equivalence argument bpe_tokenize_ids's docstring makes, fuzzed."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        _bpe_apply_word,
+    )
+
+    # train with the reference trainer on the generated corpus
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    merges = []
+    wstate = {tuple(w): c for w, c in counts.items()}
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in wstate.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+        if not pair_counts:
+            break
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        merges.append(best)
+        l, r = best
+        nxt: dict[tuple, int] = {}
+        for syms, cnt in wstate.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + cnt
+        wstate = nxt
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    # apply to a fresh word drawn independently of the corpus
+    target = data.draw(st.text(alphabet="abcd", min_size=0, max_size=16))
+
+    def sequential(word):
+        syms = list(word)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    assert _bpe_apply_word(target, merges, ranks) == sequential(target)
