@@ -289,3 +289,99 @@ def heavy_hitters(
         out_count,
         "n_total",
     )
+
+
+def _cms_bucket(key: F.Column, row_i: int, width: int, seed: int) -> F.Column:
+    """Row ``row_i``'s count-min bucket for ``key``: the engine-portable
+    md5 prefix (same idiom as ``hash_rank``) mod ``width`` — DuckDB replays
+    it as ('0x' || substr(md5(k || '|cms<seed>.<i>'), 1, 8))::BIGINT % w."""
+    salted = F.concat(key.cast("string"), F.lit(f"|cms{seed}.{row_i}"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+        % F.lit(width)
+    ).alias("bucket")
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """Mergeable count-min sketch (Cormode & Muthukrishnan 2005) over a
+    key stream — the bounded-memory frequency summary for key spaces too
+    large to count exactly (a 100 TB corpus's token vocabulary).
+
+    One scan: each key instance contributes ``depth`` (row, bucket)
+    cells; the groupBy's map-side combine collapses every partition to
+    <= depth*width rows before the shuffle, so the exchange carries
+    O(partitions * depth * width) rows REGARDLESS of corpus size or
+    vocabulary — the property Misra-Gries (``heavy_hitters``) shares and
+    a plain groupBy(key) lacks. Sketches over disjoint corpus slices
+    merge by cell-wise addition (another groupBy.sum), which is how a
+    1000-executor run folds per-shard sketches into one.
+
+    Returns the non-zero cells as (row_i, bucket, c) — depth*width rows
+    at most, broadcast-trivial for the estimate join.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row_i"),
+                _cms_bucket(F.col(key_col), r, width, seed),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("rb"))
+        .select("rb.row_i", "rb.bucket")
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    seed: int = 11,
+    out_col: str = "est",
+) -> DataFrame:
+    """Point-query the count-min sketch for each row of ``items``:
+    est(x) = min over rows i of cell(i, h_i(x)) — an upper bound on the
+    true count (every occurrence of x incremented all of x's cells; other
+    keys can only add). The sketch side broadcasts (<= depth*width rows);
+    the items side is never shuffled beyond its own grouping.
+
+    Keys the caller KNOWS are present need no missing-cell handling (their
+    own count keeps every probed cell non-zero); a left join + coalesce(0)
+    still guards the general case where a probed item never occurred.
+    """
+    probes = items.withColumn(
+        "__rb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_i"),
+                        _cms_bucket(F.col(key_col), r, width, seed),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ),
+    )
+    joined = probes.join(
+        F.broadcast(sketch),
+        (F.col("__rb.row_i") == sketch["row_i"])
+        & (F.col("__rb.bucket") == sketch["bucket"]),
+        "left",
+    )
+    others = [c for c in items.columns]
+    return joined.groupBy(*others).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).alias(out_col)
+    )

@@ -6716,6 +6716,93 @@ def heavy_hitters_sketch(spark, sf_dir):
     return heavy_hitters(toks, "w", k=40)
 
 
+@register("cms_topk_contract", """
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           t -> t <> '')) AS w
+  FROM documents
+),
+n AS (SELECT count(*) AS n_total FROM toks),
+rows_i AS (SELECT unnest(generate_series(0, 3)) AS r),
+sketch AS (
+  SELECT r AS row_i,
+         ('0x' || substr(md5(w || '|cms11.' || r), 1, 8))::BIGINT % 64
+           AS bucket,
+         count(*) AS c
+  FROM toks CROSS JOIN rows_i
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT w, count(*) AS cnt FROM toks GROUP BY w
+  ORDER BY cnt DESC, w LIMIT 20
+),
+est AS (
+  SELECT t.w, t.cnt, min(coalesce(s.c, 0)) AS est
+  FROM topk t CROSS JOIN rows_i
+  LEFT JOIN sketch s
+    ON s.row_i = rows_i.r
+   AND s.bucket = ('0x' || substr(md5(t.w || '|cms11.' || rows_i.r), 1, 8))
+                    ::BIGINT % 64
+  GROUP BY t.w, t.cnt
+)
+SELECT w AS item, cnt, est,
+       est >= cnt AS est_ge_exact,
+       (est - cnt) * 64 <= 2 * (SELECT n_total FROM n) AS within_bound
+FROM est
+""")
+def cms_topk_contract(spark, sf_dir):
+    """Count-min sketch + exact-recount contract — the sketch-contract
+    family's fourth member (HLL `approx_distinct`, percentile, MinHash
+    Jaccard, Misra-Gries). The sketch
+    (operators/aggregates.py::count_min_sketch, d=4 w=64) is built in one
+    corpus scan whose shuffle carries <= partitions*d*w cells; the 20
+    highest-count tokens (exact pass, TakeOrdered) are then point-queried
+    against it. Emitted verdicts ARE the CMS guarantees: est >= exact
+    always (one-sided error), and the Markov/min bound
+    est - exact <= 2N/w — deterministic here because the hash family is
+    the portable md5, so the oracle replays every cell and both flags
+    bit-for-bit. A deliberately narrow w=64 makes collisions REAL at gate
+    scale (est > exact for some items) — the contract is exercised, not
+    vacuous."""
+    from experimentsplan_datapipeline_spark.operators.aggregates import (
+        cms_estimate,
+        count_min_sketch,
+    )
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        _tokens,
+    )
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(_tokens("text"), lambda x: x != "")
+            ).alias("w")
+        )
+    )
+    sketch = count_min_sketch(toks, "w", depth=4, width=64, seed=11)
+    exact_topk = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(20)
+    )
+    est = cms_estimate(
+        sketch, exact_topk, "w", depth=4, width=64, seed=11
+    )
+    tot = toks.agg(F.count(F.lit(1)).alias("__n"))
+    return est.crossJoin(F.broadcast(tot)).select(
+        F.col("w").alias("item"),
+        "cnt",
+        "est",
+        (F.col("est") >= F.col("cnt")).alias("est_ge_exact"),
+        ((F.col("est") - F.col("cnt")) * 64 <= 2 * F.col("__n")).alias(
+            "within_bound"
+        ),
+    )
+
+
 @register("sample_weighted_priority", """
 WITH keyed AS (
   SELECT o_orderkey, o_totalprice,

@@ -1097,6 +1097,56 @@ def test_heavy_hitters_null_below_threshold_not_reported(spark):
     assert got == {("a", 500, 1000)}
 
 
+def test_count_min_sketch_guarantees_and_partition_invariant(spark):
+    """CMS point estimates: (a) never UNDER the true count (one-sided
+    error), (b) exact when a key's cells happen to be collision-free,
+    (c) identical sketch regardless of partitioning (cell-wise sums are
+    order-free), (d) total mass per row == stream length."""
+    rows = (
+        [("a",)] * 300 + [("b",)] * 150
+        + [(f"z{i}",) for i in range(550)]
+    )
+    df = spark.createDataFrame(rows, ["v"])
+    exact = {"a": 300, "b": 150}
+    baseline = None
+    for parts in (1, 8, 32):
+        sk = agg.count_min_sketch(
+            df.repartition(parts), "v", depth=4, width=32, seed=11
+        )
+        cells = {(r.row_i, r.bucket): r.c for r in sk.collect()}
+        if baseline is None:
+            baseline = cells
+        assert cells == baseline, f"partitioning changed the sketch p={parts}"
+        for r in range(4):
+            assert sum(c for (ri, _), c in cells.items() if ri == r) == 1000
+        items = spark.createDataFrame([("a",), ("b",)], ["v"])
+        est = {
+            r.v: r.est
+            for r in agg.cms_estimate(
+                sk, items, "v", depth=4, width=32, seed=11
+            ).collect()
+        }
+        for k, cnt in exact.items():
+            assert est[k] >= cnt
+
+
+def test_count_min_sketch_merges_by_cell_sum(spark):
+    """Sketching two disjoint slices and summing cells == sketching the
+    union — the mergeability a multi-shard 100 TB build relies on."""
+    a = spark.createDataFrame([("x",)] * 60 + [("y",)] * 40, ["v"])
+    b = spark.createDataFrame([("x",)] * 15 + [("w",)] * 25, ["v"])
+    whole = agg.count_min_sketch(a.unionAll(b), "v", depth=3, width=16)
+    merged = (
+        agg.count_min_sketch(a, "v", depth=3, width=16)
+        .unionAll(agg.count_min_sketch(b, "v", depth=3, width=16))
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    got_w = {(r.row_i, r.bucket): r.c for r in whole.collect()}
+    got_m = {(r.row_i, r.bucket): r.c for r in merged.collect()}
+    assert got_w == got_m
+
+
 def test_sample_weighted_priority_replayable_and_partition_invariant(spark):
     import hashlib
 
