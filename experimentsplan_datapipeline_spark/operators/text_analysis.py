@@ -704,6 +704,54 @@ def repetition_signals(
     )
 
 
+def keyword_tag(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tags: dict[str, list[str]],
+) -> DataFrame:
+    """Tag documents against a phrase taxonomy (topic labels, safety
+    blocklists, PII keyword lists) — the distributed substitute for a
+    driver-side Aho-Corasick pass. Phrases are 1- or 2-token lowercase
+    strings matched on token boundaries (the same whitespace
+    normalization as ``_tokens``), counting OVERLAPPING occurrences —
+    "a b a b a" contains "a b" twice.
+
+    Scale shape: each doc explodes to its unigrams + adjacent bigrams
+    (~2x token count, riding the scan), the phrase table broadcasts
+    (taxonomies are thousands of rows, never corpus-sized), and only
+    MATCHED grams reach the final (id, tag) aggregation — the corpus is
+    scanned once and the shuffle carries matches, not text. A phrase in
+    multiple tags counts toward each.
+
+    Returns (id, tag, n_matches), one row per document-tag with at
+    least one hit.
+    """
+    pairs = [(tag, p) for tag, ps in tags.items() for p in ps]
+    if not pairs:
+        raise ValueError("tags must contain at least one phrase")
+    if any(len(p.split(" ")) > 2 for _, p in pairs):
+        raise ValueError("phrases are limited to 1 or 2 tokens")
+    tag_df = df.sparkSession.createDataFrame(pairs, ["tag", "g"])
+    toks = df.select(
+        F.col(id_col),
+        F.filter(_tokens(text_col), lambda x: x != "").alias("__toks"),
+    )
+    bigrams = F.expr(
+        "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(__toks, i + 2)))"
+    )
+    grams = toks.select(
+        id_col,
+        F.explode(F.concat(F.col("__toks"), bigrams)).alias("g"),
+    )
+    return (
+        grams.join(F.broadcast(tag_df), "g")
+        .groupBy(id_col, "tag")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
 # BPE symbol encoding: each symbol wrapped in one-character open/close
 # delimiters (ASCII record/unit separators — absent from real text; words
 # containing ANY C0 control character are dropped, mirrored by the

@@ -7712,6 +7712,52 @@ def text_vocab_coverage(spark, sf_dir):
     return vocab_coverage(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# Phrase taxonomy for text_keyword_tag: 1-2 token phrases over the
+# synthetic corpus vocabulary; 'scan' appears under two tags to pin the
+# multi-tag contract. Shared by the Spark query and the oracle VALUES.
+_KEYWORD_TAGS = {
+    "perf": ["fast", "slow", "fast scan"],
+    "exec": ["hash join", "sort merge", "scan"],
+    "storage": ["table scan", "row", "column"],
+}
+
+
+@register("text_keyword_tag", f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(tk || list_transform(
+           generate_series(1, greatest(len(tk) - 1, 0)),
+           i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM toks),
+tags(tag, g) AS (VALUES {", ".join(
+    f"('{tag}', '{p}')"
+    for tag, ps in _KEYWORD_TAGS.items() for p in ps
+)})
+SELECT doc_id, tag, count(*) AS n_matches
+FROM grams JOIN tags USING (g)
+GROUP BY doc_id, tag
+""")
+def text_keyword_tag(spark, sf_dir):
+    """Phrase-taxonomy document tagging (operators/text_analysis.py::
+    keyword_tag): docs explode to unigrams + adjacent bigrams riding the
+    scan, the broadcast phrase table filters them, and only MATCHES are
+    shuffled into the per-(doc, tag) count — the distributed form of an
+    Aho-Corasick blocklist/topic pass, overlap-counting by construction.
+    The oracle replays the same gram explode and VALUES join."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        keyword_tag,
+    )
+
+    return keyword_tag(
+        t(spark, sf_dir, "documents"), "doc_id", "text", _KEYWORD_TAGS
+    )
+
+
 _C4_LOREM = "lorem ipsum dolor sit amet."
 _C4_BRACE = "see foo() { code }."
 

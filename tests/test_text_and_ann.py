@@ -1644,3 +1644,45 @@ def test_semantic_dedup_clustered_finds_planted_pairs(spark):
     assert pairs.get((12, 101)) == 1.0
     # identical twins only — nothing else reaches 0.999
     assert set(pairs) == {(5, 100), (12, 101)}
+
+
+def test_keyword_tag_overlap_boundaries_and_multitag(spark):
+    """keyword_tag counts OVERLAPPING bigram occurrences, matches on
+    token boundaries only (no substring hits), and a phrase listed
+    under two tags counts toward both."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        keyword_tag,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),          # "a b" overlaps twice
+            (2, "fastest scanner"),    # substrings must NOT match
+            (3, "Hash  JOIN and scan"),  # case/whitespace normalized
+        ],
+        ["doc_id", "text"],
+    )
+    tags = {
+        "x": ["a b"],
+        "j": ["hash join", "scan"],
+        "k": ["scan"],
+    }
+    got = {
+        (r.doc_id, r.tag): r.n_matches
+        for r in keyword_tag(docs, "doc_id", "text", tags).collect()
+    }
+    assert got == {
+        (1, "x"): 2,
+        (3, "j"): 2,   # "hash join" + "scan"
+        (3, "k"): 1,
+    }
+
+
+def test_keyword_tag_rejects_long_phrases(spark):
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        keyword_tag,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        keyword_tag(docs, "doc_id", "text", {"t": ["a b c"]})
