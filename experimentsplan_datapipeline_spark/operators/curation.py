@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window
 
+from experimentsplan_datapipeline_spark.operators.util import spread_small_input
+
 #: modulus for hash fractions — 1/10000 granularity is finer than any
 #: realistic split/repeat fraction while keeping thresholds exact integers.
 HASH_MOD = 10_000
@@ -795,6 +797,142 @@ def quality_classifier_train(
         "w4 double, n_correct long",
     )
     return trace, w
+
+
+# Dyadic grids for mixture_reweight_mw (same discipline as the quality
+# classifier): probabilities on 2^-20, distribution gaps on 2^-25,
+# weights on 2^-30, step size a power of two — every aggregate below
+# sums EXACT dyadic rationals inside double's 53-bit mantissa (sums are
+# order-free), and every other operation is a single correctly-rounded
+# IEEE op followed by a floor-snap, so the trajectory is bit-identical
+# across engines with no libm anywhere.
+_MW_PQ = 1048576.0  # 2^20
+_MW_DQ = 33554432.0  # 2^25
+_MW_WQ = 1073741824.0  # 2^30
+_MW_ETA = 8.0
+
+
+def mixture_reweight_mw(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    n_steps: int = 12,
+    top_v: int = 16,
+) -> DataFrame:
+    """Train domain mixture weights by multiplicative-weights updates —
+    the trained-curation answer to "how much of each source should the
+    pretraining mix contain" (DoReMi, Xie et al. 2023, learns domain
+    weights from per-domain excess loss; Group DRO, Sagawa et al. 2020,
+    upweights the worst-off group; both public algorithms; the update
+    rule here is Hedge/MW, Freund & Schapire 1997, in its linearized
+    ``w * (1 + eta * loss)`` form — no libm exp).
+
+    Each domain's per-step loss is the squared L2 gap between its token
+    distribution and the CURRENT weighted mixture distribution, so the
+    update raises weight on underrepresented domains and the fixed point
+    balances representation gaps — the shape of DoReMi's loop with the
+    proxy-model excess loss replaced by a distribution gap the engine
+    can compute exactly (in production, plug per-domain model losses
+    into the same trajectory).
+
+    Scale shape: ONE corpus scan builds the per-source distribution over
+    the global top-``top_v`` tokens + '__other' (the same class collapse
+    that bounds ``stream_token_drift``'s state); the dense matrix is
+    |sources| x (top_v + 1) rows — collected once, bounded by
+    construction — and every MW step is O(S * V) driver flops. 100 TB
+    costs the scan, not the loop.
+
+    Returns the full trajectory: (step, source, weight_q30, loss_q50)
+    with weights/losses as EXACT integer grid points (weight = q30 /
+    2^30; loss measured under the PREVIOUS step's weights, the ones the
+    update consumed).
+    """
+    import math
+
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        _tokens,
+    )
+
+    spark = df.sparkSession
+    toks = spread_small_input(df).select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.filter(_tokens(text_col), lambda x: x != "")
+        ).alias("w"),
+    )
+    vocab = [
+        r["w"]
+        for r in toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(top_v)
+        .collect()  # bounded: top_v rows
+    ]
+    classes = vocab + ["__other"]
+    counted = (
+        toks.select(
+            "source",
+            F.when(F.col("w").isin(vocab), F.col("w"))
+            .otherwise(F.lit("__other"))
+            .alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stot = counted.groupBy("source").agg(F.sum("c").alias("n"))
+    cls_df = spark.createDataFrame([(c,) for c in classes], "tok string")
+    dense = (
+        stot.crossJoin(F.broadcast(cls_df))
+        .join(counted, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            (
+                F.expr("div(coalesce(c, 0) * 1048576, n)") / F.lit(_MW_PQ)
+            ).alias("p"),
+        )
+    )
+    rows = dense.collect()  # bounded: |sources| * (top_v + 1) rows
+    p = {(r["source"], r["tok"]): r["p"] for r in rows}
+    sources = sorted({r["source"] for r in rows})
+    n_src = len(sources)
+    if n_src == 0:
+        raise ValueError("mixture_reweight_mw: no sources found")
+    w = {s: math.floor((1 << 30) / n_src) / _MW_WQ for s in sources}
+    out = []
+    for t in range(1, n_steps + 1):
+        q = {c: sum(w[s] * p[(s, c)] for s in sources) for c in classes}
+        loss = {}
+        for s in sources:
+            acc = 0.0
+            for c in classes:
+                d = math.floor((p[(s, c)] - q[c]) * _MW_DQ) / _MW_DQ
+                acc += d * d
+            loss[s] = acc
+        m = {
+            s: math.floor(
+                w[s] * (1 + _MW_ETA * loss[s]) * _MW_WQ + 0.5
+            )
+            / _MW_WQ
+            for s in sources
+        }
+        mt = sum(m.values())
+        w = {
+            s: math.floor(m[s] / mt * _MW_WQ + 0.5) / _MW_WQ
+            for s in sources
+        }
+        out.extend(
+            (
+                t,
+                s,
+                int(round(w[s] * _MW_WQ)),
+                int(round(loss[s] * float(1 << 50))),
+            )
+            for s in sources
+        )
+    return spark.createDataFrame(
+        out, "step int, source string, weight_q30 long, loss_q50 long"
+    )
 
 
 def quality_classifier_score(

@@ -9694,6 +9694,101 @@ def quality_classifier_score_q(spark, sf_dir):
     return quality_classifier_score(docs, "doc_id", "text", w)
 
 
+# --------------------------------------- trained mixture weights (r11)
+
+_MW_STEPS = 12
+
+
+def _mw_oracle(n_steps: int) -> str:
+    """Unrolled multiplicative-weights replay for mixture_reweight_mw:
+    per-source token probabilities on the 2^-20 grid (integer // then
+    one exact dyadic division), mixture/loss aggregates summing exact
+    dyadics (order-free), gaps snapped to 2^-25 before squaring so the
+    per-source loss sum stays exact, the linearized Hedge update and
+    normalization each a single correctly-rounded IEEE op + 2^-30
+    floor-snap. Bit-identical to the engine's driver loop at every
+    step; outputs are exact integer grid points, so no rounding
+    convention can drift."""
+    parts = [r"""WITH toks AS MATERIALIZED (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+vocab AS MATERIALIZED (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+    FROM toks GROUP BY w) WHERE rk <= 16),
+classes AS (SELECT w AS tok FROM vocab UNION ALL SELECT '__other'),
+ctok AS (
+  SELECT source,
+         CASE WHEN w IN (SELECT w FROM vocab) THEN w
+              ELSE '__other' END AS tok
+  FROM toks),
+cnt AS (SELECT source, tok, count(*) AS c FROM ctok GROUP BY 1, 2),
+stot AS (SELECT source, count(*) AS n FROM ctok GROUP BY 1),
+p AS MATERIALIZED (
+  SELECT st.source, cl.tok,
+         ((coalesce(c.c, 0) * 1048576) // st.n) / 1048576.0 AS p
+  FROM stot st CROSS JOIN classes cl
+  LEFT JOIN cnt c ON c.source = st.source AND c.tok = cl.tok),
+w0 AS MATERIALIZED (
+  SELECT source,
+         (1073741824 // (SELECT count(*) FROM stot)) / 1073741824.0 AS w
+  FROM stot)"""]
+    for t in range(1, n_steps + 1):
+        parts.append(f""",
+q{t} AS MATERIALIZED (
+  SELECT p.tok, sum(p.p * w.w) AS q
+  FROM p JOIN w{t - 1} w USING (source) GROUP BY p.tok),
+l{t} AS MATERIALIZED (
+  SELECT source, sum(d * d) AS l FROM (
+    SELECT p.source,
+           floor((p.p - q.q) * 33554432.0) / 33554432.0 AS d
+    FROM p JOIN q{t} q USING (tok)) GROUP BY source),
+m{t} AS MATERIALIZED (
+  SELECT w.source,
+         floor(w.w * (1 + 8.0 * l.l) * 1073741824.0 + 0.5)
+           / 1073741824.0 AS m
+  FROM w{t - 1} w JOIN l{t} l USING (source)),
+w{t} AS MATERIALIZED (
+  SELECT source,
+         floor(m / (SELECT sum(m) FROM m{t}) * 1073741824.0 + 0.5)
+           / 1073741824.0 AS w
+  FROM m{t})""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {t} AS step, w.source,"
+        f" CAST(w.w * 1073741824.0 AS BIGINT) AS weight_q30,"
+        f" CAST(l.l * 1125899906842624.0 AS BIGINT) AS loss_q50"
+        f" FROM w{t} w JOIN l{t} l USING (source)"
+        for t in range(1, n_steps + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@register("mixture_domain_reweight", _mw_oracle(_MW_STEPS))
+def mixture_domain_reweight(spark, sf_dir):
+    """TRAIN domain mixture weights (operators/curation.py::
+    mixture_reweight_mw) — the trained-curation family's third member
+    (BPE tokenizer, quality classifier, now mixture weights): a
+    DoReMi-shaped multiplicative-weights loop where each step raises
+    weight on domains whose token distribution sits far from the
+    current weighted mixture (squared-L2 gap over the global top-16
+    vocabulary + '__other'). One corpus scan builds the per-source
+    distribution matrix; the 12-step trajectory is O(sources * 17)
+    driver arithmetic on exact dyadic grids, so the DuckDB oracle
+    replays every weight and loss bit-for-bit as integer grid points.
+    In production the distribution gap swaps for per-domain proxy-model
+    excess loss and nothing else changes."""
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        mixture_reweight_mw,
+    )
+
+    return mixture_reweight_mw(
+        t(spark, sf_dir, "documents"), "source", "text",
+        n_steps=_MW_STEPS, top_v=16,
+    )
+
+
 # ------------------------------------------- streaming drift monitor (r10)
 
 _STREAM_DRIFT_ORACLE = r"""

@@ -666,3 +666,39 @@ def test_quality_classifier_learns_separable_rule(spark):
     # n_correct was measured under the pre-update ones — allow the one
     # step of drift but demand the same separability
     assert agree >= 190, agree
+
+
+def test_mixture_reweight_upweights_outlier_and_sums_to_one(spark):
+    """The MW loop raises weight on the domain whose token distribution
+    sits farthest from the mixture; weights stay a distribution (sum 1
+    within grid tolerance) at every step; the trajectory is invariant
+    to input partitioning."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "same1") for i in range(20)]
+        + [(i + 100, "alpha beta gamma delta", "same2") for i in range(20)]
+        + [(i + 200, "zeta zeta zeta eta", "outlier") for i in range(20)],
+        ["doc_id", "text", "source"],
+    )
+    base = None
+    for parts in (1, 8):
+        trace = {
+            (r.step, r.source): (r.weight_q30, r.loss_q50)
+            for r in cur.mixture_reweight_mw(
+                docs.repartition(parts), "source", "text", n_steps=6
+            ).collect()
+        }
+        if base is None:
+            base = trace
+        assert trace == base, f"partitioning changed the trajectory p={parts}"
+    n_steps = max(s for s, _ in base)
+    for s in range(1, n_steps + 1):
+        tot = sum(q for (st, _), (q, _) in base.items() if st == s)
+        # each of the 3 weights is floor/round-snapped to the 2^-30 grid
+        assert abs(tot - (1 << 30)) <= 3
+    w_final = {
+        src: q for (st, src), (q, _) in base.items() if st == n_steps
+    }
+    assert w_final["outlier"] > w_final["same1"]
+    assert w_final["outlier"] > (1 << 30) // 3
+    # the two identical domains must track each other exactly
+    assert w_final["same1"] == w_final["same2"]
