@@ -2990,6 +2990,51 @@ def media_frame_sample(spark, sf_dir):
     )
 
 
+@register("media_scene_cuts", """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(1, 8 + doc_id % 9)) AS frame_idx
+  FROM documents WHERE doc_id < 200),
+d AS (
+  SELECT doc_id, frame_idx,
+         list_avg(list_transform(range(0, 64),
+           p -> abs(
+             ('0x' || substr(sha256(text || '|f' || frame_idx::VARCHAR
+                             || '|' || (p // 32)::VARCHAR),
+                             (p % 32) * 2 + 1, 2))::BIGINT
+             - ('0x' || substr(sha256(text || '|f'
+                               || (frame_idx - 1)::VARCHAR
+                               || '|' || (p // 32)::VARCHAR),
+                               (p % 32) * 2 + 1, 2))::BIGINT))) AS l1
+  FROM f)
+SELECT doc_id, frame_idx, round(l1, 6) AS l1_diff, l1 > 86.0 AS is_cut
+FROM d
+""")
+def media_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection (media/av.py::scene_cuts): consecutive
+    frames diff INSIDE one Arrow pass — a clip's bytes decode once at
+    the scan and never reach an exchange, vs the frame-table self-join
+    that would shuffle pixels. l1_diff is an exact multiple of 1/64
+    (integer pixel sums), so the cut threshold compares identically in
+    both engines; the sha256 stub decode lets the oracle replay every
+    pixel of both frames in each pair."""
+    from experimentsplan_datapipeline_spark.media.av import scene_cuts
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    clips = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("content"),
+        (F.lit(8) + F.pmod(F.col("doc_id"), F.lit(9))).cast("int").alias(
+            "n_frames"
+        ),
+    )
+    out = scene_cuts(clips, threshold=86.0)
+    return out.select(
+        "doc_id", "frame_idx",
+        F.round("l1_diff", 6).alias("l1_diff"), "is_cut",
+    )
+
+
 @register("media_audio_energy", """
 WITH c AS (
   SELECT doc_id, text, unnest(range(0, 4)) AS chunk_id

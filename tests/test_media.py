@@ -999,3 +999,32 @@ def test_codegen_lint_catches_flattened_dct(spark):
         ph = bit if ph is None else ph + bit
     with pytest.raises(Py4JJavaError, match="64 KB"):
         d.withColumn("phash", ph).select("phash").collect()
+
+
+def test_scene_cuts_pairs_and_exact_l1(spark):
+    """scene_cuts emits one row per consecutive-frame transition with the
+    exact mean-absolute-diff of the stub frames; single-frame clips emit
+    nothing."""
+    import numpy as np
+
+    from experimentsplan_datapipeline_spark.media.av import (
+        _fake_frame,
+        scene_cuts,
+    )
+
+    clips = spark.createDataFrame(
+        [(1, b"clipA", 3), (2, b"clipB", 1)],
+        "vid int, content binary, n_frames int",
+    )
+    rows = {
+        (r.vid, r.frame_idx): (r.l1_diff, r.is_cut)
+        for r in scene_cuts(clips, threshold=86.0).collect()
+    }
+    assert set(rows) == {(1, 1), (1, 2)}  # clip 2 has no transitions
+    for fi in (1, 2):
+        a = _fake_frame(b"clipA", fi - 1)
+        b = _fake_frame(b"clipA", fi)
+        want = float(np.mean(np.abs(b - a)))
+        got_l1, got_cut = rows[(1, fi)]
+        assert got_l1 == want
+        assert got_cut == (want > 86.0)
