@@ -704,6 +704,73 @@ def repetition_signals(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm; public): from each window of ``w``
+    consecutive k-gram hashes, select the minimum (rightmost on ties —
+    the paper's robust winnowing), then dedupe selections. Guarantees:
+    any shared token run of length >= w + k - 1 contributes at least one
+    IDENTICAL selected fingerprint in both documents (detection is
+    certain, unlike MinHash's probabilistic bands), at an expected
+    density of ~2/(w+1) fingerprints per gram.
+
+    Everything is per-row higher-order expressions — grams, windows,
+    min-selection, dedup all ride the scan with ZERO shuffle and no
+    Python; only the selected fingerprints leave the row. The rightmost
+    tie-break is encoded into the comparison key itself (hash ||
+    zero-padded (10^9 - pos), so the lexicographic min is (min hash,
+    max pos)) — valid for documents under 10^9 tokens.
+
+    Returns (id, pos, fp): the 1-based gram position and the k-gram md5
+    of each selected fingerprint. Join fp across documents for
+    guaranteed-recall plagiarism/overlap candidates.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be positive")
+    base = df.select(
+        F.col(id_col),
+        F.filter(_tokens(text_col), lambda x: x != "").alias("__tk"),
+    )
+    grams = F.when(
+        F.size("__tk") - F.lit(k - 1) < 1,
+        F.expr("cast(array() as array<struct<pos:int, h:string>>)"),
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(__tk) - {k - 1}),"
+            f" i -> struct(cast(i as int) as pos,"
+            f" md5(concat_ws(' ', slice(__tk, i, {k}))) as h))"
+        )
+    )
+    g = base.withColumn("__grams", grams)
+    wins = F.when(
+        F.size("__grams") - F.lit(w - 1) < 1,
+        F.expr("cast(array() as array<string>)"),
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(__grams) - {w - 1}),"
+            f" j -> array_min(transform(slice(__grams, j, {w}),"
+            f" x -> concat(x.h,"
+            f" lpad(cast(1000000000 - x.pos as string), 10, '0')))))"
+        )
+    )
+    sel = g.withColumn("__sel", F.array_distinct(wins)).select(
+        F.col(id_col), F.explode("__sel").alias("__s")
+    )
+    return sel.select(
+        id_col,
+        (
+            F.lit(1000000000) - F.substring("__s", 33, 10).cast("int")
+        ).alias("pos"),
+        F.substring("__s", 1, 32).alias("fp"),
+    )
+
+
 def keyword_tag(
     df: DataFrame,
     id_col: str,

@@ -7757,6 +7757,48 @@ def text_vocab_coverage(spark, sf_dir):
     return vocab_coverage(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register("text_winnow_fingerprints", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(tk) - 2),
+           i -> {'pos': i, 'h': md5(array_to_string(tk[i:i+2], ' '))})
+           AS grams
+  FROM toks),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(grams) - 3),
+           j -> list_min(list_transform(grams[j:j+3],
+                x -> x.h || lpad((1000000000 - x.pos)::VARCHAR, 10, '0')))))
+           AS sel
+  FROM g)
+SELECT doc_id,
+       1000000000 - substr(s, 33, 10)::INT AS pos,
+       substr(s, 1, 32) AS fp
+FROM (SELECT doc_id, unnest(sel) AS s FROM w)
+""")
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint selection (operators/text_analysis.py::
+    winnow_fingerprints, k=3 w=4): MOSS's guaranteed-detection
+    fingerprints — every shared run of >= w+k-1 tokens yields an
+    identical selected (pos-independent) fingerprint in both docs,
+    at ~2/(w+1) density. Grams, windows, min-select and dedup are all
+    higher-order expressions riding the scan (zero shuffle, zero
+    Python); the rightmost tie-break travels inside the comparison key,
+    so both engines pick the identical winner per window."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=3, w=4
+    )
+
+
 # Phrase taxonomy for text_keyword_tag: 1-2 token phrases over the
 # synthetic corpus vocabulary; 'scan' appears under two tags to pin the
 # multi-tag contract. Shared by the Spark query and the oracle VALUES.

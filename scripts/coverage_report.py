@@ -298,6 +298,18 @@ ROUND11_ANNOTATED: dict[str, str] = {
         "SemDeDup (Abbas 2023): k-means clusters bound the near-dup "
         "pair search to sum(|cluster|^2); oracle = unrolled Lloyd + "
         "within-cluster pair replay",
+    "cms_topk_contract":
+        "count-min sketch (4th sketch contract): exact top-20 recount "
+        "proves est >= exact and the 2N/w bound, every cell replayed",
+    "text_keyword_tag":
+        "phrase-taxonomy tagging: unigram+bigram explode, broadcast "
+        "phrase table, only matches shuffled (Aho-Corasick stand-in)",
+    "mixture_domain_reweight":
+        "trained domain mixture weights (DoReMi-shaped MW loop on exact "
+        "dyadic grids); oracle replays all 12 steps as integer grid points",
+    "media_scene_cuts":
+        "shot-boundary detection: consecutive-frame L1 inside one Arrow "
+        "pass, clip bytes never shuffled; exact 1/64-grid threshold",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)

@@ -792,6 +792,64 @@ def _bpe_ids_probe(spark, sf_dir):
     ).select("doc_id", "n_tokens")
 
 
+def _keyword_tag_probe(spark, sf_dir):
+    """H66 at 10x: whole-corpus gram explode + broadcast phrase join —
+    expected ~linear (the explode rides the scan; only matches shuffle)."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        keyword_tag,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import (
+        _KEYWORD_TAGS,
+        t,
+    )
+
+    return keyword_tag(
+        t(spark, sf_dir, "documents"), "doc_id", "text", _KEYWORD_TAGS
+    )
+
+
+def _cms_probe(spark, sf_dir):
+    """H65 at 10x: sketch build + top-20 recount + estimate join over the
+    whole corpus — expected ~linear (three single-pass scans; the sketch
+    exchange is bounded at partitions*d*w cells at ANY size)."""
+    from experimentsplan_datapipeline_spark.plans.queries import QUERIES
+
+    return QUERIES["cms_topk_contract"](spark, sf_dir)
+
+
+def _mw_probe(spark, sf_dir):
+    """H67 at 10x: the corpus-scan-once claim — 4 MW steps cost the
+    distribution scan plus O(S*17) driver flops, so 10x corpus should be
+    ~the scan ratio, independent of step count."""
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        mixture_reweight_mw,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+
+    return mixture_reweight_mw(
+        t(spark, sf_dir, "documents"), "source", "text", n_steps=4
+    )
+
+
+def _scene_cuts_probe(spark, sf_dir):
+    """H68 at 10x over the WHOLE corpus (the registry query pins
+    doc_id < 200 for the oracle; the probe must scale with rows) —
+    expected ~linear: every clip decodes once inside its Arrow pass."""
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.media.av import scene_cuts
+    from experimentsplan_datapipeline_spark.plans.queries import t
+
+    clips = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("content"),
+        (F.lit(8) + F.pmod(F.col("doc_id"), F.lit(9))).cast("int").alias(
+            "n_frames"
+        ),
+    )
+    return scene_cuts(clips, threshold=86.0)
+
+
 def _time_pair(fn, spark, small_dir: str, big_dir: str) -> dict:
     times = {}
     for tag, d in (("sf0.1_sec", small_dir), ("sf1_sec", big_dir)):
@@ -940,6 +998,23 @@ def main() -> None:
     if wanted("bpe_ids@sf1"):
         result["bpe_ids@sf1"] = _time_pair(
             _bpe_ids_probe, spark, SRC, out_dir
+        )
+    # round 11: CMS / keyword tag / mixture weights / scene cuts
+    if wanted("keyword_tag@sf1"):
+        result["keyword_tag@sf1"] = _time_pair(
+            _keyword_tag_probe, spark, SRC, out_dir
+        )
+    if wanted("cms_contract@sf1"):
+        result["cms_contract@sf1"] = _time_pair(
+            _cms_probe, spark, SRC, out_dir
+        )
+    if wanted("mixture_reweight@sf1"):
+        result["mixture_reweight@sf1"] = _time_pair(
+            _mw_probe, spark, SRC, out_dir
+        )
+    if wanted("scene_cuts@sf1"):
+        result["scene_cuts@sf1"] = _time_pair(
+            _scene_cuts_probe, spark, SRC, out_dir
         )
     # round 11: the 100x steady-state probes (VERDICT r10 item 3)
     sf10_dir = os.path.join(out_dir, "sf10")

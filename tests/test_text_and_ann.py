@@ -1686,3 +1686,48 @@ def test_keyword_tag_rejects_long_phrases(spark):
     docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         keyword_tag(docs, "doc_id", "text", {"t": ["a b c"]})
+
+
+def test_winnow_guaranteed_detection_and_density(spark):
+    """The winnowing guarantee: two documents sharing a token run of
+    length >= w + k - 1 (= 6 for k=3, w=4) select at least one identical
+    fingerprint; selections never exceed one per window; and the
+    rightmost-min tie-break picks the LAST position among equal hashes."""
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    shared = "q w e r t y"  # 6 tokens = w + k - 1
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c d {shared} f g"),
+            (2, f"h i {shared} j k l m"),
+            (3, "zz zz zz zz zz zz"),  # all grams identical -> ties
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    h1 = {fp for _, fp in by_doc[1]}
+    h2 = {fp for _, fp in by_doc[2]}
+    assert h1 & h2, "shared 6-token run must share a fingerprint"
+    # doc 3: 4 identical grams -> one window -> rightmost position wins
+    assert by_doc[3] == {(4, next(fp for _, fp in by_doc[3]))}
+    # density: one selection per window max, dedup can only shrink
+    for doc_id, text in ((1, 12), (2, 13)):
+        n_windows = (text - 2) - 3  # grams - (w - 1)
+        assert len(by_doc[doc_id]) <= n_windows
+
+
+def test_winnow_short_docs_emit_nothing(spark):
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e")],  # 2 toks < k; 3 grams < w
+        ["doc_id", "text"],
+    )
+    assert winnow_fingerprints(docs, "doc_id", "text", k=3, w=4).count() == 0
