@@ -6639,6 +6639,89 @@ def fuzzy_join_editdist(spark, sf_dir):
     return editdist_prefix_join(u, "p_name", "pid", q=2, max_dist=2)
 
 
+@register("pipeline_entity_resolution", """
+WITH RECURSIVE u AS MATERIALIZED (
+  SELECT p_name, min(p_partkey) AS pid, min(p_retailprice) AS price
+  FROM part GROUP BY p_name),
+pairs AS MATERIALIZED (
+  SELECT a.pid AS id_a, b.pid AS id_b
+  FROM u a JOIN u b ON a.pid < b.pid
+  WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+    AND levenshtein(a.p_name, b.p_name) <= 2),
+bidir AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM bidir
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src),
+rep AS (SELECT src AS pid, least(src, min(dst)) AS rep_id
+        FROM reach GROUP BY src),
+memb AS MATERIALIZED (
+  SELECT u.pid, u.p_name, u.price, coalesce(r.rep_id, u.pid) AS rep_id
+  FROM u LEFT JOIN rep r USING (pid)),
+agg1 AS (SELECT rep_id, count(*) AS n_members, min(price) AS mp
+         FROM memb GROUP BY rep_id),
+pick AS (
+  SELECT m.rep_id, a.n_members, a.mp, min(m.pid) AS canonical_pid
+  FROM memb m JOIN agg1 a ON m.rep_id = a.rep_id AND m.price = a.mp
+  GROUP BY 1, 2, 3)
+SELECT p.rep_id, p.n_members, p.canonical_pid,
+       u.p_name AS canonical_name, round(p.mp, 2) AS canonical_price
+FROM pick p JOIN u ON u.pid = p.canonical_pid
+""")
+def pipeline_entity_resolution(spark, sf_dir):
+    """END-TO-END entity resolution, composed from the registry's own
+    stages the way a master-data pipeline runs them: distinct part-name
+    records -> Ed-Join edit-distance<=2 candidate pairs (exact q-gram
+    prefix filter, operators/dedup.py::editdist_prefix_join) ->
+    connected components over the match graph (min-label + pointer
+    jumping, resolve_duplicate_clusters) -> survivorship picking each
+    cluster's canonical record (cheapest price, min-pid tiebreak, via
+    two shrinking aggregations — no per-cluster window). The whole
+    chain's oracle is one recursive-CTE replay, so a wrong candidate
+    set, an under-merged cluster, or a wrong survivor all hash-mismatch.
+    Scale shape: every stage is the already-probed scale-safe form —
+    the blocking join is Ed-Join's prefix filter (never all-pairs), CC
+    shuffles single-long keys O(log diameter) rounds, survivorship is
+    two map-side-combinable aggs."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        editdist_prefix_join,
+        resolve_duplicate_clusters,
+    )
+
+    u = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(
+            F.min("p_partkey").alias("pid"),
+            F.min("p_retailprice").alias("price"),
+        )
+    )
+    pairs = editdist_prefix_join(u, "p_name", "pid", q=2, max_dist=2)
+    clusters = resolve_duplicate_clusters(u, pairs, "pid")
+    memb = clusters.join(u, "pid")
+    agg1 = memb.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("n_members"), F.min("price").alias("mp")
+    )
+    pick = (
+        memb.join(agg1, "rep_id")
+        .filter(F.col("price") == F.col("mp"))
+        .groupBy("rep_id", "n_members", "mp")
+        .agg(F.min("pid").alias("canonical_pid"))
+    )
+    return pick.join(
+        u.select(
+            F.col("pid").alias("canonical_pid"),
+            F.col("p_name").alias("canonical_name"),
+        ),
+        "canonical_pid",
+    ).select(
+        "rep_id", "n_members", "canonical_pid", "canonical_name",
+        F.round("mp", 2).alias("canonical_price"),
+    )
+
+
 @register("pareto_frontier", """
 SELECT r.p_partkey, r.p_retailprice, r.p_size
 FROM part r

@@ -310,6 +310,12 @@ ROUND11_ANNOTATED: dict[str, str] = {
     "media_scene_cuts":
         "shot-boundary detection: consecutive-frame L1 inside one Arrow "
         "pass, clip bytes never shuffled; exact 1/64-grid threshold",
+    "text_winnow_fingerprints":
+        "MOSS winnowing: guaranteed-detection fingerprints, zero-shuffle "
+        "higher-order exprs, rightmost tie-break inside the min key",
+    "pipeline_entity_resolution":
+        "ER cascade: Ed-Join blocking -> connected components -> "
+        "survivorship; whole chain replayed by one recursive-CTE oracle",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)
