@@ -1351,3 +1351,62 @@ def ann_index_drop(spark, table_name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta_staging`")
     for base in (f"{table_name}_cells", f"{table_name}_asg"):
         _drop_gen_tables(spark, base, None)
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+    dup_threshold: float = 0.999,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's most
+    similar NON-duplicate neighbor (cosine below ``dup_threshold`` —
+    above it the pair is a near-dup, a false negative that would poison
+    the loss). The standard companion to semantic dedup when exporting
+    (anchor, positive, hard-negative) triplets.
+
+    Scale shape: candidates come from the same hyperplane-bucket join as
+    ``embedding_near_dup``'s 100 TB path — never an all-pairs product —
+    and the per-vector argmax is two map-side-combinable aggregations
+    (max rounded cosine, then min neighbor id at that max), no
+    per-vector window. Ranking uses the ROUNDED cosine with an id
+    tiebreak, so the chosen negative is engine-reproducible.
+
+    Returns (id_col, neg_id, cosine), one row per vector that has at
+    least one same-bucket non-duplicate neighbor.
+    """
+    from experimentsplan_datapipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    planes = fixed_hyperplanes(dim, n_planes, seed)
+    base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__bucket", _hyperplane_bucket(F.col(vec_col), planes)
+    )
+    pairs = base.alias("a").join(
+        base.alias("b"),
+        (F.col("a.__bucket") == F.col("b.__bucket"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    )
+    cand = pairs.select(
+        F.col(f"a.{id_col}").alias("qid"),
+        F.col(f"b.{id_col}").alias("nid"),
+        F.round(
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+            6,
+        ).alias("c"),
+    ).filter(F.col("c") < float(dup_threshold))
+    m = cand.groupBy("qid").agg(F.max("c").alias("c"))
+    return (
+        cand.join(m, ["qid", "c"])
+        .groupBy("qid", "c")
+        .agg(F.min("nid").alias("neg_id"))
+        .select(
+            F.col("qid").alias(id_col),
+            "neg_id",
+            F.col("c").alias("cosine"),
+        )
+    )

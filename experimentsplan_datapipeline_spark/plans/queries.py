@@ -1366,6 +1366,54 @@ def dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+def _hard_neg_oracle_sql(
+    dim: int = 64, n_planes: int = 6, seed: int = 42, thr: float = 0.999
+) -> str:
+    """DuckDB twin of hard_negatives: the same LCG hyperplane stream as
+    ann_lsh/dedup_embedding_lsh replays bucketing, then the two-step
+    argmax (max rounded cosine, min neighbor id at that max) replays the
+    engine's window-free per-vector top-1."""
+    planes = sim.fixed_hyperplanes(dim, n_planes, seed)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{vals}]) >= 0"
+        " THEN {bit} ELSE 0 END)".format(
+            vals=", ".join(repr(x) for x in plane), bit=1 << i
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+cand AS (
+  SELECT x.vec_id AS qid, y.vec_id AS nid,
+         round(list_cosine_similarity(x.v, y.v), 6) AS c
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+  WHERE round(list_cosine_similarity(x.v, y.v), 6) < {thr}),
+m AS (SELECT qid, max(c) AS c FROM cand GROUP BY qid)
+SELECT c.qid AS vec_id, min(c.nid) AS neg_id, c.c AS cosine
+FROM cand c JOIN m ON c.qid = m.qid AND c.c = m.c
+GROUP BY c.qid, c.c
+"""
+
+
+@register("ann_hard_negatives", _hard_neg_oracle_sql())
+def ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.py::hard_negatives):
+    each embedding's most similar NON-duplicate same-bucket neighbor
+    (rounded cosine < 0.999) — the (anchor, hard-negative) source for
+    contrastive training, with the near-dup exclusion that keeps false
+    negatives out of the loss. Candidates come from the hyperplane-
+    bucket join (the 100 TB path — no all-pairs product); the per-vector
+    top-1 is two map-side-combinable aggregations, no window. The oracle
+    replays the plane stream, the cosine, and the argmax exactly."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return sim.hard_negatives(
+        emb, "vec_id", "embedding", dim=64, n_planes=6, dup_threshold=0.999
+    )
+
+
 @register("text_fingerprint", """
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents

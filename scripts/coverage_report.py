@@ -316,6 +316,9 @@ ROUND11_ANNOTATED: dict[str, str] = {
     "pipeline_entity_resolution":
         "ER cascade: Ed-Join blocking -> connected components -> "
         "survivorship; whole chain replayed by one recursive-CTE oracle",
+    "ann_hard_negatives":
+        "contrastive hard-negative mining: bucket-join candidates, "
+        "near-dup exclusion, window-free per-vector argmax",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)
