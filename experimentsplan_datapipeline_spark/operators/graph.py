@@ -513,3 +513,65 @@ def label_propagation(
             )
         )
     return labels
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_steps: int = 3,
+    seed: int = 7,
+    id_col: str = "node",
+    walk_col: str = "walk_id",
+) -> DataFrame:
+    """Deterministic seeded random walks — the sampling primitive under
+    DeepWalk/node2vec-style graph embeddings (Perozzi et al. 2014;
+    public): each walker starts at a seed node and at step s moves to
+    the out-neighbor minimizing the portable md5(cur|next|s|seed) — a
+    per-node pseudo-uniform choice both engines replay exactly (md5
+    order over neighbors is uniform; the min is the draw).
+
+    Scale shape: the frontier is |walks| rows — broadcast-joined against
+    the edge table each step (bucket edges by src at 100 TB so the probe
+    is exchange-free), and the per-walk choice is TWO map-side-combinable
+    aggregations (min hash, then min neighbor at that hash), never a
+    per-walk window. Walkers at a node with no out-edges drop out (the
+    standard truncation). ``edges`` must carry (src, dst); node ids are
+    caller-namespaced strings when id spaces can collide (e.g. 'o:42'
+    vs 'p:42' on a bipartite graph).
+
+    Returns (walk_col, step, node) including step 0 = the seed.
+    """
+    cur = seeds.select(
+        F.col(id_col).cast("string").alias(walk_col),
+        F.col(id_col).cast("string").alias("node"),
+    )
+    out = [cur.withColumn("step", F.lit(0))]
+    for s in range(1, n_steps + 1):
+        cand = (
+            F.broadcast(cur)
+            .join(edges, cur["node"] == edges["src"])
+            .select(
+                walk_col,
+                F.col("dst").alias("next"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("node"),
+                        F.col("dst"),
+                        F.lit(str(s)),
+                        F.lit(str(seed)),
+                    )
+                ).alias("h"),
+            )
+        )
+        m = cand.groupBy(walk_col).agg(F.min("h").alias("h"))
+        cur = (
+            cand.join(m, [walk_col, "h"])
+            .groupBy(walk_col)
+            .agg(F.min("next").alias("node"))
+        )
+        out.append(cur.withColumn("step", F.lit(s)))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

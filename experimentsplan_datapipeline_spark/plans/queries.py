@@ -7930,6 +7930,83 @@ def text_winnow_fingerprints(spark, sf_dir):
     )
 
 
+_RW_STEPS = 3
+
+
+def _random_walks_oracle(n_steps: int) -> str:
+    """Unrolled walk replay: per step, the same md5(cur|next|step|seed)
+    min-choice over out-neighbors, with the min-next tie-break (md5
+    collisions aside, a pure formality — the tie-break makes the replay
+    airtight regardless)."""
+    parts = ["""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS MATERIALIZED (
+  SELECT 'o:' || o AS src, 'p:' || p AS dst FROM li
+  UNION ALL SELECT 'p:' || p, 'o:' || o FROM li),
+s0 AS (SELECT 'o:' || o_orderkey AS walk_id, 'o:' || o_orderkey AS node
+       FROM orders WHERE o_orderkey < 200)"""]
+    for s in range(1, n_steps + 1):
+        parts.append(f""",
+c{s} AS MATERIALIZED (
+  SELECT s.walk_id, e.dst AS next,
+         md5(s.node || '|' || e.dst || '|{s}|7') AS h
+  FROM s{s - 1} s JOIN e ON e.src = s.node),
+m{s} AS (SELECT walk_id, min(h) AS h FROM c{s} GROUP BY walk_id),
+s{s} AS (SELECT c.walk_id, min(c.next) AS node
+         FROM c{s} c JOIN m{s} USING (walk_id, h) GROUP BY c.walk_id)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT walk_id, {s} AS step, node FROM s{s}"
+        for s in range(n_steps + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@register("graph_random_walks", _random_walks_oracle(_RW_STEPS))
+def graph_random_walks(spark, sf_dir):
+    """Seeded random walks (operators/graph.py::random_walks) over the
+    bipartite order<->part graph — the DeepWalk/node2vec sampling
+    primitive. Node ids are namespaced ('o:'/'p:') because order and
+    part key spaces overlap numerically. Each step broadcast-joins the
+    walk frontier against the edge table and draws the next node by
+    portable md5 min — the oracle unrolls all 3 steps and must match
+    every walker's exact path."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        random_walks,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    e1 = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    e2 = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    seeds = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            F.concat(
+                F.lit("o:"), F.col("o_orderkey").cast("string")
+            ).alias("node")
+        )
+    )
+    return random_walks(
+        e1.unionByName(e2), seeds, n_steps=_RW_STEPS, seed=7
+    )
+
+
 # Phrase taxonomy for text_keyword_tag: 1-2 token phrases over the
 # synthetic corpus vocabulary; 'scan' appears under two tags to pin the
 # multi-tag contract. Shared by the Spark query and the oracle VALUES.

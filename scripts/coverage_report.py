@@ -319,6 +319,9 @@ ROUND11_ANNOTATED: dict[str, str] = {
     "ann_hard_negatives":
         "contrastive hard-negative mining: bucket-join candidates, "
         "near-dup exclusion, window-free per-vector argmax",
+    "graph_random_walks":
+        "DeepWalk-style seeded walks: broadcast frontier joins, md5-min "
+        "neighbor draw, oracle unrolls every step",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)

@@ -1405,3 +1405,51 @@ def test_sorted_neighborhood_matches_window_definition(spark):
             ).collect()
         )
         assert got == want, f"w={w}"
+
+
+def test_random_walks_deterministic_path_and_sink_dropout(spark):
+    """Walks follow the md5-min choice exactly (replayed here in
+    Python), are invariant to edge partitioning, and a walker reaching
+    a node with no out-edges drops out of later steps."""
+    import hashlib
+
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        random_walks,
+    )
+
+    edges = [
+        ("a", "b"), ("a", "c"),
+        ("b", "d"), ("b", "e"),
+        ("c", "a"),
+        # d, e are sinks
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("d",)], ["node"])
+
+    def choice(cur, nbrs, step):
+        return min(
+            nbrs,
+            key=lambda n: (
+                hashlib.md5(f"{cur}|{n}|{step}|7".encode()).hexdigest(),
+                n,
+            ),
+        )
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    want = {("a", 0, "a"), ("d", 0, "d")}
+    cur = "a"
+    for step in (1, 2, 3):
+        if cur not in adj:
+            break
+        cur = choice(cur, adj[cur], step)
+        want.add(("a", step, cur))
+    for parts in (1, 4):
+        got = {
+            (r.walk_id, r.step, r.node)
+            for r in random_walks(
+                e.repartition(parts), seeds, n_steps=3, seed=7
+            ).collect()
+        }
+        assert got == want, f"parts={parts}"
