@@ -79,6 +79,10 @@ EXTENDED = [
     "stream_ann_ingest",
     "tokenizer_bpe_ids",
     "stream_ingest_gate_compacted",
+    # round 11 session additions: the trained mixture-weight loop and
+    # the composed ER cascade (the round's two multi-stage newcomers)
+    "mixture_domain_reweight",
+    "pipeline_entity_resolution",
 ]
 
 

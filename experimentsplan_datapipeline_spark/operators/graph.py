@@ -565,11 +565,15 @@ def random_walks(
             )
         )
         m = cand.groupBy(walk_col).agg(F.min("h").alias("h"))
+        # pin each frontier: step s+1 and the final union both re-read it,
+        # and without truncation the union replays every earlier step's
+        # joins per branch — O(steps^2) shuffles (the resolve_duplicate_
+        # clusters lineage discipline; the frame is |walks| rows)
         cur = (
             cand.join(m, [walk_col, "h"])
             .groupBy(walk_col)
             .agg(F.min("next").alias("node"))
-        )
+        ).localCheckpoint(eager=True)
         out.append(cur.withColumn("step", F.lit(s)))
     res = out[0]
     for df in out[1:]:
