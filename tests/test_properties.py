@@ -667,3 +667,115 @@ def test_bpe_min_rank_loop_equals_sequential_application(
         return syms
 
     assert _bpe_apply_word(target, merges, ranks) == sequential(target)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=6,
+            max_size=25,
+        ),
+        min_size=2,
+        max_size=5,
+    ),
+    data=st.data(),
+)
+@SLOW
+def test_winnow_guarantee_fuzz(spark, docs, data):
+    """Fuzzed winnowing guarantee (k=3, w=4): plant one shared
+    (w + k - 1)-token run into two random documents — each must select
+    at least one identical fingerprint; and every doc's selection set
+    must equal a brute-force Python replay of min-of-window with the
+    rightmost tie-break."""
+    import hashlib
+
+    from experimentsplan_datapipeline_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    k, w = 3, 4
+    run = ["r1", "r2", "r3", "r4", "r5", "r6"]  # w + k - 1 tokens
+    toks0 = list(docs[0])
+    toks1 = list(docs[1])
+    i0 = data.draw(st.integers(0, len(toks0)))
+    i1 = data.draw(st.integers(0, len(toks1)))
+    toks0[i0:i0] = run
+    toks1[i1:i1] = run
+    all_docs = [toks0, toks1] + [list(d) for d in docs[2:]]
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(all_docs)],
+        ["doc_id", "text"],
+    )
+    got = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+
+    def brute(toks):
+        grams = [
+            (i + 1, hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest())
+            for i in range(len(toks) - k + 1)
+        ]
+        sel = set()
+        for j in range(len(grams) - w + 1):
+            win = grams[j:j + w]
+            pos, h = min(win, key=lambda g: (g[1], -g[0]))
+            sel.add((pos, h))
+        return sel
+
+    for i, d in enumerate(all_docs):
+        assert got.get(i, set()) == brute(d), f"doc {i}"
+    fps0 = {fp for _, fp in got[0]}
+    fps1 = {fp for _, fp in got[1]}
+    assert fps0 & fps1, "planted shared run must share a fingerprint"
+
+
+@given(
+    items=st.lists(
+        st.sampled_from([f"k{i}" for i in range(12)]),
+        min_size=10,
+        max_size=120,
+    ),
+)
+@SLOW
+def test_cms_bounds_fuzz(spark, items):
+    """Fuzzed CMS contract: for EVERY distinct key of a random multiset,
+    est >= exact count and est - exact <= N (trivially) with the sketch
+    total mass per row == stream length; estimates match a brute-force
+    Python replay of the same md5 bucket family."""
+    import hashlib
+    from collections import Counter
+
+    from experimentsplan_datapipeline_spark.operators.aggregates import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    depth, width, seed = 3, 8, 11
+    df = spark.createDataFrame([(x,) for x in items], ["v"])
+    sk = count_min_sketch(df, "v", depth=depth, width=width, seed=seed)
+    cells = {(r.row_i, r.bucket): r.c for r in sk.collect()}
+    exact = Counter(items)
+
+    def bucket(key, r):
+        h = hashlib.md5(f"{key}|cms{seed}.{r}".encode()).hexdigest()[:8]
+        return int(h, 16) % width
+
+    # brute-force sketch replay
+    want = Counter()
+    for x in items:
+        for r in range(depth):
+            want[(r, bucket(x, r))] += 1
+    assert cells == dict(want)
+    qdf = spark.createDataFrame([(x,) for x in exact], ["v"])
+    est = {
+        r.v: r.est
+        for r in cms_estimate(
+            sk, qdf, "v", depth=depth, width=width, seed=seed
+        ).collect()
+    }
+    for x, cnt in exact.items():
+        assert est[x] >= cnt
+        assert est[x] == min(
+            want[(r, bucket(x, r))] for r in range(depth)
+        )
