@@ -1370,10 +1370,13 @@ def hard_negatives(
 
     Scale shape: candidates come from the same hyperplane-bucket join as
     ``embedding_near_dup``'s 100 TB path — never an all-pairs product —
-    and the per-vector argmax is two map-side-combinable aggregations
-    (max rounded cosine, then min neighbor id at that max), no
-    per-vector window. Ranking uses the ROUNDED cosine with an id
-    tiebreak, so the chosen negative is engine-reproducible.
+    and the per-vector argmax is ONE map-side-combinable aggregation
+    (max over struct(rounded cosine, -neighbor id): max cosine, min id
+    on ties), no per-vector window and no second pass over the
+    candidate frame (a max-then-join-back would both re-evaluate the
+    bucket join and re-evaluate the cosine HOFs past the registry
+    multiplicity lint's threshold). Ranking uses the ROUNDED cosine
+    with an id tiebreak, so the chosen negative is engine-reproducible.
 
     Returns (id_col, neg_id, cosine), one row per vector that has at
     least one same-bucket non-duplicate neighbor.
@@ -1399,14 +1402,13 @@ def hard_negatives(
             6,
         ).alias("c"),
     ).filter(F.col("c") < float(dup_threshold))
-    m = cand.groupBy("qid").agg(F.max("c").alias("c"))
-    return (
-        cand.join(m, ["qid", "c"])
-        .groupBy("qid", "c")
-        .agg(F.min("nid").alias("neg_id"))
-        .select(
-            F.col("qid").alias(id_col),
-            "neg_id",
-            F.col("c").alias("cosine"),
-        )
+    mx = cand.groupBy("qid").agg(
+        F.max(
+            F.struct(F.col("c"), (-F.col("nid")).alias("n"))
+        ).alias("m")
+    )
+    return mx.select(
+        F.col("qid").alias(id_col),
+        (-F.col("m.n")).alias("neg_id"),
+        F.col("m.c").alias("cosine"),
     )
