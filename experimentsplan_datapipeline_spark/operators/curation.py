@@ -799,6 +799,48 @@ def quality_classifier_train(
     return trace, w
 
 
+def temporal_split_embargo(
+    df: DataFrame,
+    ts_col: str,
+    train_frac_pct: int = 60,
+    embargo_pct: int = 5,
+) -> DataFrame:
+    """Temporal train/test split with an embargo gap — the time-series
+    complement of the hash-keyed ``train_holdout_split``: train is
+    everything before the cut, test everything after cut + gap, and the
+    embargo window BETWEEN them is excluded entirely, so temporally
+    correlated neighbors (near-duplicate articles, overlapping label
+    windows) cannot straddle the boundary (the purged/embargoed split of
+    Lopez de Prado 2018, public).
+
+    Cut and gap derive from the observed time range in exact integer
+    microsecond arithmetic (cut = mn + (mx - mn) * pct // 100), so the
+    assignment is engine-reproducible with no float or interval math.
+    One tiny min/max aggregation broadcasts back onto the scan; the
+    split label itself is a pure projection — no shuffle.
+
+    Returns the input plus a ``split`` column in
+    {'train', 'embargo', 'test'} — consumers filter out 'embargo'.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    bounds = df.agg(
+        F.min(us).alias("__mn"), F.max(us).alias("__mx")
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    cut = F.col("__mn") + F.expr(
+        f"div((__mx - __mn) * {int(train_frac_pct)}, 100)"
+    )
+    gap_end = cut + F.expr(
+        f"div((__mx - __mn) * {int(embargo_pct)}, 100)"
+    )
+    return out.withColumn(
+        "split",
+        F.when(us < cut, "train")
+        .when(us < gap_end, "embargo")
+        .otherwise("test"),
+    ).drop("__mn", "__mx")
+
+
 # Dyadic grids for mixture_reweight_mw (same discipline as the quality
 # classifier): probabilities on 2^-20, distribution gaps on 2^-25,
 # weights on 2^-30, step size a power of two — every aggregate below

@@ -1412,3 +1412,82 @@ def hard_negatives(
         (-F.col("m.n")).alias("neg_id"),
         F.col("m.c").alias("cosine"),
     )
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+    margin: float = 0.05,
+) -> DataFrame:
+    """(anchor, positive, semi-hard negative) triplet mining — the
+    training-data export for contrastive/metric learning. Positive =
+    the anchor's top-1 neighbor (the mined retrieval target); negative
+    = the top-1 among candidates at least ``margin`` cosine BELOW the
+    positive — FaceNet's semi-hard rule (Schroff et al. 2015, public):
+    harder than random, but never so close it is a disguised positive,
+    and never equal to the positive by construction.
+
+    Scale shape: ONE hyperplane-bucket join builds the candidate frame,
+    which is pinned (localCheckpoint) because BOTH argmax passes read
+    it — without the pin the second pass would re-evaluate the bucket
+    join and the interpreted cosine HOFs (the registry multiplicity
+    lint's disease). Each argmax is one map-side-combinable
+    max(struct(rounded cosine, -id)) — max cosine, min id on ties — and
+    the positive frame joins back by anchor id (a plain hash join; it
+    is |vectors| rows, not broadcastable at scale).
+
+    Returns (id_col, pos_id, pos_cos, neg_id, neg_cos); anchors with no
+    candidate below ``pos_cos - margin`` are dropped (no valid
+    semi-hard negative in their bucket).
+    """
+    from experimentsplan_datapipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    planes = fixed_hyperplanes(dim, n_planes, seed)
+    base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__bucket", _hyperplane_bucket(F.col(vec_col), planes)
+    )
+    cand = (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("qid"),
+            F.col(f"b.{id_col}").alias("nid"),
+            F.round(
+                cosine_similarity(
+                    F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+                ),
+                6,
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    pos = cand.groupBy("qid").agg(
+        F.max(F.struct(F.col("c"), (-F.col("nid")).alias("n"))).alias("p")
+    )
+    neg = (
+        cand.join(pos, "qid")
+        .filter(F.col("c") < F.col("p.c") - float(margin))
+        .groupBy("qid")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("nid")).alias("n"))
+            ).alias("g")
+        )
+    )
+    return pos.join(neg, "qid").select(
+        F.col("qid").alias(id_col),
+        (-F.col("p.n")).alias("pos_id"),
+        F.col("p.c").alias("pos_cos"),
+        (-F.col("g.n")).alias("neg_id"),
+        F.col("g.c").alias("neg_cos"),
+    )

@@ -1414,6 +1414,61 @@ def ann_hard_negatives(spark, sf_dir):
     )
 
 
+def _triplet_oracle_sql(
+    dim: int = 64, n_planes: int = 6, seed: int = 42, margin: float = 0.05
+) -> str:
+    """DuckDB twin of contrastive_triplets: same plane stream, then
+    both argmaxes as two-step max + min-id replays, with the semi-hard
+    filter c < pos_c - margin (identical double literals, correctly
+    rounded subtraction on both engines)."""
+    planes = sim.fixed_hyperplanes(dim, n_planes, seed)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{vals}]) >= 0"
+        " THEN {bit} ELSE 0 END)".format(
+            vals=", ".join(repr(x) for x in plane), bit=1 << i
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+cand AS MATERIALIZED (
+  SELECT x.vec_id AS qid, y.vec_id AS nid,
+         round(list_cosine_similarity(x.v, y.v), 6) AS c
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+pm AS (SELECT qid, max(c) AS pc FROM cand GROUP BY qid),
+pos AS (SELECT c.qid, p.pc, min(c.nid) AS pid
+        FROM cand c JOIN pm p ON c.qid = p.qid AND c.c = p.pc
+        GROUP BY c.qid, p.pc),
+nm AS (SELECT c.qid, max(c.c) AS nc
+       FROM cand c JOIN pm p ON c.qid = p.qid
+       WHERE c.c < p.pc - {margin} GROUP BY c.qid),
+neg AS (SELECT c.qid, n.nc, min(c.nid) AS nid
+        FROM cand c JOIN nm n ON c.qid = n.qid AND c.c = n.nc
+        GROUP BY c.qid, n.nc)
+SELECT p.qid AS vec_id, p.pid AS pos_id, p.pc AS pos_cos,
+       g.nid AS neg_id, g.nc AS neg_cos
+FROM pos p JOIN neg g ON p.qid = g.qid
+"""
+
+
+@register("ann_contrastive_triplets", _triplet_oracle_sql())
+def ann_contrastive_triplets(spark, sf_dir):
+    """(anchor, positive, semi-hard negative) triplet export
+    (operators/similarity.py::contrastive_triplets): positive = top-1
+    neighbor, negative = top-1 at least 0.05 cosine BELOW the positive
+    — FaceNet's semi-hard rule, which keeps the negative hard but never
+    a disguised positive and never equal to the positive. One pinned
+    bucket-join candidate pass feeds both window-free argmaxes; the
+    oracle replays planes, cosines, and both two-step argmaxes."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return sim.contrastive_triplets(
+        emb, "vec_id", "embedding", dim=64, n_planes=6, margin=0.05
+    )
+
+
 @register("text_fingerprint", """
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
@@ -2493,6 +2548,43 @@ def split_leakfree_q(spark, sf_dir):
         ev, ["user_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
     )
     return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@register("split_temporal_embargo", """
+WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+           FROM events),
+s AS (
+  SELECT e.user_id, epoch_us(e.ts) AS us,
+         b.mn + ((b.mx - b.mn) * 60) // 100 AS cut,
+         b.mn + ((b.mx - b.mn) * 60) // 100
+              + ((b.mx - b.mn) * 5) // 100 AS gap_end
+  FROM events e CROSS JOIN b)
+SELECT CASE WHEN us < cut THEN 'train'
+            WHEN us < gap_end THEN 'embargo'
+            ELSE 'test' END AS split,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM s GROUP BY 1
+""")
+def split_temporal_embargo_q(spark, sf_dir):
+    """Temporal split with an embargo gap (operators/curation.py::
+    temporal_split_embargo): train before the 60% cut, test after
+    cut + 5% gap, the window between EXCLUDED — the purged/embargoed
+    time split (Lopez de Prado 2018) that keeps temporally correlated
+    neighbors from straddling the eval boundary, where split_leakfree
+    guards the GROUP axis. Cut/gap are exact integer microsecond
+    arithmetic off one broadcast min/max, so assignment replays
+    identically; the label is a pure projection on the scan."""
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        temporal_split_embargo,
+    )
+
+    ev = temporal_split_embargo(
+        t(spark, sf_dir, "events"), "ts", train_frac_pct=60, embargo_pct=5
+    )
+    return ev.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
     )

@@ -322,6 +322,12 @@ ROUND11_ANNOTATED: dict[str, str] = {
     "graph_random_walks":
         "DeepWalk-style seeded walks: broadcast frontier joins, md5-min "
         "neighbor draw, oracle unrolls every step",
+    "split_temporal_embargo":
+        "purged temporal split: train / excluded embargo gap / test via "
+        "exact integer-microsecond cut arithmetic",
+    "ann_contrastive_triplets":
+        "FaceNet semi-hard triplet mining: one pinned candidate pass, "
+        "two window-free argmaxes, margin-separated negative",
 }
 
 ROTATION_NOTE = """## Driver-sample rotation (round 6)

@@ -702,3 +702,25 @@ def test_mixture_reweight_upweights_outlier_and_sums_to_one(spark):
     assert w_final["outlier"] > (1 << 30) // 3
     # the two identical domains must track each other exactly
     assert w_final["same1"] == w_final["same2"]
+
+
+def test_temporal_split_embargo_boundaries_and_exclusion(spark):
+    """Rows inside the embargo window get neither split; boundaries are
+    exact integer-microsecond arithmetic (train < cut <= embargo <
+    gap_end <= test)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # 0..100 minutes: span 100 min; cut = 60%, gap = 5% -> embargo [60, 65)
+    rows = [(i, base + dt.timedelta(minutes=i)) for i in range(101)]
+    df = spark.createDataFrame(rows, ["i", "ts"])
+    got = {
+        r.i: r.split
+        for r in cur.temporal_split_embargo(
+            df, "ts", train_frac_pct=60, embargo_pct=5
+        ).collect()
+    }
+    assert got[59] == "train" and got[0] == "train"
+    assert got[60] == "embargo" and got[64] == "embargo"
+    assert got[65] == "test" and got[100] == "test"
+    assert sorted(set(got.values())) == ["embargo", "test", "train"]

@@ -1772,3 +1772,35 @@ def test_hard_negatives_excludes_near_dups_picks_closest(spark):
     # every reported cosine respects the exclusion bound
     for vid, (nid, c) in got.items():
         assert c < 0.999 and nid != vid
+
+
+def test_contrastive_triplets_semihard_rule(spark):
+    """Triplets obey FaceNet's semi-hard rule: pos is the top-1
+    neighbor, neg the best candidate at least `margin` below it, so
+    neg_cos < pos_cos - margin and neg != pos always; anchors whose
+    bucket holds no such candidate emit nothing."""
+    import math
+
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    base = [
+        (i, [math.cos(i * 0.8 + d) + 2.0 for d in range(8)])
+        for i in range(10)
+    ]
+    twin = [(100, list(base[2][1]))]  # exact dup of id 2 -> its positive
+    emb = spark.createDataFrame(
+        base + twin, "vec_id long, embedding array<double>"
+    )
+    rows = contrastive_triplets(
+        emb, "vec_id", "embedding", dim=8, n_planes=2, margin=0.05
+    ).collect()
+    assert rows, "bucketed candidates must yield at least one triplet"
+    by_id = {r.vec_id: r for r in rows}
+    for r in rows:
+        assert r.neg_cos < r.pos_cos - 0.05
+        assert r.neg_id != r.pos_id
+        assert r.vec_id not in (r.pos_id, r.neg_id)
+    if 2 in by_id:
+        assert by_id[2].pos_id == 100 and by_id[2].pos_cos == 1.0
