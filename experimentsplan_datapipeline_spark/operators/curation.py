@@ -940,7 +940,10 @@ def mixture_reweight_mw(
     n_src = len(sources)
     if n_src == 0:
         raise ValueError("mixture_reweight_mw: no sources found")
-    w = {s: math.floor((1 << 30) / n_src) / _MW_WQ for s in sources}
+    # exact integer division (ADVICE r11): float true-division + floor
+    # rounds UP across an integer once (1<<30)/n_src loses precision
+    # (~3e7 sources), silently leaving the stated exact-dyadic grid
+    w = {s: ((1 << 30) // n_src) / _MW_WQ for s in sources}
     out = []
     for t in range(1, n_steps + 1):
         q = {c: sum(w[s] * p[(s, c)] for s in sources) for c in classes}

@@ -1340,6 +1340,156 @@ def semantic_dedup_clustered(
     )
 
 
+def bucket_recall_at1(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    plane_counts: tuple[int, ...] = (2, 4, 6, 8),
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate-RECALL contract for hyperplane buckets (VERDICT r11
+    item 5): the sketch contracts (HLL, MinHash, CMS) prove estimation
+    error, but nothing proved what fraction of TRUE nearest neighbors a
+    fixed sign-pattern bucketing even admits as candidates. For each
+    anchor, compute the EXACT cosine top-1 over the corpus (rounded
+    score, min-id tie-break — the repo-wide reproducibility contract)
+    and score whether anchor and true top-1 share a bucket at each
+    ``plane_counts`` entry — recall@1 as a function of n_planes, the
+    measured form of "more planes splits true neighbors" that makes the
+    fixed-bucket miners quadratic-or-lossy at scale (use trained cells
+    instead: ``cell_recall_at1``).
+
+    Scale shape: anchors are a bounded SAMPLE (broadcast side of the
+    cross-score — exact ground truth over the full corpus is the point;
+    the corpus is the scan side, one pass). Buckets for every plane
+    count are computed ONCE per row on each side before the join, so
+    pair rows compare precomputed longs; the per-anchor argmax rides
+    one map-side-combinable min(struct(-c, nid, flags...)) — the flags
+    sit BELOW nid in the struct order, so they never affect the winner,
+    they just travel with it.
+
+    Returns one row per plane count: (n_planes, n_anchors, recall_at_1).
+    """
+    from experimentsplan_datapipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    def _with_buckets(df, prefix):
+        out = df
+        for p in plane_counts:
+            planes = fixed_hyperplanes(dim, p, seed)
+            out = out.withColumn(
+                f"{prefix}{p}", _hyperplane_bucket(F.col(vec_col), planes)
+            )
+        return out
+
+    a = F.broadcast(
+        _with_buckets(anchors, "__ba").select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            *[F.col(f"__ba{p}") for p in plane_counts],
+        )
+    )
+    b = _with_buckets(corpus, "__bb").select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__nvec"),
+        *[F.col(f"__bb{p}") for p in plane_counts],
+    )
+    pairs = b.crossJoin(a).filter(F.col("__nid") != F.col("__qid"))
+    sel = pairs.select(
+        "__qid",
+        F.struct(
+            (-F.round(
+                cosine_similarity(F.col("__qvec"), F.col("__nvec")), 6
+            )).alias("nc"),
+            F.col("__nid").alias("n"),
+            *[
+                (F.col(f"__ba{p}") == F.col(f"__bb{p}"))
+                .cast("int")
+                .alias(f"eq{p}")
+                for p in plane_counts
+            ],
+        ).alias("s"),
+    )
+    top = sel.groupBy("__qid").agg(F.min("s").alias("m"))
+    g = top.agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        *[
+            F.round(F.avg(F.col(f"m.eq{p}")), 6).alias(f"r{p}")
+            for p in plane_counts
+        ],
+    )
+    return g.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("n_planes"),
+                        F.col("n_anchors"),
+                        F.col(f"r{p}").alias("recall_at_1"),
+                    )
+                    for p in plane_counts
+                ]
+            )
+        ).alias("x")
+    ).select("x.n_planes", "x.n_anchors", "x.recall_at_1")
+
+
+def cell_recall_at1(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cells: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """Candidate-RECALL contract for trained k-means cells — the
+    companion to ``bucket_recall_at1`` proving the miners' 100 TB
+    candidate pass (``_miner_candidates(cells=...)``) actually admits
+    true neighbors: fraction of anchors whose EXACT cosine top-1 over
+    the corpus lands in the anchor's own cell. Same shape: bounded
+    anchor sample broadcast against one corpus scan, assignment
+    (broadcast argmin expression) computed once per row per side, one
+    map-side-combinable argmax.
+
+    Returns one row: (k_cells, n_anchors, recall_at_1).
+    """
+    from experimentsplan_datapipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            _assign_expr(F.col(vec_col), cells).alias("__qc"),
+        )
+    )
+    b = corpus.select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__nvec"),
+        _assign_expr(F.col(vec_col), cells).alias("__nc_cell"),
+    )
+    pairs = b.crossJoin(a).filter(F.col("__nid") != F.col("__qid"))
+    sel = pairs.select(
+        "__qid",
+        F.struct(
+            (-F.round(
+                cosine_similarity(F.col("__qvec"), F.col("__nvec")), 6
+            )).alias("nc"),
+            F.col("__nid").alias("n"),
+            (F.col("__qc") == F.col("__nc_cell")).cast("int").alias("eq"),
+        ).alias("s"),
+    )
+    top = sel.groupBy("__qid").agg(F.min("s").alias("m"))
+    return top.agg(
+        F.lit(len(cells)).alias("k_cells"),
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.round(F.avg(F.col("m.eq")), 6).alias("recall_at_1"),
+    )
+
+
 def ann_index_drop(spark, table_name: str) -> None:
     """Drop a persisted IVF index: pointer first, then all generations."""
     from experimentsplan_datapipeline_spark.operators.dedup import (
@@ -1353,106 +1503,43 @@ def ann_index_drop(spark, table_name: str) -> None:
         _drop_gen_tables(spark, base, None)
 
 
-def hard_negatives(
+def _miner_candidates(
     df: DataFrame,
     id_col: str,
-    vec_col: str = "embedding",
-    dim: int = 64,
-    n_planes: int = 6,
-    seed: int = 42,
-    dup_threshold: float = 0.999,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    seed: int,
+    cells: list[tuple[int, list[float]]] | None,
 ) -> DataFrame:
-    """Hard-negative mining for contrastive training: each vector's most
-    similar NON-duplicate neighbor (cosine below ``dup_threshold`` —
-    above it the pair is a near-dup, a false negative that would poison
-    the loss). The standard companion to semantic dedup when exporting
-    (anchor, positive, hard-negative) triplets.
+    """Shared candidate frame for the contrastive miners: (qid, nid, c)
+    — same-bucket pairs with their ROUNDED cosine. Bucket = trained
+    k-means cell (``cells`` from ``kmeans_lite``; the broadcast argmin
+    assignment is codegen, zero shuffle) when a codebook is passed,
+    else the fixed hyperplane sign pattern.
 
-    Scale shape: candidates come from the same hyperplane-bucket join as
-    ``embedding_near_dup``'s 100 TB path — never an all-pairs product —
-    and the per-vector argmax is ONE map-side-combinable aggregation
-    (max over struct(rounded cosine, -neighbor id): max cosine, min id
-    on ties), no per-vector window and no second pass over the
-    candidate frame (a max-then-join-back would both re-evaluate the
-    bucket join and re-evaluate the cosine HOFs past the registry
-    multiplicity lint's threshold). Ranking uses the ROUNDED cosine
-    with an id tiebreak, so the chosen negative is engine-reproducible.
-
-    Returns (id_col, neg_id, cosine), one row per vector that has at
-    least one same-bucket non-duplicate neighbor.
+    The cell path is the 100 TB shape (VERDICT r11 item 1): candidate
+    pairs are bounded by sum(|cluster|^2) and k scales with the corpus
+    (k ~ sqrt(N) keeps per-cell work ~N) — the same codebook lever as
+    the trained IVF index and SemDeDup. The hyperplane path's bucket
+    count is FIXED at 2^n_planes, so its pair count grows Θ(N²/2^p):
+    fine for bounded corpora, quadratic at scale (and raising n_planes
+    splits true neighbors — see ``ann_bucket_recall``'s measured
+    recall-vs-planes contract); pass ``cells`` beyond ~1M vectors.
     """
     from experimentsplan_datapipeline_spark.functions.vectors import (
         cosine_similarity,
     )
 
-    planes = fixed_hyperplanes(dim, n_planes, seed)
+    if cells is not None:
+        bucket = _assign_expr(F.col(vec_col), cells)
+    else:
+        planes = fixed_hyperplanes(dim, n_planes, seed)
+        bucket = _hyperplane_bucket(F.col(vec_col), planes)
     base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "__bucket", _hyperplane_bucket(F.col(vec_col), planes)
+        "__bucket", bucket
     )
-    pairs = base.alias("a").join(
-        base.alias("b"),
-        (F.col("a.__bucket") == F.col("b.__bucket"))
-        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-    )
-    cand = pairs.select(
-        F.col(f"a.{id_col}").alias("qid"),
-        F.col(f"b.{id_col}").alias("nid"),
-        F.round(
-            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
-            6,
-        ).alias("c"),
-    ).filter(F.col("c") < float(dup_threshold))
-    mx = cand.groupBy("qid").agg(
-        F.max(
-            F.struct(F.col("c"), (-F.col("nid")).alias("n"))
-        ).alias("m")
-    )
-    return mx.select(
-        F.col("qid").alias(id_col),
-        (-F.col("m.n")).alias("neg_id"),
-        F.col("m.c").alias("cosine"),
-    )
-
-
-def contrastive_triplets(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str = "embedding",
-    dim: int = 64,
-    n_planes: int = 6,
-    seed: int = 42,
-    margin: float = 0.05,
-) -> DataFrame:
-    """(anchor, positive, semi-hard negative) triplet mining — the
-    training-data export for contrastive/metric learning. Positive =
-    the anchor's top-1 neighbor (the mined retrieval target); negative
-    = the top-1 among candidates at least ``margin`` cosine BELOW the
-    positive — FaceNet's semi-hard rule (Schroff et al. 2015, public):
-    harder than random, but never so close it is a disguised positive,
-    and never equal to the positive by construction.
-
-    Scale shape: ONE hyperplane-bucket join builds the candidate frame,
-    which is pinned (localCheckpoint) because BOTH argmax passes read
-    it — without the pin the second pass would re-evaluate the bucket
-    join and the interpreted cosine HOFs (the registry multiplicity
-    lint's disease). Each argmax is one map-side-combinable
-    max(struct(rounded cosine, -id)) — max cosine, min id on ties — and
-    the positive frame joins back by anchor id (a plain hash join; it
-    is |vectors| rows, not broadcastable at scale).
-
-    Returns (id_col, pos_id, pos_cos, neg_id, neg_cos); anchors with no
-    candidate below ``pos_cos - margin`` are dropped (no valid
-    semi-hard negative in their bucket).
-    """
-    from experimentsplan_datapipeline_spark.functions.vectors import (
-        cosine_similarity,
-    )
-
-    planes = fixed_hyperplanes(dim, n_planes, seed)
-    base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "__bucket", _hyperplane_bucket(F.col(vec_col), planes)
-    )
-    cand = (
+    return (
         base.alias("a")
         .join(
             base.alias("b"),
@@ -1469,25 +1556,110 @@ def contrastive_triplets(
                 6,
             ).alias("c"),
         )
-        .localCheckpoint()
     )
-    pos = cand.groupBy("qid").agg(
-        F.max(F.struct(F.col("c"), (-F.col("nid")).alias("n"))).alias("p")
+
+
+def _argmax_neighbor(out_alias: str):
+    """One map-side-combinable aggregation selecting (max c, min nid at
+    that c) per qid: min over struct(-c, nid) — the order-reversing key
+    is on the NUMERIC cosine, so the neighbor-id tie-break works for
+    string ids too (ADVICE r11: unary minus on a string id casts to
+    double and yields NULL under ANSI-off, a nondeterministic
+    tie-break instead of an error)."""
+    return F.min(
+        F.struct((-F.col("c")).alias("nc"), F.col("nid").alias("n"))
+    ).alias(out_alias)
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+    dup_threshold: float = 0.999,
+    cells: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's most
+    similar NON-duplicate neighbor (cosine below ``dup_threshold`` —
+    above it the pair is a near-dup, a false negative that would poison
+    the loss). The standard companion to semantic dedup when exporting
+    (anchor, positive, hard-negative) triplets.
+
+    Scale shape: candidates come from ``_miner_candidates`` — pass
+    ``cells`` (a ``kmeans_lite`` codebook, k ~ sqrt(N)) for the 100 TB
+    path where pairs are bounded by sum(|cluster|^2); the default
+    hyperplane buckets are the cheap untrained path for bounded
+    corpora (fixed 2^n_planes buckets → Θ(N²/2^p) pairs at scale).
+    The per-vector argmax is ONE map-side-combinable aggregation
+    (min over struct(-rounded cosine, neighbor id): max cosine, min id
+    on ties — string-id safe), no per-vector window and no second pass
+    over the candidate frame. Ranking uses the ROUNDED cosine with an
+    id tiebreak, so the chosen negative is engine-reproducible.
+
+    Returns (id_col, neg_id, cosine), one row per vector that has at
+    least one same-bucket non-duplicate neighbor.
+    """
+    cand = _miner_candidates(
+        df, id_col, vec_col, dim, n_planes, seed, cells
+    ).filter(F.col("c") < float(dup_threshold))
+    mx = cand.groupBy("qid").agg(_argmax_neighbor("m"))
+    return mx.select(
+        F.col("qid").alias(id_col),
+        F.col("m.n").alias("neg_id"),
+        (-F.col("m.nc")).alias("cosine"),
     )
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+    margin: float = 0.05,
+    cells: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """(anchor, positive, semi-hard negative) triplet mining — the
+    training-data export for contrastive/metric learning. Positive =
+    the anchor's top-1 neighbor (the mined retrieval target); negative
+    = the top-1 among candidates at least ``margin`` cosine BELOW the
+    positive — FaceNet's semi-hard rule (Schroff et al. 2015, public):
+    harder than random, but never so close it is a disguised positive,
+    and never equal to the positive by construction.
+
+    Scale shape: ONE ``_miner_candidates`` join builds the candidate
+    frame — pass ``cells`` (``kmeans_lite``, k ~ sqrt(N)) for the
+    100 TB path (pairs bounded by sum(|cluster|^2)); hyperplane
+    buckets are the untrained bounded-corpus default. The frame is
+    pinned (localCheckpoint) because BOTH argmax passes read it —
+    without the pin the second pass would re-evaluate the bucket join
+    and the interpreted cosine HOFs (the registry multiplicity lint's
+    disease). Each argmax is one map-side-combinable
+    min(struct(-rounded cosine, id)) — max cosine, min id on ties,
+    string-id safe — and the positive frame joins back by anchor id (a
+    plain hash join; it is |vectors| rows, not broadcastable at scale).
+
+    Returns (id_col, pos_id, pos_cos, neg_id, neg_cos); anchors with no
+    candidate below ``pos_cos - margin`` are dropped (no valid
+    semi-hard negative in their bucket).
+    """
+    cand = _miner_candidates(
+        df, id_col, vec_col, dim, n_planes, seed, cells
+    ).localCheckpoint()
+    pos = cand.groupBy("qid").agg(_argmax_neighbor("p"))
     neg = (
         cand.join(pos, "qid")
-        .filter(F.col("c") < F.col("p.c") - float(margin))
+        .filter(F.col("c") < (-F.col("p.nc")) - float(margin))
         .groupBy("qid")
-        .agg(
-            F.max(
-                F.struct(F.col("c"), (-F.col("nid")).alias("n"))
-            ).alias("g")
-        )
+        .agg(_argmax_neighbor("g"))
     )
     return pos.join(neg, "qid").select(
         F.col("qid").alias(id_col),
-        (-F.col("p.n")).alias("pos_id"),
-        F.col("p.c").alias("pos_cos"),
-        (-F.col("g.n")).alias("neg_id"),
-        F.col("g.c").alias("neg_cos"),
+        F.col("p.n").alias("pos_id"),
+        (-F.col("p.nc")).alias("pos_cos"),
+        F.col("g.n").alias("neg_id"),
+        (-F.col("g.nc")).alias("neg_cos"),
     )

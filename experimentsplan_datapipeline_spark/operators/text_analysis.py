@@ -714,7 +714,9 @@ def winnow_fingerprints(
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm; public): from each window of ``w``
     consecutive k-gram hashes, select the minimum (rightmost on ties —
-    the paper's robust winnowing), then dedupe selections. Guarantees:
+    the paper's winnowing tie-break; the "robust" variant additionally
+    prefers re-selecting the previous window's pick and is NOT what this
+    implements), then dedupe selections. Guarantees:
     any shared token run of length >= w + k - 1 contributes at least one
     IDENTICAL selected fingerprint in both documents (detection is
     certain, unlike MinHash's probabilistic bands), at an expected
@@ -799,6 +801,15 @@ def keyword_tag(
         raise ValueError("tags must contain at least one phrase")
     if any(len(p.split(" ")) > 2 for _, p in pairs):
         raise ValueError("phrases are limited to 1 or 2 tokens")
+    # grams are lowercased single-space token joins — a phrase that is
+    # not already in that form ('Hash Join', doubled spaces) can never
+    # match and would silently tag nothing (ADVICE r11): fail loudly
+    bad = [p for _, p in pairs if p != " ".join(p.lower().split())]
+    if bad:
+        raise ValueError(
+            f"keyword_tag: phrases must be lowercase, single-space "
+            f"normalized (grams are); offending: {bad!r}"
+        )
     tag_df = df.sparkSession.createDataFrame(pairs, ["tag", "g"])
     toks = df.select(
         F.col(id_col),

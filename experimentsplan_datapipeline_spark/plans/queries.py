@@ -1366,28 +1366,65 @@ def dedup_embedding_lsh(spark, sf_dir):
     )
 
 
-def _hard_neg_oracle_sql(
-    dim: int = 64, n_planes: int = 6, seed: int = 42, thr: float = 0.999
-) -> str:
-    """DuckDB twin of hard_negatives: the same LCG hyperplane stream as
-    ann_lsh/dedup_embedding_lsh replays bucketing, then the two-step
-    argmax (max rounded cosine, min neighbor id at that max) replays the
-    engine's window-free per-vector top-1."""
-    planes = sim.fixed_hyperplanes(dim, n_planes, seed)
-    bucket_terms = " + ".join(
-        "(CASE WHEN list_dot_product(v, [{vals}]) >= 0"
-        " THEN {bit} ELSE 0 END)".format(
-            vals=", ".join(repr(x) for x in plane), bit=1 << i
-        )
-        for i, plane in enumerate(planes)
-    )
+def _lloyd_fin_cte(dim: int, k_cells: int, iters: int) -> str:
+    """Shared unrolled deterministic-Lloyd SQL prefix: CTEs ``e``
+    (vec_id, v), ``pos`` (1..dim), ``c0``..``c<iters>`` (the codebook
+    trajectory) and ``fin`` (vec_id, v, cluster) — the FINAL
+    kmeans_assign convention (argmin ROUNDED squared distance, ties to
+    the smaller cid — _assign_expr's array_min struct ordering).
+    Replays kmeans_lite value-for-value: init = the k_cells lowest-id
+    vectors HALF_UP-rounded to 6, per-iteration assignment by rounded
+    distance, per-dimension ROUNDED means, empty clusters keeping their
+    previous centroid. The same blocks as _ann_ivf_trained_oracle_sql /
+    _semantic_dedup_oracle_sql, factored for the cell-candidate miners
+    and the cell-recall contract (round 12)."""
+    it_blocks = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        it_blocks.append(f"""
+a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_sum(list_transform(range(1, {dim} + 1),
+                   p -> (e.v[p] - c.cv[p]) ^ 2)), 6) ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {prev} c)
+  WHERE rn = 1),
+m{i} AS (
+  SELECT a.cid, pos.p, round(avg(a.v[pos.p]), 6) AS m
+  FROM a{i} a CROSS JOIN pos GROUP BY a.cid, pos.p),
+n{i} AS (SELECT cid, list(m ORDER BY p) AS cv FROM m{i} GROUP BY cid),
+c{i} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv
+         FROM {prev} c LEFT JOIN n{i} n USING (cid))""")
+        prev = f"c{i}"
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+pos AS (SELECT unnest(range(1, {dim} + 1)) AS p),
+c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       FROM e WHERE vec_id < {k_cells}),{",".join(it_blocks)},
+fin AS (
+  SELECT vec_id, v, cid AS cluster FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_sum(list_transform(range(1, {dim} + 1),
+                   p -> (e.v[p] - c.cv[p]) ^ 2)), 6) ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {prev} c)
+  WHERE rn = 1)"""
+
+
+def _hard_neg_oracle_sql(
+    dim: int = 64, k_cells: int = 16, iters: int = 2, thr: float = 0.999
+) -> str:
+    """DuckDB twin of hard_negatives on TRAINED k-means cells: the
+    unrolled deterministic Lloyd + final assignment (_lloyd_fin_cte)
+    replays the codebook, then the two-step argmax (max rounded cosine,
+    min neighbor id at that max) replays the engine's window-free
+    per-vector top-1."""
+    return f"""{_lloyd_fin_cte(dim, k_cells, iters)},
 cand AS (
   SELECT x.vec_id AS qid, y.vec_id AS nid,
          round(list_cosine_similarity(x.v, y.v), 6) AS c
-  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+  FROM fin x JOIN fin y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
   WHERE round(list_cosine_similarity(x.v, y.v), 6) < {thr}),
 m AS (SELECT qid, max(c) AS c FROM cand GROUP BY qid)
 SELECT c.qid AS vec_id, min(c.nid) AS neg_id, c.c AS cosine
@@ -1398,48 +1435,44 @@ GROUP BY c.qid, c.c
 
 @register("ann_hard_negatives", _hard_neg_oracle_sql())
 def ann_hard_negatives(spark, sf_dir):
-    """Hard-negative mining (operators/similarity.py::hard_negatives):
-    each embedding's most similar NON-duplicate same-bucket neighbor
-    (rounded cosine < 0.999) — the (anchor, hard-negative) source for
+    """Hard-negative mining (operators/similarity.py::hard_negatives),
+    candidate pass on TRAINED k-means cells (VERDICT r11 item 1): each
+    embedding's most similar NON-duplicate same-cell neighbor (rounded
+    cosine < 0.999) — the (anchor, hard-negative) source for
     contrastive training, with the near-dup exclusion that keeps false
-    negatives out of the loss. Candidates come from the hyperplane-
-    bucket join (the 100 TB path — no all-pairs product); the per-vector
-    top-1 is two map-side-combinable aggregations, no window. The oracle
-    replays the plane stream, the cosine, and the argmax exactly."""
+    negatives out of the loss. The kmeans_lite codebook (k=16 here;
+    k ~ sqrt(N) at 100 TB) bounds candidate pairs to sum(|cluster|^2)
+    — sub-quadratic as the corpus grows, unlike the fixed-bucket
+    hyperplane join (measured: ann_cell_recall / ann_bucket_recall).
+    The per-vector top-1 is two map-side-combinable aggregations, no
+    window. The oracle unrolls the Lloyd fixpoint and replays
+    assignment, cosine, and argmax exactly."""
     emb = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
+    cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=16, iters=2)
     return sim.hard_negatives(
-        emb, "vec_id", "embedding", dim=64, n_planes=6, dup_threshold=0.999
+        emb, "vec_id", "embedding", dup_threshold=0.999, cells=cents
     )
 
 
 def _triplet_oracle_sql(
-    dim: int = 64, n_planes: int = 6, seed: int = 42, margin: float = 0.05
+    dim: int = 64, k_cells: int = 16, iters: int = 2, margin: float = 0.05
 ) -> str:
-    """DuckDB twin of contrastive_triplets: same plane stream, then
-    both argmaxes as two-step max + min-id replays, with the semi-hard
+    """DuckDB twin of contrastive_triplets on TRAINED k-means cells:
+    the unrolled Lloyd + final assignment (_lloyd_fin_cte), then both
+    argmaxes as two-step max + min-id replays, with the semi-hard
     filter c < pos_c - margin (identical double literals, correctly
     rounded subtraction on both engines)."""
-    planes = sim.fixed_hyperplanes(dim, n_planes, seed)
-    bucket_terms = " + ".join(
-        "(CASE WHEN list_dot_product(v, [{vals}]) >= 0"
-        " THEN {bit} ELSE 0 END)".format(
-            vals=", ".join(repr(x) for x in plane), bit=1 << i
-        )
-        for i, plane in enumerate(planes)
-    )
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+    return f"""{_lloyd_fin_cte(dim, k_cells, iters)},
 cand AS MATERIALIZED (
   SELECT x.vec_id AS qid, y.vec_id AS nid,
          round(list_cosine_similarity(x.v, y.v), 6) AS c
-  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+  FROM fin x JOIN fin y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id),
 pm AS (SELECT qid, max(c) AS pc FROM cand GROUP BY qid),
-pos AS (SELECT c.qid, p.pc, min(c.nid) AS pid
-        FROM cand c JOIN pm p ON c.qid = p.qid AND c.c = p.pc
-        GROUP BY c.qid, p.pc),
+posx AS (SELECT c.qid, p.pc, min(c.nid) AS pid
+         FROM cand c JOIN pm p ON c.qid = p.qid AND c.c = p.pc
+         GROUP BY c.qid, p.pc),
 nm AS (SELECT c.qid, max(c.c) AS nc
        FROM cand c JOIN pm p ON c.qid = p.qid
        WHERE c.c < p.pc - {margin} GROUP BY c.qid),
@@ -1448,25 +1481,135 @@ neg AS (SELECT c.qid, n.nc, min(c.nid) AS nid
         GROUP BY c.qid, n.nc)
 SELECT p.qid AS vec_id, p.pid AS pos_id, p.pc AS pos_cos,
        g.nid AS neg_id, g.nc AS neg_cos
-FROM pos p JOIN neg g ON p.qid = g.qid
+FROM posx p JOIN neg g ON p.qid = g.qid
 """
 
 
 @register("ann_contrastive_triplets", _triplet_oracle_sql())
 def ann_contrastive_triplets(spark, sf_dir):
     """(anchor, positive, semi-hard negative) triplet export
-    (operators/similarity.py::contrastive_triplets): positive = top-1
-    neighbor, negative = top-1 at least 0.05 cosine BELOW the positive
-    — FaceNet's semi-hard rule, which keeps the negative hard but never
-    a disguised positive and never equal to the positive. One pinned
-    bucket-join candidate pass feeds both window-free argmaxes; the
-    oracle replays planes, cosines, and both two-step argmaxes."""
+    (operators/similarity.py::contrastive_triplets), candidates on
+    TRAINED k-means cells (VERDICT r11 item 1 — sum(|cluster|^2)
+    pairs, k ~ sqrt(N) at 100 TB): positive = top-1 neighbor, negative
+    = top-1 at least 0.05 cosine BELOW the positive — FaceNet's
+    semi-hard rule, which keeps the negative hard but never a disguised
+    positive and never equal to the positive. One pinned cell-join
+    candidate pass feeds both window-free argmaxes; the oracle unrolls
+    the Lloyd fixpoint and replays assignment, cosines, and both
+    two-step argmaxes."""
     emb = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
+    cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=16, iters=2)
     return sim.contrastive_triplets(
-        emb, "vec_id", "embedding", dim=64, n_planes=6, margin=0.05
+        emb, "vec_id", "embedding", margin=0.05, cells=cents
     )
+
+
+def _bucket_recall_oracle_sql(
+    dim: int = 64, plane_counts: tuple[int, ...] = (2, 4, 6, 8),
+    seed: int = 42, anchor_bound: int = 200,
+) -> str:
+    """DuckDB twin of bucket_recall_at1: one bucket column per plane
+    count (the same LCG plane streams), exact top-1 per anchor by
+    (rounded cosine DESC, id ASC), recall = share of winners in the
+    anchor's bucket, one UNION ALL branch per plane count."""
+    cols = []
+    for p in plane_counts:
+        planes = sim.fixed_hyperplanes(dim, p, seed)
+        terms = " + ".join(
+            "(CASE WHEN list_dot_product(v, [{vals}]) >= 0"
+            " THEN {bit} ELSE 0 END)".format(
+                vals=", ".join(repr(x) for x in plane), bit=1 << i
+            )
+            for i, plane in enumerate(planes)
+        )
+        cols.append(f"{terms} AS bk{p}")
+    branches = "\nUNION ALL ".join(
+        f"SELECT {p} AS n_planes, count(*) AS n_anchors,"
+        f" round(avg(CASE WHEN abk{p} = nbk{p} THEN 1.0 ELSE 0.0 END), 6)"
+        f" AS recall_at_1 FROM w"
+        for p in plane_counts
+    )
+    a_bk = ", ".join(f"a.bk{p} AS abk{p}" for p in plane_counts)
+    n_bk = ", ".join(f"n.bk{p} AS nbk{p}" for p in plane_counts)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {", ".join(cols)} FROM e),
+a AS (SELECT * FROM b WHERE vec_id < {anchor_bound}),
+w AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS qid, {a_bk}, {n_bk},
+           row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.v, n.v), 6) DESC,
+                        n.vec_id ASC) AS rn
+    FROM a JOIN b n ON n.vec_id <> a.vec_id)
+  WHERE rn = 1)
+{branches}
+"""
+
+
+@register("ann_bucket_recall", _bucket_recall_oracle_sql())
+def ann_bucket_recall(spark, sf_dir):
+    """Candidate-recall contract for hyperplane buckets
+    (operators/similarity.py::bucket_recall_at1, VERDICT r11 item 5):
+    recall@1 — the fraction of anchors whose EXACT cosine top-1 shares
+    their bucket — measured as a function of n_planes (2,4,6,8 over the
+    same LCG streams the miners/LSH queries use). This is the measured
+    form of the fixed-bucket trade-off: more planes shrink candidate
+    sets (Θ(N²/2^p) pairs) but split true neighbors across buckets.
+    Anchors are a bounded broadcast sample; ground truth is one corpus
+    scan; the oracle replays streams, argmax, and the averages."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    anchors = emb.filter(F.col("vec_id") < 200)
+    return sim.bucket_recall_at1(
+        emb, anchors, "vec_id", "embedding", dim=64,
+        plane_counts=(2, 4, 6, 8), seed=42,
+    )
+
+
+def _cell_recall_oracle_sql(
+    dim: int = 64, k_cells: int = 16, iters: int = 2,
+    anchor_bound: int = 200,
+) -> str:
+    """DuckDB twin of cell_recall_at1: unrolled Lloyd + assignment
+    (_lloyd_fin_cte), exact top-1 per anchor, recall = share of winners
+    in the anchor's cell."""
+    return f"""{_lloyd_fin_cte(dim, k_cells, iters)},
+a AS (SELECT vec_id, v, cluster FROM fin WHERE vec_id < {anchor_bound}),
+w AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS qid, a.cluster AS acl, n.cluster AS ncl,
+           row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.v, n.v), 6) DESC,
+                        n.vec_id ASC) AS rn
+    FROM a JOIN fin n ON n.vec_id <> a.vec_id)
+  WHERE rn = 1)
+SELECT {k_cells} AS k_cells, count(*) AS n_anchors,
+       round(avg(CASE WHEN acl = ncl THEN 1.0 ELSE 0.0 END), 6)
+         AS recall_at_1
+FROM w
+"""
+
+
+@register("ann_cell_recall", _cell_recall_oracle_sql())
+def ann_cell_recall(spark, sf_dir):
+    """Candidate-recall contract for TRAINED k-means cells
+    (operators/similarity.py::cell_recall_at1): the companion gate
+    proving the miners' 100 TB candidate pass
+    (_miner_candidates(cells=...)) admits true neighbors — fraction of
+    anchors whose exact cosine top-1 lands in the anchor's own cell,
+    under the same k=16 kmeans_lite codebook ann_hard_negatives /
+    ann_contrastive_triplets mine with. The oracle unrolls the Lloyd
+    fixpoint and replays assignment, argmax, and the average."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=16, iters=2)
+    anchors = emb.filter(F.col("vec_id") < 200)
+    return sim.cell_recall_at1(emb, anchors, "vec_id", "embedding", cents)
 
 
 @register("text_fingerprint", """

@@ -1804,3 +1804,96 @@ def test_contrastive_triplets_semihard_rule(spark):
         assert r.vec_id not in (r.pos_id, r.neg_id)
     if 2 in by_id:
         assert by_id[2].pos_id == 100 and by_id[2].pos_cos == 1.0
+
+
+def test_miners_cell_path_and_string_ids(spark):
+    """The trained-cell candidate pass (VERDICT r11 item 1) and the
+    string-id-safe tie-break (ADVICE r11): with hand-built cells and
+    STRING ids, hard_negatives still returns non-NULL neighbors, and a
+    genuine cosine tie breaks to the LEXICOGRAPHICALLY smaller id (the
+    old max(struct(c, -id)) cast string ids to double -> NULL)."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    # b and c are identical vectors -> for anchor a they tie on cosine;
+    # all three share cell 0 (single-cell codebook = all-pairs candidates)
+    emb = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.2, 0.0, 0.0]),
+            ("b", [0.9, 0.1, 0.1, 0.0]),
+            ("c", [0.9, 0.1, 0.1, 0.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    cells = [(0, [0.0, 0.0, 0.0, 0.0])]
+    got = {
+        r.vec_id: (r.neg_id, r.cosine)
+        for r in hard_negatives(
+            emb, "vec_id", "embedding", dup_threshold=0.999, cells=cells
+        ).collect()
+    }
+    assert got["a"][0] == "b", got  # tie (b, c) -> min id wins
+    assert all(nid is not None for nid, _ in got.values())
+    # b's top candidate is c (cosine 1.0) but that's a dup -> falls to a
+    assert got["b"][0] == "a" and got["b"][1] < 0.999
+
+
+def test_triplets_cell_path_semihard(spark):
+    """contrastive_triplets under a trained codebook keeps the semi-hard
+    invariants; candidates never cross cells (an anchor whose only
+    neighbors sit in the other cell emits nothing)."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        contrastive_triplets,
+        kmeans_lite,
+    )
+
+    # two tight clusters around +x and +y; ids 0..2 near +x, 10..12 near +y
+    rows = [
+        (0, [1.0, 0.00, 0.0, 0.0]),
+        (1, [1.0, 0.05, 0.0, 0.0]),
+        (2, [1.0, 0.40, 0.0, 0.0]),
+        (10, [0.0, 1.00, 0.0, 0.0]),
+        (11, [0.05, 1.0, 0.0, 0.0]),
+        (12, [0.40, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cells = kmeans_lite(emb, "vec_id", "embedding", k=2, iters=2)
+    out = contrastive_triplets(
+        emb, "vec_id", "embedding", margin=0.01, cells=cells
+    ).collect()
+    assert out, "within-cluster candidates must yield triplets"
+    xs = {0, 1, 2}
+    for r in out:
+        same = xs if r.vec_id in xs else {10, 11, 12}
+        assert r.pos_id in same and r.neg_id in same  # never cross-cell
+        assert r.neg_cos < r.pos_cos - 0.01
+        assert r.vec_id not in (r.pos_id, r.neg_id)
+
+
+def test_recall_contracts_bounds_and_perfect_case(spark):
+    """cell_recall_at1 == 1.0 when every anchor's true top-1 shares its
+    cell by construction; bucket_recall_at1 stays in [0, 1] and keys one
+    row per plane count."""
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        bucket_recall_at1,
+        cell_recall_at1,
+        kmeans_lite,
+    )
+
+    rows = [
+        (0, [1.0, 0.00, 0.0, 0.0]),
+        (1, [1.0, 0.05, 0.0, 0.0]),
+        (10, [0.0, 1.00, 0.0, 0.0]),
+        (11, [0.05, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cells = kmeans_lite(emb, "vec_id", "embedding", k=2, iters=2)
+    r = cell_recall_at1(emb, emb, "vec_id", "embedding", cells).collect()[0]
+    assert r.n_anchors == 4 and r.recall_at_1 == 1.0 and r.k_cells == 2
+    br = bucket_recall_at1(
+        emb, emb, "vec_id", "embedding", dim=4, plane_counts=(1, 2)
+    ).collect()
+    assert sorted(x.n_planes for x in br) == [1, 2]
+    for x in br:
+        assert 0.0 <= x.recall_at_1 <= 1.0 and x.n_anchors == 4
