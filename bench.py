@@ -83,6 +83,12 @@ EXTENDED = [
     # the composed ER cascade (the round's two multi-stage newcomers)
     "mixture_domain_reweight",
     "pipeline_entity_resolution",
+    # round 12 additions: the cell-based miner (trained-codebook
+    # candidates), the walk-pair export, and the leak-gated
+    # contrastive export pipeline
+    "ann_hard_negatives",
+    "graph_walk_cooccurrence",
+    "pipeline_contrastive_export",
 ]
 
 

@@ -253,6 +253,7 @@ def minhash_lsh_incremental(
     threshold: float = 0.8, portable_seed: int | None = None,
     corpus_bandkeys: DataFrame | None = None,
     materialize_candidates: bool = True,
+    corpus_text_pushdown: int = 0,
 ) -> DataFrame:
     """Incremental near-dup screen: which NEW documents near-duplicate the
     EXISTING corpus — the production ingest gate (`minhash_lsh_dedup` is
@@ -271,6 +272,19 @@ def minhash_lsh_incremental(
     candidates BEFORE shingling — the corpus text scan on the verify
     path reads (and shingles) only candidate rows, with the id filter
     pushed to the scan by the broadcast semi join.
+
+    ``corpus_text_pushdown`` (the §4j mitigation, VERDICT r11 item 3):
+    a broadcast semi join prunes ROWS but still SCANS every corpus row
+    group — the one verify-path term that grows with the corpus. With
+    ``corpus_text_pushdown=N > 0``, the candidate corpus ids are
+    collected to the driver (bounded: band-collision candidates of ONE
+    batch; N is the cap) and re-embedded as a literal ``id IN (...)``
+    filter, which reaches the parquet scan as a pushed predicate — on
+    an id-sorted table (``minhash_index_write(store_text=True)`` +
+    ``minhash_index_read_text``) row-group min/max stats skip all
+    non-candidate groups, making the verify read candidate-bounded at
+    ANY corpus size. If the candidate set exceeds N, falls back to the
+    semi join (identical output either way — the same rows survive).
     """
     bb = minhash_bandkeys(
         batch, text_col, id_col, num_hashes, bands, shingle_size,
@@ -310,9 +324,20 @@ def minhash_lsh_incremental(
         F.col(id_col).alias("batch_id"),
         F.array_distinct(ngrams(text_col, shingle_size)).alias("__shb"),
     )
-    sh_c = spread_small_input(
-        corpus.join(F.broadcast(c_ids), id_col, "left_semi")
-    ).select(
+    corpus_cand = None
+    if corpus_text_pushdown > 0:
+        # bounded driver collect (cap = corpus_text_pushdown): one
+        # batch's band-collision candidate ids, re-embedded as a plan
+        # literal so the IN-filter pushes to the parquet scan and
+        # row-group stats prune (see docstring)
+        ids = [
+            r[0] for r in c_ids.limit(corpus_text_pushdown + 1).collect()
+        ]
+        if len(ids) <= corpus_text_pushdown:
+            corpus_cand = corpus.filter(F.col(id_col).isin(ids))
+    if corpus_cand is None:
+        corpus_cand = corpus.join(F.broadcast(c_ids), id_col, "left_semi")
+    sh_c = spread_small_input(corpus_cand).select(
         F.col(id_col).alias("corpus_id"),
         F.array_distinct(ngrams(text_col, shingle_size)).alias("__shc"),
     )
@@ -370,7 +395,7 @@ def minhash_index_write(
     corpus: DataFrame, table_name: str, text_col: str, id_col: str,
     num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
     portable_seed: int | None = None, n_buckets: int = 16,
-    mode: str = "overwrite",
+    mode: str = "overwrite", store_text: bool = False,
 ) -> None:
     """Persist the corpus LSH band keys as a BUCKETED stage table — the
     steady-state half of the incremental ingest gate. The corpus is
@@ -402,6 +427,20 @@ def minhash_index_write(
     harmless (candidates are de-duplicated downstream), and a partial
     append is healed by the retry. For epoch-addressable exactly-once
     growth use the streaming gate + ``minhash_index_compact`` instead.
+
+    ``store_text=True`` additionally persists the corpus (id, text) as
+    ``{table_name}_text_g<gen>`` — bucketed AND sorted by id, so
+    parquet row-group min/max stats on the id column are tight — the
+    §4j verify-scan mitigation (VERDICT r11 item 3): the near-dup
+    verify's only corpus-growing term was re-scanning the SOURCE corpus
+    parquet to fetch candidate text; reading candidates back from this
+    table via ``minhash_index_read_text`` + the literal id pushdown in
+    ``minhash_lsh_incremental(corpus_text_pushdown=...)`` skips
+    non-candidate row groups entirely, making the verify read
+    candidate-bounded instead of corpus-bounded. An append with
+    store_text appends the batch rows (retry-safe for the same reason
+    as the band keys: a duplicate (id, text) row cannot change a
+    verify join's verdict — same jaccard, deduped pair output).
     """
     from experimentsplan_datapipeline_spark.sources.sinks import write_bucketed
 
@@ -435,22 +474,39 @@ def minhash_index_write(
             bk, f"{table_name}_keys_g{meta['gen']}", ["key"], n_buckets,
             mode="append",
         )
+        if bool(meta.asDict().get("store_text", False)):
+            write_bucketed(
+                corpus.select(F.col(id_col), F.col(text_col)),
+                f"{table_name}_text_g{meta['gen']}", [id_col], n_buckets,
+                sort_cols=[id_col], mode="append",
+            )
         return
     new_gen = (meta["gen"] + 1) if meta is not None else 0
     write_bucketed(
         bk, f"{table_name}_keys_g{new_gen}", ["key"], n_buckets,
         mode="overwrite",
     )
+    if store_text:
+        # sorted-by-id buckets => tight parquet row-group id stats, so
+        # the verify stage's literal id pushdown skips non-candidate
+        # row groups (the §4j mitigation); written BEFORE the pointer
+        # swap, same crash story as the keys table
+        write_bucketed(
+            corpus.select(F.col(id_col), F.col(text_col)),
+            f"{table_name}_text_g{new_gen}", [id_col], n_buckets,
+            sort_cols=[id_col], mode="overwrite",
+        )
     _swap_in_table(
         spark,
         spark.createDataFrame(
-            [params + (new_gen,)],
+            [params + (new_gen, store_text)],
             "num_hashes int, bands int, shingle_size int, "
-            "portable_seed long, gen int",
+            "portable_seed long, gen int, store_text boolean",
         ),
         meta_name,
     )
     _drop_gen_tables(spark, f"{table_name}_keys", new_gen)
+    _drop_gen_tables(spark, f"{table_name}_text", new_gen)
 
 
 def minhash_index_read(
@@ -487,14 +543,37 @@ def minhash_index_read(
     return spark.table(f"{table_name}_keys_g{meta['gen']}")
 
 
+def minhash_index_read_text(spark, table_name: str) -> DataFrame:
+    """Read back the (id, text) corpus table ``minhash_index_write(...,
+    store_text=True)`` maintains — bucketed + sorted by id, the §4j
+    verify-scan mitigation's read side. Pass it as ``corpus`` to
+    ``minhash_lsh_incremental`` (with ``corpus_text_pushdown``) so the
+    candidate-text fetch never re-scans the source corpus parquet.
+    Raises if the index has no text table (built without store_text)."""
+    meta = _read_pointer(spark, f"{table_name}_meta")
+    if meta is None:
+        raise ValueError(
+            f"minhash_index_read_text: meta table {table_name + '_meta'!r}"
+            f" not found — build the index with minhash_index_write first"
+        )
+    if not bool(meta.asDict().get("store_text", False)):
+        raise ValueError(
+            f"minhash_index_read_text: index {table_name!r} was built "
+            f"without store_text=True — rebuild with store_text to get "
+            f"the bucket-local verify path"
+        )
+    return spark.table(f"{table_name}_text_g{meta['gen']}")
+
+
 def minhash_index_drop(spark, table_name: str) -> None:
     """Drop a minhash band-key index: pointer FIRST (readers fail loudly
     the instant it's gone — no window reads a half-dropped index), then
-    every generation's keys table."""
+    every generation's keys (and text, if stored) table."""
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta_prev`")
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta`")
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}_meta_staging`")
     _drop_gen_tables(spark, f"{table_name}_keys", None)
+    _drop_gen_tables(spark, f"{table_name}_text", None)
 
 
 def fingerprint_index_drop(spark, table_name: str) -> None:

@@ -1366,18 +1366,24 @@ def dedup_embedding_lsh(spark, sf_dir):
     )
 
 
-def _lloyd_fin_cte(dim: int, k_cells: int, iters: int) -> str:
+def _lloyd_fin_cte(
+    dim: int, k_cells: int, iters: int,
+    e_sql: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+) -> str:
     """Shared unrolled deterministic-Lloyd SQL prefix: CTEs ``e``
-    (vec_id, v), ``pos`` (1..dim), ``c0``..``c<iters>`` (the codebook
-    trajectory) and ``fin`` (vec_id, v, cluster) — the FINAL
-    kmeans_assign convention (argmin ROUNDED squared distance, ties to
-    the smaller cid — _assign_expr's array_min struct ordering).
-    Replays kmeans_lite value-for-value: init = the k_cells lowest-id
-    vectors HALF_UP-rounded to 6, per-iteration assignment by rounded
-    distance, per-dimension ROUNDED means, empty clusters keeping their
-    previous centroid. The same blocks as _ann_ivf_trained_oracle_sql /
-    _semantic_dedup_oracle_sql, factored for the cell-candidate miners
-    and the cell-recall contract (round 12)."""
+    (vec_id, v — from ``e_sql``, any vector source), ``pos`` (1..dim),
+    ``c0``..``c<iters>`` (the codebook trajectory) and ``fin``
+    (vec_id, v, cluster) — the FINAL kmeans_assign convention (argmin
+    ROUNDED squared distance, ties to the smaller cid —
+    _assign_expr's array_min struct ordering). Replays kmeans_lite
+    value-for-value: init = the k_cells LOWEST-id vectors (ORDER BY id
+    LIMIT k — robust to sparse id spaces, identical to vec_id <
+    k_cells on dense ones) HALF_UP-rounded to 6, per-iteration
+    assignment by rounded distance, per-dimension ROUNDED means, empty
+    clusters keeping their previous centroid. The same blocks as
+    _ann_ivf_trained_oracle_sql / _semantic_dedup_oracle_sql, factored
+    for the cell-candidate miners, the cell-recall contract, and the
+    contrastive export pipeline (round 12)."""
     it_blocks = []
     prev = "c0"
     for i in range(1, iters + 1):
@@ -1398,10 +1404,10 @@ c{i} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv
          FROM {prev} c LEFT JOIN n{i} n USING (cid))""")
         prev = f"c{i}"
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS ({e_sql}),
 pos AS (SELECT unnest(range(1, {dim} + 1)) AS p),
 c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
-       FROM e WHERE vec_id < {k_cells}),{",".join(it_blocks)},
+       FROM e ORDER BY vec_id LIMIT {k_cells}),{",".join(it_blocks)},
 fin AS (
   SELECT vec_id, v, cid AS cluster FROM (
     SELECT e.vec_id, e.v, c.cid,
@@ -1457,14 +1463,17 @@ def ann_hard_negatives(spark, sf_dir):
 
 
 def _triplet_oracle_sql(
-    dim: int = 64, k_cells: int = 16, iters: int = 2, margin: float = 0.05
+    dim: int = 64, k_cells: int = 16, iters: int = 2, margin: float = 0.05,
+    e_sql: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+    id_out: str = "vec_id",
 ) -> str:
     """DuckDB twin of contrastive_triplets on TRAINED k-means cells:
-    the unrolled Lloyd + final assignment (_lloyd_fin_cte), then both
-    argmaxes as two-step max + min-id replays, with the semi-hard
-    filter c < pos_c - margin (identical double literals, correctly
-    rounded subtraction on both engines)."""
-    return f"""{_lloyd_fin_cte(dim, k_cells, iters)},
+    the unrolled Lloyd + final assignment (_lloyd_fin_cte, over any
+    ``e_sql`` vector source), then both argmaxes as two-step max +
+    min-id replays, with the semi-hard filter c < pos_c - margin
+    (identical double literals, correctly rounded subtraction on both
+    engines)."""
+    return f"""{_lloyd_fin_cte(dim, k_cells, iters, e_sql)},
 cand AS MATERIALIZED (
   SELECT x.vec_id AS qid, y.vec_id AS nid,
          round(list_cosine_similarity(x.v, y.v), 6) AS c
@@ -1479,7 +1488,7 @@ nm AS (SELECT c.qid, max(c.c) AS nc
 neg AS (SELECT c.qid, n.nc, min(c.nid) AS nid
         FROM cand c JOIN nm n ON c.qid = n.qid AND c.c = n.nc
         GROUP BY c.qid, n.nc)
-SELECT p.qid AS vec_id, p.pid AS pos_id, p.pc AS pos_cos,
+SELECT p.qid AS {id_out}, p.pid AS pos_id, p.pc AS pos_cos,
        g.nid AS neg_id, g.nc AS neg_cos
 FROM posx p JOIN neg g ON p.qid = g.qid
 """
@@ -1610,6 +1619,73 @@ def ann_cell_recall(spark, sf_dir):
     cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=16, iters=2)
     anchors = emb.filter(F.col("vec_id") < 200)
     return sim.cell_recall_at1(emb, anchors, "vec_id", "embedding", cents)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_USER_VEC_SQL = """SELECT user_id AS vec_id, v FROM (
+  SELECT e.user_id, [{sums}] AS v
+  FROM events e CROSS JOIN (SELECT min(epoch_us(ts)) AS mn,
+                                   max(epoch_us(ts)) AS mx FROM events) b
+  WHERE epoch_us(e.ts) < b.mn + ((b.mx - b.mn) * 60) // 100
+  GROUP BY e.user_id)""".format(
+    sums=", ".join(
+        f"CAST(sum(CASE WHEN e.event_type = '{ty}' THEN 1 ELSE 0 END)"
+        f" AS DOUBLE)"
+        for ty in _EVENT_TYPES
+    )
+)
+
+
+@register("pipeline_contrastive_export", _triplet_oracle_sql(
+    dim=len(_EVENT_TYPES), k_cells=4, iters=2, margin=0.02,
+    e_sql=_USER_VEC_SQL, id_out="user_id",
+))
+def pipeline_contrastive_export(spark, sf_dir):
+    """End-to-end contrastive training-data export (VERDICT r11 item 8
+    — the H70 cascade pattern for the contrastive story): (1)
+    temporal_split_embargo gates the event stream so only the leak-safe
+    TRAIN window feeds features (test/embargo rows never touch the
+    export — the temporal analogue of decontamination); (2) per-user
+    behavior vectors — one groupBy over the train scan, 5 event-type
+    count dimensions; (3) kmeans_lite trains the candidate codebook on
+    those vectors; (4) contrastive_triplets mines (anchor, positive,
+    semi-hard negative) per user on the trained cells. ONE oracle
+    replays the whole chain — exact-integer split arithmetic, the
+    featurization, the unrolled Lloyd fixpoint, and both argmaxes — so
+    stage composition is value-proven, not per-stage. The user-vector
+    frame is pinned: kmeans_lite's bounded driver folds and the miner
+    both read it, and nothing should re-run the events scan per Lloyd
+    iteration."""
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        temporal_split_embargo,
+    )
+
+    tr = temporal_split_embargo(
+        t(spark, sf_dir, "events"), "ts", train_frac_pct=60, embargo_pct=5
+    ).filter(F.col("split") == "train")
+    uv = (
+        tr.groupBy("user_id")
+        .agg(
+            *[
+                F.sum((F.col("event_type") == ty).cast("double")).alias(
+                    f"__c{i}"
+                )
+                for i, ty in enumerate(_EVENT_TYPES)
+            ]
+        )
+        .select(
+            "user_id",
+            F.array(
+                *[F.col(f"__c{i}") for i in range(len(_EVENT_TYPES))]
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cents = sim.kmeans_lite(uv, "user_id", "v", k=4, iters=2)
+    return sim.contrastive_triplets(
+        uv, "user_id", "v", margin=0.02, cells=cents
+    )
 
 
 @register("text_fingerprint", """
@@ -8168,11 +8244,13 @@ def text_winnow_fingerprints(spark, sf_dir):
 _RW_STEPS = 3
 
 
-def _random_walks_oracle(n_steps: int) -> str:
-    """Unrolled walk replay: per step, the same md5(cur|next|step|seed)
+def _walks_cte(n_steps: int) -> str:
+    """Unrolled walk replay as a CTE prefix ending in ``walks``
+    (walk_id, step, node): per step, the same md5(cur|next|step|seed)
     min-choice over out-neighbors, with the min-next tie-break (md5
     collisions aside, a pure formality — the tie-break makes the replay
-    airtight regardless)."""
+    airtight regardless). Shared by graph_random_walks and
+    graph_walk_cooccurrence."""
     parts = ["""WITH li AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 e AS MATERIALIZED (
@@ -8193,7 +8271,12 @@ s{s} AS (SELECT c.walk_id, min(c.next) AS node
         f"SELECT walk_id, {s} AS step, node FROM s{s}"
         for s in range(n_steps + 1)
     )
-    return "".join(parts) + "\n" + sel
+    return "".join(parts) + f""",
+walks AS ({sel})"""
+
+
+def _random_walks_oracle(n_steps: int) -> str:
+    return _walks_cte(n_steps) + "\nSELECT walk_id, step, node FROM walks"
 
 
 @register("graph_random_walks", _random_walks_oracle(_RW_STEPS))
@@ -8240,6 +8323,60 @@ def graph_random_walks(spark, sf_dir):
     return random_walks(
         e1.unionByName(e2), seeds, n_steps=_RW_STEPS, seed=7
     )
+
+
+@register("graph_walk_cooccurrence", _walks_cte(_RW_STEPS) + """
+SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND abs(a.step - b.step) <= 2
+GROUP BY 1, 2
+""")
+def graph_walk_cooccurrence(spark, sf_dir):
+    """Skip-gram (center, context) pair export from random walks
+    (operators/graph.py::walk_cooccurrence, VERDICT r11 item 7):
+    DeepWalk's actual training consumable — same-walk position pairs
+    within a 2-step window, counted across walks. One equi-join on
+    walk_id (per-key groups bounded by walk length — skew-proof by
+    construction) + one count aggregation; the oracle replays the
+    walks CTE and the pair join."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        random_walks,
+        walk_cooccurrence,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    e1 = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    e2 = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    seeds = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            F.concat(
+                F.lit("o:"), F.col("o_orderkey").cast("string")
+            ).alias("node")
+        )
+    )
+    walks = random_walks(
+        e1.unionByName(e2), seeds, n_steps=_RW_STEPS, seed=7
+    )
+    return walk_cooccurrence(walks, window=2)
 
 
 # Phrase taxonomy for text_keyword_tag: 1-2 token phrases over the
@@ -8601,24 +8738,30 @@ def dedup_incremental_indexed(spark, sf_dir):
     the reference's versioned-checkpoint 'latest' discovery, reference
     train/common/checkpoint_utils.py:34-51) and the batch bands against
     that index — no corpus text scan on the banding path (plan-asserted
-    in tests/test_ingest.py); the verify stage reads corpus text for
-    candidate ids only. Must hash-match dedup_incremental_minhash's
-    recompute path — both share one oracle."""
+    in tests/test_ingest.py); the verify stage reads candidate text
+    from the index's id-sorted TEXT table via a literal-IN pushdown
+    (store_text=True + corpus_text_pushdown — the §4j mitigation,
+    round 12): row-group stats prune non-candidate groups, so neither
+    verify side re-scans the source corpus parquet. Must hash-match
+    dedup_incremental_minhash's recompute path — both share one
+    oracle."""
     docs = t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 300)
     dd.minhash_index_write(
         corpus, _stage("minhash_index_stage"), "text", "doc_id",
         num_hashes=32, bands=8, shingle_size=3, portable_seed=42,
+        store_text=True,
     )
     idx = dd.minhash_index_read(
         spark, _stage("minhash_index_stage"), num_hashes=32, bands=8,
         shingle_size=3, portable_seed=42,
     )
+    ctext = dd.minhash_index_read_text(spark, _stage("minhash_index_stage"))
     return dd.minhash_lsh_incremental(
-        corpus, batch, "text", "doc_id", num_hashes=32, bands=8,
+        ctext, batch, "text", "doc_id", num_hashes=32, bands=8,
         shingle_size=3, threshold=0.5, portable_seed=42,
-        corpus_bandkeys=idx,
+        corpus_bandkeys=idx, corpus_text_pushdown=5000,
     )
 
 

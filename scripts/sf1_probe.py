@@ -366,6 +366,7 @@ def _ingest_steady_state(spark, sf_dir):
         exact_screen_incremental,
         fingerprint_index_write,
         minhash_index_read,
+        minhash_index_read_text,
         minhash_index_write,
         minhash_lsh_incremental,
     )
@@ -377,14 +378,22 @@ def _ingest_steady_state(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     if tag not in _SS_BUILT:
-        minhash_index_write(corpus, f"mh_{tag}", "text", "doc_id")
+        minhash_index_write(
+            corpus, f"mh_{tag}", "text", "doc_id", store_text=True
+        )
         fingerprint_index_write(corpus, f"fp_{tag}", "text")
         _SS_BUILT.add(tag)
     exact = exact_screen_incremental(batch, "text", "doc_id", f"fp_{tag}")
     near = (
         minhash_lsh_incremental(
-            corpus, batch, "text", "doc_id", threshold=0.5,
+            # §4j mitigation (round 12): verify text comes from the
+            # id-sorted index text table with a literal-IN pushdown —
+            # no corpus-parquet scan remains anywhere in the per-batch
+            # steady state
+            minhash_index_read_text(spark, f"mh_{tag}"),
+            batch, "text", "doc_id", threshold=0.5,
             corpus_bandkeys=minhash_index_read(spark, f"mh_{tag}"),
+            corpus_text_pushdown=200_000,
         )
         .select(F.col("batch_id").alias("doc_id"))
         .distinct()
@@ -850,6 +859,159 @@ def _scene_cuts_probe(spark, sf_dir):
     return scene_cuts(clips, threshold=86.0)
 
 
+def _scaled_events(spark, sf_dir, mult: int):
+    """events is held constant by build_sf1 (a small dim for most
+    queries), so probes that scale ON events build the 10x stream
+    inline: id-shifted copies, identical ts range (the embargo cut is
+    range-derived, so the split fractions stay comparable)."""
+    from experimentsplan_datapipeline_spark.plans.queries import t as _t
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    if mult <= 1:
+        return ev
+    n = ev.agg(F.max("event_id")).first()[0] + 1
+    out = ev
+    for c in range(1, mult):
+        out = out.unionByName(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(c * n))
+        )
+    return out
+
+
+def _contrastive_export_probe(spark, sf_dir):
+    """The pipeline_contrastive_export chain (round 12) with the event
+    stream scaled 10x inline: temporal embargo split + per-user
+    featurization scale with the scan (one pass, one groupBy); the
+    miner runs on the fixed 150-user frame. Expected ~linear — the
+    probe isolates the leak-gated scan term."""
+    from experimentsplan_datapipeline_spark.operators import similarity as sim
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        temporal_split_embargo,
+    )
+    from pyspark.sql import functions as F
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _scaled_events(spark, sf_dir, 1 if sf_dir == SRC else 10)
+    tr = temporal_split_embargo(ev, "ts", 60, 5).filter(
+        F.col("split") == "train"
+    )
+    uv = (
+        tr.groupBy("user_id")
+        .agg(
+            *[
+                F.sum((F.col("event_type") == ty).cast("double")).alias(
+                    f"c{i}"
+                )
+                for i, ty in enumerate(types)
+            ]
+        )
+        .select(
+            "user_id",
+            F.array(*[F.col(f"c{i}") for i in range(len(types))]).alias(
+                "v"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cents = sim.kmeans_lite(uv, "user_id", "v", k=4, iters=2)
+    return sim.contrastive_triplets(uv, "user_id", "v", margin=0.02,
+                                    cells=cents)
+
+
+def _miner_cells_probe(which: str):
+    """Cell-based contrastive miner at 10x with the codebook scaled
+    k ~ sqrt(N) (the 100 TB discipline: pairs ~ N^2/k = N^1.5 total,
+    N per cell — sub-quadratic and embarrassingly parallel, vs the
+    fixed-bucket join's N^2/64). Returns a probe fn."""
+    def fn(spark, sf_dir):
+        from experimentsplan_datapipeline_spark.operators import (
+            similarity as sim,
+        )
+        from experimentsplan_datapipeline_spark.plans.queries import t as _t
+        from pyspark.sql import functions as F
+
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x.cast("double")),
+        )
+        n = emb.count()
+        k = max(16, int(n ** 0.5))
+        cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=k, iters=2)
+        if which == "hard_negatives":
+            return sim.hard_negatives(
+                emb, "vec_id", "embedding", dup_threshold=0.999,
+                cells=cents,
+            )
+        return sim.contrastive_triplets(
+            emb, "vec_id", "embedding", margin=0.05, cells=cents
+        )
+    return fn
+
+
+def _miner_candidate_growth(spark, small_dir: str, big_dir: str) -> dict:
+    """Candidate-PAIR growth of the miners' cell pass at 10x (VERDICT
+    r11 item 1's 'sub-quadratic candidate growth' evidence, measured as
+    counts, not wall-clock): with k ~ sqrt(N) the expected pair ratio
+    at 10x data is ~10^1.5 ≈ 32 (N per cell, k cells), vs ~100 for the
+    fixed-bucket join. Also reports the per-cell bound sum(|c|^2)."""
+    from experimentsplan_datapipeline_spark.operators import similarity as sim
+    from experimentsplan_datapipeline_spark.plans.queries import t as _t
+    from pyspark.sql import functions as F
+
+    out = {}
+    for tag, d in (("sf0.1", small_dir), ("sf1", big_dir)):
+        emb = _t(spark, d, "embeddings").withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x.cast("double")),
+        )
+        n = emb.count()
+        k = max(16, int(n ** 0.5))
+        cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=k, iters=2)
+        pairs = sim._miner_candidates(
+            emb, "vec_id", "embedding", 64, 6, 42, cents
+        ).count()
+        out[f"{tag}_n"] = n
+        out[f"{tag}_k"] = k
+        out[f"{tag}_pairs"] = pairs
+    out["pair_ratio"] = round(out["sf1_pairs"] / out["sf0.1_pairs"], 2)
+    return out
+
+
+def _walks_per_node_probe(spark, sf_dir):
+    """random_walks in DeepWalk's actual regime — one walk per NODE
+    (every order, ~15k at sf0.1 / ~150k at sf1), forced onto the
+    size-guarded NON-broadcast path (broadcast_threshold=0): the
+    frontier hash-joins src-keyed edges each step. Expected ~linear in
+    |nodes| (frontier rows scale, per-step join + two aggregations)."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        random_walks,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t as _t
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    e1 = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    e2 = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("dst"),
+    )
+    seeds = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias(
+            "node"
+        )
+    )
+    return random_walks(
+        e1.unionByName(e2), seeds, n_steps=3, seed=7,
+        broadcast_threshold=0,
+    )
+
+
 def _time_pair(fn, spark, small_dir: str, big_dir: str) -> dict:
     times = {}
     for tag, d in (("sf0.1_sec", small_dir), ("sf1_sec", big_dir)):
@@ -1015,6 +1177,42 @@ def main() -> None:
     if wanted("scene_cuts@sf1"):
         result["scene_cuts@sf1"] = _time_pair(
             _scene_cuts_probe, spark, SRC, out_dir
+        )
+    # round 12: the r11 tail ops (VERDICT r11 item 4) + the cell-based
+    # miners' candidate growth (item 1) + walks-per-node (item 2)
+    from experimentsplan_datapipeline_spark.plans.queries import QUERIES
+
+    if wanted("winnow@sf1"):
+        result["winnow@sf1"] = _time_pair(
+            QUERIES["text_winnow_fingerprints"], spark, SRC, out_dir
+        )
+    if wanted("entity_resolution@sf1"):
+        result["entity_resolution@sf1"] = _time_pair(
+            QUERIES["pipeline_entity_resolution"], spark, SRC, out_dir
+        )
+    if wanted("random_walks@sf1"):
+        result["random_walks@sf1"] = _time_pair(
+            QUERIES["graph_random_walks"], spark, SRC, out_dir
+        )
+    if wanted("random_walks@per_node"):
+        result["random_walks@per_node"] = _time_pair(
+            _walks_per_node_probe, spark, SRC, out_dir
+        )
+    if wanted("contrastive_export@sf1"):
+        result["contrastive_export@sf1"] = _time_pair(
+            _contrastive_export_probe, spark, SRC, out_dir
+        )
+    if wanted("hard_negatives_cells@sf1"):
+        result["hard_negatives_cells@sf1"] = _time_pair(
+            _miner_cells_probe("hard_negatives"), spark, SRC, out_dir
+        )
+    if wanted("contrastive_triplets_cells@sf1"):
+        result["contrastive_triplets_cells@sf1"] = _time_pair(
+            _miner_cells_probe("triplets"), spark, SRC, out_dir
+        )
+    if wanted("miner_candidates@growth"):
+        result["miner_candidates@growth"] = _miner_candidate_growth(
+            spark, SRC, out_dir
         )
     # round 11: the 100x steady-state probes (VERDICT r10 item 3)
     sf10_dir = os.path.join(out_dir, "sf10")

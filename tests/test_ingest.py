@@ -1657,3 +1657,95 @@ def test_compact_gc_old_false_defers_collection(spark, tmp_path):
         assert got == {10, 11, 12}
     finally:
         ingest_state_drop(spark, "t_gc_state")
+
+
+class TestTextIndexVerifyPushdown:
+    def test_text_index_pushdown_matches_recompute(self, spark):
+        """store_text=True + corpus_text_pushdown (the §4j verify-scan
+        mitigation): verifying against the id-sorted text table with the
+        literal IN pushdown gives byte-identical results to the plain
+        recompute path, and the verify plan carries a pushed id filter
+        on the text-table scan instead of a corpus-parquet scan."""
+        corpus, batch = _docs(spark)
+        minhash_index_write(
+            corpus, "t_ingest_txt", "text", "doc_id", store_text=True
+        )
+        try:
+            from experimentsplan_datapipeline_spark.operators.dedup import (
+                minhash_index_read_text,
+            )
+
+            idx = minhash_index_read(spark, "t_ingest_txt")
+            ctext = minhash_index_read_text(spark, "t_ingest_txt")
+            via_pushdown = minhash_lsh_incremental(
+                ctext, batch, "text", "doc_id", threshold=0.5,
+                corpus_bandkeys=idx, corpus_text_pushdown=1000,
+            )
+            plan = (
+                via_pushdown._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "In(doc_id" in plan or "doc_id IN" in plan, plan
+            recompute = minhash_lsh_incremental(
+                corpus, batch, "text", "doc_id", threshold=0.5
+            )
+            a = sorted(map(tuple, via_pushdown.collect()))
+            b = sorted(map(tuple, recompute.collect()))
+            assert a == b and a
+        finally:
+            minhash_index_drop(spark, "t_ingest_txt")
+
+    def test_pushdown_cap_falls_back_to_semi_join(self, spark):
+        """Candidates above the cap: identical rows via the semi-join
+        fallback (cap=1 guarantees overflow here)."""
+        corpus, batch = _docs(spark)
+        minhash_index_write(
+            corpus, "t_ingest_txt2", "text", "doc_id", store_text=True
+        )
+        try:
+            from experimentsplan_datapipeline_spark.operators.dedup import (
+                minhash_index_read_text,
+            )
+
+            idx = minhash_index_read(spark, "t_ingest_txt2")
+            ctext = minhash_index_read_text(spark, "t_ingest_txt2")
+            capped = minhash_lsh_incremental(
+                ctext, batch, "text", "doc_id", threshold=0.5,
+                corpus_bandkeys=idx, corpus_text_pushdown=1,
+            )
+            recompute = minhash_lsh_incremental(
+                corpus, batch, "text", "doc_id", threshold=0.5
+            )
+            assert sorted(map(tuple, capped.collect())) == sorted(
+                map(tuple, recompute.collect())
+            )
+        finally:
+            minhash_index_drop(spark, "t_ingest_txt2")
+
+    def test_text_append_grows_and_plain_index_refuses_read_text(
+        self, spark
+    ):
+        """Append mode grows the text table alongside the keys; an index
+        built without store_text raises loudly on read_text."""
+        import pytest as _pytest
+
+        corpus, batch = _docs(spark)
+        minhash_index_write(
+            corpus, "t_ingest_txt3", "text", "doc_id", store_text=True
+        )
+        minhash_index_write(corpus, "t_ingest_plain", "text", "doc_id")
+        try:
+            from experimentsplan_datapipeline_spark.operators.dedup import (
+                minhash_index_read_text,
+            )
+
+            n0 = minhash_index_read_text(spark, "t_ingest_txt3").count()
+            minhash_index_write(
+                batch, "t_ingest_txt3", "text", "doc_id", mode="append"
+            )
+            n1 = minhash_index_read_text(spark, "t_ingest_txt3").count()
+            assert n1 == n0 + batch.count()
+            with _pytest.raises(ValueError, match="store_text"):
+                minhash_index_read_text(spark, "t_ingest_plain")
+        finally:
+            minhash_index_drop(spark, "t_ingest_txt3")
+            minhash_index_drop(spark, "t_ingest_plain")

@@ -1453,3 +1453,70 @@ def test_random_walks_deterministic_path_and_sink_dropout(spark):
             ).collect()
         }
         assert got == want, f"parts={parts}"
+
+
+def test_random_walks_multi_walk_and_size_guarded_frontier(spark):
+    """walks_per_seed fans each seed into gamma walks: walk 0 replays
+    the single-walk path bit-for-bit (salt = seed + 0), walk ids are
+    node#w, and results are identical whether the frontier broadcasts
+    or hash-joins (broadcast_threshold=0 forces the non-broadcast path
+    — the draw is hash-determined, plan-independent)."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        random_walks,
+    )
+
+    edges = [
+        ("a", "b"), ("a", "c"),
+        ("b", "d"), ("b", "e"),
+        ("c", "a"), ("d", "a"), ("e", "a"),
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    single = {
+        (r.step, r.node)
+        for r in random_walks(e, seeds, n_steps=3, seed=7).collect()
+    }
+    multi = random_walks(
+        e, seeds, n_steps=3, seed=7, walks_per_seed=3
+    ).collect()
+    ids = {r.walk_id for r in multi}
+    assert ids == {"a#0", "a#1", "a#2"}
+    walk0 = {(r.step, r.node) for r in multi if r.walk_id == "a#0"}
+    assert walk0 == single
+    # every walk visits 4 steps (graph has no sinks)
+    for wid in ids:
+        assert len([r for r in multi if r.walk_id == wid]) == 4
+    # non-broadcast path: identical output
+    guarded = {
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(
+            e, seeds, n_steps=3, seed=7, walks_per_seed=3,
+            broadcast_threshold=0,
+        ).collect()
+    }
+    assert guarded == {(r.walk_id, r.step, r.node) for r in multi}
+
+
+def test_walk_step_plan_no_broadcast_when_guarded(spark):
+    """The frontier expansion join must NOT plan a broadcast when the
+    caller's size guard says the frontier is too big (VERDICT r11 item
+    2: a walks-per-node frontier broadcast OOMs executors), and must
+    broadcast when it fits."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        _walk_step,
+    )
+
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    cur = spark.createDataFrame(
+        [("a", 0, "a")], ["walk_id", "__w", "node"]
+    )
+    plan_nb = (
+        _walk_step(cur, e, 1, 7, "walk_id", use_broadcast=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" not in plan_nb, plan_nb
+    plan_b = (
+        _walk_step(cur, e, 1, 7, "walk_id", use_broadcast=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in plan_b, plan_b

@@ -217,16 +217,21 @@ class TestRound9PlanShapes:
         """The steady-state gate's final plan: the band join is pinned
         (Scan ExistingRDD — it ran once in the checkpoint's own job,
         reading the stage table; asserted against the unpinned lineage
-        in tests/test_ingest.py), so the only documents scans left are
-        the two candidate-pruned verify reads, each above a LeftSemi."""
+        in tests/test_ingest.py). r12 (§4j mitigation): the CORPUS
+        verify side reads the index's id-sorted TEXT table through a
+        literal IN pushdown — no LeftSemi and no documents scan at all
+        on that side — so at most ONE documents scan remains (the
+        batch side, still a candidate-pruned LeftSemi)."""
         plan = _plan(spark, "dedup_incremental_indexed")
         assert "Scan ExistingRDD" in plan  # pinned candidates
         doc_scans = [
             ln for ln in plan.splitlines()
             if "FileScan" in ln and "documents" in ln
         ]
-        assert len(doc_scans) <= 2, f"{len(doc_scans)} documents scans"
-        assert plan.count("LeftSemi") >= 2  # candidate-only verify
+        assert len(doc_scans) <= 1, f"{len(doc_scans)} documents scans"
+        assert plan.count("LeftSemi") >= 1  # batch-side candidate prune
+        # the pushed literal id filter on the corpus text-table scan
+        assert "In(doc_id" in plan or "doc_id IN" in plan, plan
 
     def test_cdc_chunking_one_window_bounded_exchanges(self, spark):
         """CDC chunking is one high-cardinality-keyed window pass (lag +
