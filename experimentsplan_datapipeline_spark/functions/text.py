@@ -92,15 +92,28 @@ def doc_fingerprint(text: Column | str) -> Column:
 
 
 def ngrams(text: Column | str, n: int = 3) -> Column:
-    """Word n-grams as an array<string> (for Jaccard / MinHash shingles)."""
+    """Word n-grams as an array<string> (for Jaccard / MinHash shingles).
+
+    The token array is bound as a LAMBDA VARIABLE (transform over a
+    one-element array) before the sliding window reads it: a bare
+    column expression inlines into every use site (CollapseProject +
+    no subexpression elimination inside interpreted higher-order
+    lambdas), so the naive form re-ran the regex SPLIT once PER GRAM —
+    O(L²) character work per row across the whole MinHash/Jaccard
+    family (r12 finding, same disease as winnow_fingerprints)."""
     toks = F.split(F.trim(_c(text)), r"\s+")
     # slide a window of n over the token array with transform+slice;
     # sequence(1, k) is descending for k<1, so guard the empty case.
     count = F.size(toks) - F.lit(n - 1)
     return F.when(count < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        F.flatten(
+            F.transform(
+                F.array(toks),
+                lambda tk: F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+                ),
+            )
         )
     )
 

@@ -610,20 +610,42 @@ def random_walks(
             "node",
         )
     use_broadcast = cur.count() <= broadcast_threshold
+    edges_j = edges
+    persisted = None
+    if not use_broadcast:
+        # hash-join regime: co-locate edges by src ONCE. cache (not
+        # localCheckpoint) because InMemoryRelation keeps the
+        # outputPartitioning visible to the optimizer — every step then
+        # shuffles only the frontier, where an unpinned edge frame
+        # would re-scan + re-shuffle the full edge table per step
+        # (measured: 332 s/step on the 12M-edge 10x probe graph) and a
+        # checkpoint would erase the partitioning and re-exchange it.
+        # On a real cluster, bucket edges by src at ingest instead.
+        persisted = edges.repartition("src").persist()
+        edges_j = persisted
     out = [cur.withColumn("step", F.lit(0))]
     for s in range(1, n_steps + 1):
-        cand = _walk_step(cur, edges, s, seed, walk_col, use_broadcast)
-        m = cand.groupBy(walk_col).agg(F.min("h").alias("h"))
+        cand = _walk_step(cur, edges_j, s, seed, walk_col, use_broadcast)
+        # ONE map-side-combinable aggregation draws the step:
+        # min(struct(h, next)) IS (min h, then min next at that h) —
+        # lexicographic struct order — so the old min-h + join-back +
+        # min-next shape (three shuffles of the candidate frame per
+        # step) collapses to one (r12; the per-node 10x probe exposed
+        # the difference at 1.5M walkers x 12M edges).
         # pin each frontier: step s+1 and the final union both re-read it,
         # and without truncation the union replays every earlier step's
         # joins per branch — O(steps^2) shuffles (the resolve_duplicate_
         # clusters lineage discipline; the frame is |walks| rows)
         cur = (
-            cand.join(m, [walk_col, "h"])
-            .groupBy(walk_col, "__w")  # __w rides along (1:1 with walk_id)
-            .agg(F.min("next").alias("node"))
+            cand.groupBy(walk_col, "__w")  # __w rides along (1:1 walk_id)
+            .agg(F.min(F.struct("h", "next")).alias("__hn"))
+            .select(walk_col, "__w", F.col("__hn.next").alias("node"))
         ).localCheckpoint(eager=True)
         out.append(cur.withColumn("step", F.lit(s)))
+    if persisted is not None:
+        # every frontier was eagerly checkpointed above — the returned
+        # union never re-reads the edge cache
+        persisted.unpersist()
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)

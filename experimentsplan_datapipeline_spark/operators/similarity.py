@@ -237,6 +237,109 @@ def _assign_expr(vec, cents: list[tuple[int, list[float]]]):
     return F.array_min(scored)["cid"]
 
 
+def _assign_topn_expr(vec, cents: list[tuple[int, list[float]]], n: int):
+    """Top-n nearest cluster ids (multi-probe assignment): same rounded
+    distances and smaller-cid tie-break as ``_assign_expr`` (whose
+    result is always element 1), as an n-element array."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _sq_dist(vec, F.lit([float(x) for x in c])), 6
+                ).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, c in cents
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, int(n)), lambda s: s["cid"]
+    )
+
+
+# Above this codebook size, assignment switches from the literal
+# expression to the broadcast-table join: the k x dim literal tree makes
+# Catalyst analysis/optimization superlinear in k — at the corpus-scaled
+# discipline (k ~ sqrt(N); k=141 on the 10x probe corpus) PLANNING
+# dominates execution by minutes. Small codebooks keep the zero-shuffle
+# expression.
+_ASSIGN_EXPR_MAX_K = 32
+
+
+def _assign_join(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    n_probe: int = 1,
+) -> DataFrame:
+    """Cluster assignment via a BROADCAST CENTROID TABLE — the large-k
+    path (see _ASSIGN_EXPR_MAX_K). Rows cross the broadcast codebook
+    (N x k distance evals — the same flops the literal expression
+    pays, but the plan stays O(1) in k) and the per-row argmin is one
+    map-side-combinable min(struct(d, cid)) groupBy — partial
+    aggregation collapses each partition to ~rows, so the shuffle
+    carries N rows, not N x k. Identical convention to _assign_expr:
+    distances ROUNDED to 6, ties to the smaller cid (and the same
+    top-n ordering as _assign_topn_expr for n_probe > 1).
+
+    Returns (id_col, vec_col, __bucket): one row per input row, or
+    n_probe rows (one per probed cell) when n_probe > 1. Requires
+    unique ids (every caller's frames have them).
+    """
+    spark = df.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+            "cid int, cv array<double>",
+        )
+    )
+    d = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.col("cv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(cdf)
+        .select(
+            id_col,
+            vec_col,
+            F.struct(d.alias("d"), F.col("cid")).alias("__s"),
+        )
+    )
+    if n_probe == 1:
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.any_value(F.col(vec_col)).alias(vec_col),
+                F.min("__s").alias("__m"),
+            )
+            .select(id_col, vec_col, F.col("__m.cid").alias("__bucket"))
+        )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.any_value(F.col(vec_col)).alias(vec_col),
+            F.slice(
+                F.array_sort(F.collect_list("__s")), 1, int(n_probe)
+            ).alias("__ms"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            F.explode(
+                F.transform("__ms", lambda s: s["cid"])
+            ).alias("__bucket"),
+        )
+    )
+
+
 def kmeans_lite(
     df: DataFrame,
     id_col: str,
@@ -269,10 +372,18 @@ def kmeans_lite(
         for r in init
     ]
     for _ in range(iters):
-        assigned = df.select(
-            F.col(vec_col).alias("v"),
-            _assign_expr(F.col(vec_col), cents).alias("cluster"),
-        )
+        if k > _ASSIGN_EXPR_MAX_K:
+            # large-k path: literal codebooks make Catalyst planning
+            # superlinear in k (see _assign_join) — at the k ~ sqrt(N)
+            # discipline the training loop must use the table join
+            assigned = _assign_join(df, id_col, vec_col, cents, 1).select(
+                F.col(vec_col).alias("v"), F.col("__bucket").alias("cluster")
+            )
+        else:
+            assigned = df.select(
+                F.col(vec_col).alias("v"),
+                _assign_expr(F.col(vec_col), cents).alias("cluster"),
+            )
         means = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -296,7 +407,14 @@ def kmeans_assign(
     vec_col: str,
     cents: list[tuple[int, list[float]]],
 ) -> DataFrame:
-    """(id, cluster) assignment under a trained codebook (broadcast argmin)."""
+    """(id, cluster) assignment under a trained codebook: broadcast
+    argmin expression for small codebooks, broadcast-table join above
+    _ASSIGN_EXPR_MAX_K (identical rounded-distance/min-cid convention;
+    see _assign_join for why)."""
+    if len(cents) > _ASSIGN_EXPR_MAX_K:
+        return _assign_join(df, id_col, vec_col, cents, 1).select(
+            F.col(id_col), F.col("__bucket").alias("cluster")
+        )
     return df.select(
         F.col(id_col), _assign_expr(F.col(vec_col), cents).alias("cluster")
     )
@@ -1443,17 +1561,20 @@ def cell_recall_at1(
     id_col: str,
     vec_col: str,
     cells: list[tuple[int, list[float]]],
+    n_probe: int = 1,
 ) -> DataFrame:
     """Candidate-RECALL contract for trained k-means cells — the
     companion to ``bucket_recall_at1`` proving the miners' 100 TB
     candidate pass (``_miner_candidates(cells=...)``) actually admits
     true neighbors: fraction of anchors whose EXACT cosine top-1 over
-    the corpus lands in the anchor's own cell. Same shape: bounded
-    anchor sample broadcast against one corpus scan, assignment
-    (broadcast argmin expression) computed once per row per side, one
-    map-side-combinable argmax.
+    the corpus is ASSIGNED to one of the anchor's ``n_probe`` nearest
+    cells (IVF multi-probe semantics — n_probe=1 is "shares the
+    anchor's own cell"). Same shape: bounded anchor sample broadcast
+    against one corpus scan, assignment (broadcast argmin / top-n
+    expression) computed once per row per side, one
+    map-side-combinable argmax with the flag riding below the id.
 
-    Returns one row: (k_cells, n_anchors, recall_at_1).
+    Returns one row: (k_cells, n_probe, n_anchors, recall_at_1).
     """
     from experimentsplan_datapipeline_spark.functions.vectors import (
         cosine_similarity,
@@ -1463,7 +1584,9 @@ def cell_recall_at1(
         anchors.select(
             F.col(id_col).alias("__qid"),
             F.col(vec_col).alias("__qvec"),
-            _assign_expr(F.col(vec_col), cells).alias("__qc"),
+            _assign_topn_expr(F.col(vec_col), cells, n_probe).alias(
+                "__qprobes"
+            ),
         )
     )
     b = corpus.select(
@@ -1479,12 +1602,15 @@ def cell_recall_at1(
                 cosine_similarity(F.col("__qvec"), F.col("__nvec")), 6
             )).alias("nc"),
             F.col("__nid").alias("n"),
-            (F.col("__qc") == F.col("__nc_cell")).cast("int").alias("eq"),
+            F.array_contains(F.col("__qprobes"), F.col("__nc_cell"))
+            .cast("int")
+            .alias("eq"),
         ).alias("s"),
     )
     top = sel.groupBy("__qid").agg(F.min("s").alias("m"))
     return top.agg(
         F.lit(len(cells)).alias("k_cells"),
+        F.lit(int(n_probe)).alias("n_probe"),
         F.count(F.lit(1)).alias("n_anchors"),
         F.round(F.avg(F.col("m.eq")), 6).alias("recall_at_1"),
     )
@@ -1511,6 +1637,7 @@ def _miner_candidates(
     n_planes: int,
     seed: int,
     cells: list[tuple[int, list[float]]] | None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Shared candidate frame for the contrastive miners: (qid, nid, c)
     — same-bucket pairs with their ROUNDED cosine. Bucket = trained
@@ -1526,21 +1653,51 @@ def _miner_candidates(
     fine for bounded corpora, quadratic at scale (and raising n_planes
     splits true neighbors — see ``ann_bucket_recall``'s measured
     recall-vs-planes contract); pass ``cells`` beyond ~1M vectors.
+
+    ``n_probe`` (cells only, IVF multi-probe semantics): each QUERY
+    vector probes its ``n_probe`` nearest cells, candidates stay the
+    vectors ASSIGNED to each probed cell — a query-side explode to
+    n_probe rows feeding the same equi-join (no non-equi condition,
+    no nested loop), so candidates grow ~n_probe-fold linearly while
+    recall rises (measured: ``ann_cell_recall`` vs its probe-2 twin).
+    A pair can never duplicate: the neighbor has ONE assigned cell.
     """
     from experimentsplan_datapipeline_spark.functions.vectors import (
         cosine_similarity,
     )
 
-    if cells is not None:
-        bucket = _assign_expr(F.col(vec_col), cells)
+    if cells is None and n_probe != 1:
+        raise ValueError("n_probe > 1 requires a trained codebook (cells)")
+    if cells is not None and len(cells) > _ASSIGN_EXPR_MAX_K:
+        # large-k path: broadcast-table assignment keeps the plan O(1)
+        # in k (see _assign_join)
+        base = _assign_join(df, id_col, vec_col, cells, 1)
+        probe_side = (
+            base
+            if n_probe == 1
+            else _assign_join(df, id_col, vec_col, cells, n_probe)
+        )
     else:
-        planes = fixed_hyperplanes(dim, n_planes, seed)
-        bucket = _hyperplane_bucket(F.col(vec_col), planes)
-    base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "__bucket", bucket
-    )
+        if cells is not None:
+            bucket = _assign_expr(F.col(vec_col), cells)
+        else:
+            planes = fixed_hyperplanes(dim, n_planes, seed)
+            bucket = _hyperplane_bucket(F.col(vec_col), planes)
+        base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+            "__bucket", bucket
+        )
+        if n_probe > 1:
+            probe_side = df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.explode(
+                    _assign_topn_expr(F.col(vec_col), cells, n_probe)
+                ).alias("__bucket"),
+            )
+        else:
+            probe_side = base
     return (
-        base.alias("a")
+        probe_side.alias("a")
         .join(
             base.alias("b"),
             (F.col("a.__bucket") == F.col("b.__bucket"))
@@ -1580,6 +1737,7 @@ def hard_negatives(
     seed: int = 42,
     dup_threshold: float = 0.999,
     cells: list[tuple[int, list[float]]] | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: each vector's most
     similar NON-duplicate neighbor (cosine below ``dup_threshold`` —
@@ -1602,7 +1760,7 @@ def hard_negatives(
     least one same-bucket non-duplicate neighbor.
     """
     cand = _miner_candidates(
-        df, id_col, vec_col, dim, n_planes, seed, cells
+        df, id_col, vec_col, dim, n_planes, seed, cells, n_probe
     ).filter(F.col("c") < float(dup_threshold))
     mx = cand.groupBy("qid").agg(_argmax_neighbor("m"))
     return mx.select(
@@ -1621,6 +1779,7 @@ def contrastive_triplets(
     seed: int = 42,
     margin: float = 0.05,
     cells: list[tuple[int, list[float]]] | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """(anchor, positive, semi-hard negative) triplet mining — the
     training-data export for contrastive/metric learning. Positive =
@@ -1647,7 +1806,7 @@ def contrastive_triplets(
     semi-hard negative in their bucket).
     """
     cand = _miner_candidates(
-        df, id_col, vec_col, dim, n_planes, seed, cells
+        df, id_col, vec_col, dim, n_planes, seed, cells, n_probe
     ).localCheckpoint()
     pos = cand.groupBy("qid").agg(_argmax_neighbor("p"))
     neg = (

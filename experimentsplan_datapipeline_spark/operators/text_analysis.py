@@ -729,39 +729,54 @@ def winnow_fingerprints(
     zero-padded (10^9 - pos), so the lexicographic min is (min hash,
     max pos)) — valid for documents under 10^9 tokens.
 
+    The KEYED gram array is bound as a one-element-array lambda
+    variable (``transform(array(<grams>), gs -> ...)``) rather than a
+    named projection column: CollapseProject inlines a deterministic
+    projection into every use site, so the naive two-projection form
+    re-evaluated the full tokenize+md5 gram array PER WINDOW — an
+    O(L² · k) blowup that made a 5k-doc pass take 9 minutes (found by
+    the r12 10x probe). A lambda variable is evaluated once per row by
+    construction; same values, same zero-shuffle plan, O(L · w).
+
     Returns (id, pos, fp): the 1-based gram position and the k-gram md5
     of each selected fingerprint. Join fp across documents for
     guaranteed-recall plagiarism/overlap candidates.
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be positive")
-    base = df.select(
+    from experimentsplan_datapipeline_spark.operators.util import (
+        spread_small_input,
+    )
+
+    # hash-heavy per-row stage: re-spread a 1-2-partition local input
+    # (no-op on a well-partitioned production scan)
+    base = spread_small_input(df).select(
         F.col(id_col),
         F.filter(_tokens(text_col), lambda x: x != "").alias("__tk"),
     )
-    grams = F.when(
-        F.size("__tk") - F.lit(k - 1) < 1,
-        F.expr("cast(array() as array<struct<pos:int, h:string>>)"),
-    ).otherwise(
-        F.expr(
-            f"transform(sequence(1, size(__tk) - {k - 1}),"
-            f" i -> struct(cast(i as int) as pos,"
-            f" md5(concat_ws(' ', slice(__tk, i, {k}))) as h))"
-        )
+    # keys = md5(gram) || lpad(1e9 - pos): min == (min hash, max pos).
+    # BOTH the token array and the key array are bound as lambda
+    # variables (tk, gs) — a bare column reference would inline the
+    # tokenization into the per-gram slice and the gram build into the
+    # per-window slice (CollapseProject), re-evaluating each O(L) array
+    # O(L) times.
+    keys_expr = (
+        f"transform(sequence(1, size(tk) - {k - 1}),"
+        f" i -> concat(md5(concat_ws(' ', slice(tk, i, {k}))),"
+        f" lpad(cast(1000000000 - i as string), 10, '0')))"
     )
-    g = base.withColumn("__grams", grams)
     wins = F.when(
-        F.size("__grams") - F.lit(w - 1) < 1,
+        F.size("__tk") - F.lit(k + w - 2) < 1,
         F.expr("cast(array() as array<string>)"),
     ).otherwise(
         F.expr(
-            f"transform(sequence(1, size(__grams) - {w - 1}),"
-            f" j -> array_min(transform(slice(__grams, j, {w}),"
-            f" x -> concat(x.h,"
-            f" lpad(cast(1000000000 - x.pos as string), 10, '0')))))"
+            f"flatten(transform(array(__tk), tk ->"
+            f" flatten(transform(array({keys_expr}),"
+            f" gs -> transform(sequence(1, size(gs) - {w - 1}),"
+            f" j -> array_min(slice(gs, j, {w})))))))"
         )
     )
-    sel = g.withColumn("__sel", F.array_distinct(wins)).select(
+    sel = base.withColumn("__sel", F.array_distinct(wins)).select(
         F.col(id_col), F.explode("__sel").alias("__s")
     )
     return sel.select(

@@ -859,6 +859,60 @@ def _scene_cuts_probe(spark, sf_dir):
     return scene_cuts(clips, threshold=86.0)
 
 
+def _er_docs(spark, sf_dir):
+    """Entity-resolution cascade over the SCALED documents table (the
+    registered pipeline_entity_resolution scans `part`, which the 10x
+    builder holds constant — its flat ratio is vacuous): entity name =
+    16-char text prefix + the doc id (names mostly unique with shared
+    leading grams — the realistic master-data regime; a bare shuffled-
+    text prefix makes EVERY q-gram corpus-frequent, the known
+    adversarial input for any Ed-Join-family blocker, and measures
+    pair blowup rather than scaling). Same Ed-Join blocking ->
+    connected components -> survivorship chain as the registered
+    query."""
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        editdist_prefix_join,
+        resolve_duplicate_clusters,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+    from pyspark.sql import functions as F
+
+    u = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.concat_ws(
+                " ", F.substring("text", 1, 16), F.col("doc_id")
+            ).alias("name"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("name")
+        .agg(
+            F.min("doc_id").alias("pid"),
+            F.min("n_chars").alias("price"),
+        )
+    )
+    # q=4: Ed-Join's candidate growth is governed by gram-bucket
+    # occupancy N/|gram vocab| — at q=2 the id digits give a ~100-value
+    # vocab whose buckets grow linearly with N (candidates quadratic:
+    # measured 29.8x wall at 10x); q=4 grams are selective enough that
+    # buckets stay bounded. Raising q with the corpus is the standard
+    # Ed-Join selectivity dial (soundness needs len >= q*d + q - 1 —
+    # these names are ~22 chars, fine for d=2).
+    pairs = editdist_prefix_join(u, "name", "pid", q=4, max_dist=2)
+    clusters = resolve_duplicate_clusters(u, pairs, "pid")
+    memb = clusters.join(u, "pid")
+    agg1 = memb.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("n_members"), F.min("price").alias("mp")
+    )
+    return (
+        memb.join(agg1, "rep_id")
+        .filter(F.col("price") == F.col("mp"))
+        .groupBy("rep_id", "n_members", "mp")
+        .agg(F.min("pid").alias("canonical_pid"))
+    )
+
+
 def _scaled_events(spark, sf_dir, mult: int):
     """events is held constant by build_sf1 (a small dim for most
     queries), so probes that scale ON events build the 10x stream
@@ -1190,6 +1244,8 @@ def main() -> None:
         result["entity_resolution@sf1"] = _time_pair(
             QUERIES["pipeline_entity_resolution"], spark, SRC, out_dir
         )
+    if wanted("er_docs@sf1"):
+        result["er_docs@sf1"] = _time_pair(_er_docs, spark, SRC, out_dir)
     if wanted("random_walks@sf1"):
         result["random_walks@sf1"] = _time_pair(
             QUERIES["graph_random_walks"], spark, SRC, out_dir

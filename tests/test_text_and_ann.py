@@ -1897,3 +1897,75 @@ def test_recall_contracts_bounds_and_perfect_case(spark):
     assert sorted(x.n_planes for x in br) == [1, 2]
     for x in br:
         assert 0.0 <= x.recall_at_1 <= 1.0 and x.n_anchors == 4
+
+
+def test_assign_join_path_matches_expression_path(spark, monkeypatch):
+    """The large-k broadcast-table assignment (_assign_join) must agree
+    with the literal-expression path value-for-value — same rounded
+    distances, same min-cid tie-break, same top-n probe order — for
+    kmeans_lite training, kmeans_assign, the miners, and n_probe
+    explodes. Forced via the threshold so the test runs on small k."""
+    import math
+
+    from experimentsplan_datapipeline_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.7 + d) + (0.1 * (i % 3)) for d in range(8)])
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents_expr = sim.kmeans_lite(emb, "vec_id", "embedding", k=5, iters=2)
+    hn_expr = sorted(
+        map(
+            tuple,
+            sim.hard_negatives(
+                emb, "vec_id", "embedding", cells=cents_expr
+            ).collect(),
+        )
+    )
+    assign_expr = sorted(
+        map(
+            tuple,
+            sim.kmeans_assign(emb, "vec_id", "embedding", cents_expr)
+            .collect(),
+        )
+    )
+    probe2_expr = sorted(
+        map(
+            tuple,
+            sim._miner_candidates(
+                emb, "vec_id", "embedding", 8, 0, 42, cents_expr, 2
+            ).collect(),
+        )
+    )
+    monkeypatch.setattr(sim, "_ASSIGN_EXPR_MAX_K", 0)
+    cents_join = sim.kmeans_lite(emb, "vec_id", "embedding", k=5, iters=2)
+    assert cents_join == cents_expr  # training fixpoint identical
+    hn_join = sorted(
+        map(
+            tuple,
+            sim.hard_negatives(
+                emb, "vec_id", "embedding", cells=cents_join
+            ).collect(),
+        )
+    )
+    assign_join = sorted(
+        map(
+            tuple,
+            sim.kmeans_assign(emb, "vec_id", "embedding", cents_join)
+            .collect(),
+        )
+    )
+    probe2_join = sorted(
+        map(
+            tuple,
+            sim._miner_candidates(
+                emb, "vec_id", "embedding", 8, 0, 42, cents_join, 2
+            ).collect(),
+        )
+    )
+    assert hn_join == hn_expr and hn_expr
+    assert assign_join == assign_expr
+    assert probe2_join == probe2_expr and probe2_expr
