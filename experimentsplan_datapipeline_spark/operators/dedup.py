@@ -285,6 +285,10 @@ def minhash_lsh_incremental(
     non-candidate groups, making the verify read candidate-bounded at
     ANY corpus size. If the candidate set exceeds N, falls back to the
     semi join (identical output either way — the same rows survive).
+    NOTE: ``corpus_text_pushdown > 0`` makes this builder EAGER — the
+    candidate-id collect runs one Spark job at frame-construction time
+    (the candidate frame is pinned first, so the band join runs once,
+    not once for the collect and again for the verify lineage).
     """
     bb = minhash_bandkeys(
         batch, text_col, id_col, num_hashes, bands, shingle_size,
@@ -310,11 +314,14 @@ def minhash_lsh_incremental(
         )
         .distinct()
     )
-    if materialize_candidates:
+    if materialize_candidates or corpus_text_pushdown > 0:
         # reused three times below (two semi-join prunes + the verify
         # join); materialize once instead of re-running the band join.
-        # False keeps the full lineage visible (plan tests); at cluster
-        # scale swap for a parquet stage pin for executor-loss durability
+        # False keeps the full lineage visible (plan tests) — UNLESS the
+        # pushdown path's eager c_ids collect is about to run the band
+        # join anyway, in which case skipping the pin would run it twice
+        # (once for the collect, again for the verify lineage). At
+        # cluster scale swap for a parquet stage pin for durability.
         cand = cand.localCheckpoint(eager=False)
     b_ids = cand.select(F.col("batch_id").alias(id_col)).distinct()
     c_ids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
@@ -395,7 +402,7 @@ def minhash_index_write(
     corpus: DataFrame, table_name: str, text_col: str, id_col: str,
     num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
     portable_seed: int | None = None, n_buckets: int = 16,
-    mode: str = "overwrite", store_text: bool = False,
+    mode: str = "overwrite", store_text: bool | None = None,
 ) -> None:
     """Persist the corpus LSH band keys as a BUCKETED stage table — the
     steady-state half of the incremental ingest gate. The corpus is
@@ -438,9 +445,18 @@ def minhash_index_write(
     ``minhash_lsh_incremental(corpus_text_pushdown=...)`` skips
     non-candidate row groups entirely, making the verify read
     candidate-bounded instead of corpus-bounded. An append with
-    store_text appends the batch rows (retry-safe for the same reason
-    as the band keys: a duplicate (id, text) row cannot change a
-    verify join's verdict — same jaccard, deduped pair output).
+    store_text appends the batch rows; a crashed-then-retried append
+    leaves duplicate (id, text) rows in the table, which would multiply
+    verify-join output pairs — ``minhash_index_read_text`` therefore
+    dedups on id at read time (ADVICE r12), restoring one verify row
+    per (batch_id, corpus_id) regardless of retries.
+
+    ``store_text`` in append mode: the persisted meta flag decides
+    whether text rows are appended; passing ``store_text`` explicitly
+    on append RAISES if it disagrees with the flag (ADVICE r12 —
+    appending store_text=True to a text-less index would otherwise
+    silently write nothing and only fail later at read_text). Leave it
+    ``None`` on append to follow the index.
     """
     from experimentsplan_datapipeline_spark.sources.sinks import write_bucketed
 
@@ -470,17 +486,28 @@ def minhash_index_write(
                 f" cannot append with {params} — mismatched banding params "
                 f"would silently miss near-duplicates"
             )
+        stored_text = bool(meta.asDict().get("store_text", False))
+        if store_text is not None and bool(store_text) != stored_text:
+            raise ValueError(
+                f"minhash_index_write: index {table_name!r} was built with "
+                f"store_text={stored_text} but append was called with "
+                f"store_text={bool(store_text)} — the persisted flag decides"
+                f" what an append writes, so the explicit argument would be "
+                f"silently ignored; pass store_text=None (default) to follow"
+                f" the index, or rebuild with mode='overwrite'"
+            )
         write_bucketed(
             bk, f"{table_name}_keys_g{meta['gen']}", ["key"], n_buckets,
             mode="append",
         )
-        if bool(meta.asDict().get("store_text", False)):
+        if stored_text:
             write_bucketed(
                 corpus.select(F.col(id_col), F.col(text_col)),
                 f"{table_name}_text_g{meta['gen']}", [id_col], n_buckets,
                 sort_cols=[id_col], mode="append",
             )
         return
+    store_text = bool(store_text)  # None (follow-the-index sentinel) == False
     new_gen = (meta["gen"] + 1) if meta is not None else 0
     write_bucketed(
         bk, f"{table_name}_keys_g{new_gen}", ["key"], n_buckets,
@@ -549,7 +576,14 @@ def minhash_index_read_text(spark, table_name: str) -> DataFrame:
     verify-scan mitigation's read side. Pass it as ``corpus`` to
     ``minhash_lsh_incremental`` (with ``corpus_text_pushdown``) so the
     candidate-text fetch never re-scans the source corpus parquet.
-    Raises if the index has no text table (built without store_text)."""
+    Raises if the index has no text table (built without store_text).
+
+    Dedups on the id column (the table's first column) at read time
+    (ADVICE r12): a crashed-then-retried append leaves duplicate
+    (id, text) rows, and a duplicate corpus row would MULTIPLY the
+    verify join's output pairs (same jaccard, repeated row). The table
+    is bucketed+sorted by id, so the dropDuplicates aggregates
+    bucket-locally — no extra shuffle at scale."""
     meta = _read_pointer(spark, f"{table_name}_meta")
     if meta is None:
         raise ValueError(
@@ -562,7 +596,8 @@ def minhash_index_read_text(spark, table_name: str) -> DataFrame:
             f"without store_text=True — rebuild with store_text to get "
             f"the bucket-local verify path"
         )
-    return spark.table(f"{table_name}_text_g{meta['gen']}")
+    t = spark.table(f"{table_name}_text_g{meta['gen']}")
+    return t.dropDuplicates([t.columns[0]])
 
 
 def minhash_index_drop(spark, table_name: str) -> None:

@@ -357,6 +357,16 @@ def kmeans_lite(
     which pins the fixpoint across engines (sum-order float noise cannot
     flip an assignment). Driver holds only the k x dim codebook — the
     corpus never leaves executors.
+
+    REQUIRES UNIQUE ``id_col`` values (ADVICE r12): the large-k training
+    path (k > _ASSIGN_EXPR_MAX_K) assigns via ``_assign_join``, whose
+    per-row argmin is a groupBy(id) — duplicate-id rows collapse to one
+    before the cluster means, while the small-k expression path keeps
+    every row, so a non-unique id would train a DIFFERENT codebook
+    depending on which side of the k threshold you're on. Every caller
+    in this repo feeds primary-key frames; if yours doesn't, assign a
+    surrogate (e.g. ``monotonically_increasing_id``) first. The same
+    requirement applies to ``kmeans_assign``.
     """
     init = (
         df.orderBy(id_col)
@@ -410,7 +420,10 @@ def kmeans_assign(
     """(id, cluster) assignment under a trained codebook: broadcast
     argmin expression for small codebooks, broadcast-table join above
     _ASSIGN_EXPR_MAX_K (identical rounded-distance/min-cid convention;
-    see _assign_join for why)."""
+    see _assign_join for why). Requires unique ``id_col`` values — the
+    large-k path groupBys on id, so duplicate-id rows collapse to one
+    assignment row there but not on the small-k expression path (see
+    ``kmeans_lite``)."""
     if len(cents) > _ASSIGN_EXPR_MAX_K:
         return _assign_join(df, id_col, vec_col, cents, 1).select(
             F.col(id_col), F.col("__bucket").alias("cluster")

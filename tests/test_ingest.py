@@ -1749,3 +1749,75 @@ class TestTextIndexVerifyPushdown:
         finally:
             minhash_index_drop(spark, "t_ingest_txt3")
             minhash_index_drop(spark, "t_ingest_plain")
+
+    def test_retried_append_does_not_multiply_verify_pairs(self, spark):
+        """A crashed-then-retried append leaves duplicate (id, text) rows
+        in the text table; read_text dedups on id (ADVICE r12), so the
+        incremental verify emits exactly ONE row per (batch_id,
+        corpus_id) pair — identical to the never-crashed run."""
+        corpus, batch = _docs(spark)
+        minhash_index_write(
+            corpus, "t_ingest_txt4", "text", "doc_id", store_text=True
+        )
+        try:
+            from experimentsplan_datapipeline_spark.operators.dedup import (
+                minhash_index_read_text,
+            )
+
+            # grow the index with the batch, then RETRY the same append
+            # (the documented crash-recovery move) — duplicate rows land
+            minhash_index_write(
+                batch, "t_ingest_txt4", "text", "doc_id", mode="append"
+            )
+            minhash_index_write(
+                batch, "t_ingest_txt4", "text", "doc_id", mode="append"
+            )
+            raw = spark.table(
+                f"t_ingest_txt4_text_g0"
+            )
+            assert raw.count() > raw.select("doc_id").distinct().count()
+            ctext = minhash_index_read_text(spark, "t_ingest_txt4")
+            assert (
+                ctext.count() == ctext.select("doc_id").distinct().count()
+            )
+            idx = minhash_index_read(spark, "t_ingest_txt4")
+            # batch 2 = fresh near-dups of corpus docs that now ALSO
+            # exist (duplicated) in the text table via the batch append
+            batch2 = spark.createDataFrame(
+                [(200, batch.filter(F.col("doc_id") == 100)
+                        .first()["text"] + " extra")],
+                ["doc_id", "text"],
+            )
+            pairs = minhash_lsh_incremental(
+                ctext, batch2, "text", "doc_id", threshold=0.5,
+                corpus_bandkeys=idx, corpus_text_pushdown=1000,
+            ).collect()
+            keys = [(r["batch_id"], r["corpus_id"]) for r in pairs]
+            assert len(keys) == len(set(keys)) and keys
+        finally:
+            minhash_index_drop(spark, "t_ingest_txt4")
+
+    def test_append_with_mismatched_store_text_raises(self, spark):
+        """Appending with an explicit store_text that disagrees with the
+        persisted meta flag raises instead of silently ignoring the
+        argument (ADVICE r12); store_text=None follows the index."""
+        import pytest as _pytest
+
+        corpus, batch = _docs(spark)
+        minhash_index_write(corpus, "t_ingest_txt5", "text", "doc_id")
+        try:
+            with _pytest.raises(ValueError, match="store_text"):
+                minhash_index_write(
+                    batch, "t_ingest_txt5", "text", "doc_id",
+                    mode="append", store_text=True,
+                )
+            # agreeing explicit flag and the None default both succeed
+            minhash_index_write(
+                batch, "t_ingest_txt5", "text", "doc_id",
+                mode="append", store_text=False,
+            )
+            minhash_index_write(
+                batch, "t_ingest_txt5", "text", "doc_id", mode="append"
+            )
+        finally:
+            minhash_index_drop(spark, "t_ingest_txt5")

@@ -1497,6 +1497,36 @@ def test_random_walks_multi_walk_and_size_guarded_frontier(spark):
     assert guarded == {(r.walk_id, r.step, r.node) for r in multi}
 
 
+def test_random_walks_hashed_ids_edge_cases(spark):
+    """The r13 long walk-key encoding must be invisible at the API edge:
+    node ids containing '#' keep unambiguous string walk ids (the LAST
+    '#'-segment is the walk index), and duplicate seed rows (which make
+    the hashed keys non-distinct and trip the collision guard's string
+    fallback) produce the same output set as unique seeds."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        random_walks,
+    )
+
+    e = spark.createDataFrame(
+        [("x#1", "y"), ("y", "x#1")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("x#1",)], ["node"])
+    got = random_walks(
+        e, seeds, n_steps=2, seed=7, walks_per_seed=2
+    ).collect()
+    assert {r.walk_id for r in got} == {"x#1#0", "x#1#1"}
+    assert all(len([r for r in got if r.walk_id == w]) == 3
+               for w in ("x#1#0", "x#1#1"))
+    dup_seeds = spark.createDataFrame([("x#1",), ("x#1",)], ["node"])
+    got_dup = {
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(
+            e, dup_seeds, n_steps=2, seed=7, walks_per_seed=2
+        ).collect()
+    }
+    assert got_dup == {(r.walk_id, r.step, r.node) for r in got}
+
+
 def test_walk_step_plan_no_broadcast_when_guarded(spark):
     """The frontier expansion join must NOT plan a broadcast when the
     caller's size guard says the frontier is too big (VERDICT r11 item
