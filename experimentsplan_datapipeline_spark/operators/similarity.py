@@ -1629,6 +1629,136 @@ def cell_recall_at1(
     )
 
 
+def cell_recall_cost(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cells: list[tuple[int, list[float]]],
+    n_probes: tuple[int, ...] = (1, 2, 4, 8),
+) -> DataFrame:
+    """Recall-vs-COST curve for the trained-cell miners (VERDICT r12
+    item 3): one row per ``n_probe`` ladder point with BOTH the
+    candidate recall@1 (``cell_recall_at1`` semantics — fraction of
+    anchors whose exact cosine top-1 is assigned to one of the anchor's
+    n_probe nearest cells) and the corpus-wide candidate-pair count
+    ``_miner_candidates(cells=..., n_probe=p)`` would emit at that
+    setting. This maps which n_probe clears a usable recall (e.g.
+    >= 0.8) and what it costs — the contract VERDICT r12 flagged as
+    missing when the default k=16/p=1 point measured 0.285.
+
+    ONE exact ground-truth pass serves every ladder point: the anchor's
+    top-1 rides with the RANK of its assigned cell within the anchor's
+    max(n_probes) nearest cells (``array_position``; the rank column
+    sits below the id tie-break in the argmax struct, so it never
+    affects the winner), and recall at p is just ``1 <= rank <= p``.
+    Cost likewise folds from one corpus assignment pass: candidates at
+    p = sum over vectors of their rank-(0..p-1) probed-cell populations
+    minus N self-pairs (every vector's own cell is its rank-0 probe),
+    so the per-rank population sums (k-bounded frames) cumulate into
+    the whole curve without re-running the candidate join per point.
+    Codebooks here are expression-assigned (fine to ~_ASSIGN_EXPR_MAX_K
+    cells; the contract runs on the miners' own codebook).
+
+    Returns (k_cells, n_probe, n_anchors, recall_at_1,
+    total_candidates), one row per ladder point.
+    """
+    from pyspark.sql import Window
+    from experimentsplan_datapipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    spark = corpus.sparkSession
+    ladder = sorted(set(int(p) for p in n_probes))
+    if not ladder or ladder[0] < 1:
+        raise ValueError("n_probes must be positive ints")
+    if ladder[-1] > len(cells):
+        raise ValueError("n_probe cannot exceed the codebook size")
+    pmax = ladder[-1]
+    ladder_df = F.broadcast(
+        spark.createDataFrame([(p,) for p in ladder], "n_probe int")
+    )
+    asg = corpus.select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__nvec"),
+        _assign_expr(F.col(vec_col), cells).alias("__ncell"),
+    )
+    # --- cost side: per-rank probed-cell population sums (pmax rows) ---
+    sizes = asg.groupBy("__ncell").agg(F.count(F.lit(1)).alias("__sz"))
+    ranked = corpus.select(
+        F.posexplode(
+            _assign_topn_expr(F.col(vec_col), cells, pmax)
+        ).alias("__i", "__cid")
+    )
+    ranksum = (
+        ranked.join(
+            F.broadcast(sizes),
+            ranked["__cid"] == sizes["__ncell"],
+            "left",
+        )
+        .groupBy("__i")
+        .agg(F.sum(F.coalesce("__sz", F.lit(0))).alias("__s"))
+    )
+    cum = ranksum.withColumn(
+        "__cum",
+        F.sum("__s").over(
+            Window.orderBy("__i").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ncnt = asg.agg(F.count(F.lit(1)).alias("__n"))
+    costs = (
+        ladder_df.join(cum, F.col("__i") == F.col("n_probe") - 1)
+        .crossJoin(F.broadcast(ncnt))
+        .select(
+            "n_probe",
+            (F.col("__cum") - F.col("__n")).alias("total_candidates"),
+        )
+    )
+    # --- recall side: one exact top-1 pass, rank rides in the struct ---
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            _assign_topn_expr(F.col(vec_col), cells, pmax).alias("__qps"),
+        )
+    )
+    pairs = asg.crossJoin(a).filter(F.col("__nid") != F.col("__qid"))
+    sel = pairs.select(
+        "__qid",
+        F.struct(
+            (-F.round(
+                cosine_similarity(F.col("__qvec"), F.col("__nvec")), 6
+            )).alias("nc"),
+            F.col("__nid").alias("n"),
+            F.array_position(F.col("__qps"), F.col("__ncell")).alias("rp"),
+        ).alias("s"),
+    )
+    top = sel.groupBy("__qid").agg(F.min("s").alias("m"))
+    rec = (
+        top.crossJoin(ladder_df)
+        .groupBy("n_probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.round(
+                F.avg(
+                    (
+                        (F.col("m.rp") >= 1)
+                        & (F.col("m.rp") <= F.col("n_probe"))
+                    ).cast("double")
+                ),
+                6,
+            ).alias("recall_at_1"),
+        )
+    )
+    return rec.join(costs, "n_probe").select(
+        F.lit(len(cells)).alias("k_cells"),
+        "n_probe",
+        "n_anchors",
+        "recall_at_1",
+        "total_candidates",
+    )
+
+
 def ann_index_drop(spark, table_name: str) -> None:
     """Drop a persisted IVF index: pointer first, then all generations."""
     from experimentsplan_datapipeline_spark.operators.dedup import (

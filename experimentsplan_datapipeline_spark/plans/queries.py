@@ -1652,6 +1652,98 @@ def ann_cell_recall_probe2(spark, sf_dir):
     )
 
 
+def _cell_recall_cost_oracle_sql(
+    dim: int = 64, k_cells: int = 16, iters: int = 2,
+    anchor_bound: int = 200, n_probes: tuple[int, ...] = (1, 2, 4, 8),
+) -> str:
+    """DuckDB twin of cell_recall_cost: unrolled Lloyd + assignment
+    (_lloyd_fin_cte), per-vector probe ranks once at max(n_probes),
+    per-rank population sums cumulated into the candidate cost, one
+    exact top-1 pass whose winner carries its probe rank, and the
+    ladder unnested into one row per n_probe."""
+    pmax = max(n_probes)
+    ladder = ", ".join(str(p) for p in sorted(set(n_probes)))
+    return f"""{_lloyd_fin_cte(dim, k_cells, iters)},
+sz AS (SELECT cluster, count(*) AS s FROM fin GROUP BY cluster),
+qp AS (
+  SELECT vec_id, cid, rn FROM (
+    SELECT f.vec_id, c.cid,
+           row_number() OVER (PARTITION BY f.vec_id
+               ORDER BY round(list_sum(list_transform(range(1, {dim} + 1),
+                   p -> (f.v[p] - c.cv[p]) ^ 2)), 6) ASC, c.cid ASC) AS rn
+    FROM fin f CROSS JOIN cells c)
+  WHERE rn <= {pmax}),
+rsum AS (SELECT q.rn, sum(coalesce(z.s, 0)) AS s
+         FROM qp q LEFT JOIN sz z ON z.cluster = q.cid GROUP BY q.rn),
+csum AS (SELECT rn, sum(s) OVER (ORDER BY rn) AS cum FROM rsum),
+nn AS (SELECT count(*) AS n FROM fin),
+lad AS (SELECT unnest([{ladder}]) AS n_probe),
+a AS (SELECT vec_id, v FROM fin WHERE vec_id < {anchor_bound}),
+w AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS qid, n.cluster AS ncl,
+           row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.v, n.v), 6) DESC,
+                        n.vec_id ASC) AS rn
+    FROM a JOIN fin n ON n.vec_id <> a.vec_id)
+  WHERE rn = 1),
+wr AS (SELECT w.qid, coalesce(q.rn, 0) AS rp
+       FROM w LEFT JOIN qp q ON q.vec_id = w.qid AND q.cid = w.ncl),
+rec AS (SELECT l.n_probe, count(*) AS n_anchors,
+               round(avg(CASE WHEN wr.rp >= 1 AND wr.rp <= l.n_probe
+                         THEN 1.0 ELSE 0.0 END), 6) AS recall_at_1
+        FROM lad l CROSS JOIN wr GROUP BY l.n_probe)
+SELECT {k_cells} AS k_cells, r.n_probe, r.n_anchors, r.recall_at_1,
+       CAST(c.cum - nn.n AS BIGINT) AS total_candidates
+FROM rec r JOIN csum c ON c.rn = r.n_probe CROSS JOIN nn
+"""
+
+
+@register("ann_recall_cost_curve", _cell_recall_cost_oracle_sql())
+def ann_recall_cost_curve(spark, sf_dir):
+    """The miners' recall-vs-cost CURVE (VERDICT r12 item 3 — the
+    contract family must map the curve, not two points): at the
+    miners' own k=16 kmeans_lite codebook, one row per n_probe in
+    (1, 2, 4, 8) carrying recall@1 AND the corpus-wide candidate-pair
+    count _miner_candidates would emit at that setting — so the row
+    where recall clears 0.8 directly shows what admission costs in
+    candidates (linear in n_probe, vs the quadratic cost of shrinking
+    k). One exact ground-truth pass + one assignment pass serve the
+    whole ladder (operators/similarity.py::cell_recall_cost); the
+    oracle unrolls the Lloyd fixpoint and replays ranks, argmax,
+    cumulative cost, and the ladder."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=16, iters=2)
+    anchors = emb.filter(F.col("vec_id") < 200)
+    return sim.cell_recall_cost(
+        emb, anchors, "vec_id", "embedding", cents, n_probes=(1, 2, 4, 8)
+    )
+
+
+@register("ann_recall_cost_k32", _cell_recall_cost_oracle_sql(
+    k_cells=32, n_probes=(1, 2, 4),
+))
+def ann_recall_cost_k32(spark, sf_dir):
+    """K-SWEEP point of the recall-vs-cost contract: the same curve at
+    a k=32 codebook (2x the miners' default; k ~ sqrt(N) pushes k UP
+    as the corpus grows). Read against ann_recall_cost_curve it
+    separates the two levers: doubling k roughly HALVES candidates per
+    probe (cells shrink) but splits true neighbors across more cells
+    (lower recall at equal n_probe), while n_probe buys recall back
+    linearly — the measured basis for choosing (k, n_probe) at a
+    target recall instead of guessing."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=32, iters=2)
+    anchors = emb.filter(F.col("vec_id") < 200)
+    return sim.cell_recall_cost(
+        emb, anchors, "vec_id", "embedding", cents, n_probes=(1, 2, 4)
+    )
+
+
 def _hard_neg_probe_oracle_sql(
     dim: int = 64, k_cells: int = 16, iters: int = 2, thr: float = 0.999,
     n_probe: int = 2,

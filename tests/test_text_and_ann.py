@@ -1899,6 +1899,47 @@ def test_recall_contracts_bounds_and_perfect_case(spark):
         assert 0.0 <= x.recall_at_1 <= 1.0 and x.n_anchors == 4
 
 
+def test_cell_recall_cost_curve_consistency(spark):
+    """cell_recall_cost must agree point-for-point with cell_recall_at1
+    on recall, report the EXACT candidate-pair count _miner_candidates
+    emits at each n_probe, be monotone non-decreasing in recall along
+    the ladder, and reach recall 1.0 / all-pairs cost at n_probe = k."""
+    import math
+
+    from experimentsplan_datapipeline_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [
+            (i, [math.sin(i * 1.3 + d) + 0.2 * (i % 4) for d in range(6)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cells = sim.kmeans_lite(emb, "vec_id", "embedding", k=4, iters=2)
+    anchors = emb.filter(F.col("vec_id") < 15)
+    curve = {
+        r.n_probe: r
+        for r in sim.cell_recall_cost(
+            emb, anchors, "vec_id", "embedding", cells, n_probes=(1, 2, 4)
+        ).collect()
+    }
+    assert sorted(curve) == [1, 2, 4]
+    for p, row in curve.items():
+        single = sim.cell_recall_at1(
+            emb, anchors, "vec_id", "embedding", cells, n_probe=p
+        ).collect()[0]
+        assert row.recall_at_1 == single.recall_at_1, p
+        assert row.n_anchors == single.n_anchors == 15
+        n_cand = sim._miner_candidates(
+            emb, "vec_id", "embedding", 6, 4, 42, cells, n_probe=p
+        ).count()
+        assert row.total_candidates == n_cand, p
+    assert curve[1].recall_at_1 <= curve[2].recall_at_1 <= 1.0
+    assert curve[4].recall_at_1 == 1.0  # probing every cell admits all
+    assert curve[4].total_candidates == 40 * 39
+    assert curve[1].total_candidates < curve[2].total_candidates
+
+
 def test_assign_join_path_matches_expression_path(spark, monkeypatch):
     """The large-k broadcast-table assignment (_assign_join) must agree
     with the literal-expression path value-for-value — same rounded
