@@ -97,6 +97,38 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    def _loadavg_now() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except OSError:
+            return -1.0
+
+    # LOAD GUARD (VERDICT r12 item 1): a loaded box inflates timings
+    # 10-35% (r12's committed artifact read +19% at loadavg ~4 with zero
+    # code changes). Before Spark even starts — so we measure the BOX,
+    # not our own warmup — wait up to SPARK_GRAFT_BENCH_LOAD_WAIT sec
+    # (default 300) for the 1-min loadavg to fall below
+    # SPARK_GRAFT_BENCH_MAX_LOAD (default 1.5; <= 0 disables). If it
+    # never settles, the run still completes but the output carries
+    # degraded_by_load=true, so a loaded run can never silently become
+    # the committed artifact.
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+    waited = 0.0
+    while max_load > 0 and _loadavg_now() > max_load and waited < load_wait:
+        time.sleep(10.0)
+        waited += 10.0
+    load_at_start = _loadavg_now()
+    degraded_by_load = max_load > 0 and load_at_start > max_load
+    if degraded_by_load:
+        print(
+            f"bench: WARNING loadavg {load_at_start} still > {max_load} "
+            f"after waiting {waited:.0f}s — timings will be stamped "
+            f"degraded_by_load=true",
+            file=sys.stderr,
+        )
+
     from experimentsplan_datapipeline_spark.plans.queries import QUERIES
     from experimentsplan_datapipeline_spark.session import get_session
 
@@ -200,10 +232,16 @@ def main() -> None:
                 "extended_total": ext_total,
                 "extended_regressions_vs_prev": ext_flags,
                 "sf": sf,
+                "degraded_by_load": degraded_by_load,
                 "conditions": {
                     "pass_totals": totals,
                     "extended_pass_totals": ext_totals,
                     "agreed_within_10pct": agreed,
+                    "load_guard": {
+                        "max_load": max_load,
+                        "waited_sec": waited,
+                        "loadavg_at_start": load_at_start,
+                    },
                     "loadavg_1m_pre": load_pre,
                     "loadavg_1m_post": load_post,
                     "reps_per_query": reps,

@@ -701,11 +701,15 @@ def _steady_exact_fixed(spark, sf_dir):
 def _steady_near_fixed(spark, sf_dir):
     """Band-key gate per-batch cost: batch hashing + band join against
     the persisted (bucketed) index + candidate-only verify. The verify
-    stage's corpus-text read is the piece that could betray the claim
-    at 100x — candidates are id-pruned, but the prune is a semi join
-    over the corpus scan."""
+    stage's corpus-text read was the piece that betrayed the claim at
+    100x (r11 measured +17%: the candidate semi join still SCANNED the
+    corpus parquet) — r13 runs the shipped §4j mitigation (VERDICT r12
+    item 2): the verify text comes from the id-sorted index text table
+    (store_text=True) through the literal-IN row-group pushdown, so the
+    per-batch read is candidate-bounded at any corpus size."""
     from experimentsplan_datapipeline_spark.operators.dedup import (
         minhash_index_read,
+        minhash_index_read_text,
         minhash_index_write,
         minhash_lsh_incremental,
     )
@@ -713,13 +717,19 @@ def _steady_near_fixed(spark, sf_dir):
     from pyspark.sql import functions as F
 
     tag = "nx_" + _probe_tag(sf_dir)
-    corpus = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
     if tag not in _SS_BUILT:
-        minhash_index_write(corpus, f"mh_{tag}", "text", "doc_id")
+        corpus = t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        minhash_index_write(
+            corpus, f"mh_{tag}", "text", "doc_id", store_text=True
+        )
         _SS_BUILT.add(tag)
     return minhash_lsh_incremental(
-        corpus, _fixed_batch(spark), "text", "doc_id", threshold=0.5,
+        minhash_index_read_text(spark, f"mh_{tag}"),
+        _fixed_batch(spark), "text", "doc_id", threshold=0.5,
         corpus_bandkeys=minhash_index_read(spark, f"mh_{tag}"),
+        corpus_text_pushdown=200_000,
     )
 
 
