@@ -276,7 +276,39 @@ ROUND10_ANNOTATED: dict[str, str] = {
         "decision log hash-matches the batch funnel's per-doc flags",
     "stream_ingest_gate_compacted":
         "live gate + MID-STREAM epoch-state compaction; r11 gave the "
-        "sequential semantics a FULL value-hash oracle (membership ladder)",
+        "sequential semantics a FULL value-hash oracle (membership "
+        "ladder); r13 trimmed the registered form to the minimal "
+        "compaction-crossing shape (3 triggers, 25.3s -> 14.0s)",
+}
+
+
+# Rounds 12-13: the contrastive-miner recall contracts and exports.
+ROUND12_13_ANNOTATED: dict[str, str] = {
+    "ann_bucket_recall":
+        "measured recall@1-vs-n_planes contract for the fixed hyperplane "
+        "buckets (the miners' bounded-corpus path)",
+    "ann_cell_recall":
+        "measured recall@1 contract for the trained k-means cells the "
+        "miners candidate on (oracle = unrolled Lloyd)",
+    "ann_cell_recall_probe2":
+        "multi-probe twin: recall lift of n_probe=2 at linear cost",
+    "ann_recall_cost_curve":
+        "r13: the full recall-vs-cost CURVE (n_probe 1/2/4/8 at k=16) "
+        "with the miners' candidate-pair count in the same row — "
+        "n_probe=8 clears recall@1 >= 0.8 at 8.2x linear cost",
+    "ann_recall_cost_k32":
+        "r13 k-sweep point: at equal candidate cost, probing more "
+        "smaller cells beats fewer bigger ones (k32/p4 0.550 vs "
+        "k16/p2 0.405)",
+    "ann_hard_negatives_probe2":
+        "hard negatives mined from each vector's TWO nearest cells — "
+        "the recall dial at linear candidate growth",
+    "graph_walk_cooccurrence":
+        "skip-gram (center, context) pair counts over walk sequences — "
+        "the consumable DeepWalk trains on; join bounded by walk length",
+    "pipeline_contrastive_export":
+        "end-to-end leak-gated contrastive export: embargoed temporal "
+        "split -> event featurization -> trained-cell triplet mining",
 }
 
 
@@ -415,6 +447,17 @@ def main() -> None:
         "|---|---|",
     ]
     for n, note in ROUND11_ANNOTATED.items():
+        listed.add(n)
+        status = f"oracle ({note})" if n in ORACLE else "**MISSING**"
+        lines.append(f"| `{n}` | {status} |")
+    lines.append("")
+    lines += [
+        "## Contrastive-miner recall contracts & exports (rounds 12-13)",
+        "",
+        "| query | status |",
+        "|---|---|",
+    ]
+    for n, note in ROUND12_13_ANNOTATED.items():
         listed.add(n)
         status = f"oracle ({note})" if n in ORACLE else "**MISSING**"
         lines.append(f"| `{n}` | {status} |")
