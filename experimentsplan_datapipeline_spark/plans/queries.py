@@ -1794,6 +1794,28 @@ def ann_hard_negatives_probe2(spark, sf_dir):
     )
 
 
+@register("ann_hard_negatives_probe8", _hard_neg_probe_oracle_sql(
+    n_probe=8,
+))
+def ann_hard_negatives_probe8(spark, sf_dir):
+    """hard_negatives at the RECALL-CLEARING setting the r13 curve
+    measured (ann_recall_cost_curve: n_probe=8 is the first ladder
+    point with recall@1 >= 0.8 at the miners' k=16 codebook, 8.2x the
+    p=1 candidates — linear): the export a training pipeline should
+    actually ship, not just the dial's existence. Same equi-join shape
+    as p=1 (query-side explode to 8 rows, candidates stay
+    sum-of-probed-cell-populations bounded); oracle replays probes +
+    the two-step argmax."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=16, iters=2)
+    return sim.hard_negatives(
+        emb, "vec_id", "embedding", dup_threshold=0.999, cells=cents,
+        n_probe=8,
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 _USER_VEC_SQL = """SELECT user_id AS vec_id, v FROM (
