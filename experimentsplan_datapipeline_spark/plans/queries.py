@@ -8943,10 +8943,15 @@ def dedup_incremental_indexed(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 300)
+    # n_buckets=4 on all registered inline index builds (r13): bucket
+    # count is layout, not semantics — 16 buckets on a few-hundred-doc
+    # stage corpus is pure saveAsTable overhead (measured 8.8s vs 2.5s)
+    # and dominated the extended bench's run-to-run variance; production
+    # corpora size n_buckets to data volume
     dd.minhash_index_write(
         corpus, _stage("minhash_index_stage"), "text", "doc_id",
         num_hashes=32, bands=8, shingle_size=3, portable_seed=42,
-        store_text=True,
+        store_text=True, n_buckets=4,
     )
     idx = dd.minhash_index_read(
         spark, _stage("minhash_index_stage"), num_hashes=32, bands=8,
@@ -8992,6 +8997,7 @@ def stream_ingest_gate(spark, sf_dir):
     dd.minhash_index_write(
         corpus, _stage("stream_ingest_idx"), "text", "doc_id",
         num_hashes=32, bands=8, shingle_size=3, portable_seed=42,
+        n_buckets=4,
     )
     # pre-seed one empty epoch partition so a zero-hit drain still reads
     # back cleanly (epoch dirs are the exactly-once mechanism)
@@ -9039,7 +9045,9 @@ def dedup_incremental_exact_indexed(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 300)
-    dd.fingerprint_index_write(corpus, _stage("fp_index_stage"), "text")
+    dd.fingerprint_index_write(
+        corpus, _stage("fp_index_stage"), "text", n_buckets=4
+    )
     return dd.exact_screen_incremental(
         batch, "text", "doc_id", _stage("fp_index_stage")
     )
@@ -9104,10 +9112,12 @@ def pipeline_ingest_batch_indexed(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 300)
-    dd.fingerprint_index_write(corpus, _stage("funnel_fp_idx"), "text")
+    dd.fingerprint_index_write(
+        corpus, _stage("funnel_fp_idx"), "text", n_buckets=4
+    )
     dd.minhash_index_write(
         corpus, _stage("funnel_mh_idx"), "text", "doc_id", num_hashes=32,
-        bands=8, shingle_size=3, portable_seed=42,
+        bands=8, shingle_size=3, portable_seed=42, n_buckets=4,
     )
     sig = repetition_signals(batch, "doc_id", "text").select("doc_id", "keep")
     exact = dd.exact_screen_incremental(
@@ -10072,9 +10082,11 @@ def stream_ingest_funnel(spark, sf_dir):
     batch.repartition(3, "doc_id").write.parquet(staging)
     dd.minhash_index_write(
         corpus, _stage("sfunnel_mh"), "text", "doc_id", num_hashes=32,
-        bands=8, shingle_size=3, portable_seed=42,
+        bands=8, shingle_size=3, portable_seed=42, n_buckets=4,
     )
-    dd.fingerprint_index_write(corpus, _stage("sfunnel_fp"), "text")
+    dd.fingerprint_index_write(
+        corpus, _stage("sfunnel_fp"), "text", n_buckets=4
+    )
     spark.createDataFrame(
         [],
         "doc_id long, keep boolean, exact_dup boolean, near_dup boolean, "
@@ -10221,7 +10233,7 @@ def ann_index_query(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    ann_index_write(emb, _stage("ann_idx"), "embedding", "vec_id")
+    ann_index_write(emb, _stage("ann_idx"), "embedding", "vec_id", n_buckets=4)
     return ann_query_indexed(
         emb.filter(F.col("vec_id") < 5), _stage("ann_idx"),
         "vec_id", "embedding", k=10, n_probe=2,
@@ -10291,9 +10303,12 @@ def ann_index_append_query(spark, sf_dir):
     )
     base = emb.filter(F.col("vec_id") >= 8)
     batch = emb.filter(F.col("vec_id") < 8)
-    ann_index_write(base, _stage("ann_app_idx"), "embedding", "vec_id")
     ann_index_write(
-        batch, _stage("ann_app_idx"), "embedding", "vec_id", mode="append"
+        base, _stage("ann_app_idx"), "embedding", "vec_id", n_buckets=4
+    )
+    ann_index_write(
+        batch, _stage("ann_app_idx"), "embedding", "vec_id", mode="append",
+        n_buckets=4,
     )
     return ann_query_indexed(
         emb.filter(F.col("vec_id") < 5), _stage("ann_app_idx"),
@@ -10326,7 +10341,7 @@ def ann_index_trained_query(spark, sf_dir):
     cents = kmeans_lite(emb, "vec_id", "embedding", k=8, iters=2)
     ann_index_write(
         emb, _stage("ann_tr_idx"), "embedding", "vec_id", n_cells=8,
-        centroids=cents,
+        centroids=cents, n_buckets=4,
     )
     return ann_query_indexed(
         emb.filter(F.col("vec_id") < 5), _stage("ann_tr_idx"),
@@ -10372,7 +10387,7 @@ def stream_ann_ingest(spark, sf_dir):
     asg_dir = os.path.join(root, "asg")
     idx = _stage("sann_idx")
     ann_index_drop(spark, idx)  # stale pointers from prior runs
-    ann_index_write(base, idx, "embedding", "vec_id")
+    ann_index_write(base, idx, "embedding", "vec_id", n_buckets=4)
 
     def stage_one(df, i):
         import glob
