@@ -8972,9 +8972,12 @@ def stream_ingest_gate(spark, sf_dir):
     (maxFilesPerTrigger=1 over a 4-file staging), and EVERY micro-batch
     runs minhash_lsh_incremental against the PERSISTED corpus band-key
     index — banding reads only the index table, verify is
-    candidate-only. The corpus state is static here so the union of
-    micro-batch hits must hash-match the one-shot batch run — the same
-    oracle as dedup_incremental_minhash. The growing-state form
+    candidate-only AND candidate-BOUNDED (r13: the corpus side is the
+    index's id-sorted text table read through the literal-IN row-group
+    pushdown — the §4j mitigation on the live path; no per-batch read
+    grows with the corpus). The corpus state is static here so the
+    union of micro-batch hits must hash-match the one-shot batch run —
+    the same oracle as dedup_incremental_minhash. The growing-state form
     (accepted docs appended to the index between micro-batches —
     sequential semantics no SQL oracle can replay) is verified against a
     hand-unrolled batch replay in tests/test_ingest.py. Reference twin:
@@ -8997,7 +9000,7 @@ def stream_ingest_gate(spark, sf_dir):
     dd.minhash_index_write(
         corpus, _stage("stream_ingest_idx"), "text", "doc_id",
         num_hashes=32, bands=8, shingle_size=3, portable_seed=42,
-        n_buckets=4,
+        n_buckets=4, store_text=True,
     )
     # pre-seed one empty epoch partition so a zero-hit drain still reads
     # back cleanly (epoch dirs are the exactly-once mechanism)
@@ -9009,11 +9012,12 @@ def stream_ingest_gate(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(staging)
     )
+    ctext = dd.minhash_index_read_text(spark, _stage("stream_ingest_idx"))
     writer = streaming_ingest_gate(
-        stream, corpus, _stage("stream_ingest_idx"), result_dir, "text",
+        stream, ctext, _stage("stream_ingest_idx"), result_dir, "text",
         "doc_id",
         num_hashes=32, bands=8, shingle_size=3, threshold=0.5,
-        portable_seed=42,
+        portable_seed=42, corpus_text_pushdown=5000,
     ).option("checkpointLocation", os.path.join(root, "ckpt"))
     run_available_now(writer, timeout_sec=240.0)
     from experimentsplan_datapipeline_spark.streaming.ingest import (
@@ -9101,7 +9105,10 @@ def pipeline_ingest_batch_indexed(spark, sf_dir):
     run against persisted state: the exact screen bit-tests the Bloom
     words and semi-joins the bucketed fingerprint table (H48), the
     near-dup screen bands against the persisted band-key index (H43);
-    corpus text is read only by the candidate-pruned near-dup verify.
+    corpus text is read only by the candidate-pruned near-dup verify —
+    r13: from the index's id-sorted text table via the literal-IN
+    row-group pushdown (store_text + corpus_text_pushdown, the §4j
+    mitigation), so no verify read scans the source corpus parquet.
     Per-batch work is O(batch) + candidate-bounded verify — what a
     100 TB corpus's nightly ingest actually runs. Must hash-match
     pipeline_ingest_batch's recompute form: both share one oracle."""
@@ -9118,6 +9125,7 @@ def pipeline_ingest_batch_indexed(spark, sf_dir):
     dd.minhash_index_write(
         corpus, _stage("funnel_mh_idx"), "text", "doc_id", num_hashes=32,
         bands=8, shingle_size=3, portable_seed=42, n_buckets=4,
+        store_text=True,
     )
     sig = repetition_signals(batch, "doc_id", "text").select("doc_id", "keep")
     exact = dd.exact_screen_incremental(
@@ -9125,12 +9133,14 @@ def pipeline_ingest_batch_indexed(spark, sf_dir):
     )
     near_ids = (
         dd.minhash_lsh_incremental(
-            corpus, batch, "text", "doc_id", num_hashes=32, bands=8,
+            dd.minhash_index_read_text(spark, _stage("funnel_mh_idx")),
+            batch, "text", "doc_id", num_hashes=32, bands=8,
             shingle_size=3, threshold=0.5, portable_seed=42,
             corpus_bandkeys=dd.minhash_index_read(
                 spark, _stage("funnel_mh_idx"), num_hashes=32, bands=8,
                 shingle_size=3, portable_seed=42,
             ),
+            corpus_text_pushdown=5000,
         )
         .select(F.col("batch_id").alias("doc_id"))
         .distinct()
@@ -10057,7 +10067,9 @@ def stream_ingest_funnel(spark, sf_dir):
     the Gopher-style quality gate, the exact screen against the
     fingerprint/Bloom index (codegen bit-test + bucketed semi-join), and
     the near-dup screen against the band-key index (candidate-only
-    verify) — emitting a per-doc decision log (keep, exact_dup,
+    verify; r13: candidate-BOUNDED — the corpus side is the index's
+    id-sorted text table through the literal-IN pushdown, the §4j
+    mitigation live) — emitting a per-doc decision log (keep, exact_dup,
     near_dup, accepted) as epoch partitions. Static corpus state here,
     so the union of per-epoch decisions must hash-match the one-shot
     batch funnel's per-doc flags — the same components
@@ -10083,6 +10095,7 @@ def stream_ingest_funnel(spark, sf_dir):
     dd.minhash_index_write(
         corpus, _stage("sfunnel_mh"), "text", "doc_id", num_hashes=32,
         bands=8, shingle_size=3, portable_seed=42, n_buckets=4,
+        store_text=True,
     )
     dd.fingerprint_index_write(
         corpus, _stage("sfunnel_fp"), "text", n_buckets=4
@@ -10097,10 +10110,12 @@ def stream_ingest_funnel(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(staging)
     )
+    ctext = dd.minhash_index_read_text(spark, _stage("sfunnel_mh"))
     writer = streaming_ingest_funnel(
-        stream, corpus, _stage("sfunnel_mh"), _stage("sfunnel_fp"),
+        stream, ctext, _stage("sfunnel_mh"), _stage("sfunnel_fp"),
         result_dir, "text", "doc_id", num_hashes=32, bands=8,
         shingle_size=3, threshold=0.5, portable_seed=42,
+        corpus_text_pushdown=5000,
     ).option("checkpointLocation", os.path.join(root, "ckpt"))
     run_available_now(writer, timeout_sec=240.0)
     return read_gate_results(spark, result_dir)

@@ -467,10 +467,20 @@ def streaming_ingest_gate(
     compact_table: str | None = None,
     auto_compact_every: int | None = None,
     compact_gc_old: bool = True,
+    corpus_text_pushdown: int = 0,
 ):
     """Build the foreachBatch writer for the live ingest gate. Caller
     configures the trigger (``run_available_now`` for drains) and the
     checkpoint location.
+
+    ``corpus_text_pushdown`` (r13 — the §4j mitigation on the LIVE
+    path): pass N > 0 AND the index's id-sorted text table
+    (``minhash_index_read_text``) as ``corpus`` to make every
+    micro-batch's verify read candidate-bounded — the candidate ids
+    re-embed as a literal IN filter that pushes through the
+    static-corpus/grown-state union into both scans, so no verify-side
+    corpus scan grows with the corpus (measured FLAT at 100x on the
+    batch form, BASELINE.md §4j).
 
     Per micro-batch: band the batch against the persisted seed index
     (``index_table`` — written once by ``minhash_index_write``, never
@@ -556,6 +566,7 @@ def streaming_ingest_gate(
             num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
             threshold=threshold, portable_seed=portable_seed,
             corpus_bandkeys=idx,
+            corpus_text_pushdown=corpus_text_pushdown,
         ).localCheckpoint(eager=True)  # hit ids feed the accept filter below
         hits.write.mode("overwrite").parquet(
             os.path.join(result_dir, f"epoch={epoch_id}")
@@ -608,6 +619,7 @@ def streaming_ingest_funnel(
     compact_table: str | None = None,
     auto_compact_every: int | None = None,
     compact_gc_old: bool = True,
+    corpus_text_pushdown: int = 0,
 ):
     """The FULL ingest funnel as a live stream — the streaming twin of
     ``pipeline_ingest_batch_indexed`` (H50): every micro-batch runs the
@@ -637,7 +649,9 @@ def streaming_ingest_funnel(
     Exactly-once: identical epoch-partition overwrite + (hwm, N)-bounded
     state reads as ``streaming_ingest_gate`` (see its docstring); the
     decision log replays clean because every screen reads only
-    pre-epoch state.
+    pre-epoch state. ``corpus_text_pushdown``: same §4j literal-IN
+    verify pushdown as ``streaming_ingest_gate`` — pass the index's
+    text table as ``corpus`` alongside it.
     """
     from experimentsplan_datapipeline_spark.functions.text import (
         doc_fingerprint,
@@ -712,6 +726,7 @@ def streaming_ingest_funnel(
                 num_hashes=num_hashes, bands=bands,
                 shingle_size=shingle_size, threshold=threshold,
                 portable_seed=portable_seed, corpus_bandkeys=idx,
+                corpus_text_pushdown=corpus_text_pushdown,
             )
             .select(F.col("batch_id").alias(id_col))
             .distinct()

@@ -263,6 +263,95 @@ class TestStreamingGrowingState:
         finally:
             minhash_index_drop(spark, "t_stream_grow_idx")
 
+    def test_grow_state_with_text_index_pushdown_matches_plain(
+        self, spark, tmp_path
+    ):
+        """The r13 live-path §4j mitigation composed with grow_state:
+        running the gate with the index's text table as ``corpus`` +
+        corpus_text_pushdown must emit exactly the plain grown gate's
+        hits — the literal-IN verify filter pushes through the
+        static-text/grown-epochs union without changing semantics."""
+        import glob
+        import os
+        import shutil
+
+        from experimentsplan_datapipeline_spark.operators.dedup import (
+            minhash_index_read_text,
+        )
+        from experimentsplan_datapipeline_spark.streaming.events import (
+            run_available_now,
+        )
+        from experimentsplan_datapipeline_spark.streaming.ingest import (
+            read_gate_results,
+            streaming_ingest_gate,
+        )
+
+        corpus, _ = _docs(spark)
+        doc_a = ("quantum flux capacitor meridian zephyr oscillates "
+                 "through crystalline lattice structures beneath "
+                 "aurora fields tonight")
+        corpus3 = corpus.filter(F.col("doc_id") == 3).first()["text"]
+        b1 = spark.createDataFrame(
+            [(100, doc_a), (101, corpus3 + " sigma")], ["doc_id", "text"]
+        )
+        b2 = spark.createDataFrame(
+            [(102, doc_a + " omega")], ["doc_id", "text"]
+        )
+
+        def run(idx_name, corpus_frame, pushdown, sub):
+            staging = tmp_path / sub / "staging"
+            staging.mkdir(parents=True)
+            for i, mb in enumerate([b1, b2]):
+                tmp = str(tmp_path / sub / f"stage_{i}")
+                mb.coalesce(1).write.parquet(tmp)
+                part = glob.glob(tmp + "/part-*.parquet")[0]
+                dst = str(staging / f"{i:04d}.parquet")
+                shutil.move(part, dst)
+                os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+            result_dir = str(tmp_path / sub / "hits")
+            spark.createDataFrame(
+                [], "batch_id long, corpus_id long, jaccard double"
+            ).write.parquet(result_dir + "/epoch=-1")
+            stream = (
+                spark.readStream.schema(b1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(staging))
+            )
+            writer = streaming_ingest_gate(
+                stream, corpus_frame, idx_name, result_dir,
+                "text", "doc_id", threshold=0.5, portable_seed=7,
+                grow_state=True,
+                accepted_dir=str(tmp_path / sub / "accepted"),
+                state_dir=str(tmp_path / sub / "state"),
+                corpus_text_pushdown=pushdown,
+            ).option("checkpointLocation", str(tmp_path / sub / "ckpt"))
+            run_available_now(writer, timeout_sec=240.0)
+            return {
+                tuple(r)
+                for r in read_gate_results(spark, result_dir).collect()
+            }
+
+        minhash_index_write(
+            corpus, "t_sgrow_plain", "text", "doc_id", portable_seed=7
+        )
+        minhash_index_write(
+            corpus, "t_sgrow_text", "text", "doc_id", portable_seed=7,
+            store_text=True,
+        )
+        try:
+            plain = run("t_sgrow_plain", corpus, 0, "plain")
+            pushed = run(
+                "t_sgrow_text",
+                minhash_index_read_text(spark, "t_sgrow_text"),
+                1000,
+                "pushed",
+            )
+            assert pushed == plain and plain
+            assert any(b == 102 for b, _, _ in plain)  # the grown-state hit
+        finally:
+            minhash_index_drop(spark, "t_sgrow_plain")
+            minhash_index_drop(spark, "t_sgrow_text")
+
 
 class TestStreamGateResume:
     def test_checkpoint_resume_processes_only_new_files(self, spark, tmp_path):
