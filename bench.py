@@ -8,12 +8,36 @@ bottleneck — measures the distributed plan, not result transfer).
 CONTENTION GUARD (round 6): the box this runs on has up-to-3x neighbor
 noise (BASELINE.md), and round 5's 25.7 s reading — the first outside the
 19-25 s band — was attributed to contention by inference only. The suite
-now runs up to SPARK_GRAFT_BENCH_PASSES (default 3) full passes and stops
-as soon as two consecutive pass totals agree within 10%; the reported
-value is the MIN pass total (the plan's cost, not the neighbors'), and
+runs SPARK_GRAFT_BENCH_PASSES (default 3) full passes and stops as soon
+as two consecutive pass totals agree within 10%; the reported value is
+the MIN pass total (the plan's cost, not the neighbors'), and
 "conditions" records every pass total, the 1-min load average before and
 after, and whether agreement was reached — so a high reading is
 distinguishable from a noisy one by looking at the artifact alone.
+
+NON-AGREEMENT REFUSAL (round 14, VERDICT r13 item 2): r13's driver
+artifact shipped pass totals disagreeing by 50% yet carried
+degraded_by_load=false, because only the START loadavg was checked and
+the passes-exhausted-without-agreement case was silently reported as
+min-of-disagreeing-passes. Now: (a) if the passes exhaust without two
+consecutive totals agreeing, the suite keeps running EXTRA passes up to
+SPARK_GRAFT_BENCH_PASS_CAP (default 6) until two agree; (b) the output
+carries "unreliable": true whenever agreement was never reached OR the
+POST-run loadavg exceeds the guard, and degraded_by_load is stamped
+from the post-run loadavg too — a contended run can no longer certify
+itself by looking idle at the starting line.
+
+BUILD/QUERY PHASE SPLIT (round 14, VERDICT r13 item 3): the extended
+entries that stand up persisted stage indexes inside the query body
+(saveAsTable-heavy — measured ±20% between same-day quiet runs) report
+their index-construction time separately via
+experimentsplan_datapipeline_spark.bench_hooks: "extended_phases" maps
+each such entry to {build_sec, query_sec, builds}, and
+"extended_query_total" is the min pass total of QUERY-phase time only —
+the number that must be reproducible within ~10% on a quiet box, since
+catalog-write jitter can no longer hide a query-path regression in it.
+"extended" / "extended_total" keep their historical meaning (wall time
+including builds) so round-over-round comparison stays valid.
 """
 
 from __future__ import annotations
@@ -148,44 +172,86 @@ def main() -> None:
         except OSError:
             return -1.0
 
-    def run_pass(names: list[str], n_reps: int) -> dict[str, float]:
+    from experimentsplan_datapipeline_spark import bench_hooks
+
+    def run_pass(
+        names: list[str], n_reps: int, capture_builds: bool = False
+    ) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
         # best-of-N per query: min-of-reps measures the plan, not the
         # neighbors
         timings: dict[str, float] = {}
+        builds: dict[str, dict[str, float]] = {}
         for name in names:
             fn = QUERIES.get(name)
             if fn is None:
                 continue
             best = float("inf")
+            best_build = {"build_sec": 0.0, "builds": 0}
             for _ in range(n_reps):
+                if capture_builds:
+                    bench_hooks.start_capture()
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
+                took = time.time() - t0
+                if capture_builds:
+                    cap = bench_hooks.stop_capture()
+                    if took < best:
+                        best_build = cap
+                best = min(best, took)
             timings[name] = round(best, 3)
-        return timings
+            if capture_builds and best_build["builds"] > 0:
+                builds[name] = {
+                    "build_sec": best_build["build_sec"],
+                    "query_sec": round(timings[name]
+                                       - best_build["build_sec"], 3),
+                    "builds": best_build["builds"],
+                }
+        return timings, builds
+
+    def _agree(a: float, b: float) -> bool:
+        return abs(a - b) / max(min(a, b), 1e-9) <= 0.10
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     max_passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    # VERDICT r13 item 2: when the soft pass budget exhausts without two
+    # consecutive totals agreeing, keep measuring (up to the hard cap)
+    # instead of certifying a min-of-disagreeing-passes number
+    pass_cap = max(
+        max_passes, int(os.environ.get("SPARK_GRAFT_BENCH_PASS_CAP", "6"))
+    )
     load_pre = loadavg()
     passes: list[dict[str, float]] = []
     totals: list[float] = []
     agreed = False
-    for _ in range(max_passes):
-        p = run_pass(HEADLINE, reps)
+    for _ in range(pass_cap):
+        p, _ = run_pass(HEADLINE, reps)
         passes.append(p)
         totals.append(round(sum(p.values()), 3))
-        if len(totals) >= 2:
-            a, b = totals[-2], totals[-1]
-            if abs(a - b) / max(min(a, b), 1e-9) <= 0.10:
-                agreed = True
-                break
+        if len(totals) >= 2 and _agree(totals[-2], totals[-1]):
+            agreed = True
+            break
 
     ext_passes: list[dict[str, float]] = []
+    ext_builds: list[dict[str, dict[str, float]]] = []
     ext_totals: list[float] = []
-    for _ in range(2):
-        p = run_pass(EXTENDED, 1)
+    ext_query_totals: list[float] = []
+    ext_agreed = False
+    for _ in range(3):  # 2 passes normally; a 3rd if query totals disagree
+        p, b = run_pass(EXTENDED, 1, capture_builds=True)
         ext_passes.append(p)
+        ext_builds.append(b)
         ext_totals.append(round(sum(p.values()), 3))
+        ext_query_totals.append(
+            round(
+                sum(p.values())
+                - sum(v["build_sec"] for v in b.values()), 3
+            )
+        )
+        if len(ext_query_totals) >= 2 and _agree(
+            ext_query_totals[-2], ext_query_totals[-1]
+        ):
+            ext_agreed = True
+            break
     load_post = loadavg()
 
     # per-query minimum across passes; the reported total is the min PASS
@@ -198,6 +264,14 @@ def main() -> None:
         name: min(p[name] for p in ext_passes) for name in ext_passes[0]
     }
     ext_total = min(ext_totals)
+    ext_query_total = min(ext_query_totals)
+    # per-entry phase split from the pass that achieved that entry's best
+    # QUERY time (build jitter must not pick the representative pass)
+    ext_phases: dict[str, dict[str, float]] = {}
+    for name in ext_passes[0]:
+        cands = [b[name] for b in ext_builds if name in b]
+        if cands:
+            ext_phases[name] = min(cands, key=lambda v: v["query_sec"])
     # extended-suite trend (VERDICT r10 item 7): flag any extended query
     # > 1.5x its previous-round time so regressions in the heavy post-r1
     # operators surface in the bench artifact itself, not only in a
@@ -221,6 +295,23 @@ def main() -> None:
             }
         except (json.JSONDecodeError, OSError):
             pass
+    # VERDICT r13 item 2: a run whose passes never agreed, or whose box
+    # got loaded MID-run, must say so about itself — degraded_by_load now
+    # also checks the post-run loadavg, and "unreliable" is the single
+    # flag a consumer must check before treating "value" as the plan's
+    # cost rather than the neighbors'.
+    degraded_by_load = degraded_by_load or (
+        max_load > 0 and load_post > max_load
+    )
+    unreliable = degraded_by_load or not agreed
+    if unreliable:
+        print(
+            f"bench: WARNING run is UNRELIABLE "
+            f"(agreed_within_10pct={agreed}, degraded_by_load="
+            f"{degraded_by_load}, pass_totals={totals}, "
+            f"loadavg_post={load_post}) — do not certify this artifact",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -230,13 +321,19 @@ def main() -> None:
                 "queries": timings,
                 "extended": ext_timings,
                 "extended_total": ext_total,
+                "extended_query_total": ext_query_total,
+                "extended_phases": ext_phases,
                 "extended_regressions_vs_prev": ext_flags,
                 "sf": sf,
                 "degraded_by_load": degraded_by_load,
+                "unreliable": unreliable,
                 "conditions": {
                     "pass_totals": totals,
                     "extended_pass_totals": ext_totals,
+                    "extended_query_pass_totals": ext_query_totals,
                     "agreed_within_10pct": agreed,
+                    "extended_query_agreed_within_10pct": ext_agreed,
+                    "pass_cap": pass_cap,
                     "load_guard": {
                         "max_load": max_load,
                         "waited_sec": waited,

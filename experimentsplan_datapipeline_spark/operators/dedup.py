@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from experimentsplan_datapipeline_spark import bench_hooks
 from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint, ngrams
 from experimentsplan_datapipeline_spark.operators.curation import portable_hash
 from experimentsplan_datapipeline_spark.operators.util import (
@@ -398,6 +399,7 @@ def _drop_gen_tables(spark, base: str, keep_gen: int | None) -> None:
             spark.sql(f"DROP TABLE IF EXISTS `{tbl.name}`")
 
 
+@bench_hooks.build_timed
 def minhash_index_write(
     corpus: DataFrame, table_name: str, text_col: str, id_col: str,
     num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
@@ -449,7 +451,12 @@ def minhash_index_write(
     leaves duplicate (id, text) rows in the table, which would multiply
     verify-join output pairs — ``minhash_index_read_text`` therefore
     dedups on id at read time (ADVICE r12), restoring one verify row
-    per (batch_id, corpus_id) regardless of retries.
+    per (batch_id, corpus_id) regardless of retries. That read-time
+    dedup keeps an ARBITRARY winner per id, so appends MUST be
+    id-disjoint with the index's existing rows apart from exact
+    crash-retry replays (ADVICE r13): appending a different text under
+    an existing id is an unsupported "update" that would make verify
+    reads nondeterministic — rebuild with mode='overwrite' instead.
 
     ``store_text`` in append mode: the persisted meta flag decides
     whether text rows are appended; passing ``store_text`` explicitly
@@ -583,7 +590,15 @@ def minhash_index_read_text(spark, table_name: str) -> DataFrame:
     (id, text) rows, and a duplicate corpus row would MULTIPLY the
     verify join's output pairs (same jaccard, repeated row). The table
     is bucketed+sorted by id, so the dropDuplicates aggregates
-    bucket-locally — no extra shuffle at scale."""
+    bucket-locally — no extra shuffle at scale.
+
+    CONTRACT (ADVICE r13): appends must be id-disjoint with the rows
+    already in the index, except for exact crash-retry replays (same
+    id, same text). The per-id dedup keeps an ARBITRARY winner, so an
+    append that writes a DIFFERENT text under an existing id would make
+    the verify path nondeterministically read old or new text with no
+    error — "update" is not an operation this index supports; rebuild
+    with mode='overwrite' to re-text an id."""
     meta = _read_pointer(spark, f"{table_name}_meta")
     if meta is None:
         raise ValueError(
@@ -621,6 +636,7 @@ def fingerprint_index_drop(spark, table_name: str) -> None:
         _drop_gen_tables(spark, base, None)
 
 
+@bench_hooks.build_timed
 def fingerprint_index_write(
     corpus: DataFrame, table_name: str, text_col: str,
     n_buckets: int = 16, n_bits: int = 1 << 17, n_hashes: int = 5,

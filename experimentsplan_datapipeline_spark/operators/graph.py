@@ -600,6 +600,11 @@ def random_walks(
     unambiguous even for node ids containing '#'.
 
     Returns (walk_col, step, node) including step 0 = the seed.
+    Duplicate seed rows name the same walker — a walker is its
+    (node, walk_index) identity and the draw is deterministic — so they
+    produce exactly the unique-seed output, not multiplied rows
+    (ADVICE r13; asserted list-wise, not set-wise, in
+    tests/test_operators.py::test_random_walks_hashed_ids_edge_cases).
     """
     if walks_per_seed < 1:
         raise ValueError("walks_per_seed must be >= 1")
@@ -628,8 +633,18 @@ def random_walks(
     if start.select("__wid").distinct().count() != n_walkers:
         # hash collision (or duplicate seed rows, which collided under
         # the string keys too): fall back to the string walk id — the
-        # loop below is representation-agnostic
-        start = start.withColumn("__wid", F.col(walk_col))
+        # loop below is representation-agnostic. dropDuplicates: a
+        # walker IS its (node, walk_index) identity, so duplicate seed
+        # rows name the same deterministic walk — keep one walker, or
+        # the mapping join would multiply every output row by the
+        # duplicate count (ADVICE r13: step-0 rows quadrupled, later
+        # steps doubled). Genuine hash collisions dedup nothing here:
+        # the string keys they fall back to are distinct again.
+        start = (
+            start.withColumn("__wid", F.col(walk_col))
+            .dropDuplicates(["__wid"])
+            .localCheckpoint(eager=True)
+        )
     mapping = start.select("__wid", walk_col)
     cur = start.select("__wid", "__w", "node")
     use_broadcast = n_walkers <= broadcast_threshold

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from experimentsplan_datapipeline_spark import bench_hooks
 from experimentsplan_datapipeline_spark.functions.vectors import cosine_similarity
 
 
@@ -1171,6 +1172,7 @@ def embedding_centroid_drift(
     )
 
 
+@bench_hooks.build_timed
 def ann_index_write(
     corpus: DataFrame,
     table_name: str,
@@ -1871,6 +1873,37 @@ def _argmax_neighbor(out_alias: str):
     ).alias(out_alias)
 
 
+def _resolve_miner_probe(
+    cells: list[tuple[int, list[float]]] | None, n_probe: int | None
+) -> int:
+    """Default operating point for the contrastive miners (VERDICT r13
+    item 1): probe HALF the trained codebook, capped at 8 probes.
+
+    The repo's own recall-vs-cost contract (``cell_recall_cost``,
+    registered as ``ann_recall_cost_curve``) measured that at the
+    miners' k=16 codebook the old n_probe=1 default admits only 0.285
+    of true cosine top-1 neighbors into the candidate set — exported
+    hard negatives missing ~70% of real neighbors are quality-defective
+    training data even when the query itself is "correct". n_probe=8
+    (= k//2) is the first ladder point clearing recall@1 >= 0.8 (0.85
+    measured, at 8.2x the p=1 candidate count — linear in n_probe, and
+    the candidate frame stays sum-of-probed-cell-populations bounded).
+    The cap keeps large-k codebooks (k ~ sqrt(N) at scale) at 8*N/k
+    candidates per query instead of the non-scalable N/2 that literal
+    "half the codebook" would cost; per the k=32 curve, growing k at a
+    capped probe count is the better recall-per-cost direction anyway.
+
+    ``n_probe=None`` resolves to min(8, max(1, k//2)) on the trained
+    path and 1 on the hyperplane path (multi-probe needs a codebook);
+    an explicit integer — e.g. the p=1 cheap tier — always wins.
+    """
+    if n_probe is not None:
+        return int(n_probe)
+    if cells is None:
+        return 1
+    return min(8, max(1, len(cells) // 2))
+
+
 def hard_negatives(
     df: DataFrame,
     id_col: str,
@@ -1880,7 +1913,7 @@ def hard_negatives(
     seed: int = 42,
     dup_threshold: float = 0.999,
     cells: list[tuple[int, list[float]]] | None = None,
-    n_probe: int = 1,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: each vector's most
     similar NON-duplicate neighbor (cosine below ``dup_threshold`` —
@@ -1901,9 +1934,16 @@ def hard_negatives(
 
     Returns (id_col, neg_id, cosine), one row per vector that has at
     least one same-bucket non-duplicate neighbor.
+
+    ``n_probe=None`` (default) resolves to the measured recall-clearing
+    setting via ``_resolve_miner_probe`` — min(8, k//2) probes on the
+    trained-cell path (recall@1 0.85 at k=16 per the registered
+    ``ann_recall_cost_curve`` contract, vs 0.285 at the old p=1
+    default); pass ``n_probe=1`` explicitly for the cheap tier.
     """
     cand = _miner_candidates(
-        df, id_col, vec_col, dim, n_planes, seed, cells, n_probe
+        df, id_col, vec_col, dim, n_planes, seed, cells,
+        _resolve_miner_probe(cells, n_probe),
     ).filter(F.col("c") < float(dup_threshold))
     mx = cand.groupBy("qid").agg(_argmax_neighbor("m"))
     return mx.select(
@@ -1922,7 +1962,7 @@ def contrastive_triplets(
     seed: int = 42,
     margin: float = 0.05,
     cells: list[tuple[int, list[float]]] | None = None,
-    n_probe: int = 1,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """(anchor, positive, semi-hard negative) triplet mining — the
     training-data export for contrastive/metric learning. Positive =
@@ -1947,9 +1987,16 @@ def contrastive_triplets(
     Returns (id_col, pos_id, pos_cos, neg_id, neg_cos); anchors with no
     candidate below ``pos_cos - margin`` are dropped (no valid
     semi-hard negative in their bucket).
+
+    ``n_probe=None`` (default) resolves to the measured recall-clearing
+    setting via ``_resolve_miner_probe`` — min(8, k//2) probes on the
+    trained-cell path (recall@1 0.85 at k=16 per the registered
+    ``ann_recall_cost_curve`` contract, vs 0.285 at the old p=1
+    default); pass ``n_probe=1`` explicitly for the cheap tier.
     """
     cand = _miner_candidates(
-        df, id_col, vec_col, dim, n_planes, seed, cells, n_probe
+        df, id_col, vec_col, dim, n_planes, seed, cells,
+        _resolve_miner_probe(cells, n_probe),
     ).localCheckpoint()
     pos = cand.groupBy("qid").agg(_argmax_neighbor("p"))
     neg = (

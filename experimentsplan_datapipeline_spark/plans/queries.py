@@ -1440,26 +1440,83 @@ GROUP BY c.qid, c.c
 """
 
 
-@register("ann_hard_negatives", _hard_neg_oracle_sql())
+def _hard_neg_probe_oracle_sql(
+    dim: int = 64, k_cells: int = 16, iters: int = 2, thr: float = 0.999,
+    n_probe: int = 2,
+) -> str:
+    """DuckDB twin of hard_negatives(n_probe>1): every vector probes its
+    n_probe nearest cells (same ranking as _assign_topn_expr);
+    candidates are vectors ASSIGNED to a probed cell; then the same
+    two-step argmax."""
+    return f"""{_lloyd_fin_cte(dim, k_cells, iters)},
+qp AS (
+  SELECT vec_id, cid FROM (
+    SELECT f.vec_id, c.cid,
+           row_number() OVER (PARTITION BY f.vec_id
+               ORDER BY round(list_sum(list_transform(range(1, {dim} + 1),
+                   p -> (f.v[p] - c.cv[p]) ^ 2)), 6) ASC, c.cid ASC) AS rn
+    FROM fin f CROSS JOIN cells c)
+  WHERE rn <= {n_probe}),
+cand AS (
+  SELECT q.vec_id AS qid, y.vec_id AS nid,
+         round(list_cosine_similarity(x.v, y.v), 6) AS c
+  FROM qp q
+  JOIN fin x ON x.vec_id = q.vec_id
+  JOIN fin y ON y.cluster = q.cid AND y.vec_id <> q.vec_id
+  WHERE round(list_cosine_similarity(x.v, y.v), 6) < {thr}),
+m AS (SELECT qid, max(c) AS c FROM cand GROUP BY qid)
+SELECT c.qid AS vec_id, min(c.nid) AS neg_id, c.c AS cosine
+FROM cand c JOIN m ON c.qid = m.qid AND c.c = m.c
+GROUP BY c.qid, c.c
+"""
+
+
+@register("ann_hard_negatives", _hard_neg_probe_oracle_sql(n_probe=8))
 def ann_hard_negatives(spark, sf_dir):
     """Hard-negative mining (operators/similarity.py::hard_negatives),
     candidate pass on TRAINED k-means cells (VERDICT r11 item 1): each
-    embedding's most similar NON-duplicate same-cell neighbor (rounded
-    cosine < 0.999) — the (anchor, hard-negative) source for
-    contrastive training, with the near-dup exclusion that keeps false
-    negatives out of the loss. The kmeans_lite codebook (k=16 here;
-    k ~ sqrt(N) at 100 TB) bounds candidate pairs to sum(|cluster|^2)
-    — sub-quadratic as the corpus grows, unlike the fixed-bucket
-    hyperplane join (measured: ann_cell_recall / ann_bucket_recall).
-    The per-vector top-1 is two map-side-combinable aggregations, no
-    window. The oracle unrolls the Lloyd fixpoint and replays
-    assignment, cosine, and argmax exactly."""
+    embedding's most similar NON-duplicate neighbor (rounded cosine
+    < 0.999) among candidates from its probed cells — the (anchor,
+    hard-negative) source for contrastive training, with the near-dup
+    exclusion that keeps false negatives out of the loss. r14 (VERDICT
+    r13 item 1): the DEFAULT now resolves to the measured
+    recall-clearing setting — n_probe = min(8, k//2) = 8 at this k=16
+    codebook, the first ann_recall_cost_curve ladder point with
+    recall@1 >= 0.8 (0.85 measured; the old p=1 default admitted only
+    0.285 of true top-1 neighbors — quality-defective exports). The
+    kmeans_lite codebook (k ~ sqrt(N) at 100 TB) bounds candidate
+    pairs to n_probe * sum-of-probed-cell-populations — linear in
+    n_probe, sub-quadratic in the corpus. The per-vector top-1 is two
+    map-side-combinable aggregations, no window. The oracle replays
+    the Lloyd fixpoint, the probe ranking, cosine, and argmax exactly.
+    Cheap tier: ann_hard_negatives_cheap (explicit n_probe=1)."""
     emb = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=16, iters=2)
     return sim.hard_negatives(
         emb, "vec_id", "embedding", dup_threshold=0.999, cells=cents
+    )
+
+
+@register("ann_hard_negatives_cheap", _hard_neg_oracle_sql())
+def ann_hard_negatives_cheap(spark, sf_dir):
+    """The p=1 CHEAP TIER of hard_negatives, kept as an explicit
+    opt-in after r14 flipped the default to the recall-clearing
+    n_probe=8 (VERDICT r13 item 1): candidates only from each vector's
+    OWN assigned cell — 1/8.2 the candidate cost of the default at
+    this k=16 codebook, but recall@1 is a measured 0.285
+    (ann_recall_cost_curve), so this tier is for recall-insensitive
+    passes (e.g. a first-pass near-dup screen), not training-data
+    export. Same window-free argmax shape; oracle unrolls Lloyd and
+    replays the single-cell candidate join."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=16, iters=2)
+    return sim.hard_negatives(
+        emb, "vec_id", "embedding", dup_threshold=0.999, cells=cents,
+        n_probe=1,
     )
 
 
@@ -1495,24 +1552,93 @@ FROM posx p JOIN neg g ON p.qid = g.qid
 """
 
 
-@register("ann_contrastive_triplets", _triplet_oracle_sql())
+def _triplet_probe_oracle_sql(
+    dim: int = 64, k_cells: int = 16, iters: int = 2, margin: float = 0.05,
+    n_probe: int = 2,
+    e_sql: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+    id_out: str = "vec_id",
+) -> str:
+    """DuckDB twin of contrastive_triplets(n_probe>1): the unrolled
+    Lloyd + final assignment over any ``e_sql`` vector source, the
+    query-side probe ranking (same ordering as _assign_topn_expr),
+    candidates = vectors ASSIGNED to a probed cell (a pair can never
+    duplicate — the neighbor has ONE assigned cell), then both
+    two-step argmaxes with the semi-hard filter c < pos_c - margin."""
+    return f"""{_lloyd_fin_cte(dim, k_cells, iters, e_sql)},
+qp AS (
+  SELECT vec_id, cid FROM (
+    SELECT f.vec_id, c.cid,
+           row_number() OVER (PARTITION BY f.vec_id
+               ORDER BY round(list_sum(list_transform(range(1, {dim} + 1),
+                   p -> (f.v[p] - c.cv[p]) ^ 2)), 6) ASC, c.cid ASC) AS rn
+    FROM fin f CROSS JOIN cells c)
+  WHERE rn <= {n_probe}),
+cand AS MATERIALIZED (
+  SELECT q.vec_id AS qid, y.vec_id AS nid,
+         round(list_cosine_similarity(x.v, y.v), 6) AS c
+  FROM qp q
+  JOIN fin x ON x.vec_id = q.vec_id
+  JOIN fin y ON y.cluster = q.cid AND y.vec_id <> q.vec_id),
+pm AS (SELECT qid, max(c) AS pc FROM cand GROUP BY qid),
+posx AS (SELECT c.qid, p.pc, min(c.nid) AS pid
+         FROM cand c JOIN pm p ON c.qid = p.qid AND c.c = p.pc
+         GROUP BY c.qid, p.pc),
+nm AS (SELECT c.qid, max(c.c) AS nc
+       FROM cand c JOIN pm p ON c.qid = p.qid
+       WHERE c.c < p.pc - {margin} GROUP BY c.qid),
+neg AS (SELECT c.qid, n.nc, min(c.nid) AS nid
+        FROM cand c JOIN nm n ON c.qid = n.qid AND c.c = n.nc
+        GROUP BY c.qid, n.nc)
+SELECT p.qid AS {id_out}, p.pid AS pos_id, p.pc AS pos_cos,
+       g.nid AS neg_id, g.nc AS neg_cos
+FROM posx p JOIN neg g ON p.qid = g.qid
+"""
+
+
+@register("ann_contrastive_triplets", _triplet_probe_oracle_sql(n_probe=8))
 def ann_contrastive_triplets(spark, sf_dir):
     """(anchor, positive, semi-hard negative) triplet export
     (operators/similarity.py::contrastive_triplets), candidates on
-    TRAINED k-means cells (VERDICT r11 item 1 — sum(|cluster|^2)
-    pairs, k ~ sqrt(N) at 100 TB): positive = top-1 neighbor, negative
-    = top-1 at least 0.05 cosine BELOW the positive — FaceNet's
-    semi-hard rule, which keeps the negative hard but never a disguised
-    positive and never equal to the positive. One pinned cell-join
-    candidate pass feeds both window-free argmaxes; the oracle unrolls
-    the Lloyd fixpoint and replays assignment, cosines, and both
-    two-step argmaxes."""
+    TRAINED k-means cells: positive = top-1 neighbor, negative = top-1
+    at least 0.05 cosine BELOW the positive — FaceNet's semi-hard rule,
+    which keeps the negative hard but never a disguised positive and
+    never equal to the positive. r14 (VERDICT r13 item 1): the DEFAULT
+    now resolves to the measured recall-clearing setting — n_probe =
+    min(8, k//2) = 8 at this k=16 codebook (recall@1 0.85 per
+    ann_recall_cost_curve vs 0.285 at the old p=1), so the exported
+    positives actually ARE top-1 neighbors ~85% of the time instead of
+    ~29%. Candidate pairs stay n_probe-linear and
+    sum-of-probed-cell-populations bounded (k ~ sqrt(N) at 100 TB).
+    One pinned probe-join candidate pass feeds both window-free
+    argmaxes; the oracle unrolls the Lloyd fixpoint and replays the
+    probe ranking, cosines, and both two-step argmaxes. Cheap tier:
+    ann_contrastive_triplets_cheap (explicit n_probe=1)."""
     emb = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=16, iters=2)
     return sim.contrastive_triplets(
         emb, "vec_id", "embedding", margin=0.05, cells=cents
+    )
+
+
+@register("ann_contrastive_triplets_cheap", _triplet_oracle_sql())
+def ann_contrastive_triplets_cheap(spark, sf_dir):
+    """The p=1 CHEAP TIER of contrastive_triplets, kept as an explicit
+    opt-in after r14 flipped the default to the recall-clearing
+    n_probe=8 (VERDICT r13 item 1): candidates only from each anchor's
+    OWN assigned cell — sum(|cluster|^2) pairs, 1/8.2 the default's
+    candidate cost at this k=16 codebook, but the mined positive is
+    the true top-1 only 28.5% of the time (measured,
+    ann_recall_cost_curve), so this tier is for smoke-scale or
+    recall-insensitive runs, not training-data export. Oracle unrolls
+    Lloyd and replays the single-cell candidate join + both argmaxes."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=16, iters=2)
+    return sim.contrastive_triplets(
+        emb, "vec_id", "embedding", margin=0.05, cells=cents, n_probe=1
     )
 
 
@@ -1744,37 +1870,6 @@ def ann_recall_cost_k32(spark, sf_dir):
     )
 
 
-def _hard_neg_probe_oracle_sql(
-    dim: int = 64, k_cells: int = 16, iters: int = 2, thr: float = 0.999,
-    n_probe: int = 2,
-) -> str:
-    """DuckDB twin of hard_negatives(n_probe>1): every vector probes its
-    n_probe nearest cells (same ranking as _assign_topn_expr);
-    candidates are vectors ASSIGNED to a probed cell; then the same
-    two-step argmax."""
-    return f"""{_lloyd_fin_cte(dim, k_cells, iters)},
-qp AS (
-  SELECT vec_id, cid FROM (
-    SELECT f.vec_id, c.cid,
-           row_number() OVER (PARTITION BY f.vec_id
-               ORDER BY round(list_sum(list_transform(range(1, {dim} + 1),
-                   p -> (f.v[p] - c.cv[p]) ^ 2)), 6) ASC, c.cid ASC) AS rn
-    FROM fin f CROSS JOIN cells c)
-  WHERE rn <= {n_probe}),
-cand AS (
-  SELECT q.vec_id AS qid, y.vec_id AS nid,
-         round(list_cosine_similarity(x.v, y.v), 6) AS c
-  FROM qp q
-  JOIN fin x ON x.vec_id = q.vec_id
-  JOIN fin y ON y.cluster = q.cid AND y.vec_id <> q.vec_id
-  WHERE round(list_cosine_similarity(x.v, y.v), 6) < {thr}),
-m AS (SELECT qid, max(c) AS c FROM cand GROUP BY qid)
-SELECT c.qid AS vec_id, min(c.nid) AS neg_id, c.c AS cosine
-FROM cand c JOIN m ON c.qid = m.qid AND c.c = m.c
-GROUP BY c.qid, c.c
-"""
-
-
 @register("ann_hard_negatives_probe2", _hard_neg_probe_oracle_sql())
 def ann_hard_negatives_probe2(spark, sf_dir):
     """hard_negatives with n_probe=2 multi-probe candidates: each
@@ -1794,28 +1889,6 @@ def ann_hard_negatives_probe2(spark, sf_dir):
     )
 
 
-@register("ann_hard_negatives_probe8", _hard_neg_probe_oracle_sql(
-    n_probe=8,
-))
-def ann_hard_negatives_probe8(spark, sf_dir):
-    """hard_negatives at the RECALL-CLEARING setting the r13 curve
-    measured (ann_recall_cost_curve: n_probe=8 is the first ladder
-    point with recall@1 >= 0.8 at the miners' k=16 codebook, 8.2x the
-    p=1 candidates — linear): the export a training pipeline should
-    actually ship, not just the dial's existence. Same equi-join shape
-    as p=1 (query-side explode to 8 rows, candidates stay
-    sum-of-probed-cell-populations bounded); oracle replays probes +
-    the two-step argmax."""
-    emb = t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
-    )
-    cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=16, iters=2)
-    return sim.hard_negatives(
-        emb, "vec_id", "embedding", dup_threshold=0.999, cells=cents,
-        n_probe=8,
-    )
-
-
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 _USER_VEC_SQL = """SELECT user_id AS vec_id, v FROM (
@@ -1832,8 +1905,8 @@ _USER_VEC_SQL = """SELECT user_id AS vec_id, v FROM (
 )
 
 
-@register("pipeline_contrastive_export", _triplet_oracle_sql(
-    dim=len(_EVENT_TYPES), k_cells=4, iters=2, margin=0.02,
+@register("pipeline_contrastive_export", _triplet_probe_oracle_sql(
+    dim=len(_EVENT_TYPES), k_cells=4, iters=2, margin=0.02, n_probe=2,
     e_sql=_USER_VEC_SQL, id_out="user_id",
 ))
 def pipeline_contrastive_export(spark, sf_dir):
@@ -1845,9 +1918,14 @@ def pipeline_contrastive_export(spark, sf_dir):
     behavior vectors — one groupBy over the train scan, 5 event-type
     count dimensions; (3) kmeans_lite trains the candidate codebook on
     those vectors; (4) contrastive_triplets mines (anchor, positive,
-    semi-hard negative) per user on the trained cells. ONE oracle
-    replays the whole chain — exact-integer split arithmetic, the
-    featurization, the unrolled Lloyd fixpoint, and both argmaxes — so
+    semi-hard negative) per user on the trained cells — r14 (VERDICT
+    r13 item 1): at the miner's resolved DEFAULT n_probe = min(8,
+    k//2) = 2 for this k=4 codebook, which MEASURES recall@1 0.893 at
+    sf0.01 / 0.835 at sf0.1 on these user vectors (cell_recall_cost;
+    the old p=1 default measured only 0.70/0.61) at ~2x the p=1
+    candidate count. ONE oracle replays the whole chain —
+    exact-integer split arithmetic, the featurization, the unrolled
+    Lloyd fixpoint, the probe ranking, and both argmaxes — so
     stage composition is value-proven, not per-stage. The user-vector
     frame is pinned: kmeans_lite's bounded driver folds and the miner
     both read it, and nothing should re-run the events scan per Lloyd

@@ -303,10 +303,13 @@ ROUND12_13_ANNOTATED: dict[str, str] = {
     "ann_hard_negatives_probe2":
         "hard negatives mined from each vector's TWO nearest cells — "
         "the recall dial at linear candidate growth",
-    "ann_hard_negatives_probe8":
-        "r13: the miner at the recall-CLEARING setting the curve "
-        "measured (n_probe=8: recall@1 0.85 at 8.2x linear cost) — "
-        "the export a pipeline should actually ship",
+    "ann_hard_negatives_cheap":
+        "r14: the explicit p=1 CHEAP TIER kept after the default "
+        "flipped to the recall-clearing n_probe=8 (recall@1 0.285 vs "
+        "0.85 — screening use only, not export)",
+    "ann_contrastive_triplets_cheap":
+        "r14: explicit p=1 cheap-tier triplets (single-cell "
+        "candidates) kept after the default flipped to n_probe=8",
     "graph_walk_cooccurrence":
         "skip-gram (center, context) pair counts over walk sequences — "
         "the consumable DeepWalk trains on; join bounded by walk length",

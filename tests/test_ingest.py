@@ -1861,9 +1861,15 @@ class TestTextIndexVerifyPushdown:
             minhash_index_write(
                 batch, "t_ingest_txt4", "text", "doc_id", mode="append"
             )
-            raw = spark.table(
-                f"t_ingest_txt4_text_g0"
+            # derive the live generation from the meta pointer (ADVICE
+            # r13: a hard-coded _text_g0 silently reads the wrong table
+            # if append-time generation handling ever changes)
+            from experimentsplan_datapipeline_spark.operators.dedup import (
+                _read_pointer,
             )
+
+            gen = _read_pointer(spark, "t_ingest_txt4_meta")["gen"]
+            raw = spark.table(f"t_ingest_txt4_text_g{gen}")
             assert raw.count() > raw.select("doc_id").distinct().count()
             ctext = minhash_index_read_text(spark, "t_ingest_txt4")
             assert (

@@ -1518,13 +1518,16 @@ def test_random_walks_hashed_ids_edge_cases(spark):
     assert all(len([r for r in got if r.walk_id == w]) == 3
                for w in ("x#1#0", "x#1#1"))
     dup_seeds = spark.createDataFrame([("x#1",), ("x#1",)], ["node"])
-    got_dup = {
+    # sorted LISTS, not sets (ADVICE r13): the fallback path used to
+    # multiply row MULTIPLICITY through the mapping join while leaving
+    # the row set unchanged — a set compare masked it
+    got_dup = sorted(
         (r.walk_id, r.step, r.node)
         for r in random_walks(
             e, dup_seeds, n_steps=2, seed=7, walks_per_seed=2
         ).collect()
-    }
-    assert got_dup == {(r.walk_id, r.step, r.node) for r in got}
+    )
+    assert got_dup == sorted((r.walk_id, r.step, r.node) for r in got)
 
 
 def test_walk_step_plan_no_broadcast_when_guarded(spark):

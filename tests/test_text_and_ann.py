@@ -1940,6 +1940,59 @@ def test_cell_recall_cost_curve_consistency(spark):
     assert curve[1].total_candidates < curve[2].total_candidates
 
 
+def test_miner_probe_default_resolution(spark):
+    """VERDICT r13 item 1: the miners' DEFAULT n_probe resolves to the
+    recall-clearing setting min(8, k//2) on the trained-cell path and
+    1 on the hyperplane path; an explicit value always wins; and the
+    resolved default actually mines MORE candidates than the old p=1
+    default (the 0.285-recall setting is now opt-in, not silent)."""
+    import math
+
+    from experimentsplan_datapipeline_spark.operators import similarity as sim
+
+    assert sim._resolve_miner_probe(None, None) == 1  # hyperplane path
+    assert sim._resolve_miner_probe([(0, [0.0])], None) == 1  # k=1 -> 1
+    assert sim._resolve_miner_probe([(i, [0.0]) for i in range(4)], None) == 2
+    assert sim._resolve_miner_probe([(i, [0.0]) for i in range(16)], None) == 8
+    assert sim._resolve_miner_probe([(i, [0.0]) for i in range(64)], None) == 8
+    assert sim._resolve_miner_probe([(i, [0.0]) for i in range(16)], 1) == 1
+
+    emb = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.9 + d) + 0.15 * (i % 5) for d in range(6)])
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cells = sim.kmeans_lite(emb, "vec_id", "embedding", k=6, iters=2)
+    # default resolves to min(8, 6//2) = 3 probes -> same frame as
+    # explicit n_probe=3 and strictly more candidates than the cheap tier
+    default_hn = sorted(
+        map(
+            tuple,
+            sim.hard_negatives(
+                emb, "vec_id", "embedding", cells=cells
+            ).collect(),
+        )
+    )
+    explicit_hn = sorted(
+        map(
+            tuple,
+            sim.hard_negatives(
+                emb, "vec_id", "embedding", cells=cells, n_probe=3
+            ).collect(),
+        )
+    )
+    assert default_hn == explicit_hn and default_hn
+    n_default = sim._miner_candidates(
+        emb, "vec_id", "embedding", 6, 4, 42, cells, 3
+    ).count()
+    n_cheap = sim._miner_candidates(
+        emb, "vec_id", "embedding", 6, 4, 42, cells, 1
+    ).count()
+    assert n_default > n_cheap
+
+
 def test_assign_join_path_matches_expression_path(spark, monkeypatch):
     """The large-k broadcast-table assignment (_assign_join) must agree
     with the literal-expression path value-for-value — same rounded
