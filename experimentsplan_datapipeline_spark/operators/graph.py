@@ -515,6 +515,44 @@ def label_propagation(
     return labels
 
 
+def _capped_edges(
+    edges: DataFrame, s: int, seed: int, degree_cap: int
+) -> DataFrame:
+    """Per-(node, step) seeded hash-top-m out-edge sample (VERDICT r13
+    item 5): rank each src's out-edges by the walker-INDEPENDENT
+    portable hash md5(src|dst|s|cap|seed) (dst tie-break) and keep the
+    first ``degree_cap``. Walker-independence is what makes the cap a
+    shared pre-filter — every walker standing on a hub at step s draws
+    from the SAME m-subset, so the frontier-join fanout is bounded by
+    |frontier| * m instead of |frontier| * deg(hub) (the measured
+    step-2 blowup: 1.5M walkers x ~30-degree part nodes -> 45M
+    candidate rows per step on the 10x probe graph).
+
+    The window partitions by src: over the walk loop's src-keyed edge
+    cache this plans a per-partition sort with NO exchange, and the
+    per-key sort group is bounded by the node's out-degree.
+    """
+    from pyspark.sql.window import Window
+
+    g = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("src"),
+            F.col("dst"),
+            F.lit(str(s)),
+            F.lit("cap"),
+            F.lit(str(seed)),
+        )
+    )
+    w = Window.partitionBy("src").orderBy("__g", "dst")
+    return (
+        edges.withColumn("__g", g)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= int(degree_cap))
+        .drop("__g", "__r")
+    )
+
+
 def _walk_step(
     cur: DataFrame,
     edges: DataFrame,
@@ -522,6 +560,7 @@ def _walk_step(
     seed: int,
     walk_col: str,
     use_broadcast: bool,
+    degree_cap: int | None = None,
 ) -> DataFrame:
     """One frontier expansion: (walk_id, __w, node) x out-edges ->
     (walk_id, __w, next, h). Broadcasts the frontier only when the
@@ -533,7 +572,10 @@ def _walk_step(
     (VERDICT r11 item 2). The draw hash salts the walk seed with the
     per-seed walk index ``__w`` (seed + __w), so multiple walks from
     one seed diverge while walk 0 replays the single-walk contract
-    bit-for-bit."""
+    bit-for-bit. ``degree_cap`` pre-filters the edge side to each
+    node's per-step hash-top-m sample (``_capped_edges``)."""
+    if degree_cap is not None:
+        edges = _capped_edges(edges, s, seed, degree_cap)
     front = F.broadcast(cur) if use_broadcast else cur
     return front.join(edges, cur["node"] == edges["src"]).select(
         walk_col,
@@ -560,6 +602,7 @@ def random_walks(
     walk_col: str = "walk_id",
     walks_per_seed: int = 1,
     broadcast_threshold: int = 4_000_000,
+    degree_cap: int | None = None,
 ) -> DataFrame:
     """Deterministic seeded random walks — the sampling primitive under
     DeepWalk/node2vec-style graph embeddings (Perozzi et al. 2014;
@@ -599,6 +642,23 @@ def random_walks(
     LAST '#' is the walk index (always bare digits), so the encoding is
     unambiguous even for node ids containing '#'.
 
+    ``degree_cap`` (VERDICT r13 item 5 — the hub-fanout bound): when
+    set, step s draws only from each node's hash-top-``degree_cap``
+    out-edge sample (``_capped_edges``: rank by the walker-independent
+    md5(src|dst|s|cap|seed), dst tie-break), so the candidate frame is
+    bounded by |frontier| * degree_cap instead of |frontier| * deg —
+    the per-node probe's residual 22.2x at both-axes-10x was exactly
+    step-2 volume through ~200k high-degree hub nodes. BIAS CONTRACT:
+    nodes with deg <= degree_cap are untouched (the sample is the full
+    neighborhood — the draw stays pseudo-uniform over all neighbors);
+    hub nodes draw pseudo-uniformly from a per-(node, step) seeded
+    m-subset, i.e. neighborhood subsampling, standard DeepWalk/
+    GraphSAGE practice for hubs — transition probabilities stay
+    uniform WITHIN the sample but the sample re-rolls each step, so
+    across steps every neighbor remains reachable. Pick m around the
+    graph's 99th-percentile out-degree to bound only the hub tail.
+    Default None = exact form (every out-edge a candidate).
+
     Returns (walk_col, step, node) including step 0 = the seed.
     Duplicate seed rows name the same walker — a walker is its
     (node, walk_index) identity and the draw is deterministic — so they
@@ -608,6 +668,8 @@ def random_walks(
     """
     if walks_per_seed < 1:
         raise ValueError("walks_per_seed must be >= 1")
+    if degree_cap is not None and degree_cap < 1:
+        raise ValueError("degree_cap must be >= 1 (or None for exact)")
     base = seeds.select(F.col(id_col).cast("string").alias("node"))
     if walks_per_seed == 1:
         fan = base.select(F.lit(0).alias("__w"), "node")
@@ -663,7 +725,10 @@ def random_walks(
         edges_j = persisted
     out = [cur.withColumn("step", F.lit(0))]
     for s in range(1, n_steps + 1):
-        cand = _walk_step(cur, edges_j, s, seed, "__wid", use_broadcast)
+        cand = _walk_step(
+            cur, edges_j, s, seed, "__wid", use_broadcast,
+            degree_cap=degree_cap,
+        )
         # ONE map-side-combinable aggregation draws the step:
         # min(struct(h, next)) IS (min h, then min next at that h) —
         # lexicographic struct order — so the old min-h + join-back +

@@ -8517,13 +8517,16 @@ def text_winnow_fingerprints(spark, sf_dir):
 _RW_STEPS = 3
 
 
-def _walks_cte(n_steps: int) -> str:
+def _walks_cte(n_steps: int, degree_cap: int | None = None) -> str:
     """Unrolled walk replay as a CTE prefix ending in ``walks``
     (walk_id, step, node): per step, the same md5(cur|next|step|seed)
     min-choice over out-neighbors, with the min-next tie-break (md5
     collisions aside, a pure formality — the tie-break makes the replay
     airtight regardless). Shared by graph_random_walks and
-    graph_walk_cooccurrence."""
+    graph_walk_cooccurrence. ``degree_cap`` replays the engine's
+    per-(node, step) hash-top-m edge sample (graph.py::_capped_edges):
+    each step's candidate edges are the first m per src under
+    (md5(src|dst|step|cap|seed), dst) order."""
     parts = ["""WITH li AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 e AS MATERIALIZED (
@@ -8532,11 +8535,22 @@ e AS MATERIALIZED (
 s0 AS (SELECT 'o:' || o_orderkey AS walk_id, 'o:' || o_orderkey AS node
        FROM orders WHERE o_orderkey < 200)"""]
     for s in range(1, n_steps + 1):
+        edge_src = "e"
+        if degree_cap is not None:
+            edge_src = f"e{s}"
+            parts.append(f""",
+e{s} AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src
+        ORDER BY md5(src || '|' || dst || '|{s}|cap|7') ASC, dst ASC)
+        AS rn
+    FROM e)
+  WHERE rn <= {degree_cap})""")
         parts.append(f""",
 c{s} AS MATERIALIZED (
   SELECT s.walk_id, e.dst AS next,
          md5(s.node || '|' || e.dst || '|{s}|7') AS h
-  FROM s{s - 1} s JOIN e ON e.src = s.node),
+  FROM s{s - 1} s JOIN {edge_src} e ON e.src = s.node),
 m{s} AS (SELECT walk_id, min(h) AS h FROM c{s} GROUP BY walk_id),
 s{s} AS (SELECT c.walk_id, min(c.next) AS node
          FROM c{s} c JOIN m{s} USING (walk_id, h) GROUP BY c.walk_id)""")
@@ -8548,8 +8562,13 @@ s{s} AS (SELECT c.walk_id, min(c.next) AS node
 walks AS ({sel})"""
 
 
-def _random_walks_oracle(n_steps: int) -> str:
-    return _walks_cte(n_steps) + "\nSELECT walk_id, step, node FROM walks"
+def _random_walks_oracle(
+    n_steps: int, degree_cap: int | None = None
+) -> str:
+    return (
+        _walks_cte(n_steps, degree_cap)
+        + "\nSELECT walk_id, step, node FROM walks"
+    )
 
 
 @register("graph_random_walks", _random_walks_oracle(_RW_STEPS))
@@ -8595,6 +8614,58 @@ def graph_random_walks(spark, sf_dir):
     )
     return random_walks(
         e1.unionByName(e2), seeds, n_steps=_RW_STEPS, seed=7
+    )
+
+
+@register(
+    "graph_random_walks_capped", _random_walks_oracle(_RW_STEPS, degree_cap=2)
+)
+def graph_random_walks_capped(spark, sf_dir):
+    """random_walks with the hub-fanout bound ON (VERDICT r13 item 5 —
+    graph.py::_capped_edges): each step draws from every node's seeded
+    hash-top-2 out-edge sample instead of its full neighborhood, so the
+    per-step candidate frame is |frontier| * 2 regardless of hub
+    degree (the per-node probe's residual 22.2x at both-axes-10x was
+    step-2 volume through high-degree part nodes). degree_cap=2 here
+    is deliberately BELOW this graph's typical degree so the cap
+    provably bites and the oracle replays the biased draw exactly —
+    production picks m ~ p99 out-degree so only the hub tail is
+    sampled. Exact form (graph_random_walks) stays the default; the
+    bias contract is documented on random_walks."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        random_walks,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    e1 = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    e2 = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    seeds = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            F.concat(
+                F.lit("o:"), F.col("o_orderkey").cast("string")
+            ).alias("node")
+        )
+    )
+    return random_walks(
+        e1.unionByName(e2), seeds, n_steps=_RW_STEPS, seed=7, degree_cap=2
     )
 
 

@@ -310,6 +310,10 @@ ROUND12_13_ANNOTATED: dict[str, str] = {
     "ann_contrastive_triplets_cheap":
         "r14: explicit p=1 cheap-tier triplets (single-cell "
         "candidates) kept after the default flipped to n_probe=8",
+    "graph_random_walks_capped":
+        "r14: walks with the hub-fanout bound on — per-(node, step) "
+        "seeded hash-top-m edge sample caps candidate volume at "
+        "|frontier|*m; oracle replays the biased draw exactly",
     "graph_walk_cooccurrence":
         "skip-gram (center, context) pair counts over walk sequences — "
         "the consumable DeepWalk trains on; join bounded by walk length",
@@ -459,7 +463,7 @@ def main() -> None:
         lines.append(f"| `{n}` | {status} |")
     lines.append("")
     lines += [
-        "## Contrastive-miner recall contracts & exports (rounds 12-13)",
+        "## Contrastive-miner recall contracts & exports (rounds 12-14)",
         "",
         "| query | status |",
         "|---|---|",

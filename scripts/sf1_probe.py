@@ -552,13 +552,21 @@ def _live_funnel_probe(spark, sf_dir):
     _time_pair call pays it; the timed call measures pure drain =
     per-epoch quality gate + Bloom/fp exact screen + indexed near-dup
     screen + decision/state writes). Fresh stream dirs + checkpoint per
-    call so every drain processes all 4 files."""
+    call so every drain processes all 4 files.
+
+    r14 (VERDICT r13 item 4): the probe now runs the SAME verify shape
+    as the registered stream_ingest_funnel — store_text=True index,
+    corpus = the index's id-sorted text table, and the §4j literal-IN
+    candidate pushdown — so the measured drain covers the r13 live
+    pushdown path, not the pre-r13 corpus-scan verify (whose last
+    flat-at-10x reading, §4i 1.04x, predated the pushdown)."""
     import tempfile
 
     from pyspark.sql import functions as F
 
     from experimentsplan_datapipeline_spark.operators.dedup import (
         fingerprint_index_write,
+        minhash_index_read_text,
         minhash_index_write,
     )
     from experimentsplan_datapipeline_spark.plans.queries import t
@@ -576,9 +584,12 @@ def _live_funnel_probe(spark, sf_dir):
     live = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
     mh, fp = f"probe_lf_mh_{tag}", f"probe_lf_fp_{tag}"
     if not _LIVE_FUNNEL_IDX.get(sf_dir):
-        minhash_index_write(corpus, mh, "text", "doc_id")
+        minhash_index_write(
+            corpus, mh, "text", "doc_id", store_text=True
+        )
         fingerprint_index_write(corpus, fp, "text")
         _LIVE_FUNNEL_IDX[sf_dir] = True
+    ctext = minhash_index_read_text(spark, mh)
     root = tempfile.mkdtemp(prefix="lf_probe_")
     staging = os.path.join(root, "staging")
     result_dir = os.path.join(root, "decisions")
@@ -589,8 +600,8 @@ def _live_funnel_probe(spark, sf_dir):
         .parquet(staging)
     )
     writer = streaming_ingest_funnel(
-        stream, corpus, mh, fp, result_dir, "text", "doc_id",
-        threshold=0.5,
+        stream, ctext, mh, fp, result_dir, "text", "doc_id",
+        threshold=0.5, corpus_text_pushdown=5000,
     ).option("checkpointLocation", os.path.join(root, "ckpt"))
     run_available_now(writer, timeout_sec=900.0)
     return read_gate_results(spark, result_dir)
@@ -1076,6 +1087,44 @@ def _walks_per_node_probe(spark, sf_dir):
     )
 
 
+def _walks_per_node_capped_probe(spark, sf_dir):
+    """The per-node regime with the hub-fanout bound ON (VERDICT r13
+    item 5, graph.py::_capped_edges): degree_cap=8 vs the part nodes'
+    ~30 out-degree bounds the dominant step-2 candidate term at
+    |frontier| * 8 instead of |frontier| * 30 (45M -> 12M rows at sf1).
+    m=8 is deliberately below the part-degree mode so the bound visibly
+    bites at BOTH scales; production picks m ~ p99 out-degree so only
+    the hub tail is sampled. Same graph, seeds, and non-broadcast
+    forcing as _walks_per_node_probe — the ratio comparison isolates
+    the cap."""
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        random_walks,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t as _t
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    e1 = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    e2 = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("dst"),
+    )
+    seeds = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias(
+            "node"
+        )
+    )
+    return random_walks(
+        e1.unionByName(e2), seeds, n_steps=3, seed=7,
+        broadcast_threshold=0, degree_cap=8,
+    )
+
+
 def _time_pair(fn, spark, small_dir: str, big_dir: str) -> dict:
     times = {}
     for tag, d in (("sf0.1_sec", small_dir), ("sf1_sec", big_dir)):
@@ -1263,6 +1312,10 @@ def main() -> None:
     if wanted("random_walks@per_node"):
         result["random_walks@per_node"] = _time_pair(
             _walks_per_node_probe, spark, SRC, out_dir
+        )
+    if wanted("random_walks@per_node_capped"):
+        result["random_walks@per_node_capped"] = _time_pair(
+            _walks_per_node_capped_probe, spark, SRC, out_dir
         )
     if wanted("contrastive_export@sf1"):
         result["contrastive_export@sf1"] = _time_pair(

@@ -1530,6 +1530,88 @@ def test_random_walks_hashed_ids_edge_cases(spark):
     assert got_dup == sorted((r.walk_id, r.step, r.node) for r in got)
 
 
+def test_random_walks_degree_cap(spark):
+    """The hub-fanout bound (VERDICT r13 item 5): degree_cap >= max
+    out-degree reproduces the exact walk list-for-list; degree_cap=1
+    forces each step onto the node's single hash-min edge (replayed
+    here in pure Python md5); the capped edge sample itself keeps
+    exactly min(deg, m) edges per (src, step) and differs between
+    steps (the per-step re-roll that keeps every neighbor reachable);
+    and on a src-partitioned edge frame the cap window adds NO extra
+    exchange. degree_cap=0 raises."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        _capped_edges,
+        random_walks,
+    )
+
+    # hub 'a' with 5 out-neighbors; every neighbor points back to 'a'
+    edges = [("a", f"n{i}") for i in range(5)] + [
+        (f"n{i}", "a") for i in range(5)
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+
+    exact = sorted(
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(e, seeds, n_steps=3, seed=7).collect()
+    )
+    wide = sorted(
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(
+            e, seeds, n_steps=3, seed=7, degree_cap=5
+        ).collect()
+    )
+    assert wide == exact
+
+    def g(src, dst, s):
+        return hashlib.md5(f"{src}|{dst}|{s}|cap|7".encode()).hexdigest()
+
+    got1 = {
+        r.step: r.node
+        for r in random_walks(
+            e, seeds, n_steps=2, seed=7, degree_cap=1
+        ).collect()
+    }
+    node = "a"
+    for s in (1, 2):
+        # cap=1 keeps only the (g, dst)-min edge; the draw over a
+        # 1-edge candidate set IS that edge
+        forced = min(
+            (d for srcv, d in edges if srcv == node),
+            key=lambda d: (g(node, d, s), d),
+        )
+        assert got1[s] == forced, (s, got1, forced)
+        node = forced
+
+    # exact Python replay of the per-(src, step) hash-top-m sample —
+    # covers both the "hub capped to m / deg<=m untouched" shape and
+    # the step-salted hash (the sample is a function of the step)
+    for s in (1, 2):
+        got = {
+            (r.src, r.dst) for r in _capped_edges(e, s, 7, 2).collect()
+        }
+        expect = set()
+        for src in {"a", *[f"n{i}" for i in range(5)]}:
+            outs = [d for sv, d in edges if sv == src]
+            keep = sorted(outs, key=lambda d: (g(src, d, s), d))[:2]
+            expect |= {(src, d) for d in keep}
+        assert got == expect, s
+
+    ep = e.repartition("src")
+    plan = (
+        _capped_edges(ep, 1, 7, 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan  # only the repartition
+
+    with _pytest.raises(ValueError, match="degree_cap"):
+        random_walks(e, seeds, n_steps=1, seed=7, degree_cap=0)
+
+
 def test_walk_step_plan_no_broadcast_when_guarded(spark):
     """The frontier expansion join must NOT plan a broadcast when the
     caller's size guard says the frontier is too big (VERDICT r11 item
