@@ -1889,6 +1889,27 @@ def ann_hard_negatives_probe2(spark, sf_dir):
     )
 
 
+@register("ann_hard_negatives_probe8", _hard_neg_probe_oracle_sql(
+    n_probe=8,
+))
+def ann_hard_negatives_probe8(spark, sf_dir):
+    """hard_negatives at the RECALL-CLEARING setting the r13 curve
+    measured (ann_recall_cost_curve: n_probe=8 is the first ladder
+    point with recall@1 >= 0.8 at the miners' k=16 codebook, 8.2x the
+    p=1 candidates — linear). Since r14 flipped the miners' DEFAULT to
+    this setting, this entry is identical to ann_hard_negatives; it
+    stays registered for artifact continuity (declared in r13) and as
+    the explicit-name form of the recall contract."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = sim.kmeans_lite(emb, "vec_id", "embedding", k=16, iters=2)
+    return sim.hard_negatives(
+        emb, "vec_id", "embedding", dup_threshold=0.999, cells=cents,
+        n_probe=8,
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 _USER_VEC_SQL = """SELECT user_id AS vec_id, v FROM (

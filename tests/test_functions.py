@@ -107,6 +107,50 @@ def test_vector_math(spark):
     assert zero.select(cosine_similarity("a", "b").alias("c")).collect()[0].c == 0.0
 
 
+def test_vector_math_unrolled_bit_identical(spark):
+    """The dim-unrolled codegen forms (r14 optimization) must be
+    BIT-IDENTICAL to the higher-order-function fold — same additions in
+    the same left-associated order — on irregular random vectors,
+    including zero vectors (the cosine 0-denominator guard) and
+    negative components. Exact ==, not approx: any float deviation means
+    the unroll changed the fold order."""
+    import random
+
+    from experimentsplan_datapipeline_spark.functions.vectors import (
+        cosine_prenorm,
+        l2_distance,
+        l2_norm,
+    )
+
+    rng = random.Random(4242)
+    dim = 17  # prime-ish, not a SIMD-friendly length
+    rows = [
+        (
+            [rng.uniform(-5, 5) for _ in range(dim)],
+            [rng.uniform(-5, 5) for _ in range(dim)],
+        )
+        for _ in range(50)
+    ] + [([0.0] * dim, [1.0] * dim)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = df.select(
+        (dot_product("a", "b") == dot_product("a", "b", dim)).alias("d_eq"),
+        (l2_norm("a") == l2_norm("a", dim)).alias("n_eq"),
+        (l2_distance("a", "b") == l2_distance("a", "b", dim)).alias("l_eq"),
+        (
+            cosine_similarity("a", "b")
+            == cosine_similarity("a", "b", dim)
+        ).alias("c_eq"),
+        (
+            cosine_similarity("a", "b")
+            == cosine_prenorm(
+                dot_product("a", "b", dim), l2_norm("a", dim), l2_norm("b", dim)
+            )
+        ).alias("p_eq"),
+    ).collect()
+    for r in out:
+        assert r.d_eq and r.n_eq and r.l_eq and r.c_eq and r.p_eq
+
+
 def test_ssim_identical_is_one(spark):
     from experimentsplan_datapipeline_spark.functions.vectors import ssim_global
     from pyspark.sql import functions as F
