@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from experimentsplan_datapipeline_spark import bench_hooks
 from experimentsplan_datapipeline_spark.functions.vectors import cosine_similarity
+from experimentsplan_datapipeline_spark.operators.util import spread_small_input
 
 
 def brute_force_topk(
@@ -216,14 +217,31 @@ def ivf_topk(
     )
 
 
-def _sq_dist(vec, cent_lit):
-    d = F.zip_with(vec, cent_lit, lambda a, b: (a - b) * (a - b))
-    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+def _sq_dist(vec, cent_lit, dim: int | None = None):
+    """Squared L2 distance. ``dim`` (r14): unroll the fold into the
+    codegen'd left-associated expression — bit-identical float order to
+    the zip_with/aggregate path (HOFs are CodegenFallback: every element
+    step runs the interpreted lambda; see functions.vectors.dot_product)."""
+    if dim is None:
+        d = F.zip_with(vec, cent_lit, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+    acc = F.lit(0.0)
+    for i in range(dim):
+        d = vec[i] - cent_lit[i]
+        acc = acc + d * d
+    return acc
 
 
 def _assign_expr(vec, cents: list[tuple[int, list[float]]]):
     """argmin cluster id over a literal codebook — distances ROUNDED to 6
-    so assignment ties break identically across engines (then by cid)."""
+    so assignment ties break identically across engines (then by cid).
+
+    Stays on the interpreted HOF fold deliberately (r14): unrolling all
+    k distances into one expression tree blows janino's 64 KB generated-
+    method cap (a single nested-Add expression cannot be split across
+    methods), and assignment is O(N*k*dim) — never the pair-loop term
+    that dominates; the unroll lives where it pays (see
+    _miner_candidates / _assign_join)."""
     scored = F.array(
         *[
             F.struct(
@@ -241,7 +259,8 @@ def _assign_expr(vec, cents: list[tuple[int, list[float]]]):
 def _assign_topn_expr(vec, cents: list[tuple[int, list[float]]], n: int):
     """Top-n nearest cluster ids (multi-probe assignment): same rounded
     distances and smaller-cid tie-break as ``_assign_expr`` (whose
-    result is always element 1), as an n-element array."""
+    result is always element 1), as an n-element array. Interpreted HOF
+    fold for the same 64 KB-cap reason as ``_assign_expr``."""
     scored = F.array(
         *[
             F.struct(
@@ -295,15 +314,11 @@ def _assign_join(
             "cid int, cv array<double>",
         )
     )
+    # codebook dim is uniform by construction (centroids are means of the
+    # corpus vectors) — unroll the distance fold into codegen (r14; same
+    # float order as the zip_with/aggregate fold, see _sq_dist)
     d = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col), F.col("cv"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        6,
+        _sq_dist(F.col(vec_col), F.col("cv"), dim=len(cents[0][1])), 6
     )
     scored = (
         df.select(F.col(id_col), F.col(vec_col))
@@ -1806,21 +1821,43 @@ def _miner_candidates(
     no nested loop), so candidates grow ~n_probe-fold linearly while
     recall rises (measured: ``ann_cell_recall`` vs its probe-2 twin).
     A pair can never duplicate: the neighbor has ONE assigned cell.
+
+    r14 pair-scoring shape (guide §4.1/§2.3): the per-pair cosine used to
+    be three interpreted higher-order folds (dot + BOTH norms — HOFs are
+    CodegenFallback, so every candidate pair paid ~3*dim interpreted
+    lambda steps; at the recall-clearing n_probe=8 default that was ~94 s
+    of the extended bench on 2k vectors). Now each side carries its l2
+    norm ONCE PER ROW and the pair expression is the dim-unrolled
+    codegen'd dot over the precomputed norms — the same float ops in the
+    same order (see functions.vectors.dot_product), bit-identical c.
+    The vector length comes from the codebook (``len(cells[0][1])`` —
+    centroids are means of the corpus vectors, so the length is exact
+    even when the caller leaves the hyperplane-path ``dim`` at its
+    default, e.g. the 5-dim user vectors of pipeline_contrastive_export);
+    the hyperplane path uses the contractual ``dim`` the planes are
+    built with.
     """
     from experimentsplan_datapipeline_spark.functions.vectors import (
-        cosine_similarity,
+        cosine_prenorm,
+        dot_product,
+        l2_norm,
     )
 
     if cells is None and n_probe != 1:
         raise ValueError("n_probe > 1 requires a trained codebook (cells)")
+    vdim = len(cells[0][1]) if cells is not None else dim
+    nrm = l2_norm(F.col(vec_col), vdim)
     if cells is not None and len(cells) > _ASSIGN_EXPR_MAX_K:
         # large-k path: broadcast-table assignment keeps the plan O(1)
         # in k (see _assign_join)
-        base = _assign_join(df, id_col, vec_col, cells, 1)
+        base = _assign_join(df, id_col, vec_col, cells, 1).withColumn(
+            "__nrm", nrm
+        )
         probe_side = (
             base
             if n_probe == 1
             else _assign_join(df, id_col, vec_col, cells, n_probe)
+            .withColumn("__nrm", nrm)
         )
     else:
         if cells is not None:
@@ -1830,7 +1867,7 @@ def _miner_candidates(
             bucket = _hyperplane_bucket(F.col(vec_col), planes)
         base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
             "__bucket", bucket
-        )
+        ).withColumn("__nrm", nrm)
         if n_probe > 1:
             probe_side = df.select(
                 F.col(id_col),
@@ -1838,9 +1875,16 @@ def _miner_candidates(
                 F.explode(
                     _assign_topn_expr(F.col(vec_col), cells, n_probe)
                 ).alias("__bucket"),
-            )
+            ).withColumn("__nrm", nrm)
         else:
             probe_side = base
+    # the bucket join multiplies rows ~|cell| fold: spread the streamed
+    # query side so the pair loop runs on every core instead of the 1-2
+    # partitions a small local parquet arrives as (no-op at scale), and
+    # so the upstream projection (vector cast, bucket, norm) materializes
+    # at the exchange ONCE PER ROW instead of re-evaluating inside the
+    # join's per-PAIR consume path (guide §2.5 input skew / §4.2)
+    probe_side = spread_small_input(probe_side)
     return (
         probe_side.alias("a")
         .join(
@@ -1852,8 +1896,12 @@ def _miner_candidates(
             F.col(f"a.{id_col}").alias("qid"),
             F.col(f"b.{id_col}").alias("nid"),
             F.round(
-                cosine_similarity(
-                    F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+                cosine_prenorm(
+                    dot_product(
+                        F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), vdim
+                    ),
+                    F.col("a.__nrm"),
+                    F.col("b.__nrm"),
                 ),
                 6,
             ).alias("c"),
