@@ -796,6 +796,78 @@ def _swap_in_table(spark, df: DataFrame, table_name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS `{prev}`")
 
 
+def exact_screen_prepare(spark, table_name: str) -> dict:
+    """Resolve the fingerprint index's pointer + Bloom words ONCE and
+    return the opaque probe state ``exact_screen_apply`` screens batches
+    with. Split out of ``exact_screen_incremental`` (r14, guide §4.5
+    heavyweight-init-once applied to the driver side): the pointer read
+    is a catalog round trip + a ``first()`` job and the Bloom words are
+    a driver collect — per-CALL costs that a live stream screening many
+    micro-batches against a STATIC index (never appended by the stream;
+    see ``streaming_ingest_funnel``) should pay once per drain, not once
+    per epoch. The state pins a specific generation, so callers that
+    expect the index to move between calls must re-prepare."""
+    meta = _read_pointer(spark, f"{table_name}_meta")
+    if meta is None:
+        raise ValueError(
+            f"exact_screen_incremental: meta table {table_name + '_meta'!r} "
+            f"not found — build the index with fingerprint_index_write first "
+            f"(indexes from before the generation-pointer format must be "
+            f"rebuilt)"
+        )
+    n_bits, n_hashes = int(meta["n_bits"]), int(meta["n_hashes"])
+    gen = meta["gen"]
+    n_words = n_bits // 64
+    words = [0] * n_words
+    for r in spark.table(f"{table_name}_bloom_g{gen}").collect():
+        words[r["w"]] = r["m"]
+
+    def _pos(i: int) -> str:
+        return f"pmod(xxhash64(cast(fp as string), {i}), {n_bits}L)"
+
+    checks = " AND ".join(
+        f"(element_at(__bloom, cast({_pos(i)} div 64 as int) + 1)"
+        f" & shiftleft(1L, cast({_pos(i)} % 64 as int))) != 0"
+        for i in range(n_hashes)
+    )
+    return {
+        "words": words,
+        "checks": checks,
+        "fp_table": f"{table_name}_fp_g{gen}",
+    }
+
+
+def exact_screen_apply(
+    batch: DataFrame, text_col: str, id_col: str, state: dict,
+) -> DataFrame:
+    """Probe ``batch`` against a prepared exact-screen ``state`` (see
+    ``exact_screen_prepare``). Identical output to
+    ``exact_screen_incremental`` — this is its probe half."""
+    from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint
+
+    spark = batch.sparkSession
+    bitset = F.lit(state["words"]).cast("array<bigint>")
+    fps = batch.select(
+        F.col(id_col), doc_fingerprint(text_col).alias("fp")
+    )
+    candidates = (
+        fps.withColumn("__bloom", bitset)
+        .filter(F.expr(state["checks"]))
+        .drop("__bloom")
+    )
+    hits = candidates.join(
+        spark.table(state["fp_table"]), "fp", "left_semi"
+    ).select(F.col(id_col), F.lit(True).alias("exact_dup"))
+    return (
+        fps.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+        )
+    )
+
+
 def exact_screen_incremental(
     batch: DataFrame, text_col: str, id_col: str, table_name: str,
 ) -> DataFrame:
@@ -811,53 +883,13 @@ def exact_screen_incremental(
     (n_bits, n_hashes) AND the current generation are read from the
     index's pointer table, so the probe can never hash with a
     mismatched family (silent false negatives) nor pair a bloom with a
-    different generation's fp table.
+    different generation's fp table. One-shot compose of
+    ``exact_screen_prepare`` + ``exact_screen_apply``; steady-state
+    streams prepare once per drain and apply per micro-batch.
     """
-    from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint
-
-    spark = batch.sparkSession
-    meta = _read_pointer(spark, f"{table_name}_meta")
-    if meta is None:
-        raise ValueError(
-            f"exact_screen_incremental: meta table {table_name + '_meta'!r} "
-            f"not found — build the index with fingerprint_index_write first "
-            f"(indexes from before the generation-pointer format must be "
-            f"rebuilt)"
-        )
-    n_bits, n_hashes = int(meta["n_bits"]), int(meta["n_hashes"])
-    gen = meta["gen"]
-    n_words = n_bits // 64
-    words = [0] * n_words
-    for r in spark.table(f"{table_name}_bloom_g{gen}").collect():
-        words[r["w"]] = r["m"]
-    bitset = F.lit(words).cast("array<bigint>")
-
-    def _pos(i: int) -> str:
-        return f"pmod(xxhash64(cast(fp as string), {i}), {n_bits}L)"
-
-    checks = " AND ".join(
-        f"(element_at(__bloom, cast({_pos(i)} div 64 as int) + 1)"
-        f" & shiftleft(1L, cast({_pos(i)} % 64 as int))) != 0"
-        for i in range(n_hashes)
-    )
-    fps = batch.select(
-        F.col(id_col), doc_fingerprint(text_col).alias("fp")
-    )
-    candidates = (
-        fps.withColumn("__bloom", bitset)
-        .filter(F.expr(checks))
-        .drop("__bloom")
-    )
-    hits = candidates.join(
-        spark.table(f"{table_name}_fp_g{gen}"), "fp", "left_semi"
-    ).select(F.col(id_col), F.lit(True).alias("exact_dup"))
-    return (
-        fps.select(id_col)
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
-        )
+    return exact_screen_apply(
+        batch, text_col, id_col,
+        exact_screen_prepare(batch.sparkSession, table_name),
     )
 
 

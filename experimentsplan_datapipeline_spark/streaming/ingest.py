@@ -537,15 +537,24 @@ def streaming_ingest_gate(
             "auto_compact_every requires grow_state=True and compact_table"
         )
 
+    # validated read (ADVICE r9): banding the batch with params that
+    # differ from the persisted index's family would produce disjoint
+    # band keys — zero candidates, every near-dup silently admitted.
+    # Resolved ONCE at writer-build time (r14, guide §4.5 init-once on
+    # the driver side): the seed index table is static for the stream's
+    # whole lifetime (never appended by the stream — epoch state reaches
+    # the bucketed form only through ingest_state_compact's separate
+    # compact_table), so the per-epoch pointer read + param validation
+    # (a catalog round trip and a first() job every micro-batch) carried
+    # no information after the first epoch.
+    seed_idx = minhash_index_read(
+        batch_stream.sparkSession, index_table, num_hashes=num_hashes,
+        bands=bands, shingle_size=shingle_size, portable_seed=portable_seed,
+    )
+
     def gate(mb: DataFrame, epoch_id: int) -> None:
         spark = mb.sparkSession
-        # validated read (ADVICE r9): banding the batch with params that
-        # differ from the persisted index's family would produce disjoint
-        # band keys — zero candidates, every near-dup silently admitted
-        idx = minhash_index_read(
-            spark, index_table, num_hashes=num_hashes, bands=bands,
-            shingle_size=shingle_size, portable_seed=portable_seed,
-        )
+        idx = seed_idx
         if (
             auto_compact_every is not None
             and epoch_id > 0
@@ -567,7 +576,13 @@ def streaming_ingest_gate(
             threshold=threshold, portable_seed=portable_seed,
             corpus_bandkeys=idx,
             corpus_text_pushdown=corpus_text_pushdown,
-        ).localCheckpoint(eager=True)  # hit ids feed the accept filter below
+        )
+        if grow_state:
+            # hit ids feed the accept filter below as a second consumer;
+            # the static gate has only the write — checkpointing there
+            # would compute the verify join twice per epoch for nothing
+            # (r14, guide §5 caching-only-when-reused)
+            hits = hits.localCheckpoint(eager=True)
         hits.write.mode("overwrite").parquet(
             os.path.join(result_dir, f"epoch={epoch_id}")
         )
@@ -656,9 +671,6 @@ def streaming_ingest_funnel(
     from experimentsplan_datapipeline_spark.functions.text import (
         doc_fingerprint,
     )
-    from experimentsplan_datapipeline_spark.operators.dedup import (
-        exact_screen_incremental,
-    )
     from experimentsplan_datapipeline_spark.operators.text_analysis import (
         repetition_signals,
     )
@@ -677,12 +689,29 @@ def streaming_ingest_funnel(
             "auto_compact_every requires grow_state=True and compact_table"
         )
 
+    # both persisted seed indexes are static for the stream's lifetime
+    # (the stream never appends them — grown state lives in epoch dirs /
+    # compact_table), so resolve their pointers, validate the banding
+    # family, and collect the Bloom words ONCE at writer-build time
+    # instead of per micro-batch (r14, guide §4.5 init-once driver-side;
+    # the per-epoch cost was 2 pointer reads + a Bloom-words collect =
+    # three driver jobs per epoch carrying no new information)
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        exact_screen_apply,
+        exact_screen_prepare,
+    )
+
+    seed_idx = minhash_index_read(
+        batch_stream.sparkSession, mh_index_table, num_hashes=num_hashes,
+        bands=bands, shingle_size=shingle_size, portable_seed=portable_seed,
+    )
+    fp_screen = exact_screen_prepare(
+        batch_stream.sparkSession, fp_index_table
+    )
+
     def gate(mb: DataFrame, epoch_id: int) -> None:
         spark = mb.sparkSession
-        idx = minhash_index_read(
-            spark, mh_index_table, num_hashes=num_hashes, bands=bands,
-            shingle_size=shingle_size, portable_seed=portable_seed,
-        )
+        idx = seed_idx
         if (
             auto_compact_every is not None
             and epoch_id > 0
@@ -701,7 +730,7 @@ def streaming_ingest_funnel(
             caller="streaming_ingest_funnel",
         )
         sig = repetition_signals(mb, id_col, text_col).select(id_col, "keep")
-        exact = exact_screen_incremental(mb, text_col, id_col, fp_index_table)
+        exact = exact_screen_apply(mb, text_col, id_col, fp_screen)
         if grown_fp is not None:
             gex = (
                 mb.select(
@@ -747,8 +776,12 @@ def streaming_ingest_funnel(
                 "accepted",
                 F.col("keep") & ~F.col("exact_dup") & ~F.col("near_dup"),
             )
-            .localCheckpoint(eager=True)  # feeds the log + 3 state writes
         )
+        if grow_state:
+            # feeds the log + 3 state writes; the static funnel has only
+            # the log write — checkpointing there would run every screen
+            # twice per epoch (r14, guide §5 caching-only-when-reused)
+            decisions = decisions.localCheckpoint(eager=True)
         decisions.write.mode("overwrite").parquet(
             os.path.join(result_dir, f"epoch={epoch_id}")
         )
@@ -906,6 +939,12 @@ def streaming_ann_ingest(
         _load_centroids,
     )
 
+    # centroids are FROZEN per generation (the docstring's contract), so
+    # the k-row driver collect repeats per epoch with the same answer —
+    # cache by gen (r14, guide §4.5 init-once); a compaction that bumps
+    # the gen reloads, everything else reuses
+    cents_by_gen: dict = {}
+
     def gate(mb, epoch_id: int) -> None:
         spark = mb.sparkSession
         meta = _read_pointer(spark, f"{index_table}_meta")
@@ -933,7 +972,11 @@ def streaming_ann_ingest(
                 gc_old=compact_gc_old,
             )
             meta = _read_pointer(spark, f"{index_table}_meta")
-        cents = _load_centroids(spark, index_table, meta["gen"])
+        gen = meta["gen"]
+        cents = cents_by_gen.get(gen)
+        if cents is None:
+            cents = _load_centroids(spark, index_table, gen)
+            cents_by_gen[gen] = cents
         _assign_to_cells(mb, vec_col, id_col, cents).write.mode(
             "overwrite"
         ).parquet(os.path.join(asg_dir, f"epoch={epoch_id}"))

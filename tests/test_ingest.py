@@ -682,9 +682,12 @@ class TestGenerationPointerCommit:
             minhash_index_read(spark, "t_never_built")
 
     def test_streaming_gate_rejects_mismatched_index(self, spark, tmp_path):
-        """The live gate's first micro-batch must raise, not silently
-        admit every near-dup, when the persisted index was built with
-        different banding params than the gate is configured with."""
+        """The live gate must raise, not silently admit every near-dup,
+        when the persisted index was built with different banding params
+        than the gate is configured with. Since r14 the static seed
+        index is resolved once at writer-BUILD time (not per epoch), so
+        the mismatch surfaces at the builder call — before the stream
+        even starts."""
         from experimentsplan_datapipeline_spark.streaming.events import (
             run_available_now,
         )
@@ -705,12 +708,12 @@ class TestGenerationPointerCommit:
                 .option("maxFilesPerTrigger", 1)
                 .parquet(str(staging))
             )
-            writer = streaming_ingest_gate(
-                stream, corpus, "t_gate_mismatch",
-                str(tmp_path / "hits"), "text", "doc_id",
-                threshold=0.5, portable_seed=999,  # != index's 7
-            ).option("checkpointLocation", str(tmp_path / "ckpt"))
             with pytest.raises(Exception, match="mismatched banding"):
+                writer = streaming_ingest_gate(
+                    stream, corpus, "t_gate_mismatch",
+                    str(tmp_path / "hits"), "text", "doc_id",
+                    threshold=0.5, portable_seed=999,  # != index's 7
+                ).option("checkpointLocation", str(tmp_path / "ckpt"))
                 run_available_now(writer, timeout_sec=240.0)
         finally:
             minhash_index_drop(spark, "t_gate_mismatch")
