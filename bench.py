@@ -172,6 +172,51 @@ def main() -> None:
         except OSError:
             return -1.0
 
+    def _cpu_snapshot() -> tuple[int, int]:
+        """(total busy jiffies across all cores, jiffies used by OUR
+        process subtree). The difference of two snapshots isolates
+        FOREIGN CPU consumed while the bench ran — unlike the post-run
+        1-min loadavg, which mostly reads back the bench's own 32-core
+        execution and therefore stamped every healthy run degraded
+        (the r14 session's first fully-green run carried
+        loadavg_post=5.5 with zero neighbors). Subtree walk is one
+        /proc scan; a short-lived foreign child that exits between
+        snapshots under-counts as ours (conservative: never hides
+        foreign load), while our own JVM lives for the whole run."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:]
+            # user + nice + system (+ irq/softirq/steal when present)
+            idx = [0, 1, 2, 5, 6, 7]
+            total_busy = sum(
+                int(parts[i]) for i in idx if i < len(parts)
+            )
+            procs: dict[int, tuple[int, int]] = {}
+            for pid in os.listdir("/proc"):
+                if not pid.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{pid}/stat") as f:
+                        st = f.read()
+                except OSError:
+                    continue
+                rest = st[st.rindex(")") + 2:].split()
+                procs[int(pid)] = (
+                    int(rest[1]), int(rest[11]) + int(rest[12])
+                )
+            mine = {os.getpid()}
+            grew = True
+            while grew:
+                grew = False
+                for pid, (ppid, _) in procs.items():
+                    if ppid in mine and pid not in mine:
+                        mine.add(pid)
+                        grew = True
+            own = sum(procs[p][1] for p in mine if p in procs)
+            return total_busy, own
+        except (OSError, ValueError, IndexError):
+            return -1, -1
+
     from experimentsplan_datapipeline_spark import bench_hooks
 
     def run_pass(
@@ -220,6 +265,8 @@ def main() -> None:
         max_passes, int(os.environ.get("SPARK_GRAFT_BENCH_PASS_CAP", "6"))
     )
     load_pre = loadavg()
+    cpu_t0 = time.time()
+    busy0, own0 = _cpu_snapshot()
     passes: list[dict[str, float]] = []
     totals: list[float] = []
     agreed = False
@@ -253,6 +300,17 @@ def main() -> None:
             ext_agreed = True
             break
     load_post = loadavg()
+    busy1, own1 = _cpu_snapshot()
+    cpu_elapsed = max(time.time() - cpu_t0, 1e-9)
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    if busy0 >= 0 and busy1 >= 0:
+        foreign_jiffies = max((busy1 - busy0) - (own1 - own0), 0)
+        # average number of FOREIGN cores busy while the bench ran —
+        # the box-contention number the 1-min loadavg cannot give,
+        # because loadavg also counts the bench's own threads
+        foreign_cores = round(foreign_jiffies / hz / cpu_elapsed, 3)
+    else:
+        foreign_cores = -1.0
 
     # per-query minimum across passes; the reported total is the min PASS
     # total (a real suite someone observed), not the sum of per-query mins
@@ -296,12 +354,15 @@ def main() -> None:
         except (json.JSONDecodeError, OSError):
             pass
     # VERDICT r13 item 2: a run whose passes never agreed, or whose box
-    # got loaded MID-run, must say so about itself — degraded_by_load now
-    # also checks the post-run loadavg, and "unreliable" is the single
-    # flag a consumer must check before treating "value" as the plan's
-    # cost rather than the neighbors'.
+    # got loaded MID-run, must say so about itself. Mid-run contention is
+    # measured as FOREIGN cpu (total /proc/stat busy minus our own
+    # process subtree) averaged over the run — the post-run 1-min
+    # loadavg used first read back the bench's own 32-core execution
+    # and stamped every healthy run degraded. "unreliable" stays the
+    # single flag a consumer must check before treating "value" as the
+    # plan's cost rather than the neighbors'.
     degraded_by_load = degraded_by_load or (
-        max_load > 0 and load_post > max_load
+        max_load > 0 and foreign_cores > max_load
     )
     unreliable = degraded_by_load or not agreed
     if unreliable:
@@ -341,6 +402,7 @@ def main() -> None:
                     },
                     "loadavg_1m_pre": load_pre,
                     "loadavg_1m_post": load_post,
+                    "foreign_cores_mid_run": foreign_cores,
                     "reps_per_query": reps,
                     "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
                 },
