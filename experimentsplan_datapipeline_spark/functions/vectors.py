@@ -16,25 +16,67 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def lit_double_array(values) -> Column:
+    """array<double> literal built as ONE parsed SQL string.
+
+    ``F.lit(list)`` converts every element through its own py4j call —
+    ~1 ms each, so a 64-dim vector costs ~60 ms of DRIVER time and a
+    16x64 codebook over 1 s, rebuilt per kmeans iteration / per plan.
+    ``repr(float)`` emits shortest-round-trip text, so the parsed
+    doubles are bit-identical to the Literal path (pinned by
+    test_codebook_literal_text_roundtrip); non-finite values have no
+    SQL literal form and raise here rather than parse wrong."""
+    vals = [float(v) for v in values]
+    if any(v != v or v in (float("inf"), float("-inf")) for v in vals):
+        raise ValueError("lit_double_array: non-finite value")
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+
+
+def lit_int_array(values) -> Column:
+    """array<int> literal as one parsed SQL string (see
+    ``lit_double_array``)."""
+    return F.expr(
+        "array(" + ",".join(str(int(v)) for v in values) + ")"
+    ).cast("array<int>")
+
+
+def lit_cell_structs(
+    pairs, id_name: str, vec_name: str
+) -> Column:
+    """array<struct<id_name:int, vec_name:array<double>>> literal (a
+    codebook: (cell id, centroid vector) pairs) as one parsed SQL
+    string — same py4j-chatter motivation and bit-identity contract as
+    ``lit_double_array``."""
+    body = ",".join(
+        "named_struct('" + id_name + "'," + str(int(cid))
+        + ",'" + vec_name + "',array("
+        + ",".join(repr(float(x)) + "D" for x in cv) + "))"
+        for cid, cv in pairs
+    )
+    return F.expr("array(" + body + ")")
+
+
 def dot_product(a: Column | str, b: Column | str,
                 dim: int | None = None) -> Column:
     """sum_i a_i*b_i (JVM-side).
 
     ``dim=None``: zip_with + aggregate — works for any runtime length, but
-    higher-order functions are CodegenFallback in Spark 3.5/4.x: every
-    element step runs through the interpreted lambda path, which dominates
-    pair-scoring hot loops (guide §4.1 — prefer codegen'd built-ins).
+    materializes the product array per row before folding it.
 
     ``dim=k`` (the vector length is CONTRACTUAL at the call site — every
-    similarity operator takes/knows ``dim``): the fold is unrolled into a
-    left-associated codegen'd expression ``((0.0 + a[0]*b[0]) + a[1]*b[1])
-    + ...`` — float-op-for-float-op the SAME additions in the SAME order as
-    the aggregate() fold, so results are bit-identical; only the execution
-    engine changes (whole-stage codegen vs interpreted closures — measured
-    ~20x on the miner candidate loop). Caveat: with ``dim`` set, arrays
-    LONGER than dim would be silently truncated (shorter ones yield NULL
-    either way via out-of-range getItem) — only pass dim where the operator
-    contract fixes the length.
+    similarity operator takes/knows ``dim``): an index fold
+    ``aggregate(sequence(1, dim), 0.0, (acc, i) -> acc +
+    element_at(a,i)*element_at(b,i))`` — float-op-for-float-op the SAME
+    additions in the SAME order as the zip_with fold, so results are
+    bit-identical, with no intermediate product array. Measured on 2M
+    64-dim pairs: 0.88 s vs 7.6 s for a fully UNROLLED 64-term codegen
+    expression — unrolling backfires because the generated method blows
+    past HotSpot's huge-method bytecode limit and runs in the bytecode
+    INTERPRETER (guide §1.1 first-principles vs. empirical: the "ideal"
+    codegen plan lost to the measured one). Caveat: with ``dim`` set,
+    arrays LONGER than dim are silently truncated (shorter ones yield
+    NULL either way via out-of-range element_at) — only pass dim where
+    the operator contract fixes the length.
     """
     if dim is None:
         return F.aggregate(
@@ -43,24 +85,29 @@ def dot_product(a: Column | str, b: Column | str,
             lambda acc, v: acc + v,
         )
     a_, b_ = _c(a), _c(b)
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a_[i] * b_[i]
-    return acc
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(a_, i) * F.element_at(b_, i),
+    )
 
 
 def l2_norm(a: Column | str, dim: int | None = None) -> Column:
-    """sqrt(sum_i a_i^2); ``dim`` unrolls the fold into codegen with the
+    """sqrt(sum_i a_i^2); ``dim`` switches to the index fold with the
     identical left-associated float order (see ``dot_product``)."""
     if dim is None:
         return F.sqrt(
             F.aggregate(_c(a), F.lit(0.0), lambda acc, v: acc + v * v)
         )
     a_ = _c(a)
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a_[i] * a_[i]
-    return F.sqrt(acc)
+    return F.sqrt(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(a_, i) * F.element_at(a_, i),
+        )
+    )
 
 
 def cosine_similarity(a: Column | str, b: Column | str,
@@ -88,8 +135,8 @@ def cosine_prenorm(num: Column, na: Column, nb: Column) -> Column:
 def l2_distance(a: Column | str, b: Column | str,
                 dim: int | None = None) -> Column:
     """Euclidean distance ||a-b||_2 (JVM-side) — the reference's keypoint
-    distance (train/common/metrics.py:262-266). ``dim`` unrolls the fold
-    into codegen with the identical float order (see ``dot_product``)."""
+    distance (train/common/metrics.py:262-266). ``dim`` switches to the
+    index fold with the identical float order (see ``dot_product``)."""
     if dim is None:
         return F.sqrt(
             F.aggregate(
@@ -99,11 +146,13 @@ def l2_distance(a: Column | str, b: Column | str,
             )
         )
     a_, b_ = _c(a), _c(b)
-    acc = F.lit(0.0)
-    for i in range(dim):
-        d = a_[i] - b_[i]
-        acc = acc + d * d
-    return F.sqrt(acc)
+
+    def _step(acc: Column, i: Column) -> Column:
+        d = F.element_at(a_, i) - F.element_at(b_, i)
+        return acc + d * d
+
+    return F.sqrt(F.aggregate(F.sequence(F.lit(1), F.lit(dim)),
+                              F.lit(0.0), _step))
 
 
 def ssim_global(a: Column | str, b: Column | str,

@@ -1247,19 +1247,20 @@ def semantic_dedup_pairs(
     """
     from experimentsplan_datapipeline_spark.functions.vectors import (
         cosine_similarity,
+        lit_cell_structs,
     )
 
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine_similarity(F.col(vec_col), F.lit([float(x) for x in cv])),
-                    6,
-                ).alias("cos"),
-                F.lit(int(cid)).alias("cell"),
-            )
-            for cid, cv in centroids
-        ]
+    # codebook as one parsed literal (py4j-chatter fix, see
+    # vectors.lit_cell_structs); per-cell cosine via one transform
+    # lambda — same math, same rounding, same (cos, cell) ordering
+    cent_arr = F.transform(
+        lit_cell_structs(centroids, "cell", "cvec"),
+        lambda s: F.struct(
+            F.round(
+                cosine_similarity(F.col(vec_col), s["cvec"]), 6
+            ).alias("cos"),
+            s["cell"].alias("cell"),
+        ),
     )
     assigned = df.select(
         F.col(id_col),

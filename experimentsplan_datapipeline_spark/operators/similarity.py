@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from experimentsplan_datapipeline_spark import bench_hooks
-from experimentsplan_datapipeline_spark.functions.vectors import cosine_similarity
+from experimentsplan_datapipeline_spark.functions.vectors import (
+    cosine_similarity,
+    lit_cell_structs,
+    lit_double_array,
+    lit_int_array,
+)
 from experimentsplan_datapipeline_spark.operators.util import spread_small_input
 
 
@@ -64,7 +69,7 @@ def _hyperplane_bucket(vec, planes: list[list[float]]):
     """Sign-pattern bucket id from fixed random hyperplanes (deterministic)."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        arr = F.lit([float(x) for x in plane])
+        arr = lit_double_array(plane)
         dot = F.aggregate(
             F.zip_with(vec, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
         )
@@ -160,15 +165,7 @@ def ivf_topk(
             .collect()
         )
         centroids = [(int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows]
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cell"),
-                F.lit([float(x) for x in cv]).alias("cvec"),
-            )
-            for cid, cv in centroids
-        ]
-    )
+    cent_arr = lit_cell_structs(centroids, "cell", "cvec")
 
     def scored_cells(vec):
         # array<struct<cos, cell>>: struct ordering compares cos first, so
@@ -218,62 +215,82 @@ def ivf_topk(
 
 
 def _sq_dist(vec, cent_lit, dim: int | None = None):
-    """Squared L2 distance. ``dim`` (r14): unroll the fold into the
-    codegen'd left-associated expression — bit-identical float order to
-    the zip_with/aggregate path (HOFs are CodegenFallback: every element
-    step runs the interpreted lambda; see functions.vectors.dot_product)."""
+    """Squared L2 distance. ``dim`` (r14): an index fold with no
+    intermediate difference array — bit-identical float order to the
+    zip_with/aggregate path (a fully UNROLLED expression measured 8x
+    SLOWER: the generated method exceeds HotSpot's huge-method limit
+    and runs in the bytecode interpreter; see
+    functions.vectors.dot_product)."""
     if dim is None:
         d = F.zip_with(vec, cent_lit, lambda a, b: (a - b) * (a - b))
         return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
-    acc = F.lit(0.0)
-    for i in range(dim):
-        d = vec[i] - cent_lit[i]
-        acc = acc + d * d
-    return acc
+
+    def _step(acc, i):
+        d = F.element_at(vec, i) - F.element_at(cent_lit, i)
+        return acc + d * d
+
+    return F.aggregate(F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), _step)
+
+
+def _codebook_scored(vec, cents: list[tuple[int, list[float]]]):
+    """array<struct<d, cid>> of ROUNDED distances to every centroid —
+    the shared body of ``_assign_expr`` / ``_assign_topn_expr``.
+
+    r14 shape: the codebook rides the plan as TWO literal arrays (cids,
+    centroid vectors) folded by one ``zip_with`` lambda, instead of a
+    k-branch ``F.array(struct(...), ...)`` built column-by-column.
+    Per-row math, rounding, and tie-break are identical; what changes
+    is construction cost — the old form created ~10 py4j Column objects
+    per centroid (k=16 measured 1.2-1.8 s of DRIVER time per kmeans
+    iteration just building the tree, before Catalyst ever saw it),
+    this one builds O(1) Columns at any k. Types pinned to the old
+    form's (cid int, d double). The inner distance stays on the
+    zip_with fold — measured FASTER here than the index fold (the
+    codebook row is a lambda variable, so per-element element_at pays
+    more than the zipped product array).
+
+    The literal arrays themselves ride in as ONE parsed SQL string:
+    ``F.lit(list)`` converts every element through its own py4j call
+    (measured 1.1 s of driver time for a 16x64 codebook, rebuilt every
+    kmeans iteration), while ``F.expr`` parses the same literals
+    JVM-side in ~5 ms. ``repr(float)`` is shortest-round-trip text, so
+    the parsed doubles are bit-identical to the Literal path (pinned
+    by test_codebook_literal_text_roundtrip)."""
+    cids = lit_int_array([cid for cid, _ in cents])
+    cvs = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+            for _, c in cents
+        )
+        + ")"
+    )
+    return F.zip_with(
+        cvs,
+        cids,
+        lambda cv, cid: F.struct(
+            F.round(_sq_dist(vec, cv), 6).alias("d"),
+            cid.alias("cid"),
+        ),
+    )
 
 
 def _assign_expr(vec, cents: list[tuple[int, list[float]]]):
     """argmin cluster id over a literal codebook — distances ROUNDED to 6
     so assignment ties break identically across engines (then by cid).
-
-    Stays on the interpreted HOF fold deliberately (r14): unrolling all
-    k distances into one expression tree blows janino's 64 KB generated-
-    method cap (a single nested-Add expression cannot be split across
-    methods), and assignment is O(N*k*dim) — never the pair-loop term
-    that dominates; the unroll lives where it pays (see
-    _miner_candidates / _assign_join)."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    _sq_dist(vec, F.lit([float(x) for x in c])), 6
-                ).alias("d"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, c in cents
-        ]
-    )
-    return F.array_min(scored)["cid"]
+    One zip_with fold over the literal codebook (see
+    ``_codebook_scored``); assignment is O(N*k*dim) and never the
+    pair-loop term that dominates."""
+    return F.array_min(_codebook_scored(vec, cents))["cid"]
 
 
 def _assign_topn_expr(vec, cents: list[tuple[int, list[float]]], n: int):
     """Top-n nearest cluster ids (multi-probe assignment): same rounded
     distances and smaller-cid tie-break as ``_assign_expr`` (whose
-    result is always element 1), as an n-element array. Interpreted HOF
-    fold for the same 64 KB-cap reason as ``_assign_expr``."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    _sq_dist(vec, F.lit([float(x) for x in c])), 6
-                ).alias("d"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, c in cents
-        ]
-    )
+    result is always element 1), as an n-element array."""
     return F.transform(
-        F.slice(F.array_sort(scored), 1, int(n)), lambda s: s["cid"]
+        F.slice(F.array_sort(_codebook_scored(vec, cents)), 1, int(n)),
+        lambda s: s["cid"],
     )
 
 
@@ -583,15 +600,7 @@ def _adc_dist(
     dsub = len(codebooks[0][0][1])
     terms = []
     for j, cb in enumerate(codebooks):
-        cb_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(int(cid)).alias("cid"),
-                    F.lit([float(x) for x in cv]).alias("cvec"),
-                )
-                for cid, cv in cb
-            ]
-        )
+        cb_lit = lit_cell_structs(cb, "cid", "cvec")
         match = F.element_at(
             F.filter(cb_lit, lambda s: s["cid"] == F.col("codes")[j]), 1
         )["cvec"]
@@ -616,7 +625,7 @@ def _adc_lut(codebooks: list[list[tuple[int, list[float]]]], qvec_col):
                     F.round(
                         _sq_dist(
                             F.slice(qvec_col, j * dsub + 1, dsub),
-                            F.lit([float(x) for x in cv]),
+                            lit_double_array(cv),
                         ),
                         6,
                     )
@@ -638,7 +647,7 @@ def _adc_dist_from_lut(
     Fixed-order sum + final round — identical numerics to _adc_dist."""
     terms = []
     for j, cb in enumerate(codebooks):
-        cids = F.lit([int(cid) for cid, _ in cb])
+        cids = lit_int_array([cid for cid, _ in cb]).cast("array<bigint>")
         pos = F.array_position(cids, F.col(codes_col)[j]).cast("int")
         terms.append(F.element_at(F.element_at(F.col(lut_col), j + 1), pos))
     return F.round(sum(terms[1:], terms[0]), 6)
@@ -766,15 +775,7 @@ def ivfpq_topk(
             .collect()
         )
         centroids = [(int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows]
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cell"),
-                F.lit([float(x) for x in cv]).alias("cvec"),
-            )
-            for cid, cv in centroids
-        ]
-    )
+    cent_arr = lit_cell_structs(centroids, "cell", "cvec")
 
     def scored_cells(vec):
         return F.transform(
@@ -1304,15 +1305,7 @@ def _scored_cells_expr(vec, cents: list[tuple[int, list[float]]]):
     """array<struct<cos, cell>> over the literal codebook — struct
     ordering compares cos first then cell, so max/sort rank cells by
     similarity with ties to the larger cell (ivf_topk's convention)."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cell"),
-                F.lit([float(x) for x in cv]).alias("cvec"),
-            )
-            for cid, cv in cents
-        ]
-    )
+    cent_arr = lit_cell_structs(cents, "cell", "cvec")
     return F.transform(
         cent_arr,
         lambda c: F.struct(

@@ -108,12 +108,13 @@ def test_vector_math(spark):
 
 
 def test_vector_math_unrolled_bit_identical(spark):
-    """The dim-unrolled codegen forms (r14 optimization) must be
-    BIT-IDENTICAL to the higher-order-function fold — same additions in
-    the same left-associated order — on irregular random vectors,
-    including zero vectors (the cosine 0-denominator guard) and
-    negative components. Exact ==, not approx: any float deviation means
-    the unroll changed the fold order."""
+    """The dim=k index-fold forms (r14 optimization; originally
+    unrolled, re-measured and switched to sequence+element_at folds)
+    must be BIT-IDENTICAL to the higher-order-function fold — same
+    additions in the same left-associated order — on irregular random
+    vectors, including zero vectors (the cosine 0-denominator guard)
+    and negative components. Exact ==, not approx: any float deviation
+    means the dim form changed the fold order."""
     import random
 
     from experimentsplan_datapipeline_spark.functions.vectors import (
@@ -204,3 +205,99 @@ def test_l2_distance(spark):
     df = spark.createDataFrame([([0.0, 3.0], [4.0, 0.0])], ["a", "b"])
     out = df.select(F.round(l2_distance("a", "b"), 6).alias("d")).collect()[0]
     assert out.d == 5.0
+
+
+def test_codebook_literal_text_roundtrip(spark):
+    """lit_double_array / lit_int_array / lit_cell_structs build their
+    literals from repr() text parsed JVM-side (the py4j-chatter fix,
+    r14). repr is shortest-round-trip, so the parsed doubles must be
+    BIT-identical to the F.lit element path — checked with exact ==
+    on adversarial values (subnormal-ish, -0.0, scientific notation,
+    17-significant-digit)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.functions.vectors import (
+        lit_cell_structs,
+        lit_double_array,
+        lit_int_array,
+    )
+
+    vals = [
+        1e-07, -0.0, 123456.654321, 3.0000000000000004,
+        1.1754943508222875e-38, -2.225073858507e-308, 0.1 + 0.2,
+    ]
+    df = spark.range(1).select(
+        (lit_double_array(vals) == F.array(*[F.lit(v) for v in vals])
+         ).alias("d_eq"),
+        (lit_int_array([3, -7, 2**31 - 1])
+         == F.array(*[F.lit(v) for v in [3, -7, 2**31 - 1]])
+         ).alias("i_eq"),
+    )
+    r = df.collect()[0]
+    assert r.d_eq and r.i_eq
+    pairs = [(4, vals), (9, list(reversed(vals)))]
+    legacy = F.array(*[
+        F.struct(
+            F.lit(int(cid)).alias("cell"),
+            F.array(*[F.lit(float(x)) for x in cv]).alias("cvec"),
+        )
+        for cid, cv in pairs
+    ])
+    r2 = spark.range(1).select(
+        (lit_cell_structs(pairs, "cell", "cvec") == legacy).alias("eq")
+    ).collect()[0]
+    assert r2.eq
+    with pytest.raises(ValueError):
+        lit_double_array([1.0, float("nan")])
+
+
+def test_assign_expr_matches_legacy_k_branch(spark):
+    """_assign_expr / _assign_topn_expr were rewritten from a k-branch
+    F.array(struct per centroid) to one zip_with over two codebook
+    literals (r14). Same rounded distances, same (d, cid) tie-break —
+    pinned by exact equality against the legacy construction on random
+    vectors including exact-tie duplicates."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.operators.similarity import (
+        _assign_expr,
+        _assign_topn_expr,
+        _sq_dist,
+    )
+
+    rng = random.Random(77)
+    dim = 7
+    cents = [
+        (cid, [round(rng.uniform(-2, 2), 6) for _ in range(dim)])
+        for cid in (3, 11, 5, 8)
+    ]
+    # duplicate centroid under a different cid: an exact distance tie,
+    # must break to the smaller cid in both constructions
+    cents.append((1, list(cents[0][1])))
+    rows = [([rng.uniform(-2, 2) for _ in range(dim)],) for _ in range(40)]
+    rows += [(list(cents[2][1]),)]  # lands exactly on a centroid
+    df = spark.createDataFrame(rows, ["v"])
+
+    def legacy_scored(vec):
+        return F.array(*[
+            F.struct(
+                F.round(_sq_dist(vec, F.lit([float(x) for x in c])), 6
+                        ).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, c in cents
+        ])
+
+    out = df.select(
+        (_assign_expr(F.col("v"), cents)
+         == F.array_min(legacy_scored(F.col("v")))["cid"]).alias("a_eq"),
+        (_assign_topn_expr(F.col("v"), cents, 3)
+         == F.transform(
+             F.slice(F.array_sort(legacy_scored(F.col("v"))), 1, 3),
+             lambda s: s["cid"],
+         )).alias("t_eq"),
+    ).collect()
+    assert all(r.a_eq and r.t_eq for r in out)
