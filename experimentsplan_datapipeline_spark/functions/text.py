@@ -7,6 +7,8 @@ exact ANSI-SQL twin used by the DuckDB oracle.
 
 from __future__ import annotations
 
+from functools import lru_cache as _fn_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -93,6 +95,9 @@ def doc_fingerprint(text: Column | str) -> Column:
 
 def ngrams(text: Column | str, n: int = 3) -> Column:
     """Word n-grams as an array<string> (for Jaccard / MinHash shingles).
+    Column-name calls are cached (_ngrams_cached): the windowed
+    transform tree costs real py4j driver time and is an immutable
+    plan fragment (r14).
 
     The token array is bound as a LAMBDA VARIABLE (transform over a
     one-element array) before the sliding window reads it: a bare
@@ -101,7 +106,18 @@ def ngrams(text: Column | str, n: int = 3) -> Column:
     lambdas), so the naive form re-ran the regex SPLIT once PER GRAM —
     O(L²) character work per row across the whole MinHash/Jaccard
     family (r12 finding, same disease as winnow_fingerprints)."""
-    toks = F.split(F.trim(_c(text)), r"\s+")
+    if isinstance(text, str):
+        return _ngrams_cached(text, n)
+    return _ngrams_build(text, n)
+
+
+@_fn_cache(maxsize=128)
+def _ngrams_cached(text_col: str, n: int) -> Column:
+    return _ngrams_build(F.col(text_col), n)
+
+
+def _ngrams_build(text: Column, n: int) -> Column:
+    toks = F.split(F.trim(text), r"\s+")
     # slide a window of n over the token array with transform+slice;
     # sequence(1, k) is descending for k<1, so guard the empty case.
     count = F.size(toks) - F.lit(n - 1)

@@ -13,6 +13,8 @@ whose keys are 16-byte hashes.
 
 from __future__ import annotations
 
+from functools import lru_cache as _fn_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -95,24 +97,40 @@ def minhash_signatures(
     Docs with fewer than ``shingle_size`` tokens have no shingles and are
     absent from the output (nothing to band — equivalent to null signatures).
     """
-    p = F.lit(_MINHASH_PRIME)
+    # distinct BEFORE exploding: duplicate shingles cannot change any of the
+    # K minima, so hashing them is pure waste (word-salad text repeats
+    # shingles heavily). Expression trees cached per parameter set —
+    # immutable plan fragments rebuilt per micro-batch/bench rep cost
+    # real py4j driver time (r14, see _minhash_aggs).
+    exploded = spread_small_input(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams(text_col, shingle_size))).alias("__sh"),
+    ).select(F.col(id_col), _mh_base_hash(portable_seed))
+    return exploded.groupBy(id_col).agg(*_minhash_aggs(num_hashes))
+
+
+@_fn_cache(maxsize=32)
+def _mh_base_hash(portable_seed: int | None):
+    """``__h`` = base shingle hash reduced into [0, p) — cached Column
+    (r14 py4j-chatter fix; values unchanged)."""
     if portable_seed is not None:
         base = portable_hash([F.col("__sh")], portable_seed)
     else:
         base = F.xxhash64("__sh")
-    # distinct BEFORE exploding: duplicate shingles cannot change any of the
-    # K minima, so hashing them is pure waste (word-salad text repeats
-    # shingles heavily)
-    exploded = spread_small_input(df).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(ngrams(text_col, shingle_size))).alias("__sh"),
-    ).select(F.col(id_col), F.pmod(base, p).alias("__h"))
-    aggs = []
-    for i, (a, b) in enumerate(minhash_coeffs(num_hashes)):
-        aggs.append(
-            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), p)).alias(f"mh_{i}")
-        )
-    return exploded.groupBy(id_col).agg(*aggs)
+    return F.pmod(base, F.lit(_MINHASH_PRIME)).alias("__h")
+
+
+@_fn_cache(maxsize=32)
+def _minhash_aggs(num_hashes: int) -> tuple:
+    """The K min-of-affine-remix aggregate Columns — built once per K
+    (r14): constructing K*5 Column objects through py4j cost ~0.5 s per
+    call, paid per streaming micro-batch and per bench rep. Same
+    expressions, same values."""
+    p = F.lit(_MINHASH_PRIME)
+    return tuple(
+        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), p)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
 
 
 def minhash_lsh_candidates(
@@ -126,20 +144,14 @@ def minhash_lsh_candidates(
     id_a < id_b. ``portable_seed`` switches the band key to the
     md5-derived engine-reproducible hash (see ``minhash_signatures``).
     """
-    rows_per_band = num_hashes // bands
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        if portable_seed is not None:
-            key = portable_hash(cols, portable_seed)
-        else:
-            key = F.xxhash64(*cols)
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), key.alias("key"))
-        )
     exploded = (
         sig.na.drop(subset=["mh_0"])
-        .select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                _band_structs(num_hashes, bands, portable_seed)
+            ).alias("bk"),
+        )
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
     left = exploded.alias("l")
@@ -229,6 +241,22 @@ def minhash_bandkeys(
         df, text_col, id_col, num_hashes, shingle_size,
         portable_seed=portable_seed,
     )
+    return (
+        sig.na.drop(subset=["mh_0"])
+        .select(
+            F.col(id_col),
+            F.explode(
+                _band_structs(num_hashes, bands, portable_seed)
+            ).alias("bk"),
+        )
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
+@_fn_cache(maxsize=32)
+def _band_structs(num_hashes: int, bands: int, portable_seed: int | None):
+    """array<struct<band, key>> banding expression over mh_* columns —
+    cached per banding family (r14 py4j-chatter fix; values unchanged)."""
     rows_per_band = num_hashes // bands
     structs = []
     for b in range(bands):
@@ -241,11 +269,7 @@ def minhash_bandkeys(
             else F.xxhash64(*cols)
         )
         structs.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
-    return (
-        sig.na.drop(subset=["mh_0"])
-        .select(F.col(id_col), F.explode(F.array(*structs)).alias("bk"))
-        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    )
+    return F.array(*structs)
 
 
 def minhash_lsh_incremental(

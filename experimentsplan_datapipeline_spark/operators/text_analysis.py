@@ -11,6 +11,7 @@ side.
 from __future__ import annotations
 
 import re
+from functools import lru_cache as _fn_cache
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -19,8 +20,11 @@ from pyspark.sql.window import Window
 from experimentsplan_datapipeline_spark.operators.util import spread_small_input
 
 
+@_fn_cache(maxsize=64)
 def _tokens(text_col: str) -> F.Column:
-    """Lowercased whitespace tokens (the same normalization the oracle uses)."""
+    """Lowercased whitespace tokens (the same normalization the oracle
+    uses). Cached per column name — Column trees are immutable plan
+    fragments (r14 py4j-chatter fix, see _w_signal_exprs)."""
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
@@ -601,6 +605,68 @@ def lm_perplexity(
     )
 
 
+@_fn_cache(maxsize=1)
+def _w_signal_exprs() -> dict:
+    """The per-row Gopher signal expressions over the materialized
+    ``__w`` token column, built ONCE per process (r14): Column trees
+    are immutable plan fragments, safe to reuse across DataFrames and
+    sessions, and constructing these higher-order-lambda trees costs
+    ~0.9-1.3 s of py4j DRIVER time per call — paid per streaming
+    micro-batch and per bench rep before caching. Values unchanged:
+    the same expression objects produce the same plan.
+
+    top-word count is the longest run in the SORTED token array — one
+    O(n log n) pass instead of the textbook O(distinct * n)
+    filter-per-distinct-word (higher-order lambdas are interpreted, so
+    the quadratic form dominated the whole curation cascade: 18.9s ->
+    ~3s at sf0.1). Exact same count; a regex split emits at most one ''
+    token, so the ''-prev seed cannot merge across a real boundary.
+    The bigram fraction needs only (#bigrams, #distinct bigrams):
+    #bigrams is n-1 (pure arithmetic) and #distinct is one sorted-run
+    pass over a bigram array built exactly once in the expression tree.
+    """
+    n = F.size("__w")
+    run = lambda acc, w: F.when(  # noqa: E731
+        w == acc["prev"], acc["run"] + 1
+    ).otherwise(F.lit(1))
+    top_count = F.aggregate(
+        F.array_sort("__w"),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            run(acc, w).alias("run"),
+            F.greatest(acc["best"], run(acc, w)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_bg = F.greatest(n - 1, F.lit(0))
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__w", i + 1), F.element_at("__w", i + 2)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    distinct_bg = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("cnt")),
+        lambda acc, b: F.struct(
+            b.alias("prev"),
+            (acc["cnt"] + F.when(b == acc["prev"], 0).otherwise(1)).alias("cnt"),
+        ),
+        lambda acc: acc["cnt"],
+    )
+    len_sum = F.aggregate("__w", F.lit(0), lambda a, w: a + F.length(w))
+    return {
+        "n": n,
+        "top_count": top_count,
+        "n_bg": n_bg,
+        "distinct_bg": distinct_bg,
+        "len_sum": len_sum,
+    }
+
+
 def repetition_signals(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -618,33 +684,18 @@ def repetition_signals(
     token array — zero shuffles, zero UDFs, fully map-side and
     whole-stage-codegen'd; the per-word frequency scan is O(distinct x n)
     within one row, never a corpus-wide explode. This is the cheapest tier
-    of the curation cascade and must not cost a shuffle at 100 TB.
+    of the curation cascade and must not cost a shuffle at 100 TB —
+    ``spread_small_input`` adds an exchange ONLY when the input arrives
+    under defaultParallelism partitions (a single local parquet file, a
+    one-file streaming micro-batch), where the per-row signal work would
+    otherwise serialize onto one core (r14, guide §2.5 input skew:
+    measured 9.2 s on ONE task of 32 for the sf0.1 curation cascade's
+    pinned Gopher tier; a well-partitioned 100 TB scan is untouched).
     """
-    words = _tokens(text_col)
-    d = df.withColumn("__w", words)
-    n = F.size("__w")
-    # top-word count as the longest run in the SORTED token array — one
-    # O(n log n) pass instead of the textbook O(distinct * n)
-    # filter-per-distinct-word (higher-order lambdas are interpreted, not
-    # codegen'd, so the quadratic form dominated the whole curation
-    # cascade: 18.9s -> ~3s at sf0.1 for the keep filter). Exact same
-    # count; a regex split emits at most one '' token, so the ''-prev
-    # seed cannot merge across a real boundary.
-    run = lambda acc, w: F.when(  # noqa: E731
-        w == acc["prev"], acc["run"] + 1
-    ).otherwise(F.lit(1))
-    top_count = F.aggregate(
-        F.array_sort("__w"),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, w: F.struct(
-            w.alias("prev"),
-            run(acc, w).alias("run"),
-            F.greatest(acc["best"], run(acc, w)).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
+    d = spread_small_input(df).withColumn("__w", _tokens(text_col))
+    sig = _w_signal_exprs()
+    n, top_count = sig["n"], sig["top_count"]
+    n_bg, distinct_bg, len_sum = sig["n_bg"], sig["distinct_bg"], sig["len_sum"]
     # The bigram fraction needs only (#bigrams, #distinct bigrams):
     # #bigrams is n-1 (pure arithmetic, no array build) and #distinct is
     # one sorted-run pass over a bigram array BUILT EXACTLY ONCE in the
@@ -653,32 +704,11 @@ def repetition_signals(
     # inlines each reference into a full rebuild and higher-order
     # lambdas are interpreted, so that plus O(n^2) array_distinct was
     # ~17s of an ~19s keep-filter at sf0.1 (now < 2s).
-    n_bg = F.greatest(n - 1, F.lit(0))
-    bigrams = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at("__w", i + 1), F.element_at("__w", i + 2)
-        ),
-    )).otherwise(F.array().cast("array<string>"))
-    distinct_bg = F.aggregate(
-        F.array_sort(bigrams),
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("cnt")),
-        lambda acc, b: F.struct(
-            b.alias("prev"),
-            (acc["cnt"] + F.when(b == acc["prev"], 0).otherwise(1)).alias("cnt"),
-        ),
-        lambda acc: acc["cnt"],
-    )
     d = (
         d.withColumn("n_words", n)
         .withColumn(
             "mean_word_len",
-            F.round(
-                F.aggregate(
-                    "__w", F.lit(0), lambda a, w: a + F.length(w)
-                ) / F.greatest(F.col("n_words"), F.lit(1)),
-                6,
-            ),
+            F.round(len_sum / F.greatest(F.col("n_words"), F.lit(1)), 6),
         )
         .withColumn(
             "top_word_frac",

@@ -123,10 +123,42 @@ def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame
     downstream explode/hash-heavy stage onto one core. At production scale
     the input already carries >= cores partitions and this is a no-op — no
     shuffle is ever added to a well-partitioned 100 TB scan.
+
+    r14: the partition count is estimated from FILE METADATA
+    (``inputFiles`` + driver-side stat, ~1 ms) instead of
+    ``df.rdd.getNumPartitions()`` — the ``.rdd`` conversion forces full
+    analysis + optimization + physical planning of a plan the caller is
+    about to re-plan anyway, measured ~1 s PER CALL on the ingest
+    screens (two calls per streaming micro-batch). The estimate is the
+    scan's own math (sum over files of ceil(size / maxPartitionBytes)),
+    floored at the file count; non-file-backed frames (localCheckpoint,
+    in-memory micro-batches) and any stat failure keep the exact
+    ``.rdd`` fallback, whose plans are trivial to plan.
     """
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est: int | None = None
+    try:
+        files = df.inputFiles()
+        if len(files) >= target:
+            return df
+        if files:
+            max_split = int(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            )
+            est = 0
+            for f in files:
+                path = f[5:] if f.startswith("file:") else None
+                if path is None:
+                    est = None  # non-local scheme: fall back to .rdd
+                    break
+                sz = os.stat(path).st_size
+                est += max(1, -(-sz // max_split))
+    except Exception:
+        est = None
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df
 

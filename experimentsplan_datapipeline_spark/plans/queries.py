@@ -8246,8 +8246,16 @@ def curate_corpus_v2(spark, sf_dir):
     from experimentsplan_datapipeline_spark.operators.util import pin
 
     docs = t(spark, sf_dir, "documents")
-    sig = repetition_signals(docs, "doc_id", "text").select(
-        "doc_id", "n_words", "keep"
+    # pin the SIGNAL frame, not just the joined tier below: the
+    # filter("keep") otherwise predicate-pushes below the Gopher tier's
+    # spread exchange and re-evaluates the heavy per-row signals on the
+    # unspread (single-partition local) input — measured 9.5 s on ONE
+    # task of 32 (r14, guide §2.5/§8: decide with small rows — the pin
+    # materializes 3 narrow columns, never the text)
+    sig = pin(
+        repetition_signals(docs, "doc_id", "text").select(
+            "doc_id", "n_words", "keep"
+        )
     )
     base = docs.select(
         "doc_id", "source", doc_fingerprint("text").alias("fp")
