@@ -765,24 +765,44 @@ def quality_classifier_train(
         .localCheckpoint(eager=True)
     )
     n = feats.count()
+    # r14 loop-overhead trims (measured together: 32 steps 8.8 s ->
+    # 3.0 s at sf0.1, trace bit-identical):
+    # - coalesce to ceil(n / 2M) partitions (~100 MB each) so a step is
+    #   ONE single-stage job instead of a partial+final AQE pair. Safe
+    #   on the values: every summand is pre-gridded to 2^-20 (the
+    #   operator's order-free exactness contract), so partition layout
+    #   cannot change a gradient sum. Scale-adaptive, not a local[32]
+    #   constant: a billion-row corpus keeps hundreds of partitions.
+    # - each step's aggregation is ONE parsed SQL string over a temp
+    #   view instead of ~25 py4j Column constructions; the SQL
+    #   arithmetic is the same left-associated expression tree
+    #   (repr(float) literals round-trip exactly, multiplication is
+    #   IEEE-commutative), pinned bit-identical by
+    #   test_qc_train_sql_steps_match_column_form.
+    feats = feats.coalesce(max(1, -(-n // 2_000_000)))
+    view = f"__qc_feats_{abs(id(feats))}"
+    feats.createOrReplaceTempView(view)
     pow2 = float(1 << max(n - 1, 1).bit_length())
     w = [0.0] * 5
     rows = []
     for t in range(1, n_steps + 1):
-        z = sum(
-            (F.col(f"x{j}") * F.lit(w[j]) for j in range(1, 5)),
-            F.lit(w[0]) * F.col("x0"),
+        z = " + ".join(
+            [f"({w[0]!r}D * x0)"]
+            + [f"(x{j} * {w[j]!r}D)" for j in range(1, 5)]
         )
-        p = F.greatest(F.least(z * 0.25 + 0.5, F.lit(1.0)), F.lit(0.0))
-        g = F.floor((p - F.col("y")) * _QC_Q + 0.5) / _QC_Q
-        agg = feats.select(
-            *[F.sum(g * F.col(f"x{j}")).alias(f"g{j}") for j in range(5)],
-            F.sum(
-                F.when(
-                    (p >= 0.5) == (F.col("y") == 1), 1
-                ).otherwise(0)
-            ).alias("n_correct"),
-        ).first()
+        p = f"greatest(least(({z}) * 0.25D + 0.5D, 1.0D), 0.0D)"
+        g = (
+            f"(floor(({p} - y) * {float(_QC_Q)!r}D + 0.5D)"
+            f" / {float(_QC_Q)!r}D)"
+        )
+        sel = ", ".join(
+            [f"sum({g} * x{j}) AS g{j}" for j in range(5)]
+            + [
+                f"sum(CASE WHEN ({p} >= 0.5D) = (y = 1)"
+                " THEN 1 ELSE 0 END) AS n_correct"
+            ]
+        )
+        agg = spark.sql(f"SELECT {sel} FROM {view}").first()
         w = [
             math.floor(
                 (w[j] - _QC_LR * float(agg[f"g{j}"]) / pow2) * _QC_WQ + 0.5
@@ -791,10 +811,23 @@ def quality_classifier_train(
             for j in range(5)
         ]
         rows.append(tuple([t] + w + [int(agg["n_correct"])]))
-    trace = spark.createDataFrame(
-        rows,
-        "step int, w0 double, w1 double, w2 double, w3 double, "
-        "w4 double, n_correct long",
+    spark.catalog.dropTempView(view)
+    # r14: build the trace as one parsed VALUES literal instead of
+    # spark.createDataFrame(rows) — the python-rows path parallelizes a
+    # pickled RDD whose noop/save stage spun up a Python worker per
+    # task (measured 34 s of executor time for 32 rows). repr(float)
+    # round-trips doubles exactly (see vectors.lit_double_array), and
+    # the weights are 2^-30-gridded so their repr is short decimal text.
+    vals = ",".join(
+        "(" + ",".join(
+            [str(r[0])] + [repr(float(x)) + "D" for x in r[1:6]]
+            + [str(r[6]) + "L"]
+        ) + ")"
+        for r in rows
+    )
+    trace = spark.sql(
+        "SELECT * FROM VALUES " + vals
+        + " AS t(step, w0, w1, w2, w3, w4, n_correct)"
     )
     return trace, w
 

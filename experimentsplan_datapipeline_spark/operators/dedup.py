@@ -870,7 +870,11 @@ def exact_screen_apply(
     from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint
 
     spark = batch.sparkSession
-    bitset = F.lit(state["words"]).cast("array<bigint>")
+    # one parsed literal, not F.lit(list) — see joins.bloom_semi_join
+    # (r14: ~1.5 s of py4j element conversion per 2048-word bitset)
+    bitset = F.expr(
+        "array(" + ",".join(f"{w}L" for w in state["words"]) + ")"
+    )
     fps = batch.select(
         F.col(id_col), doc_fingerprint(text_col).alias("fp")
     )

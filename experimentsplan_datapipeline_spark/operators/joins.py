@@ -173,7 +173,12 @@ def bloom_semi_join(
     words = [0] * n_words
     for r in build.groupBy("w").agg(F.expr("bit_or(m)").alias("m")).collect():
         words[r["w"]] = r["m"]
-    bitset = F.lit(words).cast("array<bigint>")
+    # one parsed literal, not F.lit(list): 2048 elements through py4j
+    # cost ~1.5 s of pure driver time per call (r14; longs are exact
+    # in text, so the parsed array is identical)
+    bitset = F.expr(
+        "array(" + ",".join(f"{w}L" for w in words) + ")"
+    )
 
     checks = [
         f"(element_at(__bloom, cast({_pos(big_key, i)} div 64 as int) + 1)"

@@ -401,6 +401,10 @@ def kmeans_lite(
     surrogate (e.g. ``monotonically_increasing_id``) first. The same
     requirement applies to ``kmeans_assign``.
     """
+    # r14: the per-iteration assignment is an interpreted fold over
+    # every row — spread a 1-2-partition local input across cores
+    # before the loop re-scans it per iteration (no-op at scale)
+    df = spread_small_input(df)
     init = (
         df.orderBy(id_col)
         .limit(k)
@@ -1878,6 +1882,12 @@ def _miner_candidates(
     # at the exchange ONCE PER ROW instead of re-evaluating inside the
     # join's per-PAIR consume path (guide §2.5 input skew / §4.2)
     probe_side = spread_small_input(probe_side)
+    # the BASE side gets the same treatment (r14): whichever side AQE
+    # streams, neither may arrive as the 1-2 partitions of a small
+    # local parquet — the 5-dim export pipeline measured its candidate
+    # checkpoint + both argmax passes serialized on ONE task because
+    # the join streamed the unspread base
+    base = spread_small_input(base)
     return (
         probe_side.alias("a")
         .join(

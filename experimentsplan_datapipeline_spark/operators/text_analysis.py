@@ -1235,7 +1235,12 @@ def bpe_tokenize_ids(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+    # r14: a one-file local input arrives as 1 partition, which runs
+    # the whole Arrow apply on one Python worker (guide §2.5); no-op on
+    # a well-partitioned scan
+    return spread_small_input(
+        df.select(id_col, text_col)
+    ).mapInPandas(run, out_schema)
 
 
 def bpe_save(

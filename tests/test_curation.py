@@ -724,3 +724,74 @@ def test_temporal_split_embargo_boundaries_and_exclusion(spark):
     assert got[60] == "embargo" and got[64] == "embargo"
     assert got[65] == "test" and got[100] == "test"
     assert sorted(set(got.values())) == ["embargo", "test", "train"]
+
+
+def test_qc_train_sql_steps_match_column_form(spark):
+    """r14: quality_classifier_train's per-step aggregation became one
+    parsed SQL string (plus an adaptive coalesce). The SQL arithmetic
+    must be BIT-identical to the original Column construction — same
+    left-associated adds, repr-round-tripped literals — so the whole
+    trace (gridded weights + accuracy) matches exactly, step for step."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.operators.curation import (
+        _QC_LR,
+        _QC_Q,
+        _QC_WQ,
+        _qc_features,
+        quality_classifier_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("alpha beta gamma delta epsilon zeta " * (1 + i % 3))
+             + ("spam " * (7 * (i % 2))))
+            for i in range(40)
+        ],
+        ["doc_id", "text"],
+    )
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    label = 2 * F.size(F.array_distinct(ws)) > F.size(ws)
+    n_steps = 7
+    trace, w_out = quality_classifier_train(
+        docs, "doc_id", "text", label, n_steps=n_steps
+    )
+    got = [tuple(r) for r in trace.orderBy("step").collect()]
+
+    # the pre-r14 Column-built loop, verbatim
+    feats = (
+        _qc_features(docs, "doc_id", "text")
+        .join(docs.select(F.col("doc_id"), label.cast("int").alias("y")),
+              "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    n = feats.count()
+    pow2 = float(1 << max(n - 1, 1).bit_length())
+    w = [0.0] * 5
+    want = []
+    for t in range(1, n_steps + 1):
+        z = sum(
+            (F.col(f"x{j}") * F.lit(w[j]) for j in range(1, 5)),
+            F.lit(w[0]) * F.col("x0"),
+        )
+        p = F.greatest(F.least(z * 0.25 + 0.5, F.lit(1.0)), F.lit(0.0))
+        g = F.floor((p - F.col("y")) * _QC_Q + 0.5) / _QC_Q
+        agg = feats.select(
+            *[F.sum(g * F.col(f"x{j}")).alias(f"g{j}") for j in range(5)],
+            F.sum(
+                F.when((p >= 0.5) == (F.col("y") == 1), 1).otherwise(0)
+            ).alias("n_correct"),
+        ).first()
+        w = [
+            math.floor(
+                (w[j] - _QC_LR * float(agg[f"g{j}"]) / pow2) * _QC_WQ + 0.5
+            ) / _QC_WQ
+            for j in range(5)
+        ]
+        want.append(tuple([t] + w + [int(agg["n_correct"])]))
+    assert got == want
+    assert list(w_out) == list(want[-1][1:6])
