@@ -40,7 +40,12 @@ def _prepare(
     cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("double").alias("w"))
-    e = edges.select(*cols)
+    # r14: pin the normalized edge frame FIRST — the three setup pins
+    # below (nodes, contrib_base, out_srcs) each re-executed the full
+    # caller-side edge lineage otherwise (graph_pagerank's copurchase
+    # self-join: ~4 s per re-run, 16 s of setup for a 7k-edge graph).
+    # One materialization, every derived pin reads it back.
+    e = pin(edges.select(*cols))
     nodes = pin(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -722,6 +727,15 @@ def random_walks(
         # checkpoint would erase the partitioning and re-exchange it.
         # On a real cluster, bucket edges by src at ingest instead.
         persisted = edges.repartition("src").persist()
+        edges_j = persisted
+    else:
+        # broadcast regime (r14): the frontier broadcasts, but every
+        # step still re-evaluated the caller's EDGE lineage from
+        # scratch (scan + distinct + projections, once per step).
+        # Persist the (src, dst) frame once — same rationale as the
+        # hash regime minus the src co-location (no hash join to feed);
+        # unpersisted with the same guard below.
+        persisted = edges.persist()
         edges_j = persisted
     out = [cur.withColumn("step", F.lit(0))]
     for s in range(1, n_steps + 1):
