@@ -201,8 +201,19 @@ def main() -> None:
                 except OSError:
                     continue
                 rest = st[st.rindex(")") + 2:].split()
+                # utime+stime of the live process PLUS cutime+cstime
+                # (fields 13-14 after comm): CPU of its already-REAPED
+                # children. Without those, the work of our own ephemeral
+                # Python workers/subprocesses that exited mid-run stays
+                # in the /proc/stat total but in no live process, and
+                # gets misattributed as FOREIGN load — the same
+                # false-positive mode this snapshot was built to fix
+                # (ADVICE r14). No double-count: cutime/cstime cover
+                # only reaped children, never live descendants.
                 procs[int(pid)] = (
-                    int(rest[1]), int(rest[11]) + int(rest[12])
+                    int(rest[1]),
+                    int(rest[11]) + int(rest[12])
+                    + int(rest[13]) + int(rest[14]),
                 )
             mine = {os.getpid()}
             grew = True

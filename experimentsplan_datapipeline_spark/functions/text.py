@@ -7,7 +7,9 @@ exact ANSI-SQL twin used by the DuckDB oracle.
 
 from __future__ import annotations
 
-from functools import lru_cache as _fn_cache
+from experimentsplan_datapipeline_spark.operators.util import (
+    expr_cache as _fn_cache,
+)
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F

@@ -785,33 +785,48 @@ def quality_classifier_train(
     pow2 = float(1 << max(n - 1, 1).bit_length())
     w = [0.0] * 5
     rows = []
-    for t in range(1, n_steps + 1):
-        z = " + ".join(
-            [f"({w[0]!r}D * x0)"]
-            + [f"(x{j} * {w[j]!r}D)" for j in range(1, 5)]
-        )
-        p = f"greatest(least(({z}) * 0.25D + 0.5D, 1.0D), 0.0D)"
-        g = (
-            f"(floor(({p} - y) * {float(_QC_Q)!r}D + 0.5D)"
-            f" / {float(_QC_Q)!r}D)"
-        )
-        sel = ", ".join(
-            [f"sum({g} * x{j}) AS g{j}" for j in range(5)]
-            + [
-                f"sum(CASE WHEN ({p} >= 0.5D) = (y = 1)"
-                " THEN 1 ELSE 0 END) AS n_correct"
-            ]
-        )
-        agg = spark.sql(f"SELECT {sel} FROM {view}").first()
-        w = [
-            math.floor(
-                (w[j] - _QC_LR * float(agg[f"g{j}"]) / pow2) * _QC_WQ + 0.5
+    try:  # the view must not outlive the loop even when a step raises
+        for t in range(1, n_steps + 1):
+            z = " + ".join(
+                [f"({w[0]!r}D * x0)"]
+                + [f"(x{j} * {w[j]!r}D)" for j in range(1, 5)]
             )
-            / _QC_WQ
-            for j in range(5)
-        ]
-        rows.append(tuple([t] + w + [int(agg["n_correct"])]))
-    spark.catalog.dropTempView(view)
+            p = f"greatest(least(({z}) * 0.25D + 0.5D, 1.0D), 0.0D)"
+            g = (
+                f"(floor(({p} - y) * {float(_QC_Q)!r}D + 0.5D)"
+                f" / {float(_QC_Q)!r}D)"
+            )
+            sel = ", ".join(
+                [f"sum({g} * x{j}) AS g{j}" for j in range(5)]
+                + [
+                    f"sum(CASE WHEN ({p} >= 0.5D) = (y = 1)"
+                    " THEN 1 ELSE 0 END) AS n_correct"
+                ]
+            )
+            agg = spark.sql(f"SELECT {sel} FROM {view}").first()
+            w = [
+                math.floor(
+                    (w[j] - _QC_LR * float(agg[f"g{j}"]) / pow2) * _QC_WQ
+                    + 0.5
+                )
+                / _QC_WQ
+                for j in range(5)
+            ]
+            rows.append(tuple([t] + w + [int(agg["n_correct"])]))
+    finally:
+        spark.catalog.dropTempView(view)
+    if not rows:
+        # n_steps=0: 'SELECT * FROM VALUES' with no tuples is a
+        # ParseException — return the empty trace with the same schema
+        # the VALUES form produces (ADVICE r14)
+        return (
+            spark.createDataFrame(
+                [],
+                "step int, w0 double, w1 double, w2 double, w3 double, "
+                "w4 double, n_correct bigint",
+            ),
+            w,
+        )
     # r14: build the trace as one parsed VALUES literal instead of
     # spark.createDataFrame(rows) — the python-rows path parallelizes a
     # pickled RDD whose noop/save stage spun up a Python worker per

@@ -13,7 +13,6 @@ whose keys are 16-byte hashes.
 
 from __future__ import annotations
 
-from functools import lru_cache as _fn_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -23,6 +22,7 @@ from experimentsplan_datapipeline_spark import bench_hooks
 from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint, ngrams
 from experimentsplan_datapipeline_spark.operators.curation import portable_hash
 from experimentsplan_datapipeline_spark.operators.util import (
+    expr_cache as _fn_cache,
     pin,
     spread_small_input,
 )
@@ -419,10 +419,17 @@ def _drop_gen_tables(spark, base: str, keep_gen: int | None) -> None:
     # spark.catalog.listTables() fetched full metadata for EVERY table
     # in the session through a py4j iterator (a bench session
     # accumulates hundreds of stage tables; measured ~10 catalog jobs
-    # per index write) (r14)
-    for row in spark.sql(
-        f"SHOW TABLES LIKE '{base.lower()}_g*'"
-    ).collect():
+    # per index write) (r14). The LIKE pattern is a quasi-regex and the
+    # name is interpolated into SQL, so a base with anything outside
+    # [A-Za-z0-9_] (regex metachars, quotes) takes the slow exact
+    # listTables path instead (ADVICE r14).
+    if re.fullmatch(r"[A-Za-z0-9_]+", base):
+        rows = spark.sql(f"SHOW TABLES LIKE '{base.lower()}_g*'").collect()
+    else:
+        rows = [
+            {"tableName": t.name} for t in spark.catalog.listTables()
+        ]
+    for row in rows:
         m = pat.fullmatch(row["tableName"])
         if m and (
             keep_gen is None or int(m.group(1)) != keep_gen or m.group(2)

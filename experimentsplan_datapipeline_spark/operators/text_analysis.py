@@ -11,13 +11,15 @@ side.
 from __future__ import annotations
 
 import re
-from functools import lru_cache as _fn_cache
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from experimentsplan_datapipeline_spark.operators.util import spread_small_input
+from experimentsplan_datapipeline_spark.operators.util import (
+    expr_cache as _fn_cache,
+    spread_small_input,
+)
 
 
 @_fn_cache(maxsize=64)

@@ -2,11 +2,52 @@
 
 from __future__ import annotations
 
+import functools
 import itertools
 import os
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def expr_cache(maxsize: int = 32):
+    """``lru_cache`` for Column-tree builder functions, transparently
+    keyed on the ACTIVE SparkContext as well as the arguments.
+
+    Column trees are immutable plan fragments — safe to reuse across
+    DataFrames within one context — but they wrap py4j references into
+    that context's JVM state: a cached Column surviving a session
+    stop/restart (a test-harness pattern) would hand the new session a
+    stale JVM handle (VERDICT r14 item 8). The context token is resolved
+    per call (one cached-attribute lookup; one JVM round trip the first
+    time a context is seen), so a restart simply misses the cache and
+    rebuilds. ``cache_clear`` is forwarded for tests.
+    """
+
+    def deco(fn):
+        @lru_cache(maxsize=maxsize)
+        def cached(_ctx_token, *args, **kw):
+            return fn(*args, **kw)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kw):
+            from pyspark import SparkContext
+
+            sc = SparkContext._active_spark_context
+            if sc is None:
+                token = None
+            else:
+                token = getattr(sc, "_expr_cache_token", None)
+                if token is None:
+                    token = sc.applicationId
+                    sc._expr_cache_token = token
+            return cached(token, *args, **kw)
+
+        wrapper.cache_clear = cached.cache_clear
+        return wrapper
+
+    return deco
 
 # Session-conf keys controlling how ``pin`` materializes (see its docstring).
 PIN_MODE_KEY = "spark.experimentsplan.pin.mode"
@@ -116,6 +157,57 @@ def purge_pins(spark) -> dict:
     return {"tables": n_t, "paths": n_p}
 
 
+# Logical nodes through which the child's partitioning passes unchanged
+# (row-local transforms), nodes that are leaves of a scan-partitioned
+# spine, and the hint wrapper marking a broadcast side. Everything NOT
+# listed (Repartition, GlobalLimit/LocalLimit, Sort, Aggregate, Window,
+# Deduplicate/Distinct, Sample, Offset, un-hinted joins, set ops, ...)
+# makes _scan_partitioned return False -> exact .rdd fallback.
+_PARTITION_PRESERVING = frozenset(
+    {
+        "Project", "Filter", "SubqueryAlias", "Generate", "View",
+        "UnresolvedHint", "ResolvedHint", "WithColumns",
+        "WithColumnsRenamed", "DropColumns", "UnresolvedSubqueryColumnAliases",
+    }
+)
+_SPINE_LEAVES = frozenset(
+    {
+        "LogicalRelation", "UnresolvedRelation", "UnresolvedDataSource",
+        "DataSourceV2Relation",
+        "DataSourceV2ScanRelation", "HiveTableRelation", "LocalRelation",
+        "LogicalRDD", "OneRowRelation", "Range", "StreamingRelation",
+        "StreamingRelationV2", "StreamingDataSourceV2ScanRelation",
+    }
+)
+_HINT_NODES = frozenset({"UnresolvedHint", "ResolvedHint"})
+
+
+def _scan_partitioned(jplan) -> bool:
+    """True when the frame's output partition count derives from its file
+    scan(s): walk the logical plan's streamed spine — through row-local
+    unary nodes, down the NON-hinted side of a single-hint join, across
+    every Union branch — and require each spine path to end in a
+    relation leaf. Conservative: any unknown/ambiguous node is False."""
+    name = jplan.getClass().getSimpleName()
+    if name in _SPINE_LEAVES:
+        return True
+    children = jplan.children()
+    n = children.size()
+    if name in _PARTITION_PRESERVING and n == 1:
+        return _scan_partitioned(children.apply(0))
+    if name == "Join" and n == 2:
+        hinted = [
+            children.apply(i).getClass().getSimpleName() in _HINT_NODES
+            for i in range(2)
+        ]
+        if hinted[0] != hinted[1]:  # exactly one broadcast side
+            return _scan_partitioned(children.apply(1 if hinted[0] else 0))
+        return False
+    if name == "Union":
+        return all(_scan_partitioned(children.apply(i)) for i in range(n))
+    return False
+
+
 def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Re-spread a low-partition-count input before a row-multiplying stage.
 
@@ -139,6 +231,20 @@ def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame
     target = min_parts or spark.sparkContext.defaultParallelism
     est: int | None = None
     try:
+        # The file-metadata estimate is only the scan's own math when
+        # partitioning still derives from the scan along the STREAMED
+        # spine of the plan: a coalesce/limit/sort/aggregate between
+        # scan and caller redefines the partition count independently of
+        # the file set, so those plans keep the exact .rdd fallback
+        # (ADVICE r14). Broadcast(-semi) joins and unions stay on the
+        # fast path — their output partitioning is the file-backed
+        # side's scan math (the r14 ingest-screen win this helper exists
+        # for) — which is why this is a spine WALK, not a plan-string
+        # grep: a Deduplicate/Aggregate under the broadcast hint is
+        # irrelevant to output partitioning. A handful of driver-local
+        # py4j calls; no analysis, no planning, no job.
+        if not _scan_partitioned(df._jdf.queryExecution().logical()):
+            raise ValueError("not a scan-partitioned plan")
         files = df.inputFiles()
         if len(files) >= target:
             return df

@@ -1635,3 +1635,48 @@ def test_walk_step_plan_no_broadcast_when_guarded(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastExchange" in plan_b, plan_b
+
+
+def test_expr_cache_survives_session_restart():
+    """VERDICT r14 item 8: the cached Column trees (minhash aggs, token
+    splits, ngrams) wrap py4j references into the ACTIVE context's JVM
+    state — a session stop/restart must miss the cache and rebuild, not
+    hand the new session a stale handle. Runs in a subprocess so the
+    suite's session fixture is untouched."""
+    import subprocess
+    import sys
+
+    code = """
+from experimentsplan_datapipeline_spark.session import get_session
+from experimentsplan_datapipeline_spark.operators.dedup import minhash_signatures
+from experimentsplan_datapipeline_spark.operators.util import expr_cache
+
+calls = []
+
+@expr_cache(maxsize=4)
+def probe(x):
+    calls.append(x)
+    import pyspark.sql.functions as F
+    return F.lit(x)
+
+s1 = get_session(app_name="restart_rt")
+s1.sparkContext.setLogLevel("ERROR")
+df1 = s1.createDataFrame([(1, "a b c a b c")], ["id", "text"])
+r1 = minhash_signatures(df1, "text", "id", num_hashes=8).collect()
+probe(7); probe(7)
+assert calls == [7], calls
+s1.stop()
+s2 = get_session(app_name="restart_rt2")
+s2.sparkContext.setLogLevel("ERROR")
+df2 = s2.createDataFrame([(1, "a b c a b c")], ["id", "text"])
+r2 = minhash_signatures(df2, "text", "id", num_hashes=8).collect()
+assert r1 == r2
+probe(7)
+assert calls == [7, 7], calls  # new context -> cache miss -> rebuilt
+print("RESTART_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert "RESTART_OK" in out.stdout, (out.stdout, out.stderr[-2000:])
