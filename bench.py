@@ -294,7 +294,22 @@ def main() -> None:
     ext_totals: list[float] = []
     ext_query_totals: list[float] = []
     ext_agreed = False
-    for _ in range(3):  # 2 passes normally; a 3rd if query totals disagree
+    # EXTENDED AGREEMENT (round 15, VERDICT r14 item 2): the extended
+    # query-phase totals flapped ~25-60% on otherwise-quiet runs
+    # (driver r14: [76.3, 95.4, 77.2]), always on a MIDDLE pass, while
+    # three extended passes in a fresh session agree within 1% — the
+    # disturbance is cross-phase JVM debt (headline passes leave heap
+    # garbage + unreferenced localCheckpoint blocks whose major-GC bill
+    # lands mid-extended-pass), not per-entry work. Two fixes, same
+    # min-of-agreeing-passes semantics as the headline suite:
+    # (a) System.gc() BETWEEN passes (never inside a timed entry) pays
+    #     accumulated GC debt outside the measurement;
+    # (b) when two consecutive query-phase totals still disagree, keep
+    #     measuring up to the same SPARK_GRAFT_BENCH_PASS_CAP instead of
+    #     hard-stopping at 3 and certifying a disagreement.
+    _jvm_gc = spark.sparkContext._jvm.System.gc
+    for _ in range(pass_cap):
+        _jvm_gc()
         p, b = run_pass(EXTENDED, 1, capture_builds=True)
         ext_passes.append(p)
         ext_builds.append(b)

@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window
 
-from experimentsplan_datapipeline_spark.operators.util import spread_small_input
+from experimentsplan_datapipeline_spark.operators.util import (
+    lit_frame,
+    spread_small_input,
+)
 
 #: modulus for hash fractions — 1/10000 granularity is finer than any
 #: realistic split/repeat fraction while keeping thresholds exact integers.
@@ -820,7 +823,8 @@ def quality_classifier_train(
         # ParseException — return the empty trace with the same schema
         # the VALUES form produces (ADVICE r14)
         return (
-            spark.createDataFrame(
+            lit_frame(
+                spark,
                 [],
                 "step int, w0 double, w1 double, w2 double, w3 double, "
                 "w4 double, n_correct bigint",
@@ -970,7 +974,7 @@ def mixture_reweight_mw(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     stot = counted.groupBy("source").agg(F.sum("c").alias("n"))
-    cls_df = spark.createDataFrame([(c,) for c in classes], "tok string")
+    cls_df = lit_frame(spark, [(c,) for c in classes], "tok string")
     dense = (
         stot.crossJoin(F.broadcast(cls_df))
         .join(counted, ["source", "tok"], "left")
@@ -1023,8 +1027,8 @@ def mixture_reweight_mw(
             )
             for s in sources
         )
-    return spark.createDataFrame(
-        out, "step int, source string, weight_q30 long, loss_q50 long"
+    return lit_frame(
+        spark, out, "step int, source string, weight_q30 long, loss_q50 long"
     )
 
 

@@ -23,6 +23,7 @@ from experimentsplan_datapipeline_spark.functions.text import doc_fingerprint, n
 from experimentsplan_datapipeline_spark.operators.curation import portable_hash
 from experimentsplan_datapipeline_spark.operators.util import (
     expr_cache as _fn_cache,
+    lit_frame,
     pin,
     spread_small_input,
 )
@@ -570,7 +571,8 @@ def minhash_index_write(
         )
     _swap_in_table(
         spark,
-        spark.createDataFrame(
+        lit_frame(
+            spark,
             [params + (new_gen, store_text)],
             "num_hashes int, bands int, shingle_size int, "
             "portable_seed long, gen int, store_text boolean",
@@ -766,8 +768,10 @@ def fingerprint_index_write(
                    mode="overwrite")
     _swap_in_table(
         spark,
-        spark.createDataFrame(
-            [(n_bits, n_hashes, new_gen)], "n_bits long, n_hashes int, gen int"
+        lit_frame(
+            spark,
+            [(n_bits, n_hashes, new_gen)],
+            "n_bits long, n_hashes int, gen int",
         ),
         meta_name,
     )

@@ -89,6 +89,14 @@ def stratified_exact(
             F.when(cond, n) if target_expr is None else target_expr.when(cond, n)
         )
     target_expr = target_expr.otherwise(0)
+    # r15 note (measured, guide §1.1): adding a redundant literal bound
+    # ``__rk <= max(targets)`` DOES make the optimizer insert a map-side
+    # WindowGroupLimit(Partial) that cuts the shuffle to <= max_target
+    # rows per (stratum, input partition) — but it also moves the full
+    # sort to the map side, and at sf0.1 that form measured ~25% SLOWER
+    # (1.42 s vs 1.76 s A/B in one session), so it was reverted; the
+    # at-scale shuffle-bytes story is already covered by the two-phase
+    # pre-prune below.
     if mode == "hash" and df.rdd.getNumPartitions() > 16:
         buckets = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")

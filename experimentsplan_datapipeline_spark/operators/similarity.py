@@ -19,7 +19,10 @@ from experimentsplan_datapipeline_spark.functions.vectors import (
     lit_double_array,
     lit_int_array,
 )
-from experimentsplan_datapipeline_spark.operators.util import spread_small_input
+from experimentsplan_datapipeline_spark.operators.util import (
+    lit_frame,
+    spread_small_input,
+)
 
 
 def brute_force_topk(
@@ -326,7 +329,8 @@ def _assign_join(
     """
     spark = df.sparkSession
     cdf = F.broadcast(
-        spark.createDataFrame(
+        lit_frame(
+            spark,
             [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
             "cid int, cv array<double>",
         )
@@ -1280,9 +1284,7 @@ def ann_index_write(
             (int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows
         ]
     new_gen = (meta["gen"] + 1) if meta is not None else 0
-    cells_df = spark.createDataFrame(
-        cents, "cell int, cvec array<double>"
-    )
+    cells_df = lit_frame(spark, cents, "cell int, cvec array<double>")
     write_bucketed(
         cells_df, f"{table_name}_cells_g{new_gen}", ["cell"], 1,
         mode="overwrite",
@@ -1296,8 +1298,8 @@ def ann_index_write(
     # or below it are folded into _asg_g<gen>); -1 = nothing folded yet
     _swap_in_table(
         spark,
-        spark.createDataFrame(
-            [(n_cells, new_gen, -1)], "n_cells int, gen int, hwm long"
+        lit_frame(
+            spark, [(n_cells, new_gen, -1)], "n_cells int, gen int, hwm long"
         ),
         meta_name,
     )
@@ -1690,7 +1692,7 @@ def cell_recall_cost(
         raise ValueError("n_probe cannot exceed the codebook size")
     pmax = ladder[-1]
     ladder_df = F.broadcast(
-        spark.createDataFrame([(p,) for p in ladder], "n_probe int")
+        lit_frame(spark, [(p,) for p in ladder], "n_probe int")
     )
     asg = corpus.select(
         F.col(id_col).alias("__nid"),

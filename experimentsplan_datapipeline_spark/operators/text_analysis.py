@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from experimentsplan_datapipeline_spark.operators.util import (
     expr_cache as _fn_cache,
+    lit_frame,
     spread_small_input,
 )
 
@@ -101,25 +102,26 @@ def bm25_topk(
     ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always positive). Query terms are
     deduplicated (short-query convention; no query-term-frequency weight).
 
-    Scale shape: the query term set broadcasts onto the term-frequency side,
-    pruning the corpus to docs containing at least one query term BEFORE any
-    further join. Document frequency is computed only for the pruned
-    vocabulary (|query vocab| rows, broadcast back). Corpus stats (N, avgdl)
-    stay in-plan as a single-row broadcast aggregate. Doc length joins on
-    the doc key — the only corpus-scale shuffle after tf itself. Final
-    ranking is two-phase top-k (per-bucket partials), never one task per
-    query. N counts docs with >= 1 token (empty docs can never match).
+    Scale shape (r15, guide §2.3): the query vocabulary broadcast-semi-
+    joins the EXPLODED terms before the (doc, term) aggregation, so the
+    tf shuffle carries only rows whose term appears in some query — the
+    corpus-vocabulary-sized exchange the r14 form paid (twice) no longer
+    exists. The pruned, aggregated tf is pinned in-body (localCheckpoint)
+    and feeds both scoring branches, so the corpus is tokenized ONCE
+    (plus the no-shuffle stats projection). Document frequency collapses
+    to |query vocab| rows and broadcasts back; corpus stats (N, avgdl)
+    stay in-plan as a single-row broadcast aggregate. Final ranking is
+    two-phase top-k (per-bucket partials), never one task per query.
+    N counts docs with >= 1 token (empty docs can never match).
 
     Doc length rides INSIDE the (doc, term) aggregation: the token array's
-    size attaches before the explode and survives as ``any_value`` per
-    group, so no corpus-scale dl join exists at all. Corpus stats (N,
-    avgdl) derive from a no-explode projection of the same scan (array
-    size only — no shuffle, single-row aggregate). The tf subplan then
-    feeds two branches (doc frequency + the scored join); pass
-    ``cache_tf=True`` to persist it when serving many query batches over
-    one corpus — the caller owns the eventual ``unpersist``. One-shot
-    queries leave it off: re-deriving a pipelined scan->explode->agg twice
-    is cheaper than materializing the full tf table.
+    size attaches before the explode (and before the vocab prune) and
+    survives as ``any_value`` per group, so no corpus-scale dl join
+    exists at all. ``cache_tf=True`` keeps the UNPRUNED full-corpus tf
+    and persists it — its contract is reuse across many query batches
+    over one corpus (the caller owns the eventual ``unpersist``); the
+    one-shot default prunes instead, which is strictly better when the
+    query batch is known.
 
     Reference parity: the reference has no retrieval op; this extends the
     north-star text-analysis family (BASELINE.json mandate).
@@ -132,17 +134,41 @@ def bm25_topk(
         F.col(id_col),
         F.filter(_tokens(text_col), lambda t: t != "").alias("__toks"),
     )
-    tf = (
-        toks.select(
-            F.col(id_col),
-            F.size("__toks").cast("double").alias("dl"),
-            F.explode("__toks").alias("term"),
-        )
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.any_value("dl").alias("dl"))
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(_tokens(query_text_col))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    qvocab = qterms.select("term").distinct()
+    tf = toks.select(
+        F.col(id_col),
+        F.size("__toks").cast("double").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    if not cache_tf:
+        # r15 (guide §2.3, filter before the exchange): only query-vocab
+        # terms survive any downstream join, so the broadcast semi join
+        # prunes the exploded terms BEFORE the (doc, term) aggregation —
+        # the tf shuffle carries |docs matching a query term| rows
+        # instead of the whole corpus vocabulary. Exact: tf/df of the
+        # surviving terms are untouched by dropping other terms, and dl
+        # attaches per doc before the explode. (cache_tf keeps the
+        # unpruned form: its contract is a FULL corpus tf reusable
+        # across query batches.)
+        tf = tf.join(F.broadcast(qvocab), "term", "left_semi")
+    tf = tf.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.any_value("dl").alias("dl")
     )
     if cache_tf:
         tf = tf.persist()
+    else:
+        # both scoring branches (document frequency + the scored join)
+        # read tf: one in-body materialization of the PRUNED, aggregated
+        # frame replaces a second full tokenize+explode+aggregate pass
+        # over the corpus (r15, guide §5; rebuilt every run — blocks die
+        # with the frame)
+        tf = tf.localCheckpoint(eager=False)
     # N = docs with >= 1 token (empty docs can never match); avgdl over those
     stats = (
         toks.select(F.size("__toks").cast("double").alias("dl"))
@@ -152,13 +178,6 @@ def bm25_topk(
             F.avg("dl").alias("__avgdl"),
         )
     )
-    qterms = queries.select(
-        F.col(query_id_col),
-        F.explode(
-            F.array_distinct(_tokens(query_text_col))
-        ).alias("term"),
-    ).filter(F.col("term") != "")
-    qvocab = qterms.select("term").distinct()
     dfreq = (
         tf.join(F.broadcast(qvocab), "term")
         .groupBy("term")
@@ -857,7 +876,7 @@ def keyword_tag(
             f"keyword_tag: phrases must be lowercase, single-space "
             f"normalized (grams are); offending: {bad!r}"
         )
-    tag_df = df.sparkSession.createDataFrame(pairs, ["tag", "g"])
+    tag_df = lit_frame(df.sparkSession, pairs, "tag string, g string")
     toks = df.select(
         F.col(id_col),
         F.filter(_tokens(text_col), lambda x: x != "").alias("__toks"),
@@ -989,7 +1008,8 @@ def bpe_train(
                 F.lit(f"{o}{l}{rr}{c}"),
             ),
         ).localCheckpoint(eager=True)
-    out = spark.createDataFrame(
+    out = lit_frame(
+        spark,
         [(i, l, rr, cn) for i, (l, rr, cn) in enumerate(merges)],
         "merge_rank int, lhs string, rhs string, pair_count long",
     )
@@ -1267,7 +1287,8 @@ def bpe_save(
 
     _swap_in_table(
         spark,
-        spark.createDataFrame(
+        lit_frame(
+            spark,
             [(i, l, r) for i, (l, r) in enumerate(merges)],
             "merge_rank int, lhs string, rhs string",
         ),
@@ -1276,8 +1297,8 @@ def bpe_save(
     if alphabet is not None:
         _swap_in_table(
             spark,
-            spark.createDataFrame(
-                list(enumerate(alphabet)), "ord_idx int, ch string"
+            lit_frame(
+                spark, list(enumerate(alphabet)), "ord_idx int, ch string"
             ),
             f"{table_name}_alpha",
         )

@@ -157,6 +157,91 @@ def purge_pins(spark) -> dict:
     return {"tables": n_t, "paths": n_p}
 
 
+def _sql_lit(v, sql_type: str) -> str:
+    """Render a Python value as a Spark SQL literal of ``sql_type``."""
+    t = sql_type.strip().lower()
+    if v is None:
+        return f"CAST(NULL AS {t})"
+    if t == "double":
+        return repr(float(v)) + "D"  # repr round-trips doubles exactly
+    if t == "float":
+        return f"CAST({float(v)!r} AS float)"
+    if t in ("bigint", "long"):
+        return f"{int(v)}L"
+    if t in ("int", "integer", "smallint", "tinyint"):
+        return f"CAST({int(v)} AS {t})" if t != "int" else str(int(v))
+    if t == "boolean":
+        return "true" if v else "false"
+    if t == "string":
+        s = (
+            str(v)
+            .replace("\\", "\\\\")
+            .replace("'", "\\'")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+        )
+        return f"'{s}'"
+    if t.startswith("array<") and t.endswith(">"):
+        inner = t[6:-1]
+        return "array(" + ",".join(_sql_lit(x, inner) for x in v) + ")"
+    raise ValueError(f"lit_frame: unsupported SQL type {sql_type!r}")
+
+
+def _split_ddl(schema_ddl: str) -> list[tuple[str, str]]:
+    """'a int, b array<double>' -> [('a','int'), ('b','array<double>')]
+    (top-level comma split, honoring <> nesting)."""
+    fields, depth, cur = [], 0, []
+    for ch in schema_ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            fields.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    fields.append("".join(cur))
+    out = []
+    for f in fields:
+        name, typ = f.strip().split(None, 1)
+        out.append((name, typ.strip()))
+    return out
+
+
+def lit_frame(spark, rows, schema_ddl: str) -> DataFrame:
+    """Small driver-local literal frame as a parsed ``VALUES`` relation —
+    the Python-boundary-free replacement for ``spark.createDataFrame``
+    over a list (guide §4).
+
+    ``createDataFrame(list)`` parallelizes PICKLED rows over
+    ``defaultParallelism`` partitions: every action over the frame runs
+    one Python-worker round trip per partition — measured ~0.4-0.5 s per
+    action on local[32] for a ONE-ROW frame (32 tasks, each blocked in
+    ``SparkEnv.createPythonWorker``), and the empty-list form still
+    launches 32 empty Python tasks. The VALUES form plans as a
+    ``LocalTableScan``: no Python stage, no shuffle, ~0.05 s. Values are
+    rendered as exact SQL literals (``repr`` round-trips doubles;
+    strings are escaped), so results are identical.
+
+    Supports the scalar types + array<...> the engine's pointer/meta/
+    literal frames use; raises on anything else (fall back to
+    ``createDataFrame`` there). ``rows == []`` returns an empty frame
+    with the same (nullable) schema via ``range(0)``.
+    """
+    fields = _split_ddl(schema_ddl)
+    if not rows:
+        return spark.range(0).selectExpr(
+            *[f"CAST(NULL AS {t}) AS {n}" for n, t in fields]
+        )
+    vals = ",".join(
+        "(" + ",".join(_sql_lit(v, t) for v, (_, t) in zip(row, fields)) + ")"
+        for row in rows
+    )
+    names = ", ".join(n for n, _ in fields)
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t({names})")
+
+
 # Logical nodes through which the child's partitioning passes unchanged
 # (row-local transforms), nodes that are leaves of a scan-partitioned
 # spine, and the hint wrapper marking a broadcast side. Everything NOT

@@ -32,6 +32,7 @@ from experimentsplan_datapipeline_spark.operators import aggregates as agg
 from experimentsplan_datapipeline_spark.operators import filters as flt
 from experimentsplan_datapipeline_spark.operators import joins as jn
 from experimentsplan_datapipeline_spark.operators import sampling as smp
+from experimentsplan_datapipeline_spark.operators.util import lit_frame
 from experimentsplan_datapipeline_spark.operators import windows as win
 from experimentsplan_datapipeline_spark.operators import dedup as dd
 from experimentsplan_datapipeline_spark.operators import similarity as sim
@@ -560,9 +561,10 @@ def agg_weighted_targets(spark, sf_dir):
         .groupBy(F.col("c_mktsegment").alias("stratum"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    weights = spark.createDataFrame(
+    weights = lit_frame(
+        spark,
         [("BUILDING", 0.25), ("AUTOMOBILE", 0.25), ("MACHINERY", 0.5)],
-        ["stratum", "weight"],
+        "stratum string, weight double",
     )
     out = agg.weighted_targets(counts, weights, "stratum", "weight")
     return out.select(
@@ -3484,10 +3486,16 @@ WHERE rnk <= 2
 """)
 def join_topk_per_key(spark, sf_dir):
     """Fan-out-capped join: top-2 lineitems per order by price — the
-    group-limited join that bounds skewed key explosions (rank window on
-    the join key; parallel across keys). Ordering covers every output
-    column plus tiebreaks, so duplicate (orderkey, linenumber) rows in the
-    synthetic data cannot destabilize the cut."""
+    group-limited join that bounds skewed key explosions. r15 (guide
+    §2.3/§2.4): the rank window runs on LINEITEM ALONE, below the join —
+    the window's partition key IS the join key and its ordering uses only
+    lineitem columns, and o_orderkey is unique in orders (the oracle's
+    inner join is 1:1 on the orders side), so per-key ranks are identical
+    computed before or after the join. The join then probes <= 2 rows per
+    key instead of every lineitem, and the window's sort no longer
+    carries the orders payload. Ordering covers every output column plus
+    tiebreaks, so duplicate (orderkey, linenumber) rows in the synthetic
+    data cannot destabilize the cut."""
     from pyspark.sql.window import Window as W
 
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -3495,13 +3503,15 @@ def join_topk_per_key(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
         F.round("l_extendedprice", 2).alias("price"),
     )
-    w = W.partitionBy("o_orderkey").orderBy(
+    w = W.partitionBy("l_orderkey").orderBy(
         F.col("price").desc(), "l_linenumber", "l_quantity", "l_discount"
     )
-    return (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .withColumn("rnk", F.row_number().over(w))
+    top2 = (
+        li.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 2)
+    )
+    return (
+        orders.join(top2, orders["o_orderkey"] == top2["l_orderkey"])
         .select("o_orderkey", "o_orderpriority", "price", "rnk")
     )
 
@@ -3602,8 +3612,10 @@ def url_domain_filter(spark, sf_dir):
     domains = urls.select(
         F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("domain")
     )
-    block = domains.sparkSession.createDataFrame(
-        [("src0.example.com",), ("src3.example.com",)], ["domain"]
+    block = lit_frame(
+        domains.sparkSession,
+        [("src0.example.com",), ("src3.example.com",)],
+        "domain string",
     )
     return (
         domains.join(F.broadcast(block), "domain", "left_anti")
@@ -4472,18 +4484,20 @@ WHERE rank <= 10
 """)
 def bm25_topk_q(spark, sf_dir):
     """BM25 retrieval (north-star text analysis): top-10 documents for each
-    of two literal queries, Lucene idf. Query vocab broadcasts onto the
-    term-frequency side so the corpus prunes before any corpus-scale join;
-    doc length rides inside the tf aggregation (no dl join exists); corpus
-    stats derive from a no-explode projection; ranking is two-phase top-k
-    (never one task per query). cache_tf stays off for this one-shot form —
-    re-deriving the pipelined tf twice beats materializing it; flip it on
-    when serving many query batches over one corpus."""
+    of two literal queries, Lucene idf. Query vocab semi-joins the
+    exploded terms BEFORE the tf aggregation (r15: the tf shuffle is
+    query-vocab-bounded, not corpus-vocabulary-sized), the pruned tf is
+    pinned in-body so the corpus tokenizes once; doc length rides inside
+    the tf aggregation (no dl join exists); corpus stats derive from a
+    no-explode projection; ranking is two-phase top-k (never one task per
+    query). cache_tf stays off for this one-shot form — it keeps the
+    unpruned tf for serving many query batches over one corpus."""
     from experimentsplan_datapipeline_spark.operators.text_analysis import bm25_topk
 
-    queries = spark.createDataFrame(
+    queries = lit_frame(
+        spark,
         [("q1", "fast table scan"), ("q2", "stream window agg sort")],
-        ["query_id", "query_text"],
+        "query_id string, query_text string",
     )
     return bm25_topk(
         t(spark, sf_dir, "documents"), queries, "doc_id", "text", k=10
@@ -9182,8 +9196,8 @@ def stream_ingest_gate(spark, sf_dir):
     )
     # pre-seed one empty epoch partition so a zero-hit drain still reads
     # back cleanly (epoch dirs are the exactly-once mechanism)
-    spark.createDataFrame(
-        [], "batch_id long, corpus_id long, jaccard double"
+    lit_frame(
+        spark, [], "batch_id long, corpus_id long, jaccard double"
     ).write.parquet(os.path.join(result_dir, "epoch=-1"))
     stream = (
         spark.readStream.schema(batch.schema)
@@ -10127,8 +10141,8 @@ def stream_ingest_gate_compacted(spark, sf_dir):
         corpus, idx_name, "text", "doc_id", num_hashes=32, bands=8,
         shingle_size=3, portable_seed=42, n_buckets=4,
     )
-    spark.createDataFrame(
-        [], "batch_id long, corpus_id long, jaccard double"
+    lit_frame(
+        spark, [], "batch_id long, corpus_id long, jaccard double"
     ).write.parquet(os.path.join(result_dir, "epoch=-1"))
 
     def drain():
@@ -10278,7 +10292,8 @@ def stream_ingest_funnel(spark, sf_dir):
     dd.fingerprint_index_write(
         corpus, _stage("sfunnel_fp"), "text", n_buckets=4
     )
-    spark.createDataFrame(
+    lit_frame(
+        spark,
         [],
         "doc_id long, keep boolean, exact_dup boolean, near_dup boolean, "
         "accepted boolean",
@@ -10952,8 +10967,8 @@ def stream_token_drift(spark, sf_dir):
         F.explode(toks).alias("w")
     ).select(cls_of(F.col("w")).alias("cls"))
     ref_total = refcls.count()
-    classes = spark.createDataFrame(
-        [(c,) for c in top16 + ["__other"]], "cls string"
+    classes = lit_frame(
+        spark, [(c,) for c in top16 + ["__other"]], "cls string"
     )
     refp = F.broadcast(
         classes.join(

@@ -176,9 +176,13 @@ def ingest_state_compact(
             _swap_in_table,
         )
 
+        from experimentsplan_datapipeline_spark.operators.util import (
+            lit_frame,
+        )
+
         _swap_in_table(
             spark,
-            spark.createDataFrame([(upto_epoch, gen)], "hwm long, gen int"),
+            lit_frame(spark, [(upto_epoch, gen)], "hwm long, gen int"),
             meta_name,
         )
 
@@ -577,27 +581,32 @@ def streaming_ingest_gate(
             corpus_bandkeys=idx,
             corpus_text_pushdown=corpus_text_pushdown,
         )
+        hits_path = os.path.join(result_dir, f"epoch={epoch_id}")
+        # the epoch write IS the single materialization: downstream
+        # consumers read the committed partition back instead of a
+        # localCheckpoint of the same rows (r15, guide §5 — one fewer
+        # job per epoch, and no executor-pinned checkpoint blocks
+        # accumulating unreferenced across epochs; replay semantics
+        # unchanged: a replayed epoch overwrites, then reads its own
+        # fresh overwrite)
+        hits.write.mode("overwrite").parquet(hits_path)
         if grow_state:
-            # hit ids feed the accept filter below as a second consumer;
-            # the static gate has only the write — checkpointing there
-            # would compute the verify join twice per epoch for nothing
-            # (r14, guide §5 caching-only-when-reused)
-            hits = hits.localCheckpoint(eager=True)
-        hits.write.mode("overwrite").parquet(
-            os.path.join(result_dir, f"epoch={epoch_id}")
-        )
-        if grow_state:
-            dup_ids = hits.select(
-                F.col("batch_id").alias(id_col)
-            ).distinct()
-            accepted = mb.join(
-                F.broadcast(dup_ids), id_col, "left_anti"
-            ).localCheckpoint(eager=True)  # feeds both state writes once
-            accepted.select(id_col, text_col).write.mode("overwrite").parquet(
-                os.path.join(accepted_dir, f"epoch={epoch_id}")
+            dup_ids = (
+                spark.read.schema("batch_id long, corpus_id long, "
+                                  "jaccard double")
+                .parquet(hits_path)
+                .select(F.col("batch_id").alias(id_col))
+                .distinct()
             )
+            accepted_path = os.path.join(accepted_dir, f"epoch={epoch_id}")
+            mb.join(F.broadcast(dup_ids), id_col, "left_anti").select(
+                id_col, text_col
+            ).write.mode("overwrite").parquet(accepted_path)
+            acc_back = spark.read.schema(
+                mb.select(id_col, text_col).schema
+            ).parquet(accepted_path)
             minhash_bandkeys(
-                accepted, text_col, id_col,
+                acc_back, text_col, id_col,
                 num_hashes=num_hashes, bands=bands,
                 shingle_size=shingle_size, portable_seed=portable_seed,
             ).write.mode("overwrite").parquet(
@@ -777,30 +786,34 @@ def streaming_ingest_funnel(
                 F.col("keep") & ~F.col("exact_dup") & ~F.col("near_dup"),
             )
         )
+        decisions_path = os.path.join(result_dir, f"epoch={epoch_id}")
+        # the committed decision log IS the materialization the state
+        # writes read back — no per-epoch localCheckpoint (r15, guide §5;
+        # see streaming_ingest_gate): fewer jobs per epoch, no
+        # unreferenced checkpoint blocks, identical replay semantics
+        decisions.write.mode("overwrite").parquet(decisions_path)
         if grow_state:
-            # feeds the log + 3 state writes; the static funnel has only
-            # the log write — checkpointing there would run every screen
-            # twice per epoch (r14, guide §5 caching-only-when-reused)
-            decisions = decisions.localCheckpoint(eager=True)
-        decisions.write.mode("overwrite").parquet(
-            os.path.join(result_dir, f"epoch={epoch_id}")
-        )
-        if grow_state:
-            acc_ids = decisions.filter("accepted").select(id_col)
-            accepted = mb.join(
-                F.broadcast(acc_ids), id_col, "left_semi"
-            ).localCheckpoint(eager=True)  # feeds all three state writes
-            accepted.select(id_col, text_col).write.mode("overwrite").parquet(
-                os.path.join(accepted_dir, f"epoch={epoch_id}")
+            acc_ids = (
+                spark.read.schema(decisions.schema)
+                .parquet(decisions_path)
+                .filter("accepted")
+                .select(id_col)
             )
+            accepted_path = os.path.join(accepted_dir, f"epoch={epoch_id}")
+            mb.join(F.broadcast(acc_ids), id_col, "left_semi").select(
+                id_col, text_col
+            ).write.mode("overwrite").parquet(accepted_path)
+            acc_back = spark.read.schema(
+                mb.select(id_col, text_col).schema
+            ).parquet(accepted_path)
             minhash_bandkeys(
-                accepted, text_col, id_col,
+                acc_back, text_col, id_col,
                 num_hashes=num_hashes, bands=bands,
                 shingle_size=shingle_size, portable_seed=portable_seed,
             ).write.mode("overwrite").parquet(
                 os.path.join(state_dir, f"epoch={epoch_id}")
             )
-            accepted.select(
+            acc_back.select(
                 doc_fingerprint(text_col).alias("fp")
             ).distinct().write.mode("overwrite").parquet(
                 os.path.join(fp_state_dir, f"epoch={epoch_id}")
@@ -857,9 +870,14 @@ def ann_state_compact(
     gen = ptr["gen"]
 
     def _commit(new_gen: int) -> None:
+        from experimentsplan_datapipeline_spark.operators.util import (
+            lit_frame,
+        )
+
         _swap_in_table(
             spark,
-            spark.createDataFrame(
+            lit_frame(
+                spark,
                 [(int(ptr["n_cells"]), new_gen, upto_epoch)],
                 "n_cells int, gen int, hwm long",
             ),
