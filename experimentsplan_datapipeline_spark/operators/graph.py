@@ -322,6 +322,14 @@ def copurchase_pairs(
         F.col(group_col).alias("g"), F.col(item_col).alias("item")
     ).distinct()
     if n_blocks <= 1:
+        # r15 measured note (guide §1.1): pinning this join at
+        # defaultParallelism via a user-numbered repartition on "g"
+        # (AQE-exempt) DID run the pair-gen stage at 32 tasks instead of
+        # the byte-coalesced 4 — but total stage CPU grew ~5x (per-task
+        # shuffle-file and setup overhead on a 4 MB shuffle) and wall
+        # time did not improve, so it was REVERTED; AQE's coalescing is
+        # the right call here and at scale, where the stage is wide
+        # because its input is.
         a, b = it.alias("a"), it.alias("b")
         return (
             a.join(

@@ -6856,9 +6856,18 @@ def graph_pagerank(spark, sf_dir):
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
     )
-    edges = cop.selectExpr("pa AS src", "pb AS dst").unionByName(
-        cop.selectExpr("pb AS src", "pa AS dst")
-    )
+    # both edge directions by explode off ONE aggregated cop frame (r15:
+    # the two-branch union re-ran the support aggregation once per
+    # direction — measured 5.46 -> 4.62 s on graph_pagerank; identical
+    # rows)
+    edges = cop.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     pr = pagerank(edges, iterations=3, damping=0.85)
     return (
         pr.select(F.col("node").alias("part"), F.round("pagerank", 6).alias("pagerank"))
@@ -6918,9 +6927,20 @@ def graph_pagerank_weighted(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .filter(F.col("w") >= 2)
     )
-    edges = cop.selectExpr("pa AS src", "pb AS dst", "w").unionByName(
-        cop.selectExpr("pb AS src", "pa AS dst", "w")
-    )
+    edges = cop.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("src"), F.col("pb").alias("dst"),
+                    F.col("w"),
+                ),
+                F.struct(
+                    F.col("pb").alias("src"), F.col("pa").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
     pr = pagerank(edges, iterations=3, damping=0.85, weight_col="w")
     return (
         pr.select(F.col("node").alias("part"), F.round("pagerank", 6).alias("pagerank"))
@@ -6991,9 +7011,18 @@ def graph_pagerank_personalized(spark, sf_dir):
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
     )
-    edges = cop.selectExpr("pa AS src", "pb AS dst").unionByName(
-        cop.selectExpr("pb AS src", "pa AS dst")
-    )
+    # both edge directions by explode off ONE aggregated cop frame (r15:
+    # the two-branch union re-ran the support aggregation once per
+    # direction — measured 5.46 -> 4.62 s on graph_pagerank; identical
+    # rows)
+    edges = cop.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     pr = pagerank_personalized(
         edges,
         lambda node: F.pmod(node, F.lit(10)) == 0,
@@ -7120,9 +7149,18 @@ def graph_communities(spark, sf_dir):
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
     )
-    edges = cop.selectExpr("pa AS src", "pb AS dst").unionByName(
-        cop.selectExpr("pb AS src", "pa AS dst")
-    )
+    # both edge directions by explode off ONE aggregated cop frame (r15:
+    # the two-branch union re-ran the support aggregation once per
+    # direction — measured 5.46 -> 4.62 s on graph_pagerank; identical
+    # rows)
+    edges = cop.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     lp = label_propagation(edges, iterations=2)
     return (
         lp.groupBy(F.col("label").alias("community"))

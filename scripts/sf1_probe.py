@@ -607,6 +607,148 @@ def _live_funnel_probe(spark, sf_dir):
     return read_gate_results(spark, result_dir)
 
 
+def _pagerank_setup_share(spark, sf_dir) -> dict:
+    """r15 (VERDICT r14 item 6): prove the r14 pagerank-setup fix at
+    scale. The fix pinned the normalized edge frame FIRST so the three
+    derived setup pins (nodes, contrib_base, out_srcs) re-read one
+    materialization instead of each re-executing the co-purchase edge
+    lineage (pre-fix: setup alone = ~4 edge-lineage executions). Probe:
+    time the edge lineage materialized ONCE vs the full 3-round pagerank
+    query on the same dir; full/edge_once stays a small constant when
+    the fix holds (rounds are O(|V|+|E|) on the pinned frame), and would
+    sit at >= ~4 if setup still re-executed the lineage per pin."""
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.operators.graph import (
+        copurchase_pairs,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import QUERIES, t
+
+    def edges_df():
+        items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        cop = (
+            copurchase_pairs(items, "l_orderkey", "l_partkey", n_blocks=1)
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= 2)
+            .select("pa", "pb")
+        )
+        return cop.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("pa").alias("src"), F.col("pb").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("pb").alias("src"), F.col("pa").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+
+    edges_df().count()  # warm
+    t0 = time.monotonic()
+    edges_df().localCheckpoint(eager=True)
+    edge_once = time.monotonic() - t0
+    QUERIES["graph_pagerank"](spark, sf_dir).count()  # warm
+    t0 = time.monotonic()
+    QUERIES["graph_pagerank"](spark, sf_dir).count()
+    full = time.monotonic() - t0
+    return {
+        "edge_once_sec": round(edge_once, 3),
+        "full_pagerank_sec": round(full, 3),
+        "full_over_edge_once": round(full / edge_once, 2) if edge_once else None,
+    }
+
+
+def _live_gate_epochs(spark, sf_dir) -> dict:
+    """r15 (VERDICT r14 item 6): per-epoch cost of the compacted growing
+    gate must be FLAT in epoch count — the whole point of
+    ingest_state_compact is that per-batch state reads are
+    O(batch + epochs since last compaction), never O(all epochs). Probe:
+    drain the SAME per-epoch batch size for 3 vs 9 epochs
+    (auto_compact_every=3 in both), fresh state each run; a flat
+    per-epoch cost shows as total ratio ~= 3 (plus the extra compaction
+    folds), an O(epochs) state read as ratio >> 3."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from experimentsplan_datapipeline_spark.operators.dedup import (
+        minhash_index_write,
+    )
+    from experimentsplan_datapipeline_spark.plans.queries import t
+    from experimentsplan_datapipeline_spark.streaming.events import (
+        run_available_now,
+    )
+    from experimentsplan_datapipeline_spark.streaming.ingest import (
+        ingest_state_drop,
+        streaming_ingest_gate,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    live = docs.filter(F.col("doc_id") >= 300).select("doc_id", "text")
+    idx = "probe_epochs_idx"
+    minhash_index_write(
+        corpus, idx, "text", "doc_id", num_hashes=32, bands=8,
+        shingle_size=3, portable_seed=42, n_buckets=4,
+    )
+    per_epoch = 200
+
+    def run(n_epochs: int) -> float:
+        root = tempfile.mkdtemp(prefix=f"gate_epochs_{n_epochs}_")
+        staging = os.path.join(root, "staging")
+        os.makedirs(staging)
+        state = f"probe_epochs_state_{n_epochs}"
+        ingest_state_drop(spark, state)
+        for k in range(n_epochs):
+            batch = (
+                live.orderBy("doc_id")
+                .limit(per_epoch)
+                .select(
+                    (F.col("doc_id") + k * 1_000_000).alias("doc_id"),
+                    "text",
+                )
+            )
+            tmp = os.path.join(root, f"tmp_{k}")
+            batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(staging, f"{k:04d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + k * 100,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        writer = streaming_ingest_gate(
+            stream, corpus, idx, os.path.join(root, "hits"), "text",
+            "doc_id", num_hashes=32, bands=8, shingle_size=3,
+            threshold=0.5, portable_seed=42, grow_state=True,
+            accepted_dir=os.path.join(root, "accepted"),
+            state_dir=os.path.join(root, "state"),
+            compact_table=state, auto_compact_every=3,
+        ).option("checkpointLocation", os.path.join(root, "ckpt"))
+        t0 = time.monotonic()
+        run_available_now(writer, timeout_sec=900.0)
+        took = time.monotonic() - t0
+        ingest_state_drop(spark, state)
+        shutil.rmtree(root, ignore_errors=True)
+        return took
+
+    run(2)  # warm the code paths
+    t3 = run(3)
+    t9 = run(9)
+    return {
+        "epochs3_sec": round(t3, 3),
+        "epochs9_sec": round(t9, 3),
+        "ratio_vs_flat3x": round(t9 / t3 / 3.0, 2) if t3 else None,
+    }
+
+
 # ---------------------------------------------------------------- sf10 (r11)
 
 def build_sf10(out_dir: str, copies: int = 100) -> None:
@@ -1333,6 +1475,14 @@ def main() -> None:
         result["miner_candidates@growth"] = _miner_candidate_growth(
             spark, SRC, out_dir
         )
+    # round 15: the r14-rewrite scale proofs (VERDICT r14 item 6)
+    if wanted("pagerank_setup@share"):
+        result["pagerank_setup@share"] = {
+            "sf0.1": _pagerank_setup_share(spark, SRC),
+            "sf1": _pagerank_setup_share(spark, out_dir),
+        }
+    if wanted("live_gate@epochs"):
+        result["live_gate@epochs"] = _live_gate_epochs(spark, SRC)
     # round 11: the 100x steady-state probes (VERDICT r10 item 3)
     sf10_dir = os.path.join(out_dir, "sf10")
     sf10_probes = [
