@@ -263,6 +263,9 @@ class TestStreamingGrowingState:
         finally:
             minhash_index_drop(spark, "t_stream_grow_idx")
 
+    @pytest.mark.slow  # ~28 s: runs the grow-state gate TWICE (pushdown
+    # vs plain) to assert identical output; the batch-level pushdown
+    # equivalence stays default in TestTextIndexVerifyPushdown
     def test_grow_state_with_text_index_pushdown_matches_plain(
         self, spark, tmp_path
     ):
@@ -884,6 +887,10 @@ class TestIngestStateCompaction:
         shutil.move(part, dst)
         os.utime(dst, (1_700_000_000 + i * 100,) * 2)
 
+    @pytest.mark.slow  # ~3.5 min: the 22-epoch crash-replay depth; the
+    # 3-epoch cross-compaction path stays default via the
+    # stream_ingest_gate_compacted smoke + oracle and TestAutoCompaction's
+    # shallow test below
     def test_compact_mid_stream_with_crash_replay(self, spark, tmp_path):
         import os
 
@@ -1072,6 +1079,9 @@ class TestIngestStateCompaction:
 
 
 class TestStreamingFunnelGrowingState:
+    @pytest.mark.slow  # ~1.4 min: full three-family funnel state fold vs
+    # hand-unrolled replay; funnel grow-state replay semantics stay
+    # default via TestFunnelCrashReplay
     def test_funnel_grow_state_with_compaction_matches_replay(
         self, spark, tmp_path
     ):
@@ -1235,11 +1245,14 @@ class TestStreamingFunnelGrowingState:
 
 class TestAutoCompaction:
     def test_gate_auto_compacts_every_k_epochs(self, spark, tmp_path):
-        """auto_compact_every=3: one drain of 9 single-file micro-batches
-        must leave the epoch dirs pruned up to the last in-stream fold
-        (epoch 5, folded at the start of epoch 6), the pointer's hwm
-        there, and the hit log identical to the hand-unrolled replay —
-        compaction is invisible to results."""
+        """auto_compact_every=2: one drain of 6 single-file micro-batches
+        crosses TWO in-stream folds (at the start of epochs 2 and 4) and
+        must leave the epoch dirs pruned up to the last fold (hwm=3),
+        and the hit log identical to the hand-unrolled replay —
+        compaction is invisible to results. (r15: shrunk from 9 epochs /
+        every-3 — same two-fold coverage, ~half the drain wall, so the
+        driver's default verify window fits; the 22-epoch depth lives in
+        the slow-marked test above.)"""
         import os
 
         from experimentsplan_datapipeline_spark.streaming.events import (
@@ -1254,10 +1267,10 @@ class TestAutoCompaction:
 
         corpus, _ = _docs(spark)
         corpus_rows = [r["text"] for r in corpus.orderBy("doc_id").collect()]
-        batches = TestIngestStateCompaction._mk_batches(spark, corpus_rows, 9)
+        batches = TestIngestStateCompaction._mk_batches(spark, corpus_rows, 6)
         staging = tmp_path / "staging"
         staging.mkdir()
-        for i in range(9):
+        for i in range(6):
             TestIngestStateCompaction._stage_file(
                 tmp_path, staging, batches[i], i
             )
@@ -1281,15 +1294,15 @@ class TestAutoCompaction:
                 stream, corpus, "t_auto_idx", result_dir, "text", "doc_id",
                 threshold=0.5, portable_seed=7, grow_state=True,
                 accepted_dir=accepted_dir, state_dir=state_dir,
-                compact_table="t_auto_state", auto_compact_every=3,
+                compact_table="t_auto_state", auto_compact_every=2,
             ).option("checkpointLocation", str(tmp_path / "ckpt"))
             run_available_now(writer, timeout_sec=480.0)
 
             ptr = spark.table("t_auto_state_meta").first()
-            assert ptr["hwm"] == 5  # folded at the start of epoch 6
+            assert ptr["hwm"] == 3  # folded at the start of epoch 4
             # only post-fold epochs remain on disk
-            assert _list_epochs(spark, accepted_dir) == [6, 7, 8]
-            assert _list_epochs(spark, state_dir) == [6, 7, 8]
+            assert _list_epochs(spark, accepted_dir) == [4, 5]
+            assert _list_epochs(spark, state_dir) == [4, 5]
 
             # results identical to the hand-unrolled replay
             expected = set()

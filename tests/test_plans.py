@@ -177,16 +177,32 @@ def test_expression_multiplicity_lint_catches_unstaged_shape(spark):
     )
 
 
+@pytest.fixture(scope="module")
+def registry_plans(spark):
+    """(optimized, executed) plan strings for EVERY registered query,
+    built ONCE per test module (r15, VERDICT r14 item 1): the two
+    registry-wide lints below each rebuilt all 260 queries — including
+    the eager index/drain bodies — costing ~2.5 min apiece; one shared
+    build halves the suite's single largest block while keeping both
+    lints over the full registry in the DEFAULT run."""
+    plans = {}
+    for name, fn in QUERIES.items():
+        qe = fn(spark, SF_DIR)._jdf.queryExecution()
+        plans[name] = (
+            qe.optimizedPlan().toString(), qe.executedPlan().toString()
+        )
+    return plans
+
+
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
-def test_no_query_repeats_expensive_expressions(spark):
+def test_no_query_repeats_expensive_expressions(registry_plans):
     """Registry-wide expression-multiplicity lint (VERDICT r8 item 6): no
     registered query's optimized plan may compute the SAME expensive
     higher-order expression 3+ times in one projection. The cascade's
     2.9x §4g win and the staged-SSIM rewrite were both this exact bug."""
     offenders = {}
-    for name, fn in QUERIES.items():
-        plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
-        hits = _repeated_expensive_exprs(plan)
+    for name, (opt, _) in registry_plans.items():
+        hits = _repeated_expensive_exprs(opt)
         if hits:
             offenders[name] = {e[:80]: c for e, c in hits.items()}
     assert not offenders, f"repeated expensive expressions: {offenders}"
@@ -253,13 +269,12 @@ class TestRound9PlanShapes:
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
-def test_no_query_degrades_to_cartesian_product(spark):
+def test_no_query_degrades_to_cartesian_product(registry_plans):
     """Registry-wide plan lint: no registered query may plan a non-broadcast
     CartesianProduct — the all-pairs shapes (ngram_jaccard, dedup_embedding)
     are bounded AND broadcastable, so even they must come out as broadcast
     nested-loop, never a shuffled cartesian."""
-    for name, fn in QUERIES.items():
-        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    for name, (_, plan) in registry_plans.items():
         assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
 
 
